@@ -1,0 +1,139 @@
+package graft.columns
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.seed.Seeds
+
+/** Legacy char-class template engine, compiled to pure Column expressions
+  * (the reference implements this as a 550-line numpy masked-array pandas
+  * UDF — dbldatagen/text_generators.py:413-960; token semantics :431-501).
+  *
+  * Tokens (default mode, `escapeSpecialChars = false`):
+  *   a/A  lower/upper letter        x/X  lower/upper hex digit
+  *   d    digit 0-9                 D    non-zero digit 1-9
+  *   k    lower alphanumeric        K    upper alphanumeric
+  *   \n   integer 0..255 (variable width)   \N  integer 0..65535
+  *   \w   lower word from word list         \W  upper word
+  *   \v   entire base value                 \v0..\v9  array element i
+  *   \V   entire base value
+  *   |    alternation (one alternative picked per row); \| literal pipe
+  *   \c   for any other c: literal c
+  * With `escapeSpecialChars = true` the eight class letters are literal
+  * unless escaped (`\d` etc.); always-escaped tokens are unchanged.
+  */
+object TemplateCompiler {
+
+  sealed trait Tok
+  final case class Lit(s: String) extends Tok
+  final case class Charset(chars: String) extends Tok
+  final case class IntTok(max: Long) extends Tok
+  final case class Word(upper: Boolean) extends Tok
+  final case class BaseVal(index: Option[Int]) extends Tok
+
+  val DefaultWords: Seq[String] = ILTextCompiler.LoremWords
+
+  private val classes = Map(
+    'a' -> "abcdefghijklmnopqrstuvwxyz",
+    'A' -> "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    'x' -> "0123456789abcdef",
+    'X' -> "0123456789ABCDEF",
+    'd' -> "0123456789",
+    'D' -> "123456789",
+    'k' -> "abcdefghijklmnopqrstuvwxyz0123456789",
+    'K' -> "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+  /** Split template into alternatives on unescaped `|`, then tokenize each. */
+  def parse(template: String, escapeSpecialChars: Boolean): Seq[List[Tok]] = {
+    val alts = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < template.length) {
+      val c = template.charAt(i)
+      if (c == '\\' && i + 1 < template.length) { cur.append(c).append(template.charAt(i + 1)); i += 2 }
+      else if (c == '|') { alts += cur.toString(); cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    alts += cur.toString()
+    alts.toList.map(tokenize(_, escapeSpecialChars))
+  }
+
+  private def tokenize(alt: String, escapeMode: Boolean): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    def literal(s: String): Unit = out.lastOption match {
+      case Some(Lit(p)) => out.update(out.length - 1, Lit(p + s))
+      case _ => out += Lit(s)
+    }
+    var i = 0
+    while (i < alt.length) {
+      val c = alt.charAt(i)
+      if (c == '\\' && i + 1 < alt.length) {
+        val e = alt.charAt(i + 1)
+        i += 2
+        e match {
+          case 'n' => out += IntTok(255L)
+          case 'N' => out += IntTok(65535L)
+          case 'w' => out += Word(upper = false)
+          case 'W' => out += Word(upper = true)
+          case 'V' => out += BaseVal(None)
+          case 'v' =>
+            if (i < alt.length && alt.charAt(i).isDigit) { out += BaseVal(Some(alt.charAt(i) - '0')); i += 1 }
+            else out += BaseVal(None)
+          case other =>
+            // In escape mode, escaping a class letter activates it; in
+            // default mode, escaping makes it literal.
+            if (escapeMode && classes.contains(other)) out += Charset(classes(other))
+            else literal(other.toString)
+        }
+      } else {
+        if (!escapeMode && classes.contains(c)) out += Charset(classes(c))
+        else literal(c.toString)
+        i += 1
+      }
+    }
+    out.toList
+  }
+
+  def compile(template: String, escapeSpecialChars: Boolean, wordList: Seq[String],
+      columnSeed: Long, id: Column, baseValue: Option[Column]): Column = {
+    val words = if (wordList.nonEmpty) wordList else DefaultWords
+    val alts = parse(template, escapeSpecialChars)
+    val compiled = alts.zipWithIndex.map { case (toks, altIdx) =>
+      compileAlt(toks, words, Seeds.subSeed(columnSeed, 1000 + altIdx), id, baseValue)
+    }
+    if (compiled.length == 1) compiled.head
+    else {
+      val pick = pmod(Seeds.cellSeed(columnSeed ^ 0x51AB5EEDL, id), lit(compiled.length.toLong))
+      compiled.init.zipWithIndex.foldRight(compiled.last) { case ((c, i), rest) =>
+        when(pick === lit(i.toLong), c).otherwise(rest)
+      }
+    }
+  }
+
+  private def compileAlt(toks: List[Tok], words: Seq[String], altSeed: Long, id: Column,
+      baseValue: Option[Column]): Column = {
+    val base = baseValue.getOrElse(id.cast("string"))
+    val parts = toks.zipWithIndex.map { case (tok, k) =>
+      val tokSeed = Seeds.subSeed(altSeed, k)
+      tok match {
+        case Lit(s) => lit(s)
+        case Charset(cs) =>
+          val idx = pmod(Seeds.cellSeed(tokSeed, id), lit(cs.length.toLong)).cast(IntegerType)
+          lit(cs).substr(idx + lit(1), lit(1))
+        case IntTok(max) =>
+          pmod(Seeds.cellSeed(tokSeed, id), lit(max + 1)).cast("string")
+        case Word(upper) =>
+          val idx = pmod(Seeds.cellSeed(tokSeed, id), lit(words.length.toLong)).cast(IntegerType)
+          val w = element_at(typedLit(words), idx + lit(1))
+          if (upper) org.apache.spark.sql.functions.upper(w) else w
+        case BaseVal(None) => base.cast("string")
+        case BaseVal(Some(i)) => element_at(base, i + 1).cast("string")
+      }
+    }
+    parts match {
+      case Nil => lit("")
+      case one :: Nil => one.cast("string")
+      case many => concat(many: _*)
+    }
+  }
+}

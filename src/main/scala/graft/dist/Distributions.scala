@@ -1,0 +1,138 @@
+package graft.dist
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.seed.Seeds
+import graft.spec.Distribution
+
+/** Closed-form inverse-CDF distributions as pure Column expressions.
+  *
+  * Given a per-cell 64-bit seed, produce an index in `[0, n)` (or a value in
+  * continuous space). All formulas are deterministic hash → inverse-CDF
+  * transforms: no RNG state, no UDFs, whole-stage-codegen friendly.
+  * Semantics follow dbldatagen/core/engine/distributions.py:45-240; Gamma and
+  * Beta use documented approximations (Wilson-Hilferty) because exact inverse
+  * CDFs have no closed form.
+  */
+object Distributions {
+
+  /** Two decorrelated uniforms for Box-Muller-style draws. */
+  private def u1(columnSeed: Long, id: Column): Column =
+    Seeds.uniformFraction(Seeds.subSeed(columnSeed, 0), id)
+  private def u2(columnSeed: Long, id: Column): Column =
+    Seeds.uniformFraction(Seeds.subSeed(columnSeed, 1), id)
+
+  /** Clamp to [0, 1) open above so downstream floor(n*u) stays < n. */
+  private def openUnit(u: Column): Column = least(u, lit(1.0 - 1e-12))
+
+  /** Standard normal draw via Box-Muller: sqrt(-2 ln u1) * cos(2 pi u2).
+    * u1 is nudged away from 0 to keep ln finite. */
+  def standardNormal(columnSeed: Long, id: Column): Column = {
+    val a = greatest(u1(columnSeed, id), lit(1e-15))
+    sqrt(lit(-2.0) * log(a)) * cos(lit(2.0 * math.Pi) * u2(columnSeed, id))
+  }
+
+  /** Uniform fraction in [0,1). */
+  def fraction(columnSeed: Long, id: Column): Column =
+    Seeds.uniformFraction(columnSeed, id)
+
+  private def clampIndex(idx: Column, n: Long): Column =
+    greatest(least(idx, lit(n - 1)), lit(0L))
+
+  /** Index in [0, n) distributed per `dist`. `n` must be >= 1. */
+  def index(dist: Distribution, columnSeed: Long, id: Column, n: Long): Column = {
+    require(n >= 1, s"distribution domain must be >= 1, got $n")
+    if (n == 1) lit(0L)
+    else dist match {
+      case Distribution.Uniform =>
+        pmod(Seeds.cellSeed(columnSeed, id), lit(n))
+
+      case Distribution.Normal(mean, stddev) =>
+        // Index-space default: centered at (n-1)/2 with std n/6 so ~99.7% of
+        // mass lands in range before clamping.
+        val m = mean.getOrElse((n - 1) / 2.0)
+        val s = stddev.getOrElse(n / 6.0)
+        val z = standardNormal(columnSeed, id)
+        clampIndex(floor(z * lit(s) + lit(m)).cast("long"), n)
+
+      case Distribution.Zipf(alpha) =>
+        // Inverse CDF of a bounded continuous power law on [1, n+1] with
+        // shape (alpha-1): low indexes are heavily favored; exact for the
+        // continuous relaxation, clamped to the lattice.
+        val a = alpha - 1.0
+        val u = openUnit(fraction(columnSeed, id))
+        val hMax = 1.0 - math.pow(1.0 / (n + 1.0), a)
+        val x = pow(lit(1.0) - u * lit(hMax), lit(-1.0 / a))
+        clampIndex(floor(x).cast("long") - lit(1L), n)
+
+      case Distribution.Exponential(rate) =>
+        // -ln(1-u)/rate scaled so the mean index sits near n/5 at rate=1
+        // (matches the reference's n/5 scaling).
+        val u = openUnit(fraction(columnSeed, id))
+        val x = (negate(log(lit(1.0) - u)) / lit(rate)) * lit(n / 5.0)
+        clampIndex(floor(x).cast("long"), n)
+
+      case Distribution.LogNormal(mu, sigma) =>
+        // exp(N(mu, sigma)) scaled by n / (e^mu * 10): median mass near n/10.
+        val z = standardNormal(columnSeed, id)
+        val scale = n / (math.exp(mu) * 10.0)
+        val x = exp(z * lit(sigma) + lit(mu)) * lit(scale)
+        clampIndex(floor(least(x, lit(9.0e18))).cast("long"), n)
+
+      case Distribution.Gamma(shape, scale) =>
+        clampIndex(floor(gammaDraw(shape, scale, columnSeed, id)).cast("long"), n)
+
+      case Distribution.Beta(al, be) =>
+        val b = betaDraw(al, be, columnSeed, id)
+        clampIndex(floor(b * lit(n.toDouble)).cast("long"), n)
+    }
+  }
+
+  /** Continuous value in [0, 1) shaped by `dist` (for float/double ranges). */
+  def continuousFraction(dist: Distribution, columnSeed: Long, id: Column): Column = dist match {
+    case Distribution.Uniform => fraction(columnSeed, id)
+    case Distribution.Normal(mean, stddev) =>
+      // Value-space: auto-center at 0.5 with span/6 std, clamp to [0,1).
+      val m = mean.getOrElse(0.5)
+      val s = stddev.getOrElse(1.0 / 6.0)
+      val z = standardNormal(columnSeed, id)
+      greatest(least(z * lit(s) + lit(m), lit(1.0 - 1e-12)), lit(0.0))
+    case Distribution.Beta(al, be) => betaDraw(al, be, columnSeed, id)
+    case other =>
+      // Fall back through the high-resolution index lattice.
+      index(other, columnSeed, id, Seeds.FractionDenominator)
+        .cast("double") / lit(Seeds.FractionDenominator.toDouble)
+  }
+
+  /** Wilson-Hilferty: Gamma(k, theta) ~ k*theta*(1 - 1/(9k) + z*sqrt(1/(9k)))^3.
+    * Good to a few percent for k >= 1; documented approximation. */
+  private def gammaDraw(shape: Double, scale: Double, columnSeed: Long, id: Column): Column = {
+    val z = standardNormal(columnSeed, id)
+    val c = 1.0 / (9.0 * shape)
+    val cube = pow(greatest(lit(1.0 - c) + z * lit(math.sqrt(c)), lit(0.0)), lit(3.0))
+    cube * lit(shape * scale)
+  }
+
+  /** Beta(a,b) ~ Ga/(Ga+Gb) with independent Gamma approximations. */
+  private def betaDraw(a: Double, b: Double, columnSeed: Long, id: Column): Column = {
+    val ga = gammaDraw(a, 1.0, Seeds.subSeed(columnSeed, 2), id)
+    val gb = gammaDraw(b, 1.0, Seeds.subSeed(columnSeed, 3), id)
+    val denom = greatest(ga + gb, lit(1e-300))
+    least(ga / denom, lit(1.0 - 1e-12))
+  }
+
+  /** Weighted choice: cumulative-probability when-chain over a uniform
+    * fraction. Weights are normalized; need not sum to 1.
+    * Ref semantics: core/engine/distributions.py:65-102. */
+  def weightedIndex(weights: Seq[Double], columnSeed: Long, id: Column): Column = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
+      "weights must be non-negative and sum > 0")
+    val total = weights.sum
+    val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = fraction(columnSeed, id)
+    // Last branch is the unconditional otherwise: immune to rounding.
+    cdf.init.zipWithIndex.foldRight(lit(weights.length - 1)) {
+      case ((bound, i), elseCol) => when(u < lit(bound), lit(i)).otherwise(elseCol)
+    }
+  }
+}

@@ -1,0 +1,154 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import graft.columns.{BuildContext, ColumnCompiler, PkInfo}
+import graft.plan.{Planner, ResolvedPlan}
+import graft.spec._
+
+/** Execution engine: plan -> DataFrame(s).
+  *
+  * The physical shape is deliberately trivial for Catalyst:
+  * `Range -> Project[phases] -> Filter? -> Project` — a fully narrow,
+  * shuffle-free, whole-stage-codegen pipeline. At 100 TB this is
+  * embarrassingly parallel: every partition generates independently from
+  * (seed, rowId), FKs are reconstructed arithmetically (no joins), and
+  * repartitioning cannot change a single value.
+  * Lifecycle per SURVEY.md §3 (reference: dbldatagen/core/api.py:20-61,
+  * core/engine/generator.py:48-212, data_generator.py:1642-1746).
+  */
+object Generator {
+
+  val IdColumn = "__graft_id"
+  /** Reserved rate-source timestamp column under streaming builds
+    * (ref: data_generator.py:47). */
+  val StreamingTimestampColumn = "_source_timestamp"
+
+  /** Generate every table of a plan, in FK dependency order. */
+  def generate(spark: SparkSession, plan: DataGenPlan): ListMap[String, DataFrame] = {
+    val resolved = Planner.resolveOrThrow(plan)
+    resolved.orderedTables.foldLeft(ListMap.empty[String, DataFrame]) { (acc, t) =>
+      acc + (t.name -> generateTable(spark, resolved, t))
+    }
+  }
+
+  /** Generate a single table of a resolved plan (batch). */
+  def generateTable(spark: SparkSession, resolved: ResolvedPlan, table: TableSpec): DataFrame = {
+    val partitions = table.partitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val base = spark.range(0L, table.rows, 1L, partitions).toDF(IdColumn)
+    assemble(spark, resolved, table, base, streaming = false)
+  }
+
+  /** Streaming variant: same column expressions over a rate source
+    * (ref: data_generator.py:1348-1369). */
+  def generateStream(spark: SparkSession, resolved: ResolvedPlan, table: TableSpec,
+      rowsPerSecond: Long = 1000L, numPartitions: Option[Int] = None): DataFrame = {
+    table.constraints.filterNot(_.supportsStreaming).foreach { c =>
+      throw SpecError(s"constraint ${c.getClass.getSimpleName} does not support streaming builds")
+    }
+    val reader = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+    numPartitions.foreach(n => reader.option("numPartitions", n.toString))
+    val base = reader.load()
+      .withColumnRenamed("timestamp", StreamingTimestampColumn)
+      .withColumnRenamed("value", IdColumn)
+    assemble(spark, resolved, table, base, streaming = true)
+  }
+
+  private def assemble(spark: SparkSession, resolved: ResolvedPlan, table: TableSpec,
+      base: DataFrame, streaming: Boolean): DataFrame = {
+    val ctx = BuildContext(resolved.plan.seed, table.name, table.rows, resolved.pkInfo)
+
+    // numColumns > 1 expands name into name_0..n-1 (distinct seeds derive
+    // from the distinct names). Ref: column_generation_spec.py:1606-1689.
+    val expanded: Seq[ColumnSpec] = table.columns.flatMap { c =>
+      if (c.numColumns == 1) Seq(c)
+      else (0 until c.numColumns).map(i => c.copy(name = s"${c.name}_$i", numColumns = 1))
+    }
+    val expandedTable = table.copy(columns = expanded)
+
+    val phases = Planner.columnPhases(expandedTable, sql => parseRefs(spark, sql))
+
+    // One wide select per phase: short lineage, one Project node each, and
+    // Catalyst's CollapseProject merges what it can.
+    val built = phases.foldLeft(base) { (df, phase) =>
+      val exprs = phase.map { c =>
+        val idCol = c.seedMode match {
+          case SeedMode.RowId => col(IdColumn)
+          case SeedMode.FromColumns(cols) => xxhash64(cols.map(col): _*)
+          case SeedMode.FromValue(other) => col(other).cast("long")
+        }
+        ColumnCompiler.compile(c, ctx, idCol)
+      }
+      df.select(col("*") +: exprs: _*)
+    }
+
+    val constrained = applyConstraints(built, table.constraints, streaming)
+
+    // Final projection: declared order, omit intermediates, drop the seed id.
+    val outputCols = expanded.filterNot(_.omit).map(c => col(c.name))
+    val passthrough = if (streaming) Seq(col(StreamingTimestampColumn)) else Nil
+    constrained.select(passthrough ++ outputCols: _*)
+  }
+
+  /** Extract identifiers referenced by a SQL expression using Catalyst's
+    * real parser (reference uses a regex heuristic —
+    * core/engine/planner.py:475-546; the parser is strictly better). */
+  def parseRefs(spark: SparkSession, sql: String): Set[String] = {
+    try {
+      val e = spark.sessionState.sqlParser.parseExpression(sql)
+      e.collect { case a: UnresolvedAttribute => a.nameParts.head }.toSet
+    } catch { case _: Exception => Set.empty }
+  }
+
+  /** Constraints: dedup transforms first, then all filters AND-combined into
+    * one `where` (ref: data_generator.py:1609-1640, constraints package). */
+  def applyConstraints(df: DataFrame, constraints: Seq[Constraint], streaming: Boolean): DataFrame = {
+    val afterTransforms = constraints.foldLeft(df) {
+      case (d, Constraint.UniqueCombinations(cols)) =>
+        if (cols.isEmpty) d.dropDuplicates() else d.dropDuplicates(cols)
+      case (d, _) => d
+    }
+    val filters = constraints.flatMap(filterFor)
+    filters.reduceOption(_ && _) match {
+      case Some(f) => afterTransforms.where(f)
+      case None => afterTransforms
+    }
+  }
+
+  private def relate(rel: String)(l: Column, r: Column): Column = rel match {
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case "==" | "=" => l === r
+    case "!=" | "<>" => l =!= r
+    case other => throw SpecError(s"unknown relation '$other'")
+  }
+
+  private def filterFor(c: Constraint): Option[Column] = c match {
+    case Constraint.SqlExpr(sql) => Some(expr(sql))
+    case Constraint.ChainedRelation(cols, rel) =>
+      require(cols.length >= 2, "chained relation needs >= 2 columns")
+      Some(cols.sliding(2).map { case Seq(a, b) => relate(rel)(col(a), col(b)) }.reduce(_ && _))
+    case Constraint.LiteralRange(cols, lo, hi, strict) =>
+      Some(cols.map { cn =>
+        if (strict) col(cn) > lit(lo) && col(cn) < lit(hi)
+        else col(cn).between(lit(lo), lit(hi))
+      }.reduce(_ && _))
+    case Constraint.LiteralRelation(cols, rel, v) =>
+      Some(cols.map(cn => relate(rel)(col(cn), lit(v))).reduce(_ && _))
+    case Constraint.RangedValues(cols, loCol, hiCol, strict) =>
+      Some(cols.map { cn =>
+        if (strict) col(cn) > col(loCol) && col(cn) < col(hiCol)
+        else col(cn).between(col(loCol), col(hiCol))
+      }.reduce(_ && _))
+    case Constraint.PositiveValues(cols, strict) =>
+      Some(cols.map(cn => col(cn).isNotNull && (if (strict) col(cn) > 0 else col(cn) >= 0)).reduce(_ && _))
+    case Constraint.NegativeValues(cols, strict) =>
+      Some(cols.map(cn => col(cn).isNotNull && (if (strict) col(cn) < 0 else col(cn) <= 0)).reduce(_ && _))
+    case _: Constraint.UniqueCombinations => None
+  }
+}

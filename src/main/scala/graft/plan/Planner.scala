@@ -1,0 +1,186 @@
+package graft.plan
+
+import scala.collection.immutable.ListMap
+import graft.columns.PkInfo
+import graft.seed.Seeds
+import graft.spec._
+
+/** Resolved multi-table plan: validated, FK metadata extracted, tables in
+  * dependency order. Ref lifecycle: dbldatagen/core/engine/planner.py:219-331.
+  */
+final case class ResolvedPlan(
+    plan: DataGenPlan,
+    /** tables in FK-dependency (topological) order */
+    orderedTables: Seq[TableSpec],
+    /** parent table name -> PK reconstruction metadata */
+    pkInfo: Map[String, PkInfo])
+
+object Planner {
+
+  /** Validate a plan and resolve FK/topology metadata. Collects all errors
+    * (reference behavior: fail with the full list, planner.py + Pydantic
+    * validators in core/spec/schema.py:306-1456). */
+  def resolve(plan: DataGenPlan): Either[List[SpecError], ResolvedPlan] = {
+    val errors = scala.collection.mutable.ListBuffer.empty[SpecError]
+    def err(msg: String): Unit = errors += SpecError(msg)
+
+    // table-level identity checks
+    val names = plan.tables.map(_.name)
+    names.diff(names.distinct).distinct.foreach(n => err(s"duplicate table name '$n'"))
+    if (plan.tables.isEmpty) err("plan has no tables")
+
+    val byName = plan.tables.map(t => t.name -> t).toMap
+
+    plan.tables.foreach { t =>
+      if (t.rows <= 0) err(s"table ${t.name}: rows must be > 0")
+      val cnames = t.columns.map(_.name)
+      cnames.diff(cnames.distinct).distinct.foreach(c => err(s"table ${t.name}: duplicate column '$c'"))
+      t.primaryKey.foreach { pk =>
+        t.columns.find(_.name == pk.column) match {
+          case None => err(s"table ${t.name}: primary key column '${pk.column}' not defined")
+          case Some(cs) => cs.strategy match {
+            case _: ColumnStrategy.Sequence | _: ColumnStrategy.Pattern | ColumnStrategy.Uuid => ()
+            case other => err(s"table ${t.name}: PK '${pk.column}' strategy " +
+              s"${other.getClass.getSimpleName} not FK-reconstructable (need Sequence/Pattern/Uuid)")
+          }
+        }
+      }
+      t.columns.foreach(c => validateColumn(t, c, byName, err))
+    }
+
+    // FK graph: child -> parents; Kahn topo sort, leftover = cycle.
+    val deps: Map[String, Set[String]] = plan.tables.map { t =>
+      t.name -> t.columns.flatMap(c => fkTargets(c.strategy)).map(_._1).toSet.filter(byName.contains)
+    }.toMap
+    val ordered = scala.collection.mutable.ListBuffer.empty[TableSpec]
+    val remaining = scala.collection.mutable.Map(deps.toSeq: _*)
+    var progress = true
+    while (progress && remaining.nonEmpty) {
+      val ready = remaining.collect { case (n, ds) if ds.forall(d => !remaining.contains(d)) => n }
+        .toSeq.sortBy(n => plan.tables.indexWhere(_.name == n))
+      progress = ready.nonEmpty
+      ready.foreach { n => ordered += byName(n); remaining.remove(n) }
+    }
+    if (remaining.nonEmpty)
+      err(s"foreign-key cycle among tables: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+
+    val pkInfo: Map[String, PkInfo] = plan.tables.flatMap { t =>
+      t.primaryKey.flatMap { pk =>
+        t.columns.find(_.name == pk.column).map { cs =>
+          t.name -> PkInfo(t.name, pk.column, cs.strategy,
+            Seeds.deriveColumnSeed(plan.seed, t.name, pk.column), t.rows)
+        }
+      }
+    }.toMap
+
+    if (errors.nonEmpty) Left(errors.toList)
+    else Right(ResolvedPlan(plan, ordered.toList, pkInfo))
+  }
+
+  /** All (table, column) FK references inside a strategy (incl. nested). */
+  private def fkTargets(s: ColumnStrategy): Seq[(String, String)] = s match {
+    case ColumnStrategy.ForeignKey(t, c, _) => Seq(t -> c)
+    case ColumnStrategy.Struct(fields) => fields.flatMap(f => fkTargets(f._2.strategy))
+    case ColumnStrategy.ArrayOf(e, _, _) => fkTargets(e.strategy)
+    case _ => Nil
+  }
+
+  private def validateColumn(t: TableSpec, c: ColumnSpec, byName: Map[String, TableSpec],
+      err: String => Unit): Unit = {
+    val where = s"table ${t.name}, column ${c.name}"
+    if (c.percentNulls < 0 || c.percentNulls > 1) err(s"$where: percentNulls must be in [0,1]")
+    if (c.numColumns < 1) err(s"$where: numColumns must be >= 1")
+    c.uniqueValues.foreach(u => if (u <= 0) err(s"$where: uniqueValues must be > 0"))
+    validateDistribution(distOf(c.strategy), where, err)
+    c.strategy match {
+      case ColumnStrategy.Sequence(start, step) =>
+        if (step == 0) err(s"$where: sequence step must be non-zero")
+        val last = BigInt(start) + BigInt(t.rows - 1) * BigInt(step)
+        if (last < Long.MinValue || last > Long.MaxValue)
+          err(s"$where: sequence overflows Long at row ${t.rows} (last value $last)")
+      case r: ColumnStrategy.Range =>
+        if (r.max < r.min) err(s"$where: range max < min")
+        r.step.foreach(s => if (s <= 0) err(s"$where: range step must be > 0"))
+        c.dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            if (r.max.precision - r.max.scale > d.precision - d.scale)
+              err(s"$where: range max ${r.max} does not fit decimal(${d.precision},${d.scale})")
+          case _ => ()
+        }
+      case ColumnStrategy.Values(vs, ws, _) =>
+        if (vs.isEmpty) err(s"$where: values list is empty")
+        if (ws.nonEmpty) {
+          if (ws.length != vs.length) err(s"$where: ${ws.length} weights for ${vs.length} values")
+          if (ws.exists(_ < 0) || ws.sum <= 0) err(s"$where: weights must be >= 0 with positive sum")
+        }
+      case ColumnStrategy.ForeignKey(pt, pc, _) =>
+        byName.get(pt) match {
+          case None => err(s"$where: FK references unknown table '$pt'")
+          case Some(parent) => parent.primaryKey match {
+            case Some(pk) if pk.column == pc => ()
+            case Some(pk) => err(s"$where: FK must target PK column '$pt.${pk.column}', not '$pc'")
+            case None => err(s"$where: FK target table '$pt' has no primary key")
+          }
+        }
+      case ColumnStrategy.ArrayOf(_, lo, hi) =>
+        if (lo < 0 || hi < lo || hi > 1000) err(s"$where: array bounds [$lo,$hi] invalid (max 1000)")
+      case _ => ()
+    }
+  }
+
+  private def distOf(s: ColumnStrategy): Option[Distribution] = s match {
+    case r: ColumnStrategy.Range => Some(r.distribution)
+    case v: ColumnStrategy.Values => Some(v.distribution)
+    case t: ColumnStrategy.Timestamp => Some(t.distribution)
+    case d: ColumnStrategy.DateRange => Some(d.distribution)
+    case f: ColumnStrategy.ForeignKey => Some(f.distribution)
+    case _ => None
+  }
+
+  private def validateDistribution(d: Option[Distribution], where: String, err: String => Unit): Unit =
+    d.foreach {
+      case Distribution.Zipf(a) if a <= 1.0 => err(s"$where: zipf alpha must be > 1")
+      case Distribution.Exponential(r) if r <= 0 => err(s"$where: exponential rate must be > 0")
+      case Distribution.Normal(_, Some(s)) if s < 0 => err(s"$where: normal stddev must be >= 0")
+      case Distribution.LogNormal(_, s) if s < 0 => err(s"$where: lognormal sigma must be >= 0")
+      case Distribution.Gamma(k, th) if k <= 0 || th <= 0 => err(s"$where: gamma params must be > 0")
+      case Distribution.Beta(a, b) if a <= 0 || b <= 0 => err(s"$where: beta params must be > 0")
+      case _ => ()
+    }
+
+  /** Column build phases within one table: level 0 = pure functions of the
+    * row id (one wide select); level k = columns whose SQL expressions or
+    * seed modes reference level-(k-1) columns. Ref: data_generator.py:1371-1461.
+    * `parseRefs` extracts referenced identifiers from a SQL expression —
+    * callers pass Catalyst's real parser. */
+  def columnPhases(table: TableSpec, parseRefs: String => Set[String]): Seq[Seq[ColumnSpec]] = {
+    val names = table.columns.map(_.name).toSet
+    val depOf: Map[String, Set[String]] = table.columns.map { c =>
+      val exprRefs = c.strategy match {
+        case ColumnStrategy.Expression(sql) => parseRefs(sql).intersect(names) - c.name
+        case _ => Set.empty[String]
+      }
+      val seedRefs = c.seedMode match {
+        case SeedMode.FromColumns(cols) => cols.toSet.intersect(names)
+        case SeedMode.FromValue(col) => Set(col).intersect(names)
+        case SeedMode.RowId => Set.empty[String]
+      }
+      c.name -> (exprRefs ++ seedRefs)
+    }.toMap
+    val level = scala.collection.mutable.Map.empty[String, Int]
+    def levelOf(n: String, seen: Set[String]): Int = level.getOrElseUpdate(n, {
+      if (seen.contains(n)) throw SpecError(s"column dependency cycle at '$n' in table ${table.name}")
+      val ds = depOf.getOrElse(n, Set.empty)
+      if (ds.isEmpty) 0 else ds.map(d => levelOf(d, seen + n)).max + 1
+    })
+    table.columns.foreach(c => levelOf(c.name, Set.empty))
+    val maxLevel = if (level.isEmpty) 0 else level.values.max
+    (0 to maxLevel).map(l => table.columns.filter(c => level(c.name) == l))
+  }
+
+  /** Convenience: resolve or throw with all messages. */
+  def resolveOrThrow(plan: DataGenPlan): ResolvedPlan = resolve(plan) match {
+    case Right(r) => r
+    case Left(errs) => throw SpecError(errs.map(_.message).mkString("; "))
+  }
+}
