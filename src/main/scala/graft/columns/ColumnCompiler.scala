@@ -49,9 +49,10 @@ object ColumnCompiler {
     (spec.prefix, spec.suffix) match {
       case (None, None) => formatted
       case (p, s) =>
+        val sep = spec.textSeparator
         val mid = formatted.cast(StringType)
-        val withP = p.map(pp => concat(lit(pp), lit("_"), mid)).getOrElse(mid)
-        s.map(ss => concat(withP, lit("_"), lit(ss))).getOrElse(withP)
+        val withP = p.map(pp => concat(lit(pp), lit(sep), mid)).getOrElse(mid)
+        s.map(ss => concat(withP, lit(sep), lit(ss))).getOrElse(withP)
     }
   }
 
@@ -77,20 +78,22 @@ object ColumnCompiler {
     case ColumnStrategy.Pattern(p) =>
       PatternCompiler.compile(p, seed, id)
 
-    case ColumnStrategy.Template(t, escapeMode, words) =>
-      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = None)
+    case ColumnStrategy.Template(t, escapeMode, words, baseCol) =>
+      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = baseCol.map(col))
 
     case ColumnStrategy.Uuid =>
       uuidColumn(seed, id)
 
     case ColumnStrategy.Timestamp(begin, end, interval, dist) =>
-      // Ref: core/engine/columns/temporal.py:19-140
+      // Ref: core/engine/columns/temporal.py:19-140. Normal mean/stddev are
+      // value-space (epoch seconds / seconds), converted to lattice indexes.
       val beginEpoch = begin.getEpochSecond
       val endEpoch = end.getEpochSecond
       require(endEpoch >= beginEpoch, s"timestamp range inverted for ${spec.name}")
       val ivl = math.max(1L, interval)
       val count = (endEpoch - beginEpoch) / ivl + 1
-      val idx = applyUnique(spec, Distributions.index(dist, seed, id, count), seed, count)
+      val d = Distributions.toIndexSpace(dist, beginEpoch.toDouble, ivl.toDouble)
+      val idx = applyUnique(spec, Distributions.index(d, seed, id, count), seed, count)
       timestamp_seconds(idx * lit(ivl) + lit(beginEpoch))
 
     case ColumnStrategy.DateRange(begin, end, ivlDays, dist) =>
@@ -98,7 +101,9 @@ object ColumnCompiler {
       require(days >= 0, s"date range inverted for ${spec.name}")
       val step = math.max(1, ivlDays)
       val count = days / step + 1
-      val idx = applyUnique(spec, Distributions.index(dist, seed, id, count), seed, count)
+      // Normal mean/stddev value-space = epoch days.
+      val d = Distributions.toIndexSpace(dist, begin.toEpochDay.toDouble, step.toDouble)
+      val idx = applyUnique(spec, Distributions.index(d, seed, id, count), seed, count)
       date_add(lit(java.sql.Date.valueOf(begin.toString)), (idx * lit(step)).cast(IntegerType))
 
     case ColumnStrategy.Constant(v) => lit(v)
@@ -127,6 +132,14 @@ object ColumnCompiler {
       // Ref: core/engine/generator.py:436-486 (golden-ratio element seeds).
       require(maxLen >= minLen && minLen >= 0 && maxLen <= 1000,
         s"array length bounds invalid for ${spec.name}")
+      // Total-plan-size guard: maxLen copies of a complex element strategy
+      // would otherwise blow past the JVM 64KB codegen method limit (the
+      // per-element guard alone doesn't bound the product).
+      val elemNodes = estimateNodes(element.strategy)
+      if (elemNodes.toLong * maxLen > 20000)
+        throw SpecError(s"array column ${spec.name}: ~${elemNodes.toLong * maxLen} expression " +
+          s"nodes ($elemNodes/element x $maxLen) exceeds the 20k plan-size budget; " +
+          "reduce maxLength or simplify the element strategy")
       val elems = (0 until maxLen).map { k =>
         val eSpec = element.copy(name = s"${spec.name}[$k]")
         compile(eSpec, ctx, id)
@@ -187,10 +200,14 @@ object ColumnCompiler {
     }
     if (isFractional && (r.continuous || r.step.isEmpty)) {
       val span = (r.max - r.min).toDouble
-      val frac = Distributions.continuousFraction(r.distribution, seed, id)
+      // Normal mean/stddev are value-space; fraction space is (v-min)/span.
+      val d =
+        if (span > 0) Distributions.toIndexSpace(r.distribution, r.min.toDouble, span)
+        else r.distribution
+      val frac = Distributions.continuousFraction(d, seed, id)
       val value = frac * lit(span) + lit(r.min.toDouble)
       spec.dataType match {
-        case d: DecimalType => round(value, d.scale)
+        case dt: DecimalType => round(value, dt.scale)
         case _ => value
       }
     } else {
@@ -198,13 +215,35 @@ object ColumnCompiler {
       require(step > 0, s"range step must be > 0 for ${spec.name}")
       val count0 = ((r.max - r.min) / step).toLong + 1
       val count = spec.uniqueValues.map(u => math.min(u, count0)).getOrElse(count0)
-      val idx0 = Distributions.index(r.distribution, seed, id, count)
+      // Normal mean/stddev are value-space; lattice index = (v-min)/step.
+      val dIdx = Distributions.toIndexSpace(r.distribution, r.min.toDouble, step.toDouble)
+      val idx0 = Distributions.index(dIdx, seed, id, count)
       val idx = scatterIndex(spec, idx0, seed, count)
       if (step.isWhole && r.min.isWhole)
         idx * lit(step.toLong) + lit(r.min.toLong)
       else
         idx.cast(DoubleType) * lit(step.toDouble) + lit(r.min.toDouble)
     }
+  }
+
+  /** Rough per-strategy expression-node count (for the array plan-size
+    * budget). Intentionally conservative, not exact. */
+  private[graft] def estimateNodes(s: ColumnStrategy): Int = s match {
+    case _: ColumnStrategy.Sequence | _: ColumnStrategy.Constant => 3
+    case _: ColumnStrategy.Range | ColumnStrategy.Uuid => 15
+    case v: ColumnStrategy.Values => 5 + v.values.length + 3 * v.weights.length
+    case p: ColumnStrategy.Pattern =>
+      5 + PatternCompiler.tokenize(p.pattern).map {
+        case PatternCompiler.Alpha(w) => 8 * w
+        case _ => 8
+      }.sum
+    case t: ColumnStrategy.Template =>
+      5 + TemplateCompiler.parse(t.template, t.escapeSpecialChars).map(_.size * 8).sum
+    case i: ColumnStrategy.ILText =>
+      10 * i.paragraphs._2 * i.sentences._2 * i.words._2
+    case st: ColumnStrategy.Struct => 2 + st.fields.map(f => estimateNodes(f._2.strategy)).sum
+    case a: ColumnStrategy.ArrayOf => 5 + a.maxLength * estimateNodes(a.element.strategy)
+    case _ => 10
   }
 
   private def applyUnique(spec: ColumnSpec, idx: Column, seed: Long, count: Long): Column = {

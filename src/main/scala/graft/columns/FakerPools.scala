@@ -84,11 +84,6 @@ object FakerPools {
         case other => throw SpecError(s"unknown faker provider '$other'; supported: first_name, " +
           "last_name, name, email, company, city, country, street_address, phone_number, word")
       }
-    }.distinct match {
-      // element_at over a distinct pool keeps cardinality honest; re-dup to
-      // requested size is unnecessary — modulo indexing handles any length.
-      case d if d.nonEmpty => d
-      case _ => Seq("x")
     }
   }
 }

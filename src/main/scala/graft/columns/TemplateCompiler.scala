@@ -98,6 +98,15 @@ object TemplateCompiler {
       columnSeed: Long, id: Column, baseValue: Option[Column]): Column = {
     val words = if (wordList.nonEmpty) wordList else DefaultWords
     val alts = parse(template, escapeSpecialChars)
+    // `\v0`..`\v9` index into an ARRAY base value (text_generators.py:431-501);
+    // without an explicit baseColumn the base degrades to the row id, which
+    // is not indexable — reject early with a spec error instead of letting
+    // element_at(string, i) throw an AnalysisException at build time.
+    if (baseValue.isEmpty && alts.exists(_.exists {
+        case BaseVal(Some(_)) => true; case _ => false }))
+      throw graft.spec.SpecError(
+        s"template '$template' uses indexed base-value tokens (\\v0..\\v9) but no " +
+        "baseColumn is set; set ColumnStrategy.Template(baseColumn = Some(<array column>))")
     val compiled = alts.zipWithIndex.map { case (toks, altIdx) =>
       compileAlt(toks, words, Seeds.subSeed(columnSeed, 1000 + altIdx), id, baseValue)
     }

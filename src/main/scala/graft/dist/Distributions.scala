@@ -85,7 +85,27 @@ object Distributions {
       case Distribution.Beta(al, be) =>
         val b = betaDraw(al, be, columnSeed, id)
         clampIndex(floor(b * lit(n.toDouble)).cast("long"), n)
+
+      case Distribution.Pareto(alpha) =>
+        // Bounded Pareto on [1, n+1]: inverse CDF with tail exponent alpha
+        // (pdf ~ x^-(alpha+1)). Bounding (like Zipf above) avoids clamping a
+        // mass spike onto the last index.
+        val u = openUnit(fraction(columnSeed, id))
+        val hMax = 1.0 - math.pow(1.0 / (n + 1.0), alpha)
+        val x = pow(lit(1.0) - u * lit(hMax), lit(-1.0 / alpha))
+        clampIndex(floor(x).cast("long") - lit(1L), n)
     }
+  }
+
+  /** Convert user-facing value-space distribution parameters into index
+    * space for a lattice `{min, min+step, ...}` — the reference interprets
+    * Normal mean/stddev in VALUE units (normal_value_expr,
+    * core/engine/distributions.py:105-159); the index() domain is lattice
+    * indexes, so `meanIdx = (mean - min)/step`, `stdIdx = std/step`. */
+  def toIndexSpace(dist: Distribution, min: Double, step: Double): Distribution = dist match {
+    case Distribution.Normal(mean, stddev) =>
+      Distribution.Normal(mean.map(m => (m - min) / step), stddev.map(_ / step))
+    case other => other
   }
 
   /** Continuous value in [0, 1) shaped by `dist` (for float/double ranges). */

@@ -85,12 +85,24 @@ object Generator {
       df.select(col("*") +: exprs: _*)
     }
 
-    val constrained = applyConstraints(built, table.constraints, streaming)
+    // Filter constraints run BEFORE the final projection (they may reference
+    // omitted intermediate columns); UniqueCombinations runs AFTER it, on the
+    // declared output columns only — running dropDuplicates while the
+    // always-unique __graft_id is still present would be a silent no-op
+    // (ADVICE r1).
+    val filtered = applyFilterConstraints(built, table.constraints)
 
     // Final projection: declared order, omit intermediates, drop the seed id.
     val outputCols = expanded.filterNot(_.omit).map(c => col(c.name))
     val passthrough = if (streaming) Seq(col(StreamingTimestampColumn)) else Nil
-    constrained.select(passthrough ++ outputCols: _*)
+    val projected = filtered.select(passthrough ++ outputCols: _*)
+
+    table.constraints.foldLeft(projected) {
+      case (d, Constraint.UniqueCombinations(cols)) =>
+        if (cols.isEmpty) d.dropDuplicates(expanded.filterNot(_.omit).map(_.name))
+        else d.dropDuplicates(cols)
+      case (d, _) => d
+    }
   }
 
   /** Extract identifiers referenced by a SQL expression using Catalyst's
@@ -103,18 +115,25 @@ object Generator {
     } catch { case _: Exception => Set.empty }
   }
 
-  /** Constraints: dedup transforms first, then all filters AND-combined into
-    * one `where` (ref: data_generator.py:1609-1640, constraints package). */
-  def applyConstraints(df: DataFrame, constraints: Seq[Constraint], streaming: Boolean): DataFrame = {
-    val afterTransforms = constraints.foldLeft(df) {
+  /** Filter constraints AND-combined into one `where`; UniqueCombinations is
+    * handled separately after the final projection
+    * (ref: data_generator.py:1609-1640, constraints package). */
+  def applyFilterConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val filters = constraints.flatMap(filterFor)
+    filters.reduceOption(_ && _) match {
+      case Some(f) => df.where(f)
+      case None => df
+    }
+  }
+
+  /** Apply any constraint list to an arbitrary DataFrame (public surface —
+    * also used by the driver correctness queries over the test tables). */
+  def applyConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val filtered = applyFilterConstraints(df, constraints)
+    constraints.foldLeft(filtered) {
       case (d, Constraint.UniqueCombinations(cols)) =>
         if (cols.isEmpty) d.dropDuplicates() else d.dropDuplicates(cols)
       case (d, _) => d
-    }
-    val filters = constraints.flatMap(filterFor)
-    filters.reduceOption(_ && _) match {
-      case Some(f) => afterTransforms.where(f)
-      case None => afterTransforms
     }
   }
 

@@ -33,6 +33,10 @@ object Distribution {
   final case class Gamma(shape: Double, scale: Double) extends Distribution
   /** Beta via ratio of two Gamma approximations (legacy parity). */
   final case class Beta(alpha: Double, beta: Double) extends Distribution
+  /** Pareto heavy tail via inverse CDF `(1-u)^(-1/alpha) - 1`, scaled so the
+    * mode sits at index 0 and the tail covers the range; alpha > 0.
+    * Ref: dbldatagen/distributions/pareto.py:21-98. */
+  final case class Pareto(alpha: Double) extends Distribution
 }
 
 /** How a column derives its per-cell seed.
@@ -81,7 +85,11 @@ object ColumnStrategy {
     * `\n \N \w \W \v \v0-\v9 \V`, `|` alternation.
     * Ref: dbldatagen/text_generators.py:413-960 (token table :431-501). */
   final case class Template(template: String, escapeSpecialChars: Boolean = false,
-      wordList: Seq[String] = Nil) extends ColumnStrategy
+      wordList: Seq[String] = Nil,
+      /** Column whose value feeds `\v`/`\V` (and, when it is an array column,
+        * `\v0`..`\v9`). Defaults to the row id, matching the reference's
+        * default base column (text_generators.py:431-501). */
+      baseColumn: Option[String] = None) extends ColumnStrategy
 
   /** Deterministic UUID-shaped string from two 64-bit hashes (not RFC-4122).
     * Ref: core/engine/columns/uuid.py:15-58. */
@@ -152,7 +160,10 @@ final case class ColumnSpec(
     /** Exactly this many distinct values (clamps the lattice). */
     uniqueValues: Option[Long] = None,
     /** Random-looking but bijective value scatter (affine permutation). */
-    scatter: Boolean = false)
+    scatter: Boolean = false,
+    /** Separator placed between prefix/suffix and the value (reference makes
+      * this configurable — column_generation_spec.py:1519-1534). */
+    textSeparator: String = "_")
 
 object ColumnSpec {
   def apply(name: String, ddl: String, strategy: ColumnStrategy): ColumnSpec =
