@@ -35,7 +35,10 @@ object ColumnCompiler {
     val decorated = decorate(spec, raw)
     val casted = spec.strategy match {
       case _: ColumnStrategy.Struct | _: ColumnStrategy.ArrayOf => decorated
-      case _: ColumnStrategy.Expression if spec.dataType == NullType => decorated // inferred
+      // NullType is the "inferred" sentinel: keep the strategy's natural type
+      // (used by SQL-expression columns and the JSON plan loader's
+      // dtype-less columns). Ref: INFER_DATATYPE, column_generation_spec.py:155-163.
+      case _ if spec.dataType == NullType => decorated
       case _ => decorated.cast(spec.dataType)
     }
     Seeds.withNullMask(casted, spec.percentNulls, seed, id).as(spec.name)
@@ -120,13 +123,14 @@ object ColumnCompiler {
       val parentIdx = Distributions.index(dist, seed, id, pk.rows)
       reconstructPk(pk, parentIdx)
 
-    case ColumnStrategy.Struct(fields) =>
+    case ColumnStrategy.Struct(fields, asJson) =>
       // Per-field seeds derive from the qualified name so sibling fields are
       // decorrelated. Ref: core/engine/generator.py:399-433.
-      struct(fields.map { case (fname, fspec) =>
+      val st = struct(fields.map { case (fname, fspec) =>
         val qualified = fspec.copy(name = s"${spec.name}.$fname")
         compile(qualified, ctx, id).as(fname)
       }: _*)
+      if (asJson) to_json(st) else st
 
     case ColumnStrategy.ArrayOf(element, minLen, maxLen) =>
       // Ref: core/engine/generator.py:436-486 (golden-ratio element seeds).

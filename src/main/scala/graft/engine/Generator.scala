@@ -62,9 +62,10 @@ object Generator {
     val ctx = BuildContext(resolved.plan.seed, table.name, table.rows, resolved.pkInfo)
 
     // numColumns > 1 expands name into name_0..n-1 (distinct seeds derive
-    // from the distinct names). Ref: column_generation_spec.py:1606-1689.
+    // from the distinct names); with asArray the n values collapse back into
+    // ONE array column. Ref: column_generation_spec.py:1606-1689.
     val expanded: Seq[ColumnSpec] = table.columns.flatMap { c =>
-      if (c.numColumns == 1) Seq(c)
+      if (c.numColumns == 1 || c.asArray) Seq(c)
       else (0 until c.numColumns).map(i => c.copy(name = s"${c.name}_$i", numColumns = 1))
     }
     val expandedTable = table.copy(columns = expanded)
@@ -80,7 +81,11 @@ object Generator {
           case SeedMode.FromColumns(cols) => xxhash64(cols.map(col): _*)
           case SeedMode.FromValue(other) => col(other).cast("long")
         }
-        ColumnCompiler.compile(c, ctx, idCol)
+        if (c.numColumns > 1 && c.asArray)
+          array((0 until c.numColumns).map { i =>
+            ColumnCompiler.compile(c.copy(name = s"${c.name}_$i", numColumns = 1, asArray = false), ctx, idCol)
+          }: _*).as(c.name)
+        else ColumnCompiler.compile(c, ctx, idCol)
       }
       df.select(col("*") +: exprs: _*)
     }

@@ -104,7 +104,7 @@ object Planner {
   /** All (table, column) FK references inside a strategy (incl. nested). */
   private def fkTargets(s: ColumnStrategy): Seq[(String, String)] = s match {
     case ColumnStrategy.ForeignKey(t, c, _) => Seq(t -> c)
-    case ColumnStrategy.Struct(fields) => fields.flatMap(f => fkTargets(f._2.strategy))
+    case ColumnStrategy.Struct(fields, _) => fields.flatMap(f => fkTargets(f._2.strategy))
     case ColumnStrategy.ArrayOf(e, _, _) => fkTargets(e.strategy)
     case _ => Nil
   }

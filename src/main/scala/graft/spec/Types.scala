@@ -118,8 +118,9 @@ object ColumnStrategy {
   final case class ForeignKey(table: String, column: String,
       distribution: Distribution = Distribution.Uniform) extends ColumnStrategy
 
-  /** Struct of named sub-strategies (recursive). */
-  final case class Struct(fields: Seq[(String, ColumnSpec)]) extends ColumnStrategy
+  /** Struct of named sub-strategies (recursive). `asJson` emits the struct
+    * serialized with to_json (ref: data_generator.py:1223). */
+  final case class Struct(fields: Seq[(String, ColumnSpec)], asJson: Boolean = false) extends ColumnStrategy
 
   /** Array of `element` values with length in [minLength, maxLength]. */
   final case class ArrayOf(element: ColumnSpec, minLength: Int, maxLength: Int) extends ColumnStrategy
@@ -153,6 +154,10 @@ final case class ColumnSpec(
     /** n > 1 replicates the generator into name_0..name_{n-1} (numFeatures).
       * Ref: column_generation_spec.py:1606-1689. */
     numColumns: Int = 1,
+    /** With numColumns > 1: emit ONE array column of the n values instead of
+      * n scalar columns (reference structType="array" —
+      * column_generation_spec.py:1606-1689). dataType is the element type. */
+    asArray: Boolean = false,
     /** printf format applied to the generated value. */
     format: Option[String] = None,
     prefix: Option[String] = None,
