@@ -1,0 +1,216 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * Every near-dup algorithm here is a *bucketed* design: signatures are
+  * computed per-row (narrow, codegen'd Column expressions — no UDFs), rows
+  * are shuffled ONLY by their bucket keys (band hashes / shared shingles /
+  * hyperplane sketches), and exact verification runs only inside buckets.
+  * Nothing ever does an all-pairs comparison, so the shuffle volume is
+  * O(rows x signature) and the compare cost is O(sum of bucket^2) with
+  * bounded bucket sizes — the shape that survives 100 TB.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup on key columns: one hash-shuffle on the key. */
+  def exact(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    if (keyCols.isEmpty) df.dropDuplicates() else df.dropDuplicates(keyCols)
+
+  /** Exact dedup keeping, per key, the row with the smallest tie-breaker
+    * (deterministic survivor, unlike dropDuplicates). Single shuffle:
+    * groupBy(key).agg(min_by(struct(*), tiebreaker)). */
+  def exactKeepFirst(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val all = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(all, col(tieBreaker)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.$c")): _*)
+  }
+
+  /** Content-hash dedup: dedup by xxhash64 of a normalized text column —
+    * the cheap first pass of any pipeline (collisions at 64 bits are
+    * negligible below ~2^32 documents; use `exact` on the text itself when
+    * absolute certainty is required). */
+  def byContentHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("__fp").drop("__fp")
+
+  // ------------------------------------------------------------- minhash
+
+  /** Word shingles (n-grams) of a text column as an array<string>.
+    * Lowercased, whitespace-tokenized; rows shorter than `width` tokens get
+    * their full token string as a single shingle. */
+  def shingles(text: Column, width: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val n = size(toks)
+    when(n <= width, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), n - width),
+        i => array_join(slice(toks, i + 1, lit(width)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families, the minimum
+    * xxhash64(shingle, family) over the shingle set. Pure Column expression
+    * (nested transform + array_min) — per-row, no shuffle, codegen'd. */
+  def minHashSignature(shingleArr: Column, numHashes: Int = 128): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(shingleArr, s => xxhash64(s, k))))
+
+  /** Banded LSH keys from a minhash signature: `bands` hashes, each over a
+    * contiguous slice of rows-per-band signature entries. Two documents
+    * share a key iff one band matches exactly — the classic S-curve
+    * candidate filter. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Near-duplicate pairs via MinHash + banded LSH + exact verification.
+    *
+    * Plan shape: Project(shingles, signature, band keys) -> explode bands ->
+    * shuffle by (band, key) -> self-join inside buckets only -> exact
+    * jaccard filter -> distinct pairs. `maxBucket` caps pathological buckets
+    * (boilerplate documents) so no task goes quadratic.
+    *
+    * @return (idA, idB, jaccard) with idA < idB, jaccard >= threshold.
+    */
+  def nearDupMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+
+    val prepared = df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+      .withColumn("bandkey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select("id", "sh", "bandkey")
+
+    // Bucket join: only rows sharing a band key meet; id< ordering halves
+    // the pairs and kills self-matches. Bucket size cap bounds task skew.
+    val counts = prepared.groupBy("bandkey").count().where(col("count") <= maxBucket)
+    val bucketed = prepared.join(counts.select("bandkey"), "bandkey")
+
+    val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bandkey")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** Documents surviving minhash near-dup removal: from each connected
+    * candidate pair, the larger id is dropped (greedy; exact transitive
+    * closure needs iterative connected components, out of scope). */
+  def dropNearDupsMinHash(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val losers = nearDupMinHash(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a token array: per bit, the sign of the sum of
+    * contributions (+1/-1) of each token hash's bit. Pure Column
+    * expression: one aggregate over tokens per bit position. */
+  def simHash(tokens: Column, bits: Int = 64): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitCols = (0 until bits).map { bpos =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bpos).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << bpos)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance <= maxDistance.
+    * Bucketing: the 64-bit sketch splits into `pieces` sub-keys; by the
+    * pigeonhole principle two sketches within hamming distance d < pieces
+    * share at least one exact sub-key, so candidates meet in a sub-key
+    * bucket — never all-pairs. */
+  def nearDupSimHash(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(maxDistance < pieces, "need maxDistance < pieces for pigeonhole completeness")
+    val bitsPerPiece = 64 / pieces
+    val pieceKeys = (0 until pieces).map { p =>
+      concat_ws(":", lit(p.toString),
+        shiftrightunsigned(col("sk"), p * bitsPerPiece)
+          .bitwiseAND(lit(if (bitsPerPiece == 64) -1L else (1L << bitsPerPiece) - 1)).cast("string"))
+    }
+    val prepared = df.select(col(idCol).as("id"),
+      simHash(split(trim(lower(col(textCol))), "\\s+")).as("sk"))
+      .withColumn("piece", explode(array(pieceKeys: _*)))
+
+    val counts = prepared.groupBy("piece").count().where(col("count") <= maxBucket)
+    val bucketed = prepared.join(counts.select("piece"), "piece")
+    val a = bucketed.select(col("piece"), col("id").as("id_a"), col("sk").as("sk_a"))
+    val b = bucketed.select(col("piece"), col("id").as("id_b"), col("sk").as("sk_b"))
+    a.join(b, Seq("piece")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+      .distinct()
+  }
+
+  // ----------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard pairs >= threshold via an inverted shingle index:
+    * explode shingles -> drop stop-shingles appearing in > maxDocFreq docs
+    * (they only create huge useless buckets) -> self-join on shingle ->
+    * count shared shingles per pair -> jaccard from |A|,|B|,|A∩B|. Exact
+    * (prefix-filter style), shuffles only by shingle and pair. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleWidth: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+
+    val inverted = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
+    val rare = inverted.groupBy("shingle").count().where(col("count") <= maxDocFreq)
+    val filtered = inverted.join(rare.select("shingle"), "shingle")
+
+    val a = filtered.select(col("shingle"), col("id").as("id_a"), col("nsh").as("n_a"))
+    val b = filtered.select(col("shingle"), col("id").as("id_b"), col("nsh").as("n_b"))
+    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------- embedding near-dup
+
+  /** Near-duplicate pairs by embedding cosine similarity, bucketed by
+    * deterministic random-hyperplane sketches (signed projections onto
+    * hash-derived pseudo-random planes). Vectors agreeing on all `planes`
+    * signs land in one bucket; high-cosine pairs agree with probability
+    * 1 - d/pi per plane. `probes` sketch families trade recall for cost. */
+  def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, probes: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val v = col(vecCol)
+    val prepared = df.select(col(idCol).as("id"), v.cast("array<double>").as("vec"))
+      .withColumn("key", explode(Similarity.hyperplaneKeys(col("vec"), planes, probes)))
+
+    val counts = prepared.groupBy("key").count().where(col("count") <= maxBucket)
+    val bucketed = prepared.join(counts.select("key"), "key")
+    val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"))
+    val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"))
+    a.join(b, Seq("key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+}

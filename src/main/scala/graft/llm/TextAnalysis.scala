@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * language identification, quality scoring, document fingerprinting.
+  * All pure Column expressions over built-ins — per-row, shuffle-free,
+  * whole-stage-codegen'd; the only shuffles are whatever aggregation the
+  * caller adds on top.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array ('' rows give an empty array, not [""]). */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-ish runs, digit runs, and punctuation
+    * singles counted separately (a cheap stand-in for a real tokenizer's
+    * piece count — deterministic and vectorized). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
+
+  /** Characters per token — crude fertility proxy. */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / n)
+  }
+
+  // ------------------------------------------------------------ language id
+
+  /** Tiny per-language stopword lists (top function words). Public
+    * knowledge; any overlap across languages just dilutes both scores. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+      "auf", "für", "von", "sich", "dem", "den", "des", "im", "zu", "als", "auch"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "des", "du",
+      "pour", "dans", "que", "qui", "sur", "avec", "au", "il", "elle", "ne"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "de",
+      "en", "que", "por", "para", "con", "se", "su", "al", "lo", "como"),
+    "it" -> Seq("il", "la", "le", "e", "è", "non", "un", "una", "di", "che",
+      "per", "con", "del", "della", "si", "in", "da", "sono", "come", "più"))
+
+  /** Stopword-hit count for one language over a lowercase token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(Stopwords(lang): _*)))
+
+  /** Predicted language code by argmax stopword-hit rate; "und"
+    * (undetermined) when no list scores at least `minHits` hits. */
+  def languageId(text: Column, minHits: Int = 1): Column = {
+    val toks = tokens(lower(text))
+    val langs = Stopwords.keys.toSeq.sorted
+    // Fold to (bestLang, bestScore); ties resolve to the alphabetically
+    // first language for determinism.
+    val scored = langs.map(l => l -> stopwordHits(toks, l))
+    val best = scored.foldLeft((lit("und"), lit(minHits - 1))) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    best._1
+  }
+
+  // ------------------------------------------------------------ quality
+
+  /** Struct of quality features: n_chars, n_tokens, mean_token_len,
+    * alpha_ratio, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
+    * repetition (1 - distinct/total tokens). */
+  def qualityFeatures(text: Column): Column = {
+    val t = trim(text)
+    val chars = length(t).cast("double")
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    def ratioOf(pattern: String): Column =
+      when(chars === 0, lit(0.0))
+        .otherwise((chars - length(regexp_replace(t, pattern, ""))) / chars)
+    val stopRatio = when(nToks === 0, lit(0.0))
+      .otherwise(stopwordHits(transform(toks, lower _), "en").cast("double") / nToks)
+    val repetition = when(nToks === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
+    struct(
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      meanTokenLength(t).as("mean_token_len"),
+      ratioOf("[A-Za-z]").as("alpha_ratio"),
+      ratioOf("""[\p{Punct}]""").as("punct_ratio"),
+      ratioOf("[0-9]").as("digit_ratio"),
+      ratioOf("[A-Z]").as("upper_ratio"),
+      stopRatio.as("stopword_ratio"),
+      repetition.as("repetition"))
+  }
+
+  /** Scalar quality score in [0,1]: documents score high when they look
+    * like prose (many tokens, mostly alphabetic, some stopwords, low
+    * repetition, moderate punctuation). Thresholds follow common web-corpus
+    * filtering heuristics (Gopher/C4-style rules, public knowledge). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val checks = Seq[Column](
+      (f("n_tokens") >= 5).cast("double"),
+      (f("n_tokens") <= 100000).cast("double"),
+      (f("mean_token_len") >= 2 && f("mean_token_len") <= 12).cast("double"),
+      (f("alpha_ratio") >= 0.6).cast("double"),
+      (f("punct_ratio") <= 0.25).cast("double"),
+      (f("stopword_ratio") >= 0.05).cast("double"),
+      (f("repetition") <= 0.5).cast("double"))
+    checks.reduce(_ + _) / checks.length
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** 64-bit content fingerprint of normalized text (lowercase, punctuation
+    * stripped, whitespace collapsed) — stable under cosmetic edits. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), """[\p{Punct}\s]+""", " "))
+
+  /** Rolling-window fingerprints: xxhash64 of each `width`-token window —
+    * the building block for substring-level duplicate detection. */
+  def windowFingerprints(text: Column, width: Int = 8): Column =
+    transform(Dedup.shingles(text, width), s => xxhash64(s))
+
+  // ------------------------------------------------------------ frame API
+
+  /** Annotate a document frame with the standard analysis columns. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_subwords", subwordCount(col(textCol)))
+      .withColumn("lang_pred", languageId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}
