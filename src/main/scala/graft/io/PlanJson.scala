@@ -70,6 +70,8 @@ object PlanJson {
       percentNulls = nullFraction,
       omit = Option(c.get("omit")).exists(_.asBoolean),
       seedMode = Option(c.get("seed_from")).map(s => SeedMode.FromValue(s.asText): SeedMode)
+        .orElse(Option(c.get("seed_from_columns"))
+          .map(a => SeedMode.FromColumns(a.elements.asScala.map(_.asText).toSeq): SeedMode))
         .getOrElse(SeedMode.RowId),
       numColumns = Option(c.get("num_columns")).map(_.asInt).getOrElse(1),
       asArray = Option(c.get("as_array")).exists(_.asBoolean),
@@ -225,6 +227,9 @@ object PlanJson {
     if (c.dataType != NullType) n.put("dtype", c.dataType.sql.toLowerCase)
     val gen = n.putObject("gen")
     strategyTo(c.strategy, n, gen)
+    // FK null fraction lives on the foreign_key sub-object (fixture shape).
+    if (c.percentNulls > 0 && c.strategy.isInstanceOf[ColumnStrategy.ForeignKey])
+      n.get("foreign_key").asInstanceOf[ObjectNode].put("null_fraction", c.percentNulls)
     if (c.percentNulls > 0 && !c.strategy.isInstanceOf[ColumnStrategy.ForeignKey])
       n.put("percent_nulls", c.percentNulls)
     if (c.omit) n.put("omit", true)

@@ -200,16 +200,24 @@ object Dedup {
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, probes: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
+    val dim = Similarity.dimOf(df, vecCol)
     val v = col(vecCol)
+    // Norms are computed once per row here, never per pair in the bucket join.
     val prepared = df.select(col(idCol).as("id"), v.cast("array<double>").as("vec"))
-      .withColumn("key", explode(Similarity.hyperplaneKeys(col("vec"), planes, probes)))
+      .withColumn("nrm", Similarity.norm(col("vec"), dim))
+      .withColumn("key", explode(Similarity.hyperplaneKeys(col("vec"), planes, probes, dim)))
 
     val counts = prepared.groupBy("key").count().where(col("count") <= maxBucket)
     val bucketed = prepared.join(counts.select("key"), "key")
-    val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"))
+    val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"),
+      col("nrm").as("n_a"))
+    val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"),
+      col("nrm").as("n_b"))
+    val denom = col("n_a") * col("n_b")
     a.join(b, Seq("key")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, lit(0.0))
+          .otherwise(Similarity.dot(col("v_a"), col("v_b"), dim) / denom).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()
   }

@@ -6,53 +6,83 @@ import org.apache.spark.sql.functions._
 /** Vector similarity search over an embedding column (`array<float>` /
   * `array<double>`).
   *
-  * `bruteForceTopK` is the exact baseline: broadcast the (small) query set,
-  * score every corpus row against every query in one narrow pass (no
-  * shuffle of the corpus), then one shuffle to rank per query. The LSH and
-  * IVF variants are the scale path: bucket the corpus once, probe only
-  * matching buckets.
+  * Performance note that shapes everything here: Spark's higher-order
+  * functions (`zip_with`, `aggregate`, `transform`) are CodegenFallback —
+  * every evaluation allocates and interprets the lambda. That is tolerable
+  * once per ROW, but a similarity join evaluates the kernel once per PAIR,
+  * so all pair-side kernels below are *unrolled* over the (small, known)
+  * vector dimension into flat `element_at` arithmetic that whole-stage
+  * codegen compiles, and norms are precomputed once per side before any
+  * join. `bruteForceTopK` is the exact baseline: broadcast the (small)
+  * query set, score every corpus row in one narrow pass, one shuffle to
+  * rank. The LSH and IVF variants are the scale path: bucket the corpus
+  * once, probe only matching buckets.
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays — zip_with + aggregate,
-    * fully codegen'd. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Vector dimension of an array column, probed from the first row (one
+    * tiny job; -1 for an empty frame). */
+  def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(-1)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Unrolled dot product over a known dimension — flat codegen'd
+    * arithmetic, no lambdas. Use on join/pair paths. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
-  /** Cosine similarity; 0 for zero-norm inputs. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
+
+  /** Cosine similarity (unrolled); 0 for zero-norm inputs. */
+  def cosine(a: Column, b: Column, dim: Int): Column = {
+    val d = norm(a, dim) * norm(b, dim)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b, dim) / d)
   }
 
-  /** Deterministic pseudo-random hyperplane component: a unit-free gaussian
-    * stand-in derived from xxhash64(probe, plane, dim) mapped to (-0.5, 0.5).
-    * Sign-of-projection LSH only needs symmetric zero-mean components. */
-  private def planeComponent(probe: Column, plane: Column, dim: Column): Column =
-    pmod(xxhash64(probe, plane, dim), lit(1000000L)).cast("double") / 1000000.0 - 0.5
+  /** Generic (dimension-agnostic) forms — interpreted per evaluation; fine
+    * for one-off per-row use, never on a pair path. */
+  def dotGeneric(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def cosineGeneric(a: Column, b: Column): Column = {
+    val d = sqrt(dotGeneric(a, a)) * sqrt(dotGeneric(b, b))
+    when(d === 0, lit(0.0)).otherwise(dotGeneric(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (probe, plane,
+    * dimension index): xxhash64 of the literal triple mapped to (-0.5, 0.5).
+    * With literal arguments this constant-folds to a plain double literal at
+    * plan time — the "random planes" cost nothing at runtime. */
+  private def planeComponent(probe: Int, plane: Int, i: Int): Column =
+    pmod(xxhash64(lit(probe), lit(plane), lit(i)), lit(1000000L)).cast("double") / 1000000.0 - 0.5
 
   /** `probes` bucket keys for a vector: each key packs the signs of `planes`
-    * pseudo-random projections. Deterministic — the same expression buckets
-    * corpus and queries identically with zero coordination. */
-  def hyperplaneKeys(vec: Column, planes: Int, probes: Int): Column =
-    transform(sequence(lit(0), lit(probes - 1)), probe => {
-      val signBits = transform(sequence(lit(0), lit(planes - 1)), plane => {
-        val proj = aggregate(zip_with(vec,
-          sequence(lit(0), size(vec) - 1).cast("array<double>"),
-          (x, i) => x * planeComponent(probe, plane, i)), lit(0.0d), (acc, x) => acc + x)
+    * pseudo-random projections, fully unrolled over the dimension (codegen'd
+    * multiply-adds against folded constants). Deterministic — the same
+    * expression buckets corpus and queries identically, no coordination. */
+  def hyperplaneKeys(vec: Column, planes: Int, probes: Int, dim: Int): Column =
+    array((0 until probes).map { probe =>
+      val signBits = (0 until planes).map { plane =>
+        val proj = (1 to dim).map(i => element_at(vec, i) * planeComponent(probe, plane, i - 1))
+          .reduce(_ + _)
         when(proj >= 0, lit("1")).otherwise(lit("0"))
-      })
-      concat(probe.cast("string"), lit("#"), array_join(signBits, ""))
-    })
+      }
+      concat(lit(s"$probe#") +: signBits: _*)
+    }: _*)
+
+  /** Spread a frame across the session's shuffle parallelism when it has
+    * fewer partitions (a single parquet file arrives as one partition — a
+    * nested-loop join against it would run on one core). */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact top-k cosine neighbors for every query vector.
     *
-    * Plan: broadcast(queries) crossJoin corpus (narrow over the corpus — the
-    * big side never shuffles for scoring) -> per-(query,corpus) cosine ->
-    * one shuffle keyed by query id to rank -> k rows per query. Ties break
-    * on neighbor id for determinism.
+    * Plan: broadcast(queries with precomputed norms) crossJoin corpus
+    * (narrow over the corpus — the big side never shuffles for scoring) ->
+    * per-(query,corpus) unrolled dot / norms -> one shuffle keyed by query
+    * id to rank -> k rows per query. Ties break on neighbor id for
+    * determinism.
     *
     * @return (query_id, neighbor_id, cosine, rank) — self-matches excluded
     *         when the id columns collide in value.
@@ -60,13 +90,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dim = dimOf(corpus, corpusVec)
     val q = broadcast(queries.select(col(queryId).as("query_id"),
-      col(queryVec).cast("array<double>").as("qv")))
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv"), dim)))
+    val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv"), dim)))
+    val denom = col("qn") * col("cn")
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0, lit(0.0)).otherwise(dot(col("qv"), col("cv"), dim) / denom).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -82,36 +117,44 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(corpusId).as("neighbor_id"),
+    val dim = dimOf(corpus, corpusVec)
+    val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv"), dim)))
 
     // Deterministic centroid sample: the nCentroids corpus rows with the
-    // smallest xxhash64(id) — stable, data-independent of layout.
+    // smallest xxhash64(id) — stable, independent of data layout.
     val centroids = c.withColumn("h", xxhash64(col("neighbor_id")))
       .orderBy("h").limit(nCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"))
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
+        col("cn").as("centroid_n"))
     val cb = broadcast(centroids)
 
-    def nearestCentroids(vec: Column, n: Int): DataFrame => DataFrame = { df =>
+    def nearestCentroids(vec: Column, vecN: Column, n: Int): DataFrame => DataFrame = { df =>
       val w = Window.partitionBy("__vecid").orderBy(col("__cdist").desc, col("centroid_id").asc)
+      val denom = vecN * col("centroid_n")
       df.crossJoin(cb)
-        .withColumn("__cdist", cosine(vec, col("centroid")))
+        .withColumn("__cdist",
+          when(denom === 0, lit(0.0)).otherwise(dot(vec, col("centroid"), dim) / denom))
         .withColumn("__crank", row_number().over(w))
         .where(col("__crank") <= n)
-        .drop("centroid", "__cdist", "__crank")
+        .drop("centroid", "centroid_n", "__cdist", "__crank")
     }
 
-    val assigned = nearestCentroids(col("cv"), 1)(c.withColumn("__vecid", col("neighbor_id")))
-      .drop("__vecid")
+    val assigned = nearestCentroids(col("cv"), col("cn"), 1)(
+      c.withColumn("__vecid", col("neighbor_id"))).drop("__vecid")
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
-    val probed = nearestCentroids(col("qv"), nProbe)(q.withColumn("__vecid", col("query_id")))
-      .drop("__vecid")
+      .withColumn("qn", norm(col("qv"), dim))
+    val probed = nearestCentroids(col("qv"), col("qn"), nProbe)(
+      q.withColumn("__vecid", col("query_id"))).drop("__vecid")
 
+    val denom = col("qn") * col("cn")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     probed.join(assigned, Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0, lit(0.0)).otherwise(dot(col("qv"), col("cv"), dim) / denom).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

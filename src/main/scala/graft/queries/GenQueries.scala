@@ -1,0 +1,517 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NullType
+import graft.engine.Generator
+import graft.io.PlanJson
+import graft.plan.Planner
+import graft.spec._
+
+/** Driver-facing queries exercising every column-generation operator
+  * (SURVEY.md §2.1-2.5). Generation is a pure function of
+  * (seed, table, column, rowId) — fully deterministic and independent of
+  * partitioning and of the sf directory — so each query returns a one-row
+  * (or small ordered) frame of aggregates whose oracle is a pinned constant
+  * (emitted by `graft.tools.OracleGen`). Each query also folds hard
+  * invariants (bounds, lattice membership, regex shape, orphan counts) into
+  * BOOLEAN columns: any behavioral regression flips a bool and fails the
+  * driver's hash compare even before the pinned constants disagree.
+  */
+object GenQueries {
+  import Q._
+
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Invariant boolean: no row violates `ok`. */
+  private def all(ok: Column): Column = sum(when(ok, 0L).otherwise(1L)) === 0L
+
+  private def gen(s: SparkSession, t: TableSpec, seed: Long = 42L): DataFrame =
+    Generator.generate(s, DataGenPlan(Seq(t), seed))(t.name)
+
+  private def genPlan(s: SparkSession, seed: Long, ts: TableSpec*): Map[String, DataFrame] =
+    Generator.generate(s, DataGenPlan(ts, seed))
+
+  private def c(name: String, ddl: String, strat: ColumnStrategy): ColumnSpec =
+    ColumnSpec(name, ddl, strat)
+
+  val queries: Map[String, Fn] = Map(
+
+    // ---------------------------------------------------------- sources
+    "q_gen_source_batch" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 12345, Seq(c("id", "bigint", ColumnStrategy.Sequence(0, 1))),
+        partitions = Some(8)))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("id")),
+        "min_id" -> min(col("id")), "max_id" -> max(col("id")))
+    }),
+
+    "q_gen_partition_independence" -> ((s, _) => {
+      // The same spec generated at 3 and at 13 partitions must produce
+      // byte-identical values — the core 100-TB scale invariant.
+      def at(p: Int) = gen(s, TableSpec("t", 5000, Seq(
+        c("pk", "bigint", ColumnStrategy.Sequence()),
+        c("v", "double", ColumnStrategy.Range(0, 1, continuous = true)),
+        c("w", "string", ColumnStrategy.Pattern("W-{alpha:4}"))), partitions = Some(p)))
+      val a = at(3); val b = at(13)
+      val joined = a.alias("a").join(b.alias("b"), col("a.pk") === col("b.pk"))
+      one(joined, "n" -> count(lit(1)),
+        "identical" -> all(col("a.v") === col("b.v") && col("a.w") === col("b.w")))
+    }),
+
+    "q_gen_view_registration" -> ((s, _) => {
+      gen(s, TableSpec("t", 777, Seq(c("k", "bigint", ColumnStrategy.Sequence()))))
+        .createOrReplaceTempView("graft_q_view")
+      s.sql("SELECT count(*) AS n, CAST(min(k) AS BIGINT) AS min_k FROM graft_q_view")
+    }),
+
+    "q_gen_sink_roundtrip" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val df = gen(s, TableSpec("t", 999, Seq(
+        c("k", "bigint", ColumnStrategy.Sequence(5, 3)),
+        c("v", "string", ColumnStrategy.Values(Seq("a", "b", "c"))))))
+      graft.io.Writer.writeBatch(df, OutputDataset(s"$tmp/out", "parquet"))
+      val back = s.read.parquet(s"$tmp/out")
+      one(back, "n" -> count(lit(1)), "min_k" -> min(col("k")), "max_k" -> max(col("k")),
+        "n_vals" -> countDistinct(col("v")))
+    }),
+
+    "q_gen_stream_parquet" -> ((s, d) => {
+      // Streaming operator surface driven deterministically: a parquet file
+      // stream processed with Trigger.AvailableNow into a memory sink. The
+      // file-stream source wants a directory, so stage the file into one.
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val sdf = s.readStream.schema(schema).parquet(dir.toString)
+        .where(col("doc_id").isNotNull)
+      val q = sdf.writeStream.format("memory").queryName("graft_stream_q")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      one(s.table("graft_stream_q"), "n" -> count(lit(1)),
+        "n_docs" -> countDistinct(col("doc_id")))
+    }),
+
+    // ------------------------------------------------- serialization + ddl
+    "q_gen_serialization" -> ((s, _) => {
+      val star = PlanJson.loadFile("/root/reference/tests/core/fixtures/star_schema.json")
+      val roundtrip = PlanJson.loadJson(PlanJson.saveJson(star)) == star &&
+        PlanJson.loadYaml(PlanJson.saveYaml(star)) == star
+      val tables = Generator.generate(s, star)
+      def orphans(ch: String, cc: String, p: String, pc: String): Column =
+        lit(tables(ch).join(tables(p), tables(ch)(cc) === tables(p)(pc), "left_anti").count())
+      tables("orders").agg(
+        count(lit(1)).as("n_orders"),
+        lit(roundtrip).as("roundtrip_ok"),
+        (orphans("orders", "customer_id", "customers", "customer_id") +
+          orphans("customers", "region_id", "regions", "region_id") +
+          orphans("order_items", "product_id", "products", "product_id")).as("total_orphans"))
+    }),
+
+    "q_gen_script_table" -> ((s, _) => {
+      import s.implicits._
+      val df = gen(s, TableSpec("t", 10, Seq(
+        c("k", "bigint", ColumnStrategy.Sequence()),
+        c("v", "string", ColumnStrategy.Values(Seq("x"))))))
+      val ddl = graft.io.Scripting.scriptTable(df.schema, "graft_tbl")
+      val merge = graft.io.Scripting.scriptMerge(df.schema, "graft_tbl", "updates",
+        joinExpr = "tgt.k = src.k")
+      Seq((ddl, merge.length.toLong)).toDF("ddl", "merge_len")
+    }),
+
+    // ---------------------------------------------------- numeric ranges
+    "q_gen_sequence" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(c("k", "bigint", ColumnStrategy.Sequence(100, 7)))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("k")),
+        "min_k" -> min(col("k")), "max_k" -> max(col("k")),
+        "on_step" -> all(pmod(col("k") - 100, lit(7L)) === 0))
+    }),
+
+    "q_gen_range_int" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(c("v", "int", ColumnStrategy.Range(10, 50, Some(4))))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("v")),
+        "min_v" -> min(col("v")).cast("long"), "max_v" -> max(col("v")).cast("long"),
+        "in_bounds" -> all(col("v").between(10, 50)),
+        "on_step" -> all(pmod(col("v") - 10, lit(4)) === 0))
+    }),
+
+    "q_gen_range_continuous" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(
+        c("v", "double", ColumnStrategy.Range(-5, 5, continuous = true)))))
+      val bucket = floor((col("v") + 5) / 2.5).cast("long") // 4 buckets
+      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"),
+        min(col("v") >= -5 && col("v") < 5).as("in_bounds"))
+        .orderBy("bucket")
+    }),
+
+    "q_gen_range_decimal" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("v", "decimal(10,2)", ColumnStrategy.Range(1, 100, Some(BigDecimal("0.25")))))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("v")),
+        "min_v" -> min(col("v")).cast("string"), "max_v" -> max(col("v")).cast("string"),
+        "on_step" -> all(pmod(col("v") * 100, lit(25)) === 0))
+    }),
+
+    "q_gen_unique_clamp" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 30000, Seq(
+        c("v", "int", ColumnStrategy.Range(0, 1000000, Some(1))).copy(uniqueValues = Some(100L)))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("v")),
+        "distinct_eq_unique" -> (countDistinct(col("v")) === 100))
+    }),
+
+    "q_gen_scatter" -> ((s, _) => {
+      // Affine-bijection scatter: same lattice, permuted order — distinct
+      // count unchanged, values not the identity mapping.
+      val plain = gen(s, TableSpec("t", 5000, Seq(
+        c("pk", "bigint", ColumnStrategy.Sequence(0, 1)),
+        c("v", "int", ColumnStrategy.Range(0, 4999, Some(1))).copy(uniqueValues = Some(5000L)))))
+      val scat = gen(s, TableSpec("t", 5000, Seq(
+        c("pk", "bigint", ColumnStrategy.Sequence(0, 1)),
+        c("v", "int", ColumnStrategy.Range(0, 4999, Some(1)))
+          .copy(uniqueValues = Some(5000L), scatter = true))))
+      val j = plain.alias("p").join(scat.alias("s"), col("p.pk") === col("s.pk"))
+      one(j, "n" -> count(lit(1)),
+        "plain_distinct" -> countDistinct(col("p.v")),
+        "scat_distinct" -> countDistinct(col("s.v")),
+        "differs" -> (sum(when(col("p.v") =!= col("s.v"), 1L).otherwise(0L)) > 0))
+    }),
+
+    // ------------------------------------------------------- temporal
+    "q_gen_timestamp" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(c("ts", "timestamp", ColumnStrategy.Timestamp(
+        java.time.Instant.parse("2024-03-01T00:00:00Z"),
+        java.time.Instant.parse("2024-03-31T23:59:00Z"), 60)))))
+      one(df, "n" -> count(lit(1)),
+        "min_ts" -> date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+        "max_ts" -> date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+        "minute_aligned" -> all(second(col("ts")) === 0),
+        "in_bounds" -> all(col("ts").between("2024-03-01 00:00:00", "2024-03-31 23:59:00")))
+    }),
+
+    "q_gen_daterange" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(c("dt", "date", ColumnStrategy.DateRange(
+        java.time.LocalDate.parse("2024-01-01"), java.time.LocalDate.parse("2024-12-31"), 7)))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("dt")),
+        "min_dt" -> min(col("dt")).cast("string"), "max_dt" -> max(col("dt")).cast("string"),
+        "on_week" -> all(pmod(datediff(col("dt"), lit("2024-01-01").cast("date")), lit(7)) === 0))
+    }),
+
+    // ------------------------------------------------------- values
+    "q_gen_values" -> ((s, _) =>
+      gen(s, TableSpec("t", 9000, Seq(c("v", "string",
+        ColumnStrategy.Values(Seq("alpha", "beta", "gamma"))))))
+        .groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")),
+
+    "q_gen_values_weighted" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 30000, Seq(c("v", "string",
+        ColumnStrategy.Values(Seq("x", "y", "z"), Seq(0.6, 0.3, 0.1))))))
+      // 10% statistical contract at 3000x values (function_builder.py:59-63).
+      df.groupBy("v").agg(count(lit(1)).as("n"))
+        .select(col("v"), col("n"),
+          (col("n") >= when(col("v") === "x", 16200L).when(col("v") === "y", 8100L).otherwise(2700L) &&
+           col("n") <= when(col("v") === "x", 19800L).when(col("v") === "y", 9900L).otherwise(3300L))
+            .as("within_10pct"))
+        .orderBy("v")
+    }),
+
+    "q_gen_percent_nulls" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(
+        c("v", "int", ColumnStrategy.Range(1, 100, Some(1))).copy(percentNulls = 0.15))))
+      one(df, "n" -> count(lit(1)),
+        "n_null" -> sum(when(col("v").isNull, 1L).otherwise(0L)),
+        "within_2pct" -> (sum(when(col("v").isNull, 1L).otherwise(0L))
+          .between(lit(20000 * 0.13), lit(20000 * 0.17))))
+    }),
+
+    // ------------------------------------------------------ decorations
+    "q_gen_prefix_suffix_format" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(
+        c("a", "string", ColumnStrategy.Sequence(1, 1)).copy(prefix = Some("ORD")),
+        c("b", "string", ColumnStrategy.Sequence(1, 1)).copy(suffix = Some("X"), textSeparator = "-"),
+        c("f", "string", ColumnStrategy.Sequence(1, 1)).copy(format = Some("%05d")))))
+      one(df, "n" -> count(lit(1)),
+        "a_ok" -> all(col("a").rlike("^ORD_[0-9]+$")),
+        "b_ok" -> all(col("b").rlike("^[0-9]+-X$")),
+        "f_ok" -> all(col("f").rlike("^[0-9]{5,}$")))
+    }),
+
+    // ----------------------------------------------- expressions + phases
+    "q_gen_expression_phases" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 8000, Seq(
+        c("a", "bigint", ColumnStrategy.Sequence(0, 1)),
+        ColumnSpec("b", NullType, ColumnStrategy.Expression("a * 2 + 1")),
+        ColumnSpec("cc", NullType, ColumnStrategy.Expression("b * b - a")))))
+      one(df, "n" -> count(lit(1)),
+        "b_ok" -> all(col("b") === col("a") * 2 + 1),
+        "c_ok" -> all(col("cc") === col("b") * col("b") - col("a")))
+    }),
+
+    "q_gen_seed_from_value" -> ((s, _) => {
+      // seed_from correlation: v is a pure function of base's VALUE, so
+      // equal base values always produce equal v values.
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("base", "bigint", ColumnStrategy.Range(1, 50, Some(1))),
+        c("v", "int", ColumnStrategy.Range(1, 1000, Some(1)))
+          .copy(seedMode = SeedMode.FromValue("base")))))
+      one(df, "n" -> count(lit(1)),
+        "functional" -> (countDistinct(struct(col("base"), col("v"))) === countDistinct(col("base"))))
+    }),
+
+    "q_gen_seed_from_columns" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("x", "string", ColumnStrategy.Values(Seq("p", "q", "r"))),
+        c("y", "string", ColumnStrategy.Values(Seq("u", "v"))),
+        c("h", "int", ColumnStrategy.Range(1, 100000, Some(1)))
+          .copy(seedMode = SeedMode.FromColumns(Seq("x", "y"))))))
+      one(df, "n" -> count(lit(1)),
+        "n_h" -> countDistinct(col("h")),
+        "functional" -> (countDistinct(struct(col("x"), col("y"), col("h"))) ===
+          countDistinct(struct(col("x"), col("y")))))
+    }),
+
+    // ------------------------------------------------------ multi-column
+    "q_gen_multicolumn" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(
+        c("f", "double", ColumnStrategy.Range(0, 1, continuous = true)).copy(numColumns = 3))))
+      one(df, "n" -> count(lit(1)),
+        "cols" -> lit(df.columns.length.toLong),
+        "decorrelated" -> (countDistinct(struct(col("f_0"), col("f_1"), col("f_2"))) > 4900))
+    }),
+
+    "q_gen_array_feature" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(
+        c("f", "double", ColumnStrategy.Range(0, 1, continuous = true))
+          .copy(numColumns = 4, asArray = true))))
+      one(df, "n" -> count(lit(1)),
+        "all_len4" -> all(size(col("f")) === 4),
+        "in_bounds" -> all(forall(col("f"), e => e >= 0 && e <= 1)))
+    }),
+
+    // ------------------------------------------------- struct/array/json
+    "q_gen_struct" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(ColumnSpec("st", NullType, ColumnStrategy.Struct(Seq(
+        "a" -> c("a", "int", ColumnStrategy.Range(1, 10, Some(1))),
+        "b" -> c("b", "string", ColumnStrategy.Values(Seq("u", "v", "w")))))))))
+      one(df, "n" -> count(lit(1)),
+        "a_in_bounds" -> all(col("st.a").between(1, 10)),
+        "n_b" -> countDistinct(col("st.b")))
+    }),
+
+    "q_gen_struct_json" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 3000, Seq(ColumnSpec("js", NullType, ColumnStrategy.Struct(Seq(
+        "a" -> c("a", "int", ColumnStrategy.Range(1, 5, Some(1)))), asJson = true)))))
+      one(df, "n" -> count(lit(1)),
+        "json_shape" -> all(col("js").rlike("^\\{\"a\":[1-5]\\}$")))
+    }),
+
+    "q_gen_array_of" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(ColumnSpec("ar", NullType, ColumnStrategy.ArrayOf(
+        c("e", "int", ColumnStrategy.Range(0, 99, Some(1))), 2, 6)))))
+      one(df, "n" -> count(lit(1)),
+        "len_in_bounds" -> all(size(col("ar")).between(2, 6)),
+        "elems_in_bounds" -> all(forall(col("ar"), e => e >= 0 && e <= 99)),
+        "n_lens" -> countDistinct(size(col("ar"))))
+    }),
+
+    "q_gen_omit" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 1000, Seq(
+        c("hidden", "bigint", ColumnStrategy.Sequence()).copy(omit = true),
+        ColumnSpec("shown", NullType, ColumnStrategy.Expression("hidden * 10")))))
+      one(df, "n" -> count(lit(1)), "cols" -> lit(df.columns.length.toLong),
+        "derived_ok" -> all(pmod(col("shown"), lit(10L)) === 0))
+    }),
+
+    "q_gen_constant" -> ((s, _) =>
+      gen(s, TableSpec("t", 2500, Seq(c("k", "string", ColumnStrategy.Constant("fixed")))))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")),
+
+    // -------------------------------------------------------- text/ids
+    "q_gen_uuid" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(c("u", "string", ColumnStrategy.Uuid))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("u")),
+        "shape_ok" -> all(col("u").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")))
+    }),
+
+    "q_gen_pattern" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("p", "string", ColumnStrategy.Pattern("ORD-{seq:6}-{digit:4}-{alpha:3}-{hex:2}")))))
+      one(df, "n" -> count(lit(1)), "n_distinct" -> countDistinct(col("p")),
+        "shape_ok" -> all(col("p").rlike("^ORD-[0-9]{6}-[0-9]{4}-[A-Z]{3}-[0-9a-f]{2}$")))
+    }),
+
+    "q_gen_template" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("t1", "string", ColumnStrategy.Template("dd-AA-xx")),
+        c("t2", "string", ColumnStrategy.Template("""\w @ \W""")),
+        c("t3", "string", ColumnStrategy.Template("""aaa|ddd|XXX""")))))
+      one(df, "n" -> count(lit(1)),
+        "t1_ok" -> all(col("t1").rlike("^[0-9]{2}-[A-Z]{2}-[0-9a-f]{2}$")),
+        "t2_ok" -> all(col("t2").rlike("^[a-z]+ @ [A-Z]+$")),
+        "t3_ok" -> all(col("t3").rlike("^([a-z]{3}|[0-9]{3}|[A-F0-9]{3})$")),
+        "t3_all_alternatives" -> (countDistinct(
+          when(col("t3").rlike("^[a-z]{3}$"), "w")
+            .when(col("t3").rlike("^[0-9]{3}$"), "d")
+            .otherwise("X")) === 3))
+    }),
+
+    "q_gen_template_base" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 5000, Seq(
+        c("city", "string", ColumnStrategy.Values(Seq("lyon", "oslo", "kyiv"))),
+        c("slug", "string", ColumnStrategy.Template("""\v-dd""", baseColumn = Some("city"))))))
+      one(df, "n" -> count(lit(1)),
+        "base_ok" -> all(col("slug").rlike("^(lyon|oslo|kyiv)-[0-9]{2}$")),
+        "base_matches" -> all(split(col("slug"), "-").getItem(0) === col("city")))
+    }),
+
+    "q_gen_iltext" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 3000, Seq(
+        c("txt", "string", ColumnStrategy.ILText((1, 2), (2, 3), (3, 6))))))
+      one(df, "n" -> count(lit(1)),
+        "ends_period" -> all(col("txt").rlike("\\.$")),
+        "capitalized" -> all(col("txt").rlike("^[A-Z]")),
+        "n_distinct" -> countDistinct(col("txt")))
+    }),
+
+    "q_gen_faker" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("email", "string", ColumnStrategy.Faker("email", 5000)),
+        c("name", "string", ColumnStrategy.Faker("name")))))
+      one(df, "n" -> count(lit(1)),
+        "email_ok" -> all(col("email").rlike("^[a-z]+\\.[a-z]+[0-9]+@[a-z.]+$")),
+        "name_ok" -> all(col("name").rlike("^[A-Z][a-z]+ [A-Z][a-z]+$")),
+        "n_emails" -> countDistinct(col("email")))
+    }),
+
+    "q_gen_plugin" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 2000, Seq(
+        c("v", "string", ColumnStrategy.Plugin(seed => s"plug-${math.floorMod(seed, 97L)}")))))
+      one(df, "n" -> count(lit(1)),
+        "shape_ok" -> all(col("v").rlike("^plug-[0-9]{1,2}$")),
+        "n_distinct" -> countDistinct(col("v")))
+    }),
+
+    // --------------------------------------------------- foreign keys
+    "q_gen_fk_sequence" -> ((s, _) => {
+      val ts = genPlan(s, 42L,
+        TableSpec("parent", 500, Seq(c("pid", "bigint", ColumnStrategy.Sequence(1000, 3))),
+          primaryKey = Some(PrimaryKey("pid"))),
+        TableSpec("child", 8000, Seq(
+          c("cid", "bigint", ColumnStrategy.Sequence()),
+          c("pid", "bigint", ColumnStrategy.ForeignKey("parent", "pid"))),
+          primaryKey = Some(PrimaryKey("cid"))))
+      val orphans = ts("child").join(ts("parent"), Seq("pid"), "left_anti").count()
+      one(ts("child"), "n" -> count(lit(1)), "orphans" -> lit(orphans),
+        "n_parents_hit" -> countDistinct(col("pid")))
+    }),
+
+    "q_gen_fk_pattern_zipf" -> ((s, _) => {
+      val ts = genPlan(s, 42L,
+        TableSpec("parent", 300, Seq(c("code", "string", ColumnStrategy.Pattern("P-{seq:4}"))),
+          primaryKey = Some(PrimaryKey("code"))),
+        TableSpec("child", 9000, Seq(
+          c("cid", "bigint", ColumnStrategy.Sequence()),
+          c("code", "string", ColumnStrategy.ForeignKey("parent", "code", Distribution.Zipf(1.5))))))
+      val orphans = ts("child").join(ts("parent"), Seq("code"), "left_anti").count()
+      // Zipf skew: the single most frequent parent takes a large share.
+      val topShare = ts("child").groupBy("code").count().agg(max("count")).collect().head.getLong(0)
+      one(ts("child"), "n" -> count(lit(1)), "orphans" -> lit(orphans),
+        "skewed" -> (lit(topShare) > 9000L / 300L * 5L))
+    }),
+
+    "q_gen_fk_uuid" -> ((s, _) => {
+      val ts = genPlan(s, 42L,
+        TableSpec("parent", 400, Seq(c("uid", "string", ColumnStrategy.Uuid)),
+          primaryKey = Some(PrimaryKey("uid"))),
+        TableSpec("child", 6000, Seq(
+          c("cid", "bigint", ColumnStrategy.Sequence()),
+          c("uid", "string", ColumnStrategy.ForeignKey("parent", "uid")))))
+      val orphans = ts("child").join(ts("parent"), Seq("uid"), "left_anti").count()
+      one(ts("child"), "n" -> count(lit(1)), "orphans" -> lit(orphans))
+    }),
+
+    "q_gen_fk_null_fraction" -> ((s, _) => {
+      val ts = genPlan(s, 42L,
+        TableSpec("parent", 100, Seq(c("pid", "bigint", ColumnStrategy.Sequence())),
+          primaryKey = Some(PrimaryKey("pid"))),
+        TableSpec("child", 10000, Seq(
+          c("cid", "bigint", ColumnStrategy.Sequence()),
+          c("pid", "bigint", ColumnStrategy.ForeignKey("parent", "pid")).copy(percentNulls = 0.2))))
+      val nonNullOrphans = ts("child").where(col("pid").isNotNull)
+        .join(ts("parent"), Seq("pid"), "left_anti").count()
+      one(ts("child"), "n" -> count(lit(1)),
+        "n_null" -> sum(when(col("pid").isNull, 1L).otherwise(0L)),
+        "orphans" -> lit(nonNullOrphans),
+        "null_frac_ok" -> (sum(when(col("pid").isNull, 1L).otherwise(0L)).between(1800L, 2200L)))
+    }),
+
+    // -------------------------------------------------- constraints-on-gen
+    "q_gen_constraints" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(
+        c("lo", "int", ColumnStrategy.Range(0, 50, Some(1))),
+        c("hi", "int", ColumnStrategy.Range(50, 100, Some(1))),
+        c("v", "int", ColumnStrategy.Range(0, 100, Some(1)))),
+        constraints = Seq(
+          Constraint.ChainedRelation(Seq("lo", "hi"), "<"),
+          Constraint.RangedValues(Seq("v"), "lo", "hi"),
+          Constraint.SqlExpr("v % 2 = 0"))))
+      one(df, "n" -> count(lit(1)),
+        "all_valid" -> all(col("lo") < col("hi") && col("v").between(col("lo"), col("hi"))
+          && pmod(col("v"), lit(2)) === 0))
+    }),
+
+    "q_gen_unique_combinations" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 10000, Seq(
+        c("a", "string", ColumnStrategy.Values(Seq("x", "y", "z"))),
+        c("b", "int", ColumnStrategy.Range(1, 4, Some(1)))),
+        constraints = Seq(Constraint.UniqueCombinations())))
+      one(df, "n" -> count(lit(1)), "le_12" -> (count(lit(1)) <= 12))
+    }),
+
+    // ------------------------------------------------------ datasets
+    "q_gen_dataset_groupby" -> ((s, _) => {
+      val df = graft.datasets.Datasets("benchmark/groupby").get(s, rows = 20000,
+        options = Map("groups" -> "50"))
+      one(df, "n" -> count(lit(1)),
+        "id4_groups" -> countDistinct(col("id4")),
+        "v1_in_bounds" -> all(col("v1").between(1, 5)),
+        "v2_in_bounds" -> all(col("v2").between(1, 15)),
+        "id1_shape" -> all(col("id1").rlike("^id[0-9]{3,}$")))
+    }),
+
+    "q_gen_dataset_telephony" -> ((s, _) => {
+      val ts = graft.datasets.Datasets("multi_table/telephony").getTables(s, rows = 8000)
+      val orphans = ts("device_events").join(ts("customers"), Seq("customer_id"), "left_anti").count() +
+        ts("customers").join(ts("plans"), Seq("plan_id"), "left_anti").count()
+      one(ts("device_events"), "n" -> count(lit(1)), "orphans" -> lit(orphans),
+        "types_ok" -> all(col("event_type").isin("call", "sms", "data")))
+    }))
+
+  // ------------------------------------------------------ distributions
+
+  /** One query per distribution: 5 equi-width bucket counts over a 1000-
+    * point lattice (single ordered frame; constants pinned by OracleGen,
+    * shape invariants implied by the pinned counts). */
+  private def distQuery(dist: Distribution): Fn = (s, _) => {
+    val df = gen(s, TableSpec("t", 20000, Seq(
+      c("v", "int", ColumnStrategy.Range(0, 999, Some(1), distribution = dist)))))
+    df.groupBy((col("v") / 200).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val distQueries: Map[String, Fn] = Map(
+    "q_dist_uniform" -> distQuery(Distribution.Uniform),
+    "q_dist_normal" -> distQuery(Distribution.Normal(Some(500.0), Some(150.0))),
+    "q_dist_zipf" -> distQuery(Distribution.Zipf(1.5)),
+    "q_dist_exponential" -> distQuery(Distribution.Exponential(1.0)),
+    "q_dist_lognormal" -> distQuery(Distribution.LogNormal(0.0, 1.0)),
+    "q_dist_gamma" -> distQuery(Distribution.Gamma(2.0, 50.0)),
+    "q_dist_beta" -> distQuery(Distribution.Beta(2.0, 5.0)),
+    "q_dist_pareto" -> distQuery(Distribution.Pareto(1.16)),
+    "q_dist_weighted" -> ((s, _) =>
+      gen(s, TableSpec("t", 20000, Seq(c("v", "string",
+        ColumnStrategy.Values(Seq("a", "b", "c", "d"), Seq(0.4, 0.3, 0.2, 0.1))))))
+        .groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")))
+
+  val all: Map[String, Fn] = queries ++ distQueries
+}

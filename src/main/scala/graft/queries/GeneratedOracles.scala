@@ -1,0 +1,394 @@
+package graft.queries
+
+/** Pinned-constant oracles for the deterministic generator/sketch queries
+  * (generation is a pure function of seed+rowId, so their outputs are
+  * compile-time constants; the meaningful regression guards are the
+  * invariant BOOLEAN columns inside each query).
+  *
+  * REGENERATE with `sbt "runMain graft.tools.OracleGen"` after any change
+  * to engine semantics — do not edit by hand. */
+object GeneratedOracles {
+  val map: Map[String, String] = Map(
+    "q_analyzer_script_data" ->
+      """SELECT TRUE AS has_fields,
+  TRUE AS has_range,
+  CAST(5 AS BIGINT) AS n_lines""",
+    "q_analyzer_script_schema" ->
+      """SELECT TRUE AS has_all_fields,
+  TRUE AS mentions_generator,
+  CAST(13 AS BIGINT) AS n_lines""",
+    "q_api_iot_fluent" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  CAST(6 AS BIGINT) AS cols,
+  TRUE AS device_shape,
+  TRUE AS device_cardinality,
+  TRUE AS model_shape,
+  TRUE AS line_functional,
+  TRUE AS country_in_set,
+  TRUE AS us_share_10pct,
+  TRUE AS ts_minute,
+  TRUE AS ts_bounds""",
+    "q_api_schema_specs" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+  CAST(4 AS BIGINT) AS cols,
+  TRUE AS scores_in_unit,
+  TRUE AS scores_differ,
+  TRUE AS labels_ok,
+  TRUE AS id_seq""",
+    "q_dataset_geometries" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  CAST(3000 AS BIGINT) AS points_ok,
+  CAST(2000 AS BIGINT) AS polys_ok""",
+    "q_dataset_process_historian" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS quality_set,
+  TRUE AS mostly_good,
+  TRUE AS value_bounds,
+  TRUE AS value_centered,
+  TRUE AS tag_shape""",
+    "q_dataset_sales_order" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_lines,
+  CAST(0 AS BIGINT) AS orphans,
+  TRUE AS invoice_covers_lines,
+  TRUE AS qty_bounds""",
+    "q_dataset_stock_ticker" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(50 AS BIGINT) AS symbols,
+  TRUE AS symbol_shape,
+  TRUE AS hl_ordered,
+  TRUE AS dates_per_symbol,
+  TRUE AS volume_pos""",
+    "q_dataset_telematics" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS devices_le,
+  TRUE AS lat_bounds,
+  TRUE AS lon_bounds,
+  TRUE AS speed_bounds,
+  TRUE AS heading_bounds,
+  TRUE AS mostly_on""",
+    "q_dataset_user" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(10000 AS BIGINT) AS id_distinct,
+  TRUE AS email_shape,
+  TRUE AS ip_shape,
+  TRUE AS phone_shape""",
+    "q_dedup_cosine_lsh" ->
+      """SELECT CAST(58 AS BIGINT) AS n_pairs,
+  CAST(9535 AS BIGINT) AS sum_a,
+  CAST(19354 AS BIGINT) AS sum_b""",
+    "q_dedup_minhash" ->
+      """SELECT CAST(25 AS BIGINT) AS n_pairs,
+  CAST(4051 AS BIGINT) AS sum_a,
+  CAST(8907 AS BIGINT) AS sum_b""",
+    "q_dedup_minhash_drop" ->
+      """SELECT CAST(476 AS BIGINT) AS n_survivors""",
+    "q_dedup_ngram_jaccard" ->
+      """SELECT CAST(25 AS BIGINT) AS n_pairs,
+  CAST(4051 AS BIGINT) AS sum_a,
+  CAST(8907 AS BIGINT) AS sum_b""",
+    "q_dedup_simhash" ->
+      """SELECT CAST(17 AS BIGINT) AS n_pairs,
+  CAST(3224 AS BIGINT) AS sum_a,
+  CAST(6029 AS BIGINT) AS sum_b""",
+    "q_dist_beta" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(7042 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(8516 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(3471 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(861 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(110 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_exponential" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(12696 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(4616 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1681 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(640 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(367 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_gamma" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(18153 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(1770 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(75 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(2 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_lognormal" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(14995 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(3303 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(912 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(370 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(420 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_normal" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(434 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(4529 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(9865 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(4664 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(508 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_pareto" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(19967 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(20 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(2 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_uniform" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(4008 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(3953 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(3980 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(4006 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(4053 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_dist_weighted" ->
+      """SELECT * FROM (VALUES
+  ('a', CAST(7984 AS BIGINT)),
+  ('b', CAST(6060 AS BIGINT)),
+  ('c', CAST(3939 AS BIGINT)),
+  ('d', CAST(2017 AS BIGINT)))
+  AS t(v, n)
+ORDER BY v, n""",
+    "q_dist_zipf" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(19197 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(423 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(195 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(107 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(78 AS BIGINT)))
+  AS t(bucket, n)
+ORDER BY bucket, n""",
+    "q_gen_array_feature" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS all_len4,
+  TRUE AS in_bounds""",
+    "q_gen_array_of" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS len_in_bounds,
+  TRUE AS elems_in_bounds,
+  CAST(5 AS BIGINT) AS n_lens""",
+    "q_gen_constant" ->
+      """SELECT 'fixed' AS k,
+  CAST(2500 AS BIGINT) AS n""",
+    "q_gen_constraints" ->
+      """SELECT CAST(5244 AS BIGINT) AS n,
+  TRUE AS all_valid""",
+    "q_gen_dataset_groupby" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  CAST(50 AS BIGINT) AS id4_groups,
+  TRUE AS v1_in_bounds,
+  TRUE AS v2_in_bounds,
+  TRUE AS id1_shape""",
+    "q_gen_dataset_telephony" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS orphans,
+  TRUE AS types_ok""",
+    "q_gen_daterange" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(53 AS BIGINT) AS n_distinct,
+  '2024-01-01' AS min_dt,
+  '2024-12-30' AS max_dt,
+  TRUE AS on_week""",
+    "q_gen_expression_phases" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+  TRUE AS b_ok,
+  TRUE AS c_ok""",
+    "q_gen_faker" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS email_ok,
+  TRUE AS name_ok,
+  CAST(4285 AS BIGINT) AS n_emails""",
+    "q_gen_fk_null_fraction" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(2110 AS BIGINT) AS n_null,
+  CAST(0 AS BIGINT) AS orphans,
+  TRUE AS null_frac_ok""",
+    "q_gen_fk_pattern_zipf" ->
+      """SELECT CAST(9000 AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS orphans,
+  TRUE AS skewed""",
+    "q_gen_fk_sequence" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS orphans,
+  CAST(500 AS BIGINT) AS n_parents_hit""",
+    "q_gen_fk_uuid" ->
+      """SELECT CAST(6000 AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS orphans""",
+    "q_gen_iltext" ->
+      """SELECT CAST(3000 AS BIGINT) AS n,
+  TRUE AS ends_period,
+  TRUE AS capitalized,
+  CAST(3000 AS BIGINT) AS n_distinct""",
+    "q_gen_multicolumn" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  CAST(3 AS BIGINT) AS cols,
+  TRUE AS decorrelated""",
+    "q_gen_omit" ->
+      """SELECT CAST(1000 AS BIGINT) AS n,
+  CAST(1 AS BIGINT) AS cols,
+  TRUE AS derived_ok""",
+    "q_gen_partition_independence" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS identical""",
+    "q_gen_pattern" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(10000 AS BIGINT) AS n_distinct,
+  TRUE AS shape_ok""",
+    "q_gen_percent_nulls" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  CAST(3131 AS BIGINT) AS n_null,
+  TRUE AS within_2pct""",
+    "q_gen_plugin" ->
+      """SELECT CAST(2000 AS BIGINT) AS n,
+  TRUE AS shape_ok,
+  CAST(97 AS BIGINT) AS n_distinct""",
+    "q_gen_prefix_suffix_format" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS a_ok,
+  TRUE AS b_ok,
+  TRUE AS f_ok""",
+    "q_gen_range_continuous" ->
+      """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(5007 AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), CAST(5023 AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), CAST(4985 AS BIGINT), TRUE),
+  (CAST(3 AS BIGINT), CAST(4985 AS BIGINT), TRUE))
+  AS t(bucket, n, in_bounds)
+ORDER BY bucket, n, in_bounds""",
+    "q_gen_range_decimal" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(397 AS BIGINT) AS n_distinct,
+  '1.00' AS min_v,
+  '100.00' AS max_v,
+  TRUE AS on_step""",
+    "q_gen_range_int" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  CAST(11 AS BIGINT) AS n_distinct,
+  CAST(10 AS BIGINT) AS min_v,
+  CAST(50 AS BIGINT) AS max_v,
+  TRUE AS in_bounds,
+  TRUE AS on_step""",
+    "q_gen_scatter" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  CAST(3161 AS BIGINT) AS plain_distinct,
+  CAST(3161 AS BIGINT) AS scat_distinct,
+  TRUE AS differs""",
+    "q_gen_script_table" ->
+      """SELECT 'CREATE TABLE graft_tbl (' || chr(10) || '    k BIGINT,' || chr(10) || '    v STRING' || chr(10) || ')' || chr(10) || 'USING parquet' AS ddl,
+  CAST(181 AS BIGINT) AS merge_len""",
+    "q_gen_seed_from_columns" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(6 AS BIGINT) AS n_h,
+  TRUE AS functional""",
+    "q_gen_seed_from_value" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS functional""",
+    "q_gen_sequence" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  CAST(10000 AS BIGINT) AS n_distinct,
+  CAST(100 AS BIGINT) AS min_k,
+  CAST(70093 AS BIGINT) AS max_k,
+  TRUE AS on_step""",
+    "q_gen_serialization" ->
+      """SELECT CAST(5000 AS BIGINT) AS n_orders,
+  TRUE AS roundtrip_ok,
+  CAST(0 AS BIGINT) AS total_orphans""",
+    "q_gen_sink_roundtrip" ->
+      """SELECT CAST(999 AS BIGINT) AS n,
+  CAST(5 AS BIGINT) AS min_k,
+  CAST(2999 AS BIGINT) AS max_k,
+  CAST(3 AS BIGINT) AS n_vals""",
+    "q_gen_source_batch" ->
+      """SELECT CAST(12345 AS BIGINT) AS n,
+  CAST(12345 AS BIGINT) AS n_distinct,
+  CAST(0 AS BIGINT) AS min_id,
+  CAST(12344 AS BIGINT) AS max_id""",
+    "q_gen_stream_parquet" ->
+      """SELECT CAST(500 AS BIGINT) AS n,
+  CAST(500 AS BIGINT) AS n_docs""",
+    "q_gen_struct" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS a_in_bounds,
+  CAST(3 AS BIGINT) AS n_b""",
+    "q_gen_struct_json" ->
+      """SELECT CAST(3000 AS BIGINT) AS n,
+  TRUE AS json_shape""",
+    "q_gen_template" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS t1_ok,
+  TRUE AS t2_ok,
+  TRUE AS t3_ok,
+  TRUE AS t3_all_alternatives""",
+    "q_gen_template_base" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS base_ok,
+  TRUE AS base_matches""",
+    "q_gen_timestamp" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  '2024-03-01 00:09:00' AS min_ts,
+  '2024-03-31 23:59:00' AS max_ts,
+  TRUE AS minute_aligned,
+  TRUE AS in_bounds""",
+    "q_gen_unique_clamp" ->
+      """SELECT CAST(30000 AS BIGINT) AS n,
+  CAST(100 AS BIGINT) AS n_distinct,
+  TRUE AS distinct_eq_unique""",
+    "q_gen_unique_combinations" ->
+      """SELECT CAST(12 AS BIGINT) AS n,
+  TRUE AS le_12""",
+    "q_gen_uuid" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  CAST(20000 AS BIGINT) AS n_distinct,
+  TRUE AS shape_ok""",
+    "q_gen_values" ->
+      """SELECT * FROM (VALUES
+  ('alpha', CAST(3020 AS BIGINT)),
+  ('beta', CAST(3014 AS BIGINT)),
+  ('gamma', CAST(2966 AS BIGINT)))
+  AS t(v, n)
+ORDER BY v, n""",
+    "q_gen_values_weighted" ->
+      """SELECT * FROM (VALUES
+  ('x', CAST(18138 AS BIGINT), TRUE),
+  ('y', CAST(8884 AS BIGINT), TRUE),
+  ('z', CAST(2978 AS BIGINT), TRUE))
+  AS t(v, n, within_10pct)
+ORDER BY v, n, within_10pct""",
+    "q_gen_view_registration" ->
+      """SELECT CAST(777 AS BIGINT) AS n,
+  CAST(1 AS BIGINT) AS min_k""",
+    "q_multimodal_decode" ->
+      """SELECT CAST(500 AS BIGINT) AS n,
+  CAST(500 AS BIGINT) AS n_decoded,
+  CAST(500 AS BIGINT) AS n_resized_ok,
+  CAST(2000 AS BIGINT) AS n_frames,
+  CAST(8000 AS BIGINT) AS n_embdim""",
+    "q_text_fingerprint" ->
+      """SELECT CAST(500 AS BIGINT) AS n_fp,
+  CAST(27165 AS BIGINT) AS n_subwords""",
+    "q_text_langid" ->
+      """SELECT * FROM (VALUES
+  ('de', 'en', CAST(51 AS BIGINT)),
+  ('de', 'und', CAST(19 AS BIGINT)),
+  ('en', 'en', CAST(160 AS BIGINT)),
+  ('en', 'und', CAST(58 AS BIGINT)),
+  ('es', 'en', CAST(57 AS BIGINT)),
+  ('es', 'und', CAST(16 AS BIGINT)),
+  ('fr', 'en', CAST(51 AS BIGINT)),
+  ('fr', 'und', CAST(13 AS BIGINT)),
+  ('zh', 'en', CAST(63 AS BIGINT)),
+  ('zh', 'und', CAST(12 AS BIGINT)))
+  AS t(lang, lang_pred, n)
+ORDER BY lang, lang_pred, n""")
+}

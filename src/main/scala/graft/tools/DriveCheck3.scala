@@ -41,7 +41,7 @@ object DriveCheck3 {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("v_b"))
     val cosExact = a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .where(Similarity.cosine(col("v_a"), col("v_b")) >= 0.95)
+      .where(Similarity.cosineGeneric(col("v_a"), col("v_b")) >= 0.95)
     println(s"CHECK23 cosine>=0.95 pairs: exact=${cosExact.count()} lsh=${cosLsh.count()}")
 
     // ANN: brute force vs IVF recall.
