@@ -52,12 +52,34 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(width)), " ")))
   }
 
-  /** MinHash signature: for each of `numHashes` hash families, the minimum
-    * xxhash64(shingle, family) over the shingle set. Pure Column expression
-    * (nested transform + array_min) — per-row, no shuffle, codegen'd. */
+  /** MinHash signature as a Column: for each of `numHashes` hash families,
+    * the minimum xxhash64(shingle, family) over the shingle set. Nested
+    * higher-order functions — interpreted per evaluation, so this form is
+    * only for small one-off use; the pipeline path is `minHashSignatures`. */
   def minHashSignature(shingleArr: Column, numHashes: Int = 128): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingleArr, s => xxhash64(s, k))))
+
+  /** MinHash signatures as a frame transform: explode each document's
+    * shingle-hash set, then one hash-aggregate with `numHashes` codegen'd
+    * `min(xxhash64(h, k))` aggregates. Map-side partial aggregation
+    * collapses every document locally (a document's shingles live in one
+    * partition), so the shuffle carries ~one row per document — this is the
+    * 100-TB path, unlike the interpreted nested-lambda Column form.
+    *
+    * @return (id, sh, sig) — shingle array kept for exact verification.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, shingleWidth: Int = 3): DataFrame = {
+    val exploded = Similarity.parallelize(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
+      .select(col("id"), col("sh"), explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    val mins = (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"__m$k"))
+    exploded.groupBy("id")
+      .agg(first(col("sh")).as("sh"), mins: _*)
+      .select(col("id"), col("sh"),
+        array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
+  }
 
   /** Banded LSH keys from a minhash signature: `bands` hashes, each over a
     * contiguous slice of rows-per-band signature entries. Two documents
@@ -89,8 +111,7 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
 
-    val prepared = df.select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
+    val prepared = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
       .withColumn("bandkey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select("id", "sh", "bandkey")
 
@@ -121,8 +142,9 @@ object Dedup {
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: per bit, the sign of the sum of
-    * contributions (+1/-1) of each token hash's bit. Pure Column
-    * expression: one aggregate over tokens per bit position. */
+    * contributions (+1/-1) of each token hash's bit. Interpreted
+    * higher-order aggregates — small one-off use only; the pipeline path is
+    * `simHashes`. */
   def simHash(tokens: Column, bits: Int = 64): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val bitCols = (0 until bits).map { bpos =>
@@ -131,6 +153,28 @@ object Dedup {
       when(votes > 0, lit(1L << bpos)).otherwise(lit(0L))
     }
     bitCols.reduce((x: Column, y: Column) => x.bitwiseOR(y))
+  }
+
+  /** SimHash sketches as a frame transform: explode token hashes, then one
+    * hash-aggregate with 64 codegen'd sum-of-votes aggregates; the sketch is
+    * reassembled from the vote signs. Same two-phase-aggregation scaling
+    * argument as `minHashSignatures`.
+    *
+    * @return (id, sk)
+    */
+  def simHashes(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
+    val exploded = Similarity.parallelize(df)
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until bits).map { bpos =>
+      sum(when(shiftright(col("h"), bpos).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"__v$bpos")
+    }
+    exploded.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(bpos => when(col(s"__v$bpos") > 0, lit(1L << bpos)).otherwise(lit(0L)))
+          .reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("sk"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxDistance.
@@ -147,8 +191,7 @@ object Dedup {
         shiftrightunsigned(col("sk"), p * bitsPerPiece)
           .bitwiseAND(lit(if (bitsPerPiece == 64) -1L else (1L << bitsPerPiece) - 1)).cast("string"))
     }
-    val prepared = df.select(col(idCol).as("id"),
-      simHash(split(trim(lower(col(textCol))), "\\s+")).as("sk"))
+    val prepared = simHashes(df, idCol, textCol)
       .withColumn("piece", explode(array(pieceKeys: _*)))
 
     val counts = prepared.groupBy("piece").count().where(col("count") <= maxBucket)
@@ -171,7 +214,7 @@ object Dedup {
     * (prefix-filter style), shuffles only by shingle and pair. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleWidth: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    val docs = Similarity.parallelize(df).select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
       .withColumn("nsh", size(col("sh")))
 
@@ -202,10 +245,14 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val dim = Similarity.dimOf(df, vecCol)
     val v = col(vecCol)
-    // Norms are computed once per row here, never per pair in the bucket join.
-    val prepared = df.select(col(idCol).as("id"), v.cast("array<double>").as("vec"))
+    // Norms are computed once per row here, never per pair in the bucket
+    // join; the keys array is built in its own projection so the explode's
+    // generated code stays under the JVM 64KB method limit.
+    val prepared = Similarity.parallelize(df)
+      .select(col(idCol).as("id"), v.cast("array<double>").as("vec"))
       .withColumn("nrm", Similarity.norm(col("vec"), dim))
-      .withColumn("key", explode(Similarity.hyperplaneKeys(col("vec"), planes, probes, dim)))
+      .withColumn("__keys", Similarity.hyperplaneKeys(col("vec"), planes, probes, dim))
+      .withColumn("key", explode(col("__keys"))).drop("__keys")
 
     val counts = prepared.groupBy("key").count().where(col("count") <= maxBucket)
     val bucketed = prepared.join(counts.select("key"), "key")
