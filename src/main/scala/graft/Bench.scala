@@ -19,13 +19,13 @@ import graft.spec._
   */
 object Bench {
 
-  /** Full-materialization sink: hash every column of every row (mod a prime
-    * so the ANSI-mode sum cannot overflow Long even at billions of rows). */
-  private def materialize(df: DataFrame): Unit = {
-    val h = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(1000003L))
-    df.agg(sum(h)).collect()
-    ()
-  }
+  /** Full-materialization sink: the DSv2 `noop` writer — every row of every
+    * column flows through the real write path and is discarded. Unlike a
+    * bare `.count()` Catalyst cannot prune the generated columns, and unlike
+    * a fused hash-aggregate it does not inflate the generation stage's
+    * whole-stage-codegen method size. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 
   private def iotSpec(rows: Long, partitions: Int): TableSpec = {
     def c(n: String, t: String, s: ColumnStrategy) = ColumnSpec(n, t, s)

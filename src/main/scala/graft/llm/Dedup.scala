@@ -71,9 +71,13 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleWidth: Int = 3): DataFrame = {
+    // Shingles ride along as their 64-bit hashes: set semantics survive
+    // (collisions are negligible) and downstream exact-jaccard verification
+    // intersects long arrays instead of wide strings.
     val exploded = Similarity.parallelize(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleWidth).as("sh"))
-      .select(col("id"), col("sh"), explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(shingles(col(textCol), shingleWidth), s => xxhash64(s))).as("sh"))
+      .select(col("id"), col("sh"), explode(col("sh")).as("h"))
     val mins = (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"__m$k"))
     exploded.groupBy("id")
       .agg(first(col("sh")).as("sh"), mins: _*)
@@ -214,8 +218,9 @@ object Dedup {
     * (prefix-filter style), shuffles only by shingle and pair. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleWidth: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
+    // Shingles as 64-bit hashes: the inverted index shuffles longs, not text.
     val docs = Similarity.parallelize(df).select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleWidth)).as("sh"))
+      array_distinct(transform(shingles(col(textCol), shingleWidth), s => xxhash64(s))).as("sh"))
       .withColumn("nsh", size(col("sh")))
 
     val inverted = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))

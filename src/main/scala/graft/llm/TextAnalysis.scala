@@ -53,9 +53,15 @@ object TextAnalysis {
   def stopwordHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(Stopwords(lang): _*)))
 
-  /** Predicted language code by argmax stopword-hit rate; "und"
-    * (undetermined) when no list scores at least `minHits` hits. */
+  /** Predicted language code: script detection first (Han/Kana/Hangul/
+    * Cyrillic/Arabic character ratios are near-certain signals), then
+    * argmax stopword-hit rate for Latin-script text; "und" (undetermined)
+    * when no signal scores at least `minHits` hits. */
   def languageId(text: Column, minHits: Int = 1): Column = {
+    val t = trim(text)
+    val chars = greatest(length(t), lit(1)).cast("double")
+    def scriptRatio(rangePattern: String): Column =
+      (chars - length(regexp_replace(t, rangePattern, ""))) / chars
     val toks = tokens(lower(text))
     val langs = Stopwords.keys.toSeq.sorted
     // Fold to (bestLang, bestScore); ties resolve to the alphabetically
@@ -64,7 +70,12 @@ object TextAnalysis {
     val best = scored.foldLeft((lit("und"), lit(minHits - 1))) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
-    best._1
+    when(scriptRatio("[\\x{4E00}-\\x{9FFF}]") > 0.25, "zh")
+      .when(scriptRatio("[\\x{3040}-\\x{30FF}]") > 0.1, "ja")
+      .when(scriptRatio("[\\x{AC00}-\\x{D7AF}]") > 0.25, "ko")
+      .when(scriptRatio("[\\x{0400}-\\x{04FF}]") > 0.25, "ru")
+      .when(scriptRatio("[\\x{0600}-\\x{06FF}]") > 0.25, "ar")
+      .otherwise(best._1)
   }
 
   // ------------------------------------------------------------ quality

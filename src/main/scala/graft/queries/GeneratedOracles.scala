@@ -73,9 +73,9 @@ object GeneratedOracles {
   TRUE AS ip_shape,
   TRUE AS phone_shape""",
     "q_dedup_cosine_lsh" ->
-      """SELECT CAST(58 AS BIGINT) AS n_pairs,
-  CAST(9535 AS BIGINT) AS sum_a,
-  CAST(19354 AS BIGINT) AS sum_b""",
+      """SELECT CAST(24 AS BIGINT) AS n_pairs,
+  CAST(4262 AS BIGINT) AS sum_a,
+  CAST(8322 AS BIGINT) AS sum_b""",
     "q_dedup_minhash" ->
       """SELECT CAST(25 AS BIGINT) AS n_pairs,
   CAST(4051 AS BIGINT) AS sum_a,
