@@ -120,9 +120,13 @@ object Dedup {
       .select("id", "sh", "bandkey")
 
     // Bucket join: only rows sharing a band key meet; id< ordering halves
-    // the pairs and kills self-matches. Bucket size cap bounds task skew.
-    val counts = prepared.groupBy("bandkey").count().where(col("count") <= maxBucket)
-    val bucketed = prepared.join(counts.select("bandkey"), "bandkey")
+    // the pairs and kills self-matches. The bucket-size cap (bounds task
+    // skew) is a window count over the key partition — one shuffle, no
+    // second pass over the signature pipeline, and the self-join below
+    // reuses the same hash partitioning instead of re-shuffling.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bandkey")
+    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
+      .where(col("__bsize") <= maxBucket).drop("__bsize")
 
     val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -198,8 +202,9 @@ object Dedup {
     val prepared = simHashes(df, idCol, textCol)
       .withColumn("piece", explode(array(pieceKeys: _*)))
 
-    val counts = prepared.groupBy("piece").count().where(col("count") <= maxBucket)
-    val bucketed = prepared.join(counts.select("piece"), "piece")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("piece")
+    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
+      .where(col("__bsize") <= maxBucket).drop("__bsize")
     val a = bucketed.select(col("piece"), col("id").as("id_a"), col("sk").as("sk_a"))
     val b = bucketed.select(col("piece"), col("id").as("id_b"), col("sk").as("sk_b"))
     a.join(b, Seq("piece")).where(col("id_a") < col("id_b"))
@@ -224,8 +229,9 @@ object Dedup {
       .withColumn("nsh", size(col("sh")))
 
     val inverted = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
-    val rare = inverted.groupBy("shingle").count().where(col("count") <= maxDocFreq)
-    val filtered = inverted.join(rare.select("shingle"), "shingle")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val filtered = inverted.withColumn("__df", count(lit(1)).over(w))
+      .where(col("__df") <= maxDocFreq).drop("__df")
 
     val a = filtered.select(col("shingle"), col("id").as("id_a"), col("nsh").as("n_a"))
     val b = filtered.select(col("shingle"), col("id").as("id_b"), col("nsh").as("n_b"))
@@ -249,18 +255,19 @@ object Dedup {
       threshold: Double = 0.95, planes: Int = 12, probes: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     val dim = Similarity.dimOf(df, vecCol)
-    val v = col(vecCol)
-    // Norms are computed once per row here, never per pair in the bucket
-    // join; the keys array is built in its own projection so the explode's
-    // generated code stays under the JVM 64KB method limit.
-    val prepared = Similarity.parallelize(df)
-      .select(col(idCol).as("id"), v.cast("array<double>").as("vec"))
+    // Sketches come from the two-phase-aggregate path (codegen'd projection
+    // sums; an inline planes*probes*dim expression would overflow codegen
+    // and fall back to interpreted eval). Norms are computed once per row,
+    // never per pair in the bucket join.
+    val prepared = Similarity
+      .hyperplaneSketches(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "id", "vec", planes, probes)
       .withColumn("nrm", Similarity.norm(col("vec"), dim))
-      .withColumn("__keys", Similarity.hyperplaneKeys(col("vec"), planes, probes, dim))
-      .withColumn("key", explode(col("__keys"))).drop("__keys")
+      .withColumn("key", explode(col("keys"))).drop("keys")
 
-    val counts = prepared.groupBy("key").count().where(col("count") <= maxBucket)
-    val bucketed = prepared.join(counts.select("key"), "key")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
+      .where(col("__bsize") <= maxBucket).drop("__bsize")
     val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"),
       col("nrm").as("n_a"))
     val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"),

@@ -57,7 +57,12 @@ object Similarity {
   /** `probes` bucket keys for a vector: each key packs the signs of `planes`
     * pseudo-random projections, fully unrolled over the dimension (codegen'd
     * multiply-adds against folded constants). Deterministic — the same
-    * expression buckets corpus and queries identically, no coordination. */
+    * expression buckets corpus and queries identically, no coordination.
+    *
+    * NOTE: planes*probes*dim inline terms — fine for small sketches; above
+    * ~1k terms the generated method exceeds the JVM limit and evaluation
+    * falls back to interpreted (~us/term/row). The pipeline path for big
+    * sketches is `hyperplaneSketches`. */
   def hyperplaneKeys(vec: Column, planes: Int, probes: Int, dim: Int): Column =
     array((0 until probes).map { probe =>
       val signBits = (0 until planes).map { plane =>
@@ -67,6 +72,36 @@ object Similarity {
       }
       concat(lit(s"$probe#") +: signBits: _*)
     }: _*)
+
+  /** Hyperplane sketches as a frame transform: posexplode the vector, then
+    * one hash-aggregate with planes*probes codegen'd `sum(x * c(p,l,pos))`
+    * projection aggregates (the plane component is a per-row xxhash64 of
+    * literals + the position column — whole-stage codegen'd). Map-side
+    * partial aggregation collapses each vector locally, so the shuffle
+    * carries one compact row per vector. This is how the sketch scales:
+    * cost is O(rows*dim*planes*probes) of compiled arithmetic, never an
+    * interpreted expression tree.
+    *
+    * @return (idCol, vecCol as array<double>, keys array<string>)
+    */
+  def hyperplaneSketches(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, probes: Int): DataFrame = {
+    val exploded = parallelize(df)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
+      .select(col("__id"), col("__vec"), posexplode(col("__vec")).as(Seq("pos", "x")))
+    def component(probe: Int, plane: Int): Column =
+      pmod(xxhash64(lit(probe), lit(plane), col("pos")), lit(1000000L))
+        .cast("double") / 1000000.0 - 0.5
+    val projAggs = for (p <- 0 until probes; l <- 0 until planes)
+      yield sum(col("x") * component(p, l)).as(s"__pj_${p}_$l")
+    val agged = exploded.groupBy("__id")
+      .agg(first(col("__vec")).as("__vec"), projAggs: _*)
+    val keys = array((0 until probes).map { p =>
+      concat(lit(s"$p#") +: (0 until planes).map(l =>
+        when(col(s"__pj_${p}_$l") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    }: _*)
+    agged.select(col("__id").as(idCol), col("__vec").as(vecCol), keys.as("keys"))
+  }
 
   /** Spread a frame across the session's shuffle parallelism when it has
     * fewer partitions (a single parquet file arrives as one partition — a

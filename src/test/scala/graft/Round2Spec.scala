@@ -121,6 +121,16 @@ class Round2Spec extends AnyFunSuite {
     spark.createDataFrame(base :+ near).toDF("id", "vec")
   }
 
+  test("aggregated hyperplane sketches match the inline expression form") {
+    val df = vectors
+    val viaAgg = Similarity.hyperplaneSketches(df, "id", "vec", planes = 4, probes = 3)
+      .select(col("id"), col("keys"))
+    val viaExpr = df.select(col("id"),
+      Similarity.hyperplaneKeys(col("vec").cast("array<double>"), 4, 3, 16).as("keys"))
+    assert(viaAgg.alias("a").join(viaExpr.alias("b"), "id")
+      .where(col("a.keys") =!= col("b.keys")).count() === 0)
+  }
+
   test("unrolled cosine matches the generic interpreted form") {
     val df = vectors
     val a = df.select(col("id").as("ia"), col("vec").as("va"))
@@ -177,6 +187,37 @@ class Round2Spec extends AnyFunSuite {
     assert(scores(1L) > 0.8)
     assert(scores(2L) < 0.6)
     assert(scores(2L) < scores(1L))
+  }
+
+  // ------------------------------------------------------------ streaming
+
+  test("streaming build: rate source generates spec columns into a memory sink") {
+    val q = DataGenerator(spark, "s", rows = Long.MaxValue)
+      .withColumn("v", "int", Range(1, 100, Some(1)))
+      .withColumn("tag", "string", Values(Seq("a", "b")))
+      .buildStream(rowsPerSecond = 500)
+      .writeStream.format("memory").queryName("graft_round2_stream").start()
+    try {
+      q.processAllAvailable()
+      var waited = 0
+      while (spark.table("graft_round2_stream").isEmpty && waited < 150) {
+        Thread.sleep(200); q.processAllAvailable(); waited += 1
+      }
+      val rows = spark.table("graft_round2_stream")
+      assert(!rows.isEmpty, "no streaming rows arrived within 30s")
+      assert(rows.where(!col("v").between(1, 100)).count() === 0)
+      assert(rows.where(!col("tag").isin("a", "b")).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming gate: batch-only constraints are rejected under streaming") {
+    val ex = intercept[SpecError] {
+      DataGenerator(spark, "s2", rows = Long.MaxValue)
+        .withColumn("v", "int", Range(1, 9, Some(1)))
+        .withConstraint(Constraint.UniqueCombinations(Seq("v")))
+        .buildStream()
+    }
+    assert(ex.getMessage.toLowerCase.contains("streaming"))
   }
 
   // ------------------------------------------------------------- analyzer
