@@ -274,7 +274,7 @@ object ColumnCompiler {
     }
   }
 
-  private[columns] def coprimeNearGoldenRatio(grid: Long): Long = {
+  private[graft] def coprimeNearGoldenRatio(grid: Long): Long = {
     val target = math.max(1L, (grid * 0.6180339887498949).toLong) | 1L
     var a = target
     while (gcd(a, grid) != 1L) a += 2L
