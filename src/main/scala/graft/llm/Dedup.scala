@@ -31,6 +31,16 @@ object Dedup {
       .select(df.columns.map(c => col(s"__row.$c")): _*)
   }
 
+  /** Streaming exact dedup: duplicates dropped within the watermark window,
+    * so state stays bounded (a plain dropDuplicates under streaming keeps
+    * every key forever). The streaming upgrade of `exact` —
+    * SURVEY.md §7.4.6; reference acknowledges per-microbatch-only dedup
+    * (constraints/unique_combinations.py:39-46), this is strictly stronger. */
+  def exactStreaming(df: DataFrame, keyCols: Seq[String], eventTimeCol: String,
+      watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Content-hash dedup: dedup by xxhash64 of a normalized text column —
     * the cheap first pass of any pipeline (collisions at 64 bits are
     * negligible below ~2^32 documents; use `exact` on the text itself when

@@ -198,16 +198,39 @@ class Round2Spec extends AnyFunSuite {
       .buildStream(rowsPerSecond = 500)
       .writeStream.format("memory").queryName("graft_round2_stream").start()
     try {
-      q.processAllAvailable()
       var waited = 0
-      while (spark.table("graft_round2_stream").isEmpty && waited < 150) {
-        Thread.sleep(200); q.processAllAvailable(); waited += 1
+      while (spark.table("graft_round2_stream").isEmpty && waited < 300) {
+        Thread.sleep(200); waited += 1
       }
+      q.stop()
       val rows = spark.table("graft_round2_stream")
-      assert(!rows.isEmpty, "no streaming rows arrived within 30s")
+      assert(!rows.isEmpty, "no streaming rows arrived within 60s")
       assert(rows.where(!col("v").between(1, 100)).count() === 0)
       assert(rows.where(!col("tag").isin("a", "b")).count() === 0)
-    } finally q.stop()
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    val q = Dedup.exactStreaming(
+      DataGenerator(spark, "sd", rows = Long.MaxValue)
+        .withColumn("k", "int", Range(1, 5, Some(1)))   // only 4 distinct keys
+        .buildStream(rowsPerSecond = 1000),
+      Seq("k"), "_source_timestamp", "10 minutes")
+      .writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append").start()
+    try {
+      // Poll the sink: with a continuous rate source + stateful dedup,
+      // processAllAvailable would chase new batches forever.
+      var waited = 0
+      while (spark.table("graft_stream_dedup").isEmpty && waited < 300) {
+        Thread.sleep(200); waited += 1
+      }
+      q.stop()
+      val rows = spark.table("graft_stream_dedup")
+      assert(!rows.isEmpty, "no deduped streaming rows arrived within 60s")
+      // within one watermark window each key appears at most once
+      assert(rows.groupBy("k").count().where(col("count") > 1).count() === 0)
+    } finally if (q.isActive) q.stop()
   }
 
   test("streaming gate: batch-only constraints are rejected under streaming") {
