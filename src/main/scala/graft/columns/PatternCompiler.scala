@@ -72,12 +72,9 @@ object PatternCompiler {
           val m = 1L << (4 * w)
           lower(lpad(hex(pmod(Seeds.cellSeed(tokSeed, id), lit(m))), w, "0"))
         case Alpha(w) =>
-          // One independent hash per character position.
-          val chars = (0 until w).map { pos =>
-            val c = pmod(xxhash64(lit(tokSeed), id, lit(pos)), lit(26L)).cast(IntegerType)
-            substringPick(c)
-          }
-          concat(chars: _*)
+          // Grouped table lookups: one hash drives three chars (inline
+          // per-char hashing costs ~3KB of generated Java per char).
+          CharTables.run("ABCDEFGHIJKLMNOPQRSTUVWXYZ", w, tokSeed, id)
       }
     }
     if (parts.length == 1) parts.head else concat(parts: _*)

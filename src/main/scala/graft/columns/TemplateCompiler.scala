@@ -119,16 +119,25 @@ object TemplateCompiler {
     }
   }
 
+  /** Adjacent same-charset tokens merged into one run (codegen: one hash
+    * can drive a whole run of digits/hex chars). */
+  private final case class Run(chars: String, n: Int) extends Tok
+
+  private def mergeRuns(toks: List[Tok]): List[Tok] = toks.foldRight(List.empty[Tok]) {
+    case (Charset(cs), Run(cs2, n) :: rest) if cs == cs2 => Run(cs, n + 1) :: rest
+    case (Charset(cs), rest) => Run(cs, 1) :: rest
+    case (t, rest) => t :: rest
+  }
+
   private def compileAlt(toks: List[Tok], words: Seq[String], altSeed: Long, id: Column,
       baseValue: Option[Column]): Column = {
     val base = baseValue.getOrElse(id.cast("string"))
-    val parts = toks.zipWithIndex.map { case (tok, k) =>
+    val parts = mergeRuns(toks).zipWithIndex.map { case (tok, k) =>
       val tokSeed = Seeds.subSeed(altSeed, k)
       tok match {
         case Lit(s) => lit(s)
-        case Charset(cs) =>
-          val idx = pmod(Seeds.cellSeed(tokSeed, id), lit(cs.length.toLong)).cast(IntegerType)
-          lit(cs).substr(idx + lit(1), lit(1))
+        case Run(cs, n) => runColumn(cs, n, tokSeed, id)
+        case Charset(cs) => runColumn(cs, 1, tokSeed, id) // unreachable post-merge
         case IntTok(max) =>
           pmod(Seeds.cellSeed(tokSeed, id), lit(max + 1)).cast("string")
         case Word(upper) =>
@@ -143,6 +152,36 @@ object TemplateCompiler {
       case Nil => lit("")
       case one :: Nil => one.cast("string")
       case many => concat(many: _*)
+    }
+  }
+
+  /** A run of `n` chars from one charset. Decimal and hex runs derive whole
+    * groups from a single hash (`lpad(pmod(h, L^g))` — one expression per
+    * up-to-18/15-char group); other charsets pick each char with its own
+    * two-argument hash. Keeps generated code small: the naive
+    * one-xxhash64-per-char form costs ~3KB of Java per char and overflows
+    * the 64KB whole-stage-codegen method limit on wide tables. */
+  private def runColumn(cs: String, n: Int, runSeed: Long, id: Column): Column = {
+    def grouped(groupMax: Int)(one: (Long, Int) => Column): Column = {
+      val groups = (0 until n).grouped(groupMax).zipWithIndex.map { case (g, gi) =>
+        one(Seeds.subSeed(runSeed, gi), g.size)
+      }.toSeq
+      if (groups.length == 1) groups.head else concat(groups: _*)
+    }
+    cs match {
+      case "0123456789" =>
+        grouped(18) { (s, g) =>
+          lpad(pmod(Seeds.cellSeed(s, id), lit(math.pow(10, g).toLong)).cast("string"), g, "0")
+        }
+      case "0123456789abcdef" =>
+        grouped(15) { (s, g) =>
+          lower(lpad(hex(pmod(Seeds.cellSeed(s, id), lit(1L << (4 * g)))), g, "0"))
+        }
+      case "0123456789ABCDEF" =>
+        grouped(15) { (s, g) =>
+          lpad(hex(pmod(Seeds.cellSeed(s, id), lit(1L << (4 * g)))), g, "0")
+        }
+      case _ => CharTables.run(cs, n, runSeed, id)
     }
   }
 }

@@ -141,18 +141,52 @@ object Distributions {
     least(ga / denom, lit(1.0 - 1e-12))
   }
 
-  /** Weighted choice: cumulative-probability when-chain over a uniform
-    * fraction. Weights are normalized; need not sum to 1.
-    * Ref semantics: core/engine/distributions.py:65-102. */
+  /** Weighted choice via a quantized slot table: weights are normalized to
+    * `Granularity` slots (largest-remainder rounding, so every positive
+    * weight keeps at least one slot and totals are exact), and a single
+    * hash indexes the slot array. The reference documents the same 1e-4
+    * weight granularity (function_builder.py:41-133, statistical contract
+    * :59-63). Compared to a cumulative when-chain this is one hash + one
+    * array lookup — the when-chain re-inlined the uniform draw in every
+    * branch (conditional branches block subexpression elimination), costing
+    * ~2.7KB of generated code per value and overflowing whole-stage-codegen
+    * methods on wide tables. */
+  val Granularity = 10000
+
   def weightedIndex(weights: Seq[Double], columnSeed: Long, id: Column): Column = {
     require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0,
       "weights must be non-negative and sum > 0")
-    val total = weights.sum
-    val cdf = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
-    val u = fraction(columnSeed, id)
-    // Last branch is the unconditional otherwise: immune to rounding.
-    cdf.init.zipWithIndex.foldRight(lit(weights.length - 1)) {
-      case ((bound, i), elseCol) => when(u < lit(bound), lit(i)).otherwise(elseCol)
+    val slots = quantize(weights, Granularity)
+    val table: Seq[Int] = slots.zipWithIndex.flatMap { case (n, i) => Seq.fill(n)(i) }
+    element_at(typedLit(table),
+      pmod(Seeds.cellSeed(columnSeed, id), lit(Granularity.toLong)).cast("int") + 1)
+  }
+
+  /** Largest-remainder apportionment of `total` slots; positive weights get
+    * at least one slot. */
+  private[graft] def quantize(weights: Seq[Double], total: Int): Seq[Int] = {
+    val sum = weights.sum
+    val ideal = weights.map(w => w / sum * total)
+    val floors = weights.zip(ideal).map { case (w, x) => if (w > 0) math.max(1, x.toInt) else 0 }
+    val remainder = total - floors.sum
+    if (remainder == 0) floors
+    else if (remainder > 0) {
+      val order = ideal.zip(floors).zipWithIndex
+        .sortBy { case ((x, f), _) => -(x - f) }.map(_._2)
+      val bump = order.take(remainder).toSet
+      floors.zipWithIndex.map { case (f, i) => if (bump(i)) f + 1 else f }
+    } else {
+      // over-allocated by the >=1 floor on tiny weights: shave the largest
+      val mutable = floors.toArray
+      var excess = -remainder
+      val order = ideal.zipWithIndex.sortBy { case (x, _) => -x }.map(_._2)
+      var j = 0
+      while (excess > 0) {
+        val i = order(j % order.length)
+        if (mutable(i) > 1) { mutable(i) -= 1; excess -= 1 }
+        j += 1
+      }
+      mutable.toSeq
     }
   }
 }

@@ -154,10 +154,10 @@ ORDER BY bucket, n""",
 ORDER BY bucket, n""",
     "q_dist_weighted" ->
       """SELECT * FROM (VALUES
-  ('a', CAST(7984 AS BIGINT)),
-  ('b', CAST(6060 AS BIGINT)),
-  ('c', CAST(3939 AS BIGINT)),
-  ('d', CAST(2017 AS BIGINT)))
+  ('a', CAST(7928 AS BIGINT)),
+  ('b', CAST(6074 AS BIGINT)),
+  ('c', CAST(4003 AS BIGINT)),
+  ('d', CAST(1995 AS BIGINT)))
   AS t(v, n)
 ORDER BY v, n""",
     "q_dist_zipf" ->
@@ -360,9 +360,9 @@ ORDER BY bucket, n, in_bounds""",
 ORDER BY v, n""",
     "q_gen_values_weighted" ->
       """SELECT * FROM (VALUES
-  ('x', CAST(18138 AS BIGINT), TRUE),
+  ('x', CAST(18117 AS BIGINT), TRUE),
   ('y', CAST(8884 AS BIGINT), TRUE),
-  ('z', CAST(2978 AS BIGINT), TRUE))
+  ('z', CAST(2999 AS BIGINT), TRUE))
   AS t(v, n, within_10pct)
 ORDER BY v, n, within_10pct""",
     "q_gen_view_registration" ->
