@@ -43,7 +43,9 @@ object ILTextCompiler {
 
     def sentence(seed: Long): Column = {
       val picks = (0 until wHi).map { k =>
-        val idx = pmod(xxhash64(lit(seed), id, lit(k)), lit(n)).cast(IntegerType)
+        // position folded into the seed driver-side: two-argument xxhash64
+        // emits ~1/3 less generated code than the three-argument form
+        val idx = pmod(Seeds.cellSeed(Seeds.subSeed(seed, k), id), lit(n)).cast(IntegerType)
         element_at(wordArr, idx + lit(1))
       }
       val nWords = boundedCount(wLo, wHi, seed ^ 0x77, id)

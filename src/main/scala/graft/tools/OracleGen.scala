@@ -14,6 +14,9 @@ object OracleGen {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder().master("local[8]")
+      // 128-aggregate minhash signatures exceed the default codegen
+      // field cap (100) and would silently fall back to interpreted agg.
+      .config("spark.sql.codegen.maxFields", "400")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
