@@ -156,10 +156,10 @@ object ColumnCompiler {
           .cast(IntegerType)
       slice(arr, lit(1), len)
 
-    case ColumnStrategy.Faker(provider, poolSize) =>
+    case ColumnStrategy.Faker(provider, poolSize, locale) =>
       // Array-literal pool + element_at: no UDF, unlike the reference's
       // pandas-UDF pool (core/engine/columns/faker_pool.py:18-131).
-      val pool = FakerPools.pool(provider, poolSize, ctx.globalSeed)
+      val pool = FakerPools.pool(provider, poolSize, ctx.globalSeed, locale)
       val idx = pmod(Seeds.cellSeed(seed, id), lit(pool.length.toLong)).cast(IntegerType)
       element_at(typedLit(pool), idx + lit(1))
 

@@ -63,22 +63,95 @@ object FakerPools {
     "example.com", "example.org", "example.net", "mail.example.com",
     "test.example.org")
 
-  /** Deterministic pool of `size` values for `provider`. */
-  def pool(provider: String, size: Int, globalSeed: Long): Seq[String] = {
+  // ------------------------------------------------------------- locales
+
+  /** Per-locale first/last-name and city lists (common public-knowledge
+    * names; the reference delegates locales to the Python faker package —
+    * text_generator_plugins.py:315-436 — which this zero-egress build
+    * replaces with bundled lists). Unlisted locales fall back to "en". */
+  private val LocaleFirstNames: Map[String, IndexedSeq[String]] = Map(
+    "de" -> IndexedSeq(
+      "hans", "anna", "peter", "maria", "thomas", "ursula", "michael", "monika",
+      "wolfgang", "petra", "klaus", "sabine", "jürgen", "renate", "dieter",
+      "karin", "stefan", "claudia", "andreas", "brigitte", "frank", "heike",
+      "uwe", "gabriele", "lukas", "lena", "felix", "emma", "jonas", "mia",
+      "maximilian", "sophie", "leon", "hannah", "paul", "laura").map(_.capitalize),
+    "fr" -> IndexedSeq(
+      "jean", "marie", "pierre", "françoise", "michel", "monique", "andré",
+      "catherine", "philippe", "nathalie", "alain", "isabelle", "jacques",
+      "sylvie", "bernard", "martine", "claude", "nicole", "daniel", "sophie",
+      "louis", "camille", "hugo", "léa", "lucas", "chloé", "gabriel", "manon",
+      "arthur", "inès", "jules", "julie", "théo", "sarah").map(_.capitalize),
+    "es" -> IndexedSeq(
+      "josé", "maría", "antonio", "carmen", "manuel", "ana", "francisco",
+      "isabel", "juan", "dolores", "david", "pilar", "javier", "teresa",
+      "miguel", "rosa", "carlos", "lucía", "daniel", "elena", "pablo", "marta",
+      "alejandro", "sara", "diego", "paula", "sergio", "laura", "pedro",
+      "cristina", "álvaro", "raquel").map(_.capitalize))
+
+  private val LocaleLastNames: Map[String, IndexedSeq[String]] = Map(
+    "de" -> IndexedSeq(
+      "müller", "schmidt", "schneider", "fischer", "weber", "meyer", "wagner",
+      "becker", "schulz", "hoffmann", "schäfer", "koch", "bauer", "richter",
+      "klein", "wolf", "schröder", "neumann", "schwarz", "zimmermann", "braun",
+      "krüger", "hofmann", "hartmann", "lange", "schmitt", "werner", "krause",
+      "meier", "lehmann").map(_.capitalize),
+    "fr" -> IndexedSeq(
+      "martin", "bernard", "dubois", "thomas", "robert", "richard", "petit",
+      "durand", "leroy", "moreau", "simon", "laurent", "lefebvre", "michel",
+      "garcia", "david", "bertrand", "roux", "vincent", "fournier", "morel",
+      "girard", "andré", "mercier", "dupont", "lambert", "bonnet", "françois",
+      "martinez", "legrand").map(_.capitalize),
+    "es" -> IndexedSeq(
+      "garcía", "rodríguez", "gonzález", "fernández", "lópez", "martínez",
+      "sánchez", "pérez", "gómez", "martín", "jiménez", "ruiz", "hernández",
+      "díaz", "moreno", "muñoz", "álvarez", "romero", "alonso", "gutiérrez",
+      "navarro", "torres", "domínguez", "vázquez", "ramos", "gil", "ramírez",
+      "serrano", "blanco", "molina").map(_.capitalize))
+
+  private val LocaleCities: Map[String, IndexedSeq[String]] = Map(
+    "de" -> IndexedSeq(
+      "Berlin", "Hamburg", "München", "Köln", "Frankfurt", "Stuttgart",
+      "Düsseldorf", "Leipzig", "Dortmund", "Essen", "Bremen", "Dresden",
+      "Hannover", "Nürnberg", "Duisburg", "Bochum", "Wuppertal", "Bielefeld",
+      "Bonn", "Münster"),
+    "fr" -> IndexedSeq(
+      "Paris", "Marseille", "Lyon", "Toulouse", "Nice", "Nantes", "Montpellier",
+      "Strasbourg", "Bordeaux", "Lille", "Rennes", "Reims", "Toulon",
+      "Saint-Étienne", "Le Havre", "Grenoble", "Dijon", "Angers", "Nîmes",
+      "Villeurbanne"),
+    "es" -> IndexedSeq(
+      "Madrid", "Barcelona", "Valencia", "Sevilla", "Zaragoza", "Málaga",
+      "Murcia", "Palma", "Bilbao", "Alicante", "Córdoba", "Valladolid",
+      "Vigo", "Gijón", "Granada", "Elche", "Oviedo", "Badalona", "Cartagena",
+      "Terrassa"))
+
+  /** Supported locales (others fall back to "en"). */
+  val Locales: Set[String] = Set("en") ++ LocaleFirstNames.keySet
+
+  /** Deterministic pool of `size` values for `provider` in `locale`. */
+  def pool(provider: String, size: Int, globalSeed: Long, locale: String = "en"): Seq[String] = {
     require(size > 0 && size <= 10000, s"faker pool size must be 1..10000, got $size")
-    val rnd = new java.util.Random(globalSeed * 31L + provider.hashCode)
+    val loc = locale.take(2).toLowerCase
+    val first = LocaleFirstNames.getOrElse(loc, FirstNames)
+    val last = LocaleLastNames.getOrElse(loc, LastNames)
+    val cities = LocaleCities.getOrElse(loc, Cities)
+    val rnd = new java.util.Random(globalSeed * 31L + provider.hashCode * 7L + loc.hashCode)
     def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+    def ascii(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("[^\\p{ASCII}]", "")
     (0 until size).map { _ =>
       provider match {
-        case "first_name" => pick(FirstNames)
-        case "last_name" => pick(LastNames)
-        case "name" => s"${pick(FirstNames)} ${pick(LastNames)}"
+        case "first_name" => pick(first)
+        case "last_name" => pick(last)
+        case "name" => s"${pick(first)} ${pick(last)}"
         case "email" =>
-          s"${pick(FirstNames).toLowerCase}.${pick(LastNames).toLowerCase}${rnd.nextInt(100)}@${pick(EmailDomains)}"
+          s"${ascii(pick(first)).toLowerCase}.${ascii(pick(last)).toLowerCase}${rnd.nextInt(100)}@${pick(EmailDomains)}"
         case "company" => s"${pick(CompanyWords)} ${pick(CompanyWords)} ${pick(CompanySuffixes)}"
-        case "city" => pick(Cities)
+        case "city" => pick(cities)
         case "country" => pick(Countries)
-        case "street_address" => s"${1 + rnd.nextInt(9999)} ${pick(LastNames)} ${pick(StreetSuffixes)}"
+        case "street_address" => s"${1 + rnd.nextInt(9999)} ${pick(last)} ${pick(StreetSuffixes)}"
         case "phone_number" => f"${200 + rnd.nextInt(800)}%03d-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d"
         case "word" => ILTextCompiler.LoremWords(rnd.nextInt(ILTextCompiler.LoremWords.length))
         case other => throw SpecError(s"unknown faker provider '$other'; supported: first_name, " +

@@ -133,7 +133,8 @@ object PlanJson {
         ColumnStrategy.ForeignKey(ref._1, ref._2, distFrom(Option(fk.get("distribution"))))
       case "faker" =>
         ColumnStrategy.Faker(req(gen, "provider").asText,
-          Option(gen.get("pool_size")).map(_.asInt).getOrElse(10000))
+          Option(gen.get("pool_size")).map(_.asInt).getOrElse(10000),
+          Option(gen.get("locale")).map(_.asText).getOrElse("en"))
       case "iltext" =>
         def pair(k: String, dflt: (Int, Int)) = Option(gen.get(k)).map { n =>
           (n.get(0).asInt, n.get(1).asInt)
@@ -290,9 +291,10 @@ object PlanJson {
       val f = col.putObject("foreign_key")
       f.put("ref", s"${fk.table}.${fk.column}")
       distTo(fk.distribution, Nil).foreach(f.set[JsonNode]("distribution", _))
-    case ColumnStrategy.Faker(provider, poolSize) =>
+    case ColumnStrategy.Faker(provider, poolSize, locale) =>
       gen.put("strategy", "faker").put("provider", provider)
       if (poolSize != 10000) gen.put("pool_size", poolSize)
+      if (locale != "en") gen.put("locale", locale)
     case il: ColumnStrategy.ILText =>
       gen.put("strategy", "iltext")
       def put(k: String, p: (Int, Int)): Unit = { val a = gen.putArray(k); a.add(p._1); a.add(p._2) }

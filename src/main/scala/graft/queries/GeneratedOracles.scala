@@ -208,7 +208,7 @@ ORDER BY bucket, n""",
       """SELECT CAST(10000 AS BIGINT) AS n,
   TRUE AS email_ok,
   TRUE AS name_ok,
-  CAST(4285 AS BIGINT) AS n_emails""",
+  CAST(4287 AS BIGINT) AS n_emails""",
     "q_gen_fk_null_fraction" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   CAST(2110 AS BIGINT) AS n_null,

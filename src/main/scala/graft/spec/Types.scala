@@ -129,7 +129,8 @@ object ColumnStrategy {
     * cities, ...) — offline wordlist analog of the reference's Faker pool
     * (core/engine/columns/faker_pool.py:18-131), but implemented as an
     * array-literal + element_at expression: no UDF, fully codegen'd. */
-  final case class Faker(provider: String, poolSize: Int = 10000) extends ColumnStrategy
+  final case class Faker(provider: String, poolSize: Int = 10000,
+      locale: String = "en") extends ColumnStrategy
 
   /** Ipsum-lorem paragraphs/sentences/words text.
     * Ref: dbldatagen/text_generators.py:996-1257. */

@@ -189,6 +189,28 @@ class Round2Spec extends AnyFunSuite {
     assert(scores(2L) < scores(1L))
   }
 
+  // --------------------------------------------------------- faker locales
+
+  test("faker locales switch name pools; factory sugar binds a locale") {
+    val de = graft.api.FakerTextFactory("de")
+    val df = graft.engine.Generator.generate(spark, DataGenPlan(Seq(
+      TableSpec("t", 500, Seq(
+        ColumnSpec("n_en", "string", Faker("name")),
+        ColumnSpec("n_de", "string", de("name")),
+        ColumnSpec("mail_de", "string", de("email"))))), 42L))("t")
+    val deNames = df.select("n_de").distinct().collect().map(_.getString(0)).toSet
+    val enNames = df.select("n_en").distinct().collect().map(_.getString(0)).toSet
+    assert(deNames.intersect(enNames).isEmpty, "locale pools should not overlap here")
+    assert(deNames.exists(n => n.startsWith("Hans ") || n.contains("Müller") ||
+      n.contains("Schmidt")), s"no German-looking names in ${deNames.take(5)}")
+    // email localizes the name parts but stays ASCII
+    assert(df.where(!col("mail_de").rlike("^[a-z]+\\.[a-z]+[0-9]+@[a-z.]+$")).count() === 0)
+    // roundtrip keeps the locale
+    val plan = DataGenPlan(Seq(TableSpec("t", 10, Seq(
+      ColumnSpec("x", "string", Faker("city", 100, "fr"))))), 1L)
+    assert(graft.io.PlanJson.loadJson(graft.io.PlanJson.saveJson(plan)) === plan)
+  }
+
   // ------------------------------------------------------------ streaming
 
   test("streaming build: rate source generates spec columns into a memory sink") {
