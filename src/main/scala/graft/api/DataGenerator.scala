@@ -63,12 +63,14 @@ final case class DataGenerator(
     * match `pattern` (regex) and/or whose type is in `matchTypes` (reference
     * `withColumnSpecs` — data_generator.py:804-871). */
   def withColumnSpecs(pattern: Option[String] = None, matchTypes: Seq[DataType] = Nil,
-      strategy: ColumnStrategy, percentNulls: Double = 0.0): DataGenerator = {
+      strategy: ColumnStrategy, percentNulls: Option[Double] = None): DataGenerator = {
     val rx = pattern.map(_.r)
     copy(columns = columns.map { c =>
       val nameOk = rx.forall(_.pattern.matcher(c.name).matches)
       val typeOk = matchTypes.isEmpty || matchTypes.contains(c.dataType)
-      if (nameOk && typeOk) c.copy(strategy = strategy, percentNulls = percentNulls) else c
+      if (nameOk && typeOk)
+        c.copy(strategy = strategy, percentNulls = percentNulls.getOrElse(c.percentNulls))
+      else c
     })
   }
 

@@ -137,7 +137,9 @@ object TemplateCompiler {
       tok match {
         case Lit(s) => lit(s)
         case Run(cs, n) => runColumn(cs, n, tokSeed, id)
-        case Charset(cs) => runColumn(cs, 1, tokSeed, id) // unreachable post-merge
+        // defensive: mergeRuns folds every Charset into a Run; this arm only
+        // keeps the match exhaustive over the public Tok hierarchy
+        case Charset(cs) => runColumn(cs, 1, tokSeed, id)
         case IntTok(max) =>
           pmod(Seeds.cellSeed(tokSeed, id), lit(max + 1)).cast("string")
         case Word(upper) =>

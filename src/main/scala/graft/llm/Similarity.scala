@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Vector dimension of an array column, probed from the first row (one
-    * tiny job; -1 for an empty frame). */
+    * tiny job). An empty frame reports dimension 1: the unrolled kernels
+    * still build a valid plan and simply evaluate over zero rows. */
   def dimOf(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(-1)
+    math.max(1, df.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(1))
 
   /** Unrolled dot product over a known dimension — flat codegen'd
     * arithmetic, no lambdas. Use on join/pair paths. */
