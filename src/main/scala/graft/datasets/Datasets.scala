@@ -235,6 +235,15 @@ object Datasets {
           seqPk("customer_id"),
           ColumnSpec("customer_name", "string", ColumnStrategy.Faker("company")),
           ColumnSpec("email", "string", ColumnStrategy.Faker("email")),
+          // FIXTURES.md §5 surface: SIC code, headcount, phone, terms, dates
+          ColumnSpec("sic_code", "int", ColumnStrategy.Range(100, 9995, Some(1))),
+          ColumnSpec("num_employees", "int", ColumnStrategy.Range(1, 10000, Some(1),
+            distribution = Distribution.LogNormal(0.0, 1.2))),
+          ColumnSpec("phone_number", "string", ColumnStrategy.Template("""ddd-ddd-dddd""")),
+          ColumnSpec("payment_terms", "string", ColumnStrategy.Values(
+            Seq("NET30", "NET60", "NET90", "PREPAID"), Seq(0.5, 0.25, 0.1, 0.15))),
+          ColumnSpec("created_on", "date", ColumnStrategy.DateRange(
+            java.time.LocalDate.parse("2000-01-01"), java.time.LocalDate.parse("2023-12-31"))),
           ColumnSpec("region", "string", ColumnStrategy.Values(
             Seq("NORTH", "SOUTH", "EAST", "WEST"), Seq(0.3, 0.2, 0.25, 0.25))),
           ColumnSpec("credit_limit", "double", ColumnStrategy.Range(1000, 100000, continuous = true))),
@@ -246,7 +255,9 @@ object Datasets {
         TableSpec("catalog_items", nItems, Seq(
           seqPk("item_id"),
           ColumnSpec("item_name", "string", ColumnStrategy.Template("""\w \w \w""")),
-          ColumnSpec("unit_price", "double", ColumnStrategy.Range(1, 999.99, continuous = true))),
+          // FIXTURES.md §5: decimal(8,2) 1.50..500.00
+          ColumnSpec("unit_price", "decimal(8,2)",
+            ColumnStrategy.Range(BigDecimal("1.50"), BigDecimal("500.00"), Some(BigDecimal("0.01"))))),
           primaryKey = Some(PrimaryKey("item_id"))),
         TableSpec("base_orders", nOrders, Seq(
           seqPk("order_id"),

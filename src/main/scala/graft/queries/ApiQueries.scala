@@ -159,11 +159,20 @@ object ApiQueries {
         ts("base_order_shipments").join(ts("carriers"), Seq("carrier_id"), "left_anti").count()
       val lineCount = ts("base_order_line_items").count()
       val invoiceLines = ts("invoices").agg(sum(col("line_count"))).collect()(0).getLong(0)
+      val badCustomers = ts("customers").where(
+        !col("sic_code").between(100, 9995) ||
+        !col("payment_terms").isin("NET30", "NET60", "NET90", "PREPAID") ||
+        !col("phone_number").rlike("^[0-9]{3}-[0-9]{3}-[0-9]{4}$") ||
+        !col("num_employees").between(1, 10000)).count()
+      val badPrices = ts("catalog_items")
+        .where(!col("unit_price").between(BigDecimal("1.50"), BigDecimal("500.00"))).count()
       one(ts("base_order_line_items"),
         "n_lines" -> count(lit(1)),
         "orphans" -> lit(orphans),
         "invoice_covers_lines" -> lit(invoiceLines == lineCount),
-        "qty_bounds" -> all(col("quantity").between(1, 10)))
+        "qty_bounds" -> all(col("quantity").between(1, 10)),
+        "customers_valid" -> lit(badCustomers == 0L),
+        "prices_valid" -> lit(badPrices == 0L))
     }),
 
     // ------------------------------------------------- analyzer codegen

@@ -50,7 +50,9 @@ object GeneratedOracles {
       """SELECT CAST(20000 AS BIGINT) AS n_lines,
   CAST(0 AS BIGINT) AS orphans,
   TRUE AS invoice_covers_lines,
-  TRUE AS qty_bounds""",
+  TRUE AS qty_bounds,
+  TRUE AS customers_valid,
+  TRUE AS prices_valid""",
     "q_dataset_stock_ticker" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   CAST(50 AS BIGINT) AS symbols,
