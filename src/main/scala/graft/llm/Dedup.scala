@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Drop rows whose `keyCol` bucket exceeds `maxBucket` rows (pathological
+    * buckets: empty docs, boilerplate, stop-shingles). Bucket sizes come from
+    * a partial-aggregatable `groupBy(key).count()` — map-side combine
+    * collapses hot keys before the shuffle, so no task ever buffers a whole
+    * hot bucket (a `Window.partitionBy(key)` count would sort and hold the
+    * entire hottest bucket in one task *before* discarding it — exactly the
+    * straggler the cap is meant to defuse). The surviving oversized-key set
+    * is small by definition, so it broadcasts to an anti-join: same shuffle
+    * count as the window form, no per-key buffering, skew-immune. */
+  private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long): DataFrame = {
+    val oversized = df.groupBy(keyCol).agg(count(lit(1)).as("__bsize"))
+      .where(col("__bsize") > maxBucket)
+      .select(keyCol)
+    df.join(broadcast(oversized), Seq(keyCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact dedup on key columns: one hash-shuffle on the key. */
@@ -130,13 +146,8 @@ object Dedup {
       .select("id", "sh", "bandkey")
 
     // Bucket join: only rows sharing a band key meet; id< ordering halves
-    // the pairs and kills self-matches. The bucket-size cap (bounds task
-    // skew) is a window count over the key partition — one shuffle, no
-    // second pass over the signature pipeline, and the self-join below
-    // reuses the same hash partitioning instead of re-shuffling.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bandkey")
-    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
-      .where(col("__bsize") <= maxBucket).drop("__bsize")
+    // the pairs and kills self-matches.
+    val bucketed = capBuckets(prepared, "bandkey", maxBucket)
 
     val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -147,13 +158,100 @@ object Dedup {
   }
 
   /** Documents surviving minhash near-dup removal: from each connected
-    * candidate pair, the larger id is dropped (greedy; exact transitive
-    * closure needs iterative connected components, out of scope). */
+    * candidate pair, the larger id is dropped (greedy — chains A~B~C can
+    * keep both A and C; `dropNearDupsMinHashCC` is the transitive-closure
+    * variant that keeps exactly one document per near-dup cluster). */
   def dropNearDupsMinHash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
     val losers = nearDupMinHash(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
       .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the shuffle-only formulation that
+    * converges in O(log n) rounds on any graph shape, unlike naive
+    * min-label propagation whose round count is the graph diameter (a
+    * 1M-document duplicate chain would need 1M rounds).
+    *
+    * Each round is two aggregate+join shuffles over the edge list; lineage
+    * is truncated per round with `localCheckpoint` so the plan stays flat
+    * (on a cluster with a checkpoint dir configured, `checkpoint` is the
+    * drop-in durable equivalent). Convergence = the (count, sum-of-hashes)
+    * fingerprint of the edge set stops changing; `maxIter` bounds the loop.
+    *
+    * @return (id, component) for every node in `pairs` — `component` is the
+    *         smallest id reachable from `id` (roots map to themselves).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Large-star: every node links its larger neighbors to the minimum of
+      // its closed neighborhood. groupBy+join (not a window) — the min is
+      // partial-aggregatable, so hot hubs never buffer in a single task.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(nbrMin, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+
+      // Small-star: every node links its smaller neighbors (and itself) to
+      // the minimum among them.
+      val oriented = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val sMin = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val small = oriented.join(sMin, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .localCheckpoint(true)
+
+      val fp2 = fingerprint(small)
+      converged = fp2 == fp
+      fp = fp2
+      edges = small
+      iter += 1
+    }
+
+    // At the fixpoint every edge points a member at its component root.
+    val members = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    members.unionByName(roots)
+  }
+
+  /** Transitive-closure survivor selection: one document per near-duplicate
+    * *cluster* (connected component of the minhash pair graph), keeping the
+    * smallest id. Fixes the greedy variant's chain artifact where A~B~C
+    * drops B but keeps both A and C. */
+  def dropNearDupsMinHashCC(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3, maxIter: Int = 25): DataFrame = {
+    val pairs = nearDupMinHash(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
+    val losers = connectedComponents(pairs, "id_a", "id_b", maxIter)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -212,9 +310,7 @@ object Dedup {
     val prepared = simHashes(df, idCol, textCol)
       .withColumn("piece", explode(array(pieceKeys: _*)))
 
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("piece")
-    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
-      .where(col("__bsize") <= maxBucket).drop("__bsize")
+    val bucketed = capBuckets(prepared, "piece", maxBucket)
     val a = bucketed.select(col("piece"), col("id").as("id_a"), col("sk").as("sk_a"))
     val b = bucketed.select(col("piece"), col("id").as("id_b"), col("sk").as("sk_b"))
     a.join(b, Seq("piece")).where(col("id_a") < col("id_b"))
@@ -239,9 +335,7 @@ object Dedup {
       .withColumn("nsh", size(col("sh")))
 
     val inverted = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val filtered = inverted.withColumn("__df", count(lit(1)).over(w))
-      .where(col("__df") <= maxDocFreq).drop("__df")
+    val filtered = capBuckets(inverted, "shingle", maxDocFreq)
 
     val a = filtered.select(col("shingle"), col("id").as("id_a"), col("nsh").as("n_a"))
     val b = filtered.select(col("shingle"), col("id").as("id_b"), col("nsh").as("n_b"))
@@ -275,9 +369,7 @@ object Dedup {
       .withColumn("nrm", Similarity.norm(col("vec"), dim))
       .withColumn("key", explode(col("keys"))).drop("keys")
 
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
-    val bucketed = prepared.withColumn("__bsize", count(lit(1)).over(w))
-      .where(col("__bsize") <= maxBucket).drop("__bsize")
+    val bucketed = capBuckets(prepared, "key", maxBucket)
     val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"),
       col("nrm").as("n_a"))
     val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"),

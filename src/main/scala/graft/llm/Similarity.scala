@@ -112,6 +112,37 @@ object Similarity {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Exact all-pairs cosine over a threshold — a VERIFICATION HARNESS, not a
+    * scale path. The pair set is inherently O(N²), so this refuses to run
+    * above `maxRows` vectors (one cheap count against the source, typically
+    * parquet row-group metadata) instead of silently launching a cartesian
+    * that melts at corpus scale. For large corpora use the bucketed
+    * [[Dedup.nearDupCosine]] (hyperplane LSH), whose recall this harness
+    * exists to measure on samples.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"exactCosinePairs is an O(N^2) verification harness: corpus has $n rows > maxRows=" +
+        s"$maxRows. Use Dedup.nearDupCosine (bucketed LSH) at scale, or raise maxRows " +
+        "deliberately for a bounded sample.")
+    val dim = dimOf(df, vecCol)
+    val a = parallelize(df.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("v_a"))
+      .withColumn("n_a", norm(col("v_a"), dim)))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
+      .withColumn("n_b", norm(col("v_b"), dim))
+    val denom = col("n_a") * col("n_b")
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b"), dim) / denom)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Exact top-k cosine neighbors for every query vector.
     *
     * Plan: broadcast(queries with precomputed norms) crossJoin corpus
