@@ -196,19 +196,53 @@ object Dedup {
     * drop-in durable equivalent). Convergence = the (count, sum-of-hashes)
     * fingerprint of the edge set stops changing; `maxIter` bounds the loop.
     *
+    * Adaptive small-graph path: after the initial dedup the edge count is
+    * known (the frame is checkpointed anyway), and below
+    * `localEdgeThreshold` a driver-side union-find wins outright — each
+    * distributed round costs a fixed several-job latency regardless of data
+    * size, while 10^6 edges are a 16 MB collect and a linear pass. Same
+    * reasoning as the broadcast-join size threshold. Trillion-edge dedup
+    * graphs take the distributed loop.
+    *
     * @return (id, component) for every node in `pairs` — `component` is the
     *         smallest id reachable from `id` (roots map to themselves).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 1000000L): DataFrame = {
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
 
+    val integralIds = edges.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (integralIds && edges.count() <= localEdgeThreshold) {
+      // Union-find with path compression; union-by-min makes every root the
+      // minimum id of its component, matching the distributed fixpoint.
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      return pairs.sparkSession.createDataFrame(rows).toDF("id", "component")
+    }
+
     def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head
+      // bit_xor, not sum: order-independent AND overflow-free — a sum of
+      // 64-bit hashes overflows signed long and raises under ANSI mode.
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
 

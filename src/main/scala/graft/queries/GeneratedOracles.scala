@@ -82,6 +82,13 @@ object GeneratedOracles {
       """SELECT CAST(25 AS BIGINT) AS n_pairs,
   CAST(4051 AS BIGINT) AS sum_a,
   CAST(8907 AS BIGINT) AS sum_b""",
+    "q_dedup_minhash_cc" ->
+      """SELECT CAST(12 AS BIGINT) AS n_planted,
+  TRUE AS chain_map_ok,
+  TRUE AS n_components_ok,
+  CAST(3 AS BIGINT) AS n_clusters_with_survivor,
+  TRUE AS one_survivor_per_cluster,
+  TRUE AS survivor_is_min""",
     "q_dedup_minhash_drop" ->
       """SELECT CAST(476 AS BIGINT) AS n_survivors""",
     "q_dedup_ngram_jaccard" ->

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Dedup
+
+/** Round-4 component tests: the large-star/small-star connected-components
+  * pass and the transitive-closure dedup built on it (VERDICT r3 #1 — the
+  * algorithm shipped in round 3 with zero verification). */
+class Round4Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connected components: exact map on a hand-built two-component graph") {
+    // Mixed orientations and a duplicate edge — canonicalization must not care.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (4L, 3L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: 24-node path chain converges to one root") {
+    // Naive min-propagation needs diameter rounds; large-star/small-star
+    // must finish a 24-hop path well inside the default maxIter=25 (O(log n)).
+    val edges = (0L until 23L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b").collect()
+    assert(got.length === 24)
+    assert(got.forall(_.getLong(1) == 0L),
+      s"non-root components: ${got.filter(_.getLong(1) != 0L).mkString(",")}")
+  }
+
+  test("connected components: star, isolated pair, self-loops dropped") {
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), (13L, 14L), (7L, 7L),
+      (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 20L -> 20L, 21L -> 20L), "self-loop node 7 must not appear")
+  }
+
+  test("CC dedup keeps exactly the min id per planted chain; greedy-safe corpus") {
+    // Two chains of 4 sliding-window docs each: consecutive windows overlap
+    // 52/60 words (jaccard ~0.76 > 0.5), chain ends only 36/60 (~0.41 < 0.5)
+    // — the cluster exists only through transitive closure.
+    def word(b: Int, i: Int) = s"w${b}x$i"
+    def chainDoc(b: Int, j: Int): (Long, String) =
+      (b * 100L + j, (j * 8 until j * 8 + 60).map(i => word(b, i)).mkString(" "))
+    val chains = for (b <- 0 until 2; j <- 0 until 4) yield chainDoc(b, j)
+    val filler = (0 until 20).map(i =>
+      (9000L + i, (0 until 40).map(k => s"f${i}q$k").mkString(" ")))
+    val df = spark.createDataFrame(chains ++ filler).toDF("id", "text")
+
+    val surv = Dedup.dropNearDupsMinHashCC(df, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(surv.intersect((0 until 2).flatMap(b => 0 until 4)
+      .map(_.toLong).toSet ++ Set(100L, 101L, 102L, 103L)) ===
+      surv.filter(_ < 9000L), "sanity")
+    assert(surv.filter(_ < 9000L) === Set(0L, 100L),
+      s"expected one min-id survivor per chain, got ${surv.filter(_ < 9000L)}")
+    assert(surv.count(_ >= 9000L) === 20, "filler docs must all survive")
+
+    // The pair graph really is a chain: ends are not directly paired.
+    val pairs = Dedup.nearDupMinHash(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((0L, 3L)), "chain ends must not pair directly")
+  }
+
+  test("empty pair list: CC is empty, CC dedup is the identity") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() === 0)
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "wholly unrelated text rows"))
+      .toDF("id", "text")
+    assert(Dedup.dropNearDupsMinHashCC(df, "id", "text", threshold = 0.9).count() === 2)
+  }
+}
