@@ -23,14 +23,17 @@ object Dedup {
     * entire hottest bucket in one task *before* discarding it — exactly the
     * straggler the cap is meant to defuse).
     *
-    * The input is materialized ONCE (`localCheckpoint`) before being read by
-    * both the size aggregation and the anti-join probe — and by the two
-    * sides of the candidate self-join every caller builds on the result.
+    * The input is materialized ONCE (lazy `localCheckpoint`) before being
+    * read by both the size aggregation and the anti-join probe — and by the
+    * two sides of the candidate self-join every caller builds on the result.
     * Without it Spark recomputes the expensive upstream signature pipeline
     * (128 minhash aggregates / 64 simhash votes / the exploded inverted
     * index) once per reference: measured +47-48% on the simhash and
-    * n-gram benches. On a cluster with a checkpoint dir configured,
-    * `checkpoint` is the drop-in durable equivalent.
+    * n-gram benches. Lazy (`eager = false`), so merely *building* or
+    * explaining a pipeline launches no jobs — the upstream still runs once,
+    * on the first action. On a cluster with a checkpoint dir configured,
+    * `checkpoint` is the drop-in durable equivalent (and replicated, where
+    * localCheckpoint blocks die with a lost executor).
     *
     * The join strategy for the oversized-key set is left to the optimizer:
     * it is usually tiny (AQE broadcasts it), but on a Zipf-shaped web corpus
@@ -38,7 +41,7 @@ object Dedup {
     * broadcast there would OOM the driver, while AQE degrades gracefully to
     * a shuffled anti-join. */
   private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long): DataFrame = {
-    val mat = df.localCheckpoint(true)
+    val mat = df.localCheckpoint(false)
     val oversized = mat.groupBy(keyCol).agg(count(lit(1)).as("__bsize"))
       .where(col("__bsize") > maxBucket)
       .select(keyCol)

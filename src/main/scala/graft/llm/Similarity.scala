@@ -120,10 +120,18 @@ object Similarity {
     * [[Dedup.nearDupCosine]] (hyperplane LSH), whose recall this harness
     * exists to measure on samples.
     *
-    * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    * Ids may be any orderable type (long, string, UUID, …) but must be
+    * DISTINCT — duplicate ids would make the pair contract ambiguous, so
+    * they fail fast. All vectors must share one dimension (ragged corpora
+    * fail fast rather than silently scoring truncated dot products).
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b under the id column's
+    *         own ordering, cosine >= threshold.
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
     val n = df.count()
     require(n <= maxRows,
@@ -136,19 +144,27 @@ object Similarity {
     // measured ~10x the fused multiply-adds themselves, whether the kernel
     // sits in a BroadcastNestedLoopJoin condition or a codegen'd filter
     // above it. The row guard makes the corpus broadcastable by
-    // construction (100k x 64 doubles = ~50 MB), so: collect once, sort by
-    // id, broadcast the primitive arrays, and run the O(N^2/2) loop as a
+    // construction (100k x 64 doubles = ~50 MB), so: collect once in id
+    // order (Spark's own ordering for the id type — longs numeric, strings
+    // binary — so the id_a < id_b contract holds for any orderable id),
+    // broadcast the primitive arrays, and run the O(N^2/2) loop as a
     // balanced strided RDD across all cores. Arithmetic order (left-to-right
-    // accumulation, norms precomputed per row) is identical to the unrolled
-    // Column kernel, so results are bit-equal with the previous plan.
-    val raw = df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    // accumulation, norms precomputed per row) matches the unrolled Column
+    // kernel, so results are bit-equal for the same pair set.
+    val idType = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val raw = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .where(col("id").isNotNull && col("v").isNotNull)
+      .orderBy(col("id"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val ids = raw.map(_._1)
-    val vecs = raw.map(_._2)
+    val ids: Array[Any] = raw.map(_.get(0))
+    require(ids.distinct.length == ids.length,
+      s"exactCosinePairs requires distinct values in id column '$idCol': duplicates would " +
+        "emit ambiguous (id_a, id_b) pairs. Dedup the corpus or supply a unique key.")
+    val vecs = raw.map(_.getSeq[Double](1).toArray)
+    val dims = vecs.iterator.map(_.length).toSet
+    require(dims.size <= 1,
+      s"exactCosinePairs requires a uniform vector dimension in '$vecCol'; found lengths " +
+        s"${dims.toSeq.sorted.mkString(", ")}. Pad or filter the ragged rows first.")
     val norms = vecs.map { v =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -168,16 +184,19 @@ object Similarity {
         val vi = vecsL(i); val ni = normsL(i)
         Iterator.range(i + 1, count).flatMap { j =>
           val vj = vecsL(j)
-          val d = math.min(vi.length, vj.length)
           var s = 0.0; var k = 0
-          while (k < d) { s += vi(k) * vj(k); k += 1 }
+          while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
           val denom = ni * normsL(j)
           val c = if (denom == 0) 0.0 else s / denom
-          if (c >= threshold) Iterator.single((idsL(i), idsL(j), c)) else Iterator.empty
+          if (c >= threshold) Iterator.single(Row(idsL(i), idsL(j), c)) else Iterator.empty
         }
       }
     }
-    spark.createDataFrame(pairs).toDF("id_a", "id_b", "cosine")
+    val schema = StructType(Seq(
+      StructField("id_a", idType, nullable = false),
+      StructField("id_b", idType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false)))
+    spark.createDataFrame(pairs, schema)
   }
 
   /** Exact top-k cosine neighbors for every query vector.

@@ -11,32 +11,54 @@ class Round4Spec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("connected components: exact map on a hand-built two-component graph") {
-    // Mixed orientations and a duplicate edge — canonicalization must not care.
-    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (4L, 3L))
-      .toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  // Every graph test runs twice: once with the default localEdgeThreshold
+  // (small Long-id edge lists take the driver-side union-find) and once with
+  // localEdgeThreshold = 0, which forces the distributed large-star/
+  // small-star loop — the two paths must agree on the exact (id, component)
+  // map (ADVICE r4 #2: the distributed loop itself needs coverage).
+  for ((pathName, thresh) <- Seq(("local union-find", 1000000L), ("distributed", 0L))) {
+
+    test(s"connected components ($pathName): exact map on a two-component graph") {
+      // Mixed orientations and a duplicate edge — canonicalization must not care.
+      val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (4L, 3L))
+        .toDF("a", "b")
+      val got = Dedup.connectedComponents(edges, "a", "b", localEdgeThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+    }
+
+    test(s"connected components ($pathName): 24-node path chain converges to one root") {
+      // On the distributed path this exercises the O(log n) convergence
+      // claim: naive min-propagation needs diameter (23) rounds, so
+      // finishing a 24-hop path inside the default maxIter=25 with rounds to
+      // spare only happens because large-star/small-star halves the
+      // diameter per round. The local path just checks union-find agrees.
+      val edges = (0L until 23L).map(i => (i, i + 1)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges, "a", "b", localEdgeThreshold = thresh)
+        .collect()
+      assert(got.length === 24)
+      assert(got.forall(_.getLong(1) == 0L),
+        s"non-root components: ${got.filter(_.getLong(1) != 0L).mkString(",")}")
+    }
+
+    test(s"connected components ($pathName): star, isolated pair, self-loops dropped") {
+      val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), (13L, 14L), (7L, 7L),
+        (20L, 21L)).toDF("a", "b")
+      val got = Dedup.connectedComponents(edges, "a", "b", localEdgeThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+        14L -> 10L, 20L -> 20L, 21L -> 20L), "self-loop node 7 must not appear")
+    }
   }
 
-  test("connected components: 24-node path chain converges to one root") {
-    // Naive min-propagation needs diameter rounds; large-star/small-star
-    // must finish a 24-hop path well inside the default maxIter=25 (O(log n)).
-    val edges = (0L until 23L).map(i => (i, i + 1)).toDF("a", "b")
+  test("connected components: non-Long ids take the distributed path and work") {
+    // String ids can't use the union-find shortcut regardless of size — this
+    // pins the distributed loop's type-genericity (greatest/least/min are
+    // ordering-based, not arithmetic).
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("a", "b")
     val got = Dedup.connectedComponents(edges, "a", "b").collect()
-    assert(got.length === 24)
-    assert(got.forall(_.getLong(1) == 0L),
-      s"non-root components: ${got.filter(_.getLong(1) != 0L).mkString(",")}")
-  }
-
-  test("connected components: star, isolated pair, self-loops dropped") {
-    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), (13L, 14L), (7L, 7L),
-      (20L, 21L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
-      14L -> 10L, 20L -> 20L, 21L -> 20L), "self-loop node 7 must not appear")
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("CC dedup keeps exactly the min id per planted chain; greedy-safe corpus") {
