@@ -30,13 +30,20 @@ final case class DataGenerator(
     primaryKey: Option[PrimaryKey] = None,
     constraints: Vector[Constraint] = Vector.empty,
     /** Companion tables FKs may reference (built first, in FK order). */
-    otherTables: Vector[TableSpec] = Vector.empty) {
+    otherTables: Vector[TableSpec] = Vector.empty,
+    /** Seeding discipline for `random = true` columns (reference
+      * `randomSeedMethod` — data_generator.py:172-198). */
+    randomSeedMethod: RandomSeedMethod = RandomSeedMethod.HashFieldName,
+    /** Default for columns declared without an explicit random flag
+      * (reference's generator-level `random` option). */
+    defaultRandom: Boolean = false) {
 
   // ------------------------------------------------------------ columns
 
   def withColumn(spec: ColumnSpec): DataGenerator = {
     require(!columns.exists(_.name == spec.name), s"column '${spec.name}' already defined")
-    copy(columns = columns :+ spec)
+    val effective = if (defaultRandom && !spec.random) spec.copy(random = true) else spec
+    copy(columns = columns :+ effective)
   }
 
   def withColumn(name: String, ddl: String, strategy: ColumnStrategy): DataGenerator =
@@ -94,6 +101,12 @@ final case class DataGenerator(
   def withRows(n: Long): DataGenerator = copy(rows = n)
   def withPartitions(n: Int): DataGenerator = copy(partitions = Some(n))
   def withRandomSeed(s: Long): DataGenerator = copy(seed = s)
+  /** Seed method for `random = true` columns: Fixed (`rand(seed)`),
+    * HashFieldName (`rand(hash('name'))`, default), Arbitrary (`rand()`). */
+  def withRandomSeedMethod(m: RandomSeedMethod): DataGenerator = copy(randomSeedMethod = m)
+  /** Make subsequently-declared columns random by default (reference's
+    * generator-level `random=True` — data_generator.py:172-198). */
+  def withDefaultRandom(on: Boolean = true): DataGenerator = copy(defaultRandom = on)
 
   /** Add a companion table that this table's FK columns may reference. */
   def withReferencedTable(t: TableSpec): DataGenerator = copy(otherTables = otherTables :+ t)
@@ -101,7 +114,7 @@ final case class DataGenerator(
   // ------------------------------------------------------------ build
 
   def tableSpec: TableSpec = TableSpec(name, rows, columns, primaryKey, partitions, constraints)
-  def plan: DataGenPlan = DataGenPlan(otherTables :+ tableSpec, seed)
+  def plan: DataGenPlan = DataGenPlan(otherTables :+ tableSpec, seed, randomSeedMethod)
 
   /** Generate the table (companion tables are resolved but only this table
     * is returned; FK integrity is by construction, so parents need not be

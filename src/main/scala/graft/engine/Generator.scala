@@ -76,11 +76,20 @@ object Generator {
     // Catalyst's CollapseProject merges what it can.
     val built = phases.foldLeft(base) { (df, phase) =>
       val exprs = phase.map { c =>
-        val idCol = c.seedMode match {
-          case SeedMode.RowId => col(IdColumn)
-          case SeedMode.FromColumns(cols) => xxhash64(cols.map(col): _*)
-          case SeedMode.FromValue(other) => col(other).cast("long")
-        }
+        val idCol =
+          // Legacy random mode: substitute a rand()-drawn row index for the
+          // row id. Every strategy and distribution then works unchanged
+          // (value = strategy(cellSeed(randomIndex))), but values decouple
+          // from row identity — the reference's random=True semantics
+          // (column_generation_spec.py:946-992) without a second value path.
+          // Narrow and codegen'd; Spark seeds rand per (seed, partitionId).
+          if (c.random) floor(randomStream(c.name, resolved.plan) * lit(math.max(1L, table.rows)))
+            .cast("long")
+          else c.seedMode match {
+            case SeedMode.RowId => col(IdColumn)
+            case SeedMode.FromColumns(cols) => xxhash64(cols.map(col): _*)
+            case SeedMode.FromValue(other) => col(other).cast("long")
+          }
         if (c.numColumns > 1 && c.asArray)
           array((0 until c.numColumns).map { i =>
             ColumnCompiler.compile(c.copy(name = s"${c.name}_$i", numColumns = 1, asArray = false), ctx, idCol)
@@ -109,6 +118,22 @@ object Generator {
       case (d, _) => d
     }
   }
+
+  /** Uniform [0,1) stream for a `random = true` column, seeded per the
+    * plan's seed method (reference: rand(seed) for fixed,
+    * rand(hash('name')) for hash_fieldname, bare rand() otherwise —
+    * column_generation_spec.py:946-992). Fixed/HashFieldName are repeatable
+    * per run: Spark derives the partition RNG from (seed, partitionId). */
+  private def randomStream(columnName: String, plan: DataGenPlan): Column =
+    plan.randomSeedMethod match {
+      case RandomSeedMethod.Fixed => rand(plan.seed)
+      case RandomSeedMethod.HashFieldName =>
+        // Same construction as the reference's rand(hash('name')): the
+        // column-name hash is foldable, so each random column seeds a
+        // decorrelated but per-run-repeatable stream.
+        expr(s"rand(hash('${columnName.replace("'", "''")}'))")
+      case RandomSeedMethod.Arbitrary => rand()
+    }
 
   /** Extract identifiers referenced by a SQL expression using Catalyst's
     * real parser (reference uses a regex heuristic —

@@ -40,7 +40,14 @@ object PlanJson {
       case null => throw SpecError("plan document has no 'tables' array")
       case ts => ts.elements.asScala.map(tableFrom).toSeq
     }
-    DataGenPlan(tables, seed)
+    val seedMethod = Option(root.get("random_seed_method")).map(_.asText) match {
+      case None | Some("hash_fieldname") => RandomSeedMethod.HashFieldName
+      case Some("fixed") => RandomSeedMethod.Fixed
+      case Some("arbitrary") => RandomSeedMethod.Arbitrary
+      case Some(other) => throw SpecError(
+        s"unknown random_seed_method '$other' (expected fixed | hash_fieldname | arbitrary)")
+    }
+    DataGenPlan(tables, seed, seedMethod)
   }
 
   private def tableFrom(t: JsonNode): TableSpec = {
@@ -80,7 +87,8 @@ object PlanJson {
       suffix = Option(c.get("suffix")).map(_.asText),
       uniqueValues = Option(c.get("unique_values")).map(_.asLong),
       scatter = Option(c.get("scatter")).exists(_.asBoolean),
-      textSeparator = Option(c.get("text_separator")).map(_.asText).getOrElse("_"))
+      textSeparator = Option(c.get("text_separator")).map(_.asText).getOrElse("_"),
+      random = Option(c.get("random")).exists(_.asBoolean))
   }
 
   private def strategyFrom(table: String, name: String, c: JsonNode, gen: JsonNode): ColumnStrategy = {
@@ -200,6 +208,11 @@ object PlanJson {
   private def toTree(plan: DataGenPlan): ObjectNode = {
     val root = json.createObjectNode()
     root.put("seed", plan.seed)
+    plan.randomSeedMethod match {
+      case RandomSeedMethod.HashFieldName => () // default — omit for fixture parity
+      case RandomSeedMethod.Fixed => root.put("random_seed_method", "fixed")
+      case RandomSeedMethod.Arbitrary => root.put("random_seed_method", "arbitrary")
+    }
     val ts = root.putArray("tables")
     plan.tables.foreach(t => ts.add(tableTo(t)))
     root
@@ -248,6 +261,7 @@ object PlanJson {
     c.uniqueValues.foreach(n.put("unique_values", _))
     if (c.scatter) n.put("scatter", true)
     if (c.textSeparator != "_") n.put("text_separator", c.textSeparator)
+    if (c.random) n.put("random", true)
     n
   }
 

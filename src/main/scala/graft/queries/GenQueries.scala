@@ -176,6 +176,39 @@ object GenQueries {
         "differs" -> (sum(when(col("p.v") =!= col("s.v"), 1L).otherwise(0L)) > 0))
     }),
 
+    "q_gen_random_mode" -> ((s, _) => {
+      // Legacy random=True: the cell seed comes from a seeded rand() stream
+      // instead of the row id (ref: column_generation_spec.py:946-992).
+      // Pinned-safe invariants: strategy bounds still hold, the stream is
+      // repeatable per run under hash_fieldname AND fixed seed methods
+      // (partitions pinned at 8), values decouple from the deterministic
+      // twin of the same spec, and sibling random columns stay decorrelated.
+      def build(method: RandomSeedMethod, rRandom: Boolean) = Generator.generate(s,
+        DataGenPlan(Seq(TableSpec("t", 20000, Seq(
+          c("pk", "bigint", ColumnStrategy.Sequence(0, 1)),
+          c("r", "bigint", ColumnStrategy.Range(10, 99, Some(1))).copy(random = rRandom),
+          c("r2", "bigint", ColumnStrategy.Range(10, 99, Some(1))).copy(random = true),
+          c("v", "string", ColumnStrategy.Values(Seq("x", "y", "z"))).copy(random = true)),
+          partitions = Some(8))), 42L, method))("t")
+      val a = build(RandomSeedMethod.HashFieldName, rRandom = true)
+      val b = build(RandomSeedMethod.HashFieldName, rRandom = true)
+      val det = build(RandomSeedMethod.HashFieldName, rRandom = false)
+      val f1 = build(RandomSeedMethod.Fixed, rRandom = true)
+      val f2 = build(RandomSeedMethod.Fixed, rRandom = true)
+      val j = a.alias("a").join(b.alias("b"), col("a.pk") === col("b.pk"))
+        .join(det.alias("d"), col("a.pk") === col("d.pk"))
+      val jf = f1.alias("f").join(f2.alias("g"), col("f.pk") === col("g.pk"))
+      val m1 = one(j, "n" -> count(lit(1)),
+        "in_range" -> all(col("a.r").between(10, 99)),
+        "in_set" -> all(col("a.v").isin("x", "y", "z")),
+        "repeatable_hash" -> all(col("a.r") === col("b.r") && col("a.v") === col("b.v")),
+        "decoupled" -> (sum(when(col("a.r") === col("d.r"), 1L).otherwise(0L)) < 2000L),
+        "decorrelated" -> (sum(when(col("a.r") === col("a.r2"), 1L).otherwise(0L)) < 2000L),
+        "spread" -> (countDistinct(col("a.r")) >= 60))
+      val m2 = one(jf, "repeatable_fixed" -> all(col("f.r") === col("g.r")))
+      m1.crossJoin(m2)
+    }),
+
     // ------------------------------------------------------- temporal
     "q_gen_timestamp" -> ((s, _) => {
       val df = gen(s, TableSpec("t", 10000, Seq(c("ts", "timestamp", ColumnStrategy.Timestamp(

@@ -267,6 +267,15 @@ ORDER BY bucket, n""",
   TRUE AS a_ok,
   TRUE AS b_ok,
   TRUE AS f_ok""",
+    "q_gen_random_mode" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+  TRUE AS in_range,
+  TRUE AS in_set,
+  TRUE AS repeatable_hash,
+  TRUE AS decoupled,
+  TRUE AS decorrelated,
+  TRUE AS spread,
+  TRUE AS repeatable_fixed""",
     "q_gen_range_continuous" ->
       """SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(5007 AS BIGINT), TRUE),

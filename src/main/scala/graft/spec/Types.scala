@@ -39,6 +39,25 @@ object Distribution {
   final case class Pareto(alpha: Double) extends Distribution
 }
 
+/** How `random = true` columns seed Spark's `rand()` — the legacy
+  * non-derived generation mode, where values are drawn from a per-partition
+  * RNG stream instead of being a pure function of the row id.
+  * Reference: data_generator.py:172-198 (randomSeedMethod),
+  * column_generation_spec.py:946-992 (rand()/rand(seed)/rand(hash('name'))).
+  */
+sealed trait RandomSeedMethod
+object RandomSeedMethod {
+  /** `rand(globalSeed)` — repeatable per run; note that two random columns
+    * share one seed and therefore draw identical streams (reference parity:
+    * this is why HashFieldName is the default). */
+  case object Fixed extends RandomSeedMethod
+  /** `rand(hash(columnName))` — repeatable per run, decorrelated across
+    * columns (reference default when no explicit seed is supplied). */
+  case object HashFieldName extends RandomSeedMethod
+  /** `rand()` — a fresh arbitrary seed every build (not repeatable). */
+  case object Arbitrary extends RandomSeedMethod
+}
+
 /** How a column derives its per-cell seed.
   * Reference: legacy baseColumnType auto/values/hash —
   * dbldatagen/column_generation_spec.py:56-66,1268-1294; core seed_from —
@@ -169,7 +188,15 @@ final case class ColumnSpec(
     scatter: Boolean = false,
     /** Separator placed between prefix/suffix and the value (reference makes
       * this configurable — column_generation_spec.py:1519-1534). */
-    textSeparator: String = "_")
+    textSeparator: String = "_",
+    /** Legacy `random=True` mode: the cell's seed row index is drawn from a
+      * `rand()` stream (seeded per [[DataGenPlan.randomSeedMethod]]) instead
+      * of the row id — values keep their strategy's distribution but are
+      * decoupled from row identity, and are repeatable only for the Fixed/
+      * HashFieldName seed methods under an unchanged partitioning. Takes
+      * precedence over `seedMode`.
+      * Ref: column_generation_spec.py:946-992. */
+    random: Boolean = false)
 
 object ColumnSpec {
   def apply(name: String, ddl: String, strategy: ColumnStrategy): ColumnSpec =
@@ -208,7 +235,11 @@ final case class TableSpec(
     constraints: Seq[Constraint] = Nil)
 
 /** Multi-table generation plan with a global seed. */
-final case class DataGenPlan(tables: Seq[TableSpec], seed: Long = 42L)
+final case class DataGenPlan(tables: Seq[TableSpec], seed: Long = 42L,
+    /** Seeding discipline for `random = true` columns (reference defaults to
+      * hash_fieldname when no explicit seed is given —
+      * data_generator.py:172-198). */
+    randomSeedMethod: RandomSeedMethod = RandomSeedMethod.HashFieldName)
 
 /** Output sink configuration (ref: dbldatagen/config.py:13-38). */
 final case class OutputDataset(
