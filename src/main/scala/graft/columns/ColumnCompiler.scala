@@ -82,7 +82,14 @@ object ColumnCompiler {
       PatternCompiler.compile(p, seed, id)
 
     case ColumnStrategy.Template(t, escapeMode, words, baseCol) =>
-      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = baseCol.map(col))
+      // Under raw-values seeding the base value is the stringified array of
+      // the seed columns, so \v0..\v9 index the individual base values
+      // (reference VALUES_COMPUTE_METHOD — column_generation_spec.py:1285-1289).
+      val baseValue = baseCol.map(col).orElse(spec.seedMode match {
+        case SeedMode.FromColumnValues(cols) => Some(Seeds.rawValuesArray(cols))
+        case _ => None
+      })
+      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = baseValue)
 
     case ColumnStrategy.Uuid =>
       uuidColumn(seed, id)

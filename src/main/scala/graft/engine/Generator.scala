@@ -88,6 +88,8 @@ object Generator {
           else c.seedMode match {
             case SeedMode.RowId => col(IdColumn)
             case SeedMode.FromColumns(cols) => xxhash64(cols.map(col): _*)
+            case SeedMode.FromColumnValues(cols) =>
+              xxhash64(graft.seed.Seeds.rawValuesArray(cols))
             case SeedMode.FromValue(other) => col(other).cast("long")
           }
         if (c.numColumns > 1 && c.asArray)

@@ -79,6 +79,8 @@ object PlanJson {
       seedMode = Option(c.get("seed_from")).map(s => SeedMode.FromValue(s.asText): SeedMode)
         .orElse(Option(c.get("seed_from_columns"))
           .map(a => SeedMode.FromColumns(a.elements.asScala.map(_.asText).toSeq): SeedMode))
+        .orElse(Option(c.get("seed_from_values"))
+          .map(a => SeedMode.FromColumnValues(a.elements.asScala.map(_.asText).toSeq): SeedMode))
         .getOrElse(SeedMode.RowId),
       numColumns = Option(c.get("num_columns")).map(_.asInt).getOrElse(1),
       asArray = Option(c.get("as_array")).exists(_.asBoolean),
@@ -251,6 +253,8 @@ object PlanJson {
       case SeedMode.FromValue(col) => n.put("seed_from", col)
       case SeedMode.FromColumns(cols) =>
         val a = n.putArray("seed_from_columns"); cols.foreach(a.add)
+      case SeedMode.FromColumnValues(cols) =>
+        val a = n.putArray("seed_from_values"); cols.foreach(a.add)
       case SeedMode.RowId => ()
     }
     if (c.numColumns != 1) n.put("num_columns", c.numColumns)

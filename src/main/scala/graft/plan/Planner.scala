@@ -207,6 +207,7 @@ object Planner {
       }
       val seedRefs = c.seedMode match {
         case SeedMode.FromColumns(cols) => cols.toSet.intersect(names)
+        case SeedMode.FromColumnValues(cols) => cols.toSet.intersect(names)
         case SeedMode.FromValue(col) => Set(col).intersect(names)
         case SeedMode.RowId => Set.empty[String]
       }

@@ -302,6 +302,56 @@ object GenQueries {
           countDistinct(struct(col("x"), col("y")))))
     }),
 
+    "q_gen_seed_raw_values" -> ((s, _) => {
+      // raw_values array seed mode: correlation keys on the *stringified*
+      // values. Two builds of the same (table, column) names — one with the
+      // base as bigint, one with the identical value rendered as string —
+      // must agree under FromColumnValues (stringly seeds) but differ under
+      // FromColumns (native-value hash). Template \v0/\v1 placeholders
+      // splice the individual base values.
+      def build(aSql: String) = gen(s, TableSpec("t", 10000, Seq(
+        c("pk", "bigint", ColumnStrategy.Sequence(0, 1)),
+        ColumnSpec("a", NullType, ColumnStrategy.Expression(aSql)),
+        c("tag", "string", ColumnStrategy.Values(Seq("u", "v"))),
+        c("h_raw", "int", ColumnStrategy.Range(1, 100000, Some(1)))
+          .copy(seedMode = SeedMode.FromColumnValues(Seq("a", "tag"))),
+        c("h_hash", "int", ColumnStrategy.Range(1, 100000, Some(1)))
+          .copy(seedMode = SeedMode.FromColumns(Seq("a", "tag"))),
+        c("label", "string", ColumnStrategy.Template("""\v0-\v1""",
+          escapeSpecialChars = true))
+          .copy(seedMode = SeedMode.FromColumnValues(Seq("tag", "a"))))))
+      val asInt = build("pk % 50 + 1")
+      val asStr = build("cast(pk % 50 + 1 AS string)")
+      val j = asInt.alias("i").join(asStr.alias("t"), col("i.pk") === col("t.pk"))
+      one(j, "n" -> count(lit(1)),
+        "stringly_equal" -> all(col("i.h_raw") === col("t.h_raw")),
+        "native_hash_differs" -> (sum(when(col("i.h_hash") === col("t.h_hash"), 1L)
+          .otherwise(0L)) < 1000L),
+        "functional" -> (countDistinct(struct(col("i.a"), col("i.tag"), col("i.h_raw"))) ===
+          countDistinct(struct(col("i.a"), col("i.tag")))),
+        "label_spliced" -> all(col("i.label") === concat(col("i.tag"), lit("-"), col("i.a"))))
+    }),
+
+    "q_gen_stream_rate" -> ((s, _) => {
+      // Rate-source streaming build, deliberately oracle-less (the row count
+      // depends on wall clock, so the driver records a rows-only check);
+      // the value invariants still fold into booleans.
+      val qname = "graft_q_stream_rate"
+      val q = graft.api.DataGenerator(s, "sr", rows = Long.MaxValue)
+        .withColumn("v", "int", ColumnStrategy.Range(1, 100, Some(1)))
+        .withColumn("tag", "string", ColumnStrategy.Values(Seq("a", "b")))
+        .buildStream(rowsPerSecond = 1000)
+        .writeStream.format("memory").queryName(qname).start()
+      try {
+        var waited = 0
+        while (s.table(qname).isEmpty && waited < 300) { Thread.sleep(200); waited += 1 }
+      } finally if (q.isActive) q.stop()
+      one(s.table(qname), "has_rows" -> (count(lit(1)) > 0),
+        "v_in_range" -> all(col("v").between(1, 100)),
+        "tag_in_set" -> all(col("tag").isin("a", "b")),
+        "has_ts" -> all(col(Generator.StreamingTimestampColumn).isNotNull))
+    }),
+
     // ------------------------------------------------------ multi-column
     "q_gen_multicolumn" -> ((s, _) => {
       val df = gen(s, TableSpec("t", 5000, Seq(

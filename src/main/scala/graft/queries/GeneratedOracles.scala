@@ -312,6 +312,12 @@ ORDER BY bucket, n, in_bounds""",
     "q_gen_seed_from_value" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   TRUE AS functional""",
+    "q_gen_seed_raw_values" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+  TRUE AS stringly_equal,
+  TRUE AS native_hash_differs,
+  TRUE AS functional,
+  TRUE AS label_spliced""",
     "q_gen_sequence" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   CAST(10000 AS BIGINT) AS n_distinct,

@@ -59,6 +59,13 @@ object Seeds {
   def uniformFraction(columnSeed: Long, id: Column): Column =
     uniformFraction(cellSeed(columnSeed, id))
 
+  /** Raw-values array for SeedMode.FromColumnValues: the base columns
+    * rendered to strings (nulls stay null), matching the reference's
+    * `array(string(ifnull(col, null)), ...)` seed shape
+    * (column_generation_spec.py:1285-1289). */
+  def rawValuesArray(cols: Seq[String]): Column =
+    array(cols.map(c => col(c).cast("string")): _*)
+
   /** Null mask: wrap `value` so that a `fraction` share of rows (chosen by a
     * decorrelated hash so nullness never correlates with the value) is NULL.
     * Ref semantics: core/engine/seed.py:79-107. */

@@ -69,6 +69,12 @@ object SeedMode {
   case object RowId extends SeedMode
   /** Seed from the values of other columns (hash of them). */
   final case class FromColumns(cols: Seq[String]) extends SeedMode
+  /** Seed from the *stringified* values of other columns — the reference's
+    * `baseColumnType="values"` / raw_values array mode: correlation keys on
+    * the rendered string values (so an int 7 and the string "7" correlate),
+    * and Template `\v0`..`\v9` placeholders index the individual values.
+    * Ref: column_generation_spec.py:1268-1294. */
+  final case class FromColumnValues(cols: Seq[String]) extends SeedMode
   /** Seed from another column's raw value (value-correlation). */
   final case class FromValue(col: String) extends SeedMode
 }
