@@ -187,9 +187,6 @@ ORDER BY bucket, n""",
   TRUE AS len_in_bounds,
   TRUE AS elems_in_bounds,
   CAST(5 AS BIGINT) AS n_lens""",
-    "q_gen_constant" ->
-      """SELECT 'fixed' AS k,
-  CAST(2500 AS BIGINT) AS n""",
     "q_gen_constraints" ->
       """SELECT CAST(5244 AS BIGINT) AS n,
   TRUE AS all_valid""",
@@ -209,10 +206,6 @@ ORDER BY bucket, n""",
   '2024-01-01' AS min_dt,
   '2024-12-30' AS max_dt,
   TRUE AS on_week""",
-    "q_gen_expression_phases" ->
-      """SELECT CAST(8000 AS BIGINT) AS n,
-  TRUE AS b_ok,
-  TRUE AS c_ok""",
     "q_gen_faker" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   TRUE AS email_ok,
@@ -227,10 +220,6 @@ ORDER BY bucket, n""",
       """SELECT CAST(9000 AS BIGINT) AS n,
   CAST(0 AS BIGINT) AS orphans,
   TRUE AS skewed""",
-    "q_gen_fk_sequence" ->
-      """SELECT CAST(8000 AS BIGINT) AS n,
-  CAST(0 AS BIGINT) AS orphans,
-  CAST(500 AS BIGINT) AS n_parents_hit""",
     "q_gen_fk_uuid" ->
       """SELECT CAST(6000 AS BIGINT) AS n,
   CAST(0 AS BIGINT) AS orphans""",
@@ -239,17 +228,6 @@ ORDER BY bucket, n""",
   TRUE AS ends_period,
   TRUE AS capitalized,
   CAST(3000 AS BIGINT) AS n_distinct""",
-    "q_gen_multicolumn" ->
-      """SELECT CAST(5000 AS BIGINT) AS n,
-  CAST(3 AS BIGINT) AS cols,
-  TRUE AS decorrelated""",
-    "q_gen_omit" ->
-      """SELECT CAST(1000 AS BIGINT) AS n,
-  CAST(1 AS BIGINT) AS cols,
-  TRUE AS derived_ok""",
-    "q_gen_partition_independence" ->
-      """SELECT CAST(5000 AS BIGINT) AS n,
-  TRUE AS identical""",
     "q_gen_pattern" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   CAST(10000 AS BIGINT) AS n_distinct,
@@ -262,11 +240,6 @@ ORDER BY bucket, n""",
       """SELECT CAST(2000 AS BIGINT) AS n,
   TRUE AS shape_ok,
   CAST(97 AS BIGINT) AS n_distinct""",
-    "q_gen_prefix_suffix_format" ->
-      """SELECT CAST(5000 AS BIGINT) AS n,
-  TRUE AS a_ok,
-  TRUE AS b_ok,
-  TRUE AS f_ok""",
     "q_gen_random_mode" ->
       """SELECT CAST(20000 AS BIGINT) AS n,
   TRUE AS in_range,
@@ -318,26 +291,10 @@ ORDER BY bucket, n, in_bounds""",
   TRUE AS native_hash_differs,
   TRUE AS functional,
   TRUE AS label_spliced""",
-    "q_gen_sequence" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  CAST(10000 AS BIGINT) AS n_distinct,
-  CAST(100 AS BIGINT) AS min_k,
-  CAST(70093 AS BIGINT) AS max_k,
-  TRUE AS on_step""",
     "q_gen_serialization" ->
       """SELECT CAST(5000 AS BIGINT) AS n_orders,
   TRUE AS roundtrip_ok,
   CAST(0 AS BIGINT) AS total_orphans""",
-    "q_gen_sink_roundtrip" ->
-      """SELECT CAST(999 AS BIGINT) AS n,
-  CAST(5 AS BIGINT) AS min_k,
-  CAST(2999 AS BIGINT) AS max_k,
-  CAST(3 AS BIGINT) AS n_vals""",
-    "q_gen_source_batch" ->
-      """SELECT CAST(12345 AS BIGINT) AS n,
-  CAST(12345 AS BIGINT) AS n_distinct,
-  CAST(0 AS BIGINT) AS min_id,
-  CAST(12344 AS BIGINT) AS max_id""",
     "q_gen_stream_parquet" ->
       """SELECT CAST(500 AS BIGINT) AS n,
   CAST(500 AS BIGINT) AS n_docs""",
@@ -364,17 +321,9 @@ ORDER BY bucket, n, in_bounds""",
   '2024-03-31 23:59:00' AS max_ts,
   TRUE AS minute_aligned,
   TRUE AS in_bounds""",
-    "q_gen_unique_clamp" ->
-      """SELECT CAST(30000 AS BIGINT) AS n,
-  CAST(100 AS BIGINT) AS n_distinct,
-  TRUE AS distinct_eq_unique""",
     "q_gen_unique_combinations" ->
       """SELECT CAST(12 AS BIGINT) AS n,
   TRUE AS le_12""",
-    "q_gen_uuid" ->
-      """SELECT CAST(20000 AS BIGINT) AS n,
-  CAST(20000 AS BIGINT) AS n_distinct,
-  TRUE AS shape_ok""",
     "q_gen_values" ->
       """SELECT * FROM (VALUES
   ('alpha', CAST(3020 AS BIGINT)),
@@ -389,9 +338,6 @@ ORDER BY v, n""",
   ('z', CAST(2999 AS BIGINT), TRUE))
   AS t(v, n, within_10pct)
 ORDER BY v, n, within_10pct""",
-    "q_gen_view_registration" ->
-      """SELECT CAST(777 AS BIGINT) AS n,
-  CAST(1 AS BIGINT) AS min_k""",
     "q_multimodal_decode" ->
       """SELECT CAST(500 AS BIGINT) AS n,
   CAST(500 AS BIGINT) AS n_decoded,

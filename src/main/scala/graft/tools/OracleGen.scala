@@ -22,7 +22,8 @@ object OracleGen {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val handwritten = TableQueries.oracles.keySet ++ LlmQueries.oracles.keySet
+    val handwritten = TableQueries.oracles.keySet ++ LlmQueries.oracles.keySet ++
+      graft.queries.SpecOracles.map.keySet
     val targets = (GenQueries.all ++ LlmQueries.queries ++ TableQueries.queries ++
         graft.queries.ApiQueries.queries)
       .filterNot { case (name, _) => handwritten.contains(name) }
