@@ -63,6 +63,29 @@ object FakerPools {
     "example.com", "example.org", "example.net", "mail.example.com",
     "test.example.org")
 
+  val States: IndexedSeq[String] = IndexedSeq(
+    "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+    "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+    "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana", "Maine",
+    "Maryland", "Massachusetts", "Michigan", "Minnesota", "Mississippi",
+    "Missouri", "Montana", "Nebraska", "Nevada", "New Hampshire", "New Jersey",
+    "New Mexico", "New York", "North Carolina", "North Dakota", "Ohio",
+    "Oklahoma", "Oregon", "Pennsylvania", "Rhode Island", "South Carolina",
+    "South Dakota", "Tennessee", "Texas", "Utah", "Vermont", "Virginia",
+    "Washington", "West Virginia", "Wisconsin", "Wyoming")
+
+  val Jobs: IndexedSeq[String] = IndexedSeq(
+    "Accountant", "Architect", "Baker", "Carpenter", "Chef", "Chemist",
+    "Dentist", "Designer", "Developer", "Electrician", "Engineer", "Farmer",
+    "Firefighter", "Journalist", "Lawyer", "Librarian", "Mechanic", "Nurse",
+    "Optician", "Pharmacist", "Photographer", "Pilot", "Plumber", "Scientist",
+    "Surveyor", "Teacher", "Translator", "Veterinarian", "Waiter", "Welder")
+
+  val Colors: IndexedSeq[String] = IndexedSeq(
+    "red", "green", "blue", "yellow", "orange", "purple", "pink", "brown",
+    "black", "white", "gray", "cyan", "magenta", "lime", "navy", "teal",
+    "maroon", "olive", "silver", "gold")
+
   // ------------------------------------------------------------- locales
 
   /** Per-locale first/last-name and city lists (common public-knowledge
@@ -87,7 +110,40 @@ object FakerPools {
       "isabel", "juan", "dolores", "david", "pilar", "javier", "teresa",
       "miguel", "rosa", "carlos", "lucía", "daniel", "elena", "pablo", "marta",
       "alejandro", "sara", "diego", "paula", "sergio", "laura", "pedro",
-      "cristina", "álvaro", "raquel").map(_.capitalize))
+      "cristina", "álvaro", "raquel").map(_.capitalize),
+    "it" -> IndexedSeq(
+      "giuseppe", "maria", "giovanni", "anna", "antonio", "giulia", "mario",
+      "francesca", "luigi", "chiara", "francesco", "paola", "angelo", "laura",
+      "vincenzo", "martina", "pietro", "alessia", "salvatore", "sofia",
+      "carlo", "elena", "franco", "valentina", "domenico", "sara", "bruno",
+      "alessandra", "paolo", "federica").map(_.capitalize),
+    "pt" -> IndexedSeq(
+      "joão", "maria", "josé", "ana", "antónio", "beatriz", "manuel", "inês",
+      "francisco", "mariana", "pedro", "catarina", "carlos", "sofia", "luís",
+      "margarida", "miguel", "joana", "rui", "teresa", "paulo", "leonor",
+      "andré", "carolina", "tiago", "matilde", "bruno", "rita", "diogo",
+      "lara").map(_.capitalize),
+    "nl" -> IndexedSeq(
+      "jan", "maria", "willem", "anna", "hendrik", "johanna", "pieter",
+      "elisabeth", "cornelis", "sophie", "johannes", "emma", "daan", "julia",
+      "sem", "mila", "lucas", "tess", "finn", "sara", "lars", "eva", "thijs",
+      "lotte", "bram", "fleur", "ruben", "noor", "timo", "lieke").map(_.capitalize),
+    "pl" -> IndexedSeq(
+      "jan", "anna", "piotr", "maria", "krzysztof", "katarzyna", "andrzej",
+      "małgorzata", "tomasz", "agnieszka", "paweł", "barbara", "marcin",
+      "ewa", "michał", "magdalena", "marek", "joanna", "grzegorz", "monika",
+      "adam", "danuta", "łukasz", "natalia", "jakub", "zofia", "mateusz",
+      "aleksandra", "wojciech", "julia").map(_.capitalize),
+    "sv" -> IndexedSeq(
+      "lars", "anna", "karl", "eva", "erik", "maria", "anders", "karin",
+      "johan", "sara", "per", "lena", "nils", "emma", "mikael", "kerstin",
+      "gustav", "ingrid", "fredrik", "elin", "magnus", "astrid", "oskar",
+      "linnea", "axel", "sofia", "henrik", "ebba", "viktor", "alva").map(_.capitalize),
+    "ja" -> IndexedSeq(
+      "haruto", "yui", "sota", "aoi", "yuto", "hina", "ren", "sakura",
+      "hayato", "mio", "takumi", "rin", "kaito", "koharu", "riku", "mei",
+      "daiki", "yuna", "kenta", "saki", "shota", "ayaka", "naoki", "misaki",
+      "ryota", "nanami", "kazuki", "honoka", "tatsuya", "akari").map(_.capitalize))
 
   private val LocaleLastNames: Map[String, IndexedSeq[String]] = Map(
     "de" -> IndexedSeq(
@@ -107,7 +163,45 @@ object FakerPools {
       "sánchez", "pérez", "gómez", "martín", "jiménez", "ruiz", "hernández",
       "díaz", "moreno", "muñoz", "álvarez", "romero", "alonso", "gutiérrez",
       "navarro", "torres", "domínguez", "vázquez", "ramos", "gil", "ramírez",
-      "serrano", "blanco", "molina").map(_.capitalize))
+      "serrano", "blanco", "molina").map(_.capitalize),
+    "it" -> IndexedSeq(
+      "rossi", "russo", "ferrari", "esposito", "bianchi", "romano", "colombo",
+      "ricci", "marino", "greco", "bruno", "gallo", "conti", "de luca",
+      "mancini", "costa", "giordano", "rizzo", "lombardi", "moretti",
+      "barbieri", "fontana", "santoro", "mariani", "rinaldi", "caruso",
+      "ferrara", "galli", "martini", "leone").map(_.capitalize),
+    "pt" -> IndexedSeq(
+      "silva", "santos", "ferreira", "pereira", "oliveira", "costa",
+      "rodrigues", "martins", "jesus", "sousa", "fernandes", "gonçalves",
+      "gomes", "lopes", "marques", "alves", "almeida", "ribeiro", "pinto",
+      "carvalho", "teixeira", "moreira", "correia", "mendes", "nunes",
+      "soares", "vieira", "monteiro", "cardoso", "rocha").map(_.capitalize),
+    "nl" -> IndexedSeq(
+      "de jong", "jansen", "de vries", "van den berg", "van dijk", "bakker",
+      "janssen", "visser", "smit", "meijer", "de boer", "mulder", "de groot",
+      "bos", "vos", "peters", "hendriks", "van leeuwen", "dekker", "brouwer",
+      "de wit", "dijkstra", "smits", "de graaf", "van der meer", "kok",
+      "jacobs", "vermeulen", "van den heuvel", "van der veen").map(_.capitalize),
+    "pl" -> IndexedSeq(
+      "nowak", "kowalski", "wiśniewski", "wójcik", "kowalczyk", "kamiński",
+      "lewandowski", "zieliński", "szymański", "woźniak", "dąbrowski",
+      "kozłowski", "jankowski", "mazur", "kwiatkowski", "krawczyk", "piotrowski",
+      "grabowski", "nowakowski", "pawłowski", "michalski", "nowicki",
+      "adamczyk", "dudek", "zając", "wieczorek", "jabłoński", "król",
+      "majewski", "olszewski").map(_.capitalize),
+    "sv" -> IndexedSeq(
+      "andersson", "johansson", "karlsson", "nilsson", "eriksson", "larsson",
+      "olsson", "persson", "svensson", "gustafsson", "pettersson", "jonsson",
+      "jansson", "hansson", "bengtsson", "jönsson", "lindberg", "jakobsson",
+      "magnusson", "olofsson", "lindström", "lindqvist", "lindgren", "berg",
+      "axelsson", "bergström", "lundberg", "lind", "lundgren", "lundqvist")
+      .map(_.capitalize),
+    "ja" -> IndexedSeq(
+      "sato", "suzuki", "takahashi", "tanaka", "watanabe", "ito", "yamamoto",
+      "nakamura", "kobayashi", "kato", "yoshida", "yamada", "sasaki",
+      "yamaguchi", "saito", "matsumoto", "inoue", "kimura", "hayashi",
+      "shimizu", "yamazaki", "mori", "abe", "ikeda", "hashimoto", "yamashita",
+      "ishikawa", "nakajima", "maeda", "fujita").map(_.capitalize))
 
   private val LocaleCities: Map[String, IndexedSeq[String]] = Map(
     "de" -> IndexedSeq(
@@ -124,7 +218,35 @@ object FakerPools {
       "Madrid", "Barcelona", "Valencia", "Sevilla", "Zaragoza", "Málaga",
       "Murcia", "Palma", "Bilbao", "Alicante", "Córdoba", "Valladolid",
       "Vigo", "Gijón", "Granada", "Elche", "Oviedo", "Badalona", "Cartagena",
-      "Terrassa"))
+      "Terrassa"),
+    "it" -> IndexedSeq(
+      "Roma", "Milano", "Napoli", "Torino", "Palermo", "Genova", "Bologna",
+      "Firenze", "Bari", "Catania", "Venezia", "Verona", "Messina", "Padova",
+      "Trieste", "Brescia", "Parma", "Taranto", "Prato", "Modena"),
+    "pt" -> IndexedSeq(
+      "Lisboa", "Porto", "Amadora", "Braga", "Setúbal", "Coimbra", "Queluz",
+      "Funchal", "Cacém", "Vila Nova de Gaia", "Loures", "Évora", "Rio Tinto",
+      "Odivelas", "Aveiro", "Amora", "Corroios", "Barreiro", "Guimarães",
+      "Faro"),
+    "nl" -> IndexedSeq(
+      "Amsterdam", "Rotterdam", "Den Haag", "Utrecht", "Eindhoven", "Tilburg",
+      "Groningen", "Almere", "Breda", "Nijmegen", "Enschede", "Haarlem",
+      "Arnhem", "Zaanstad", "Amersfoort", "Apeldoorn", "Hoofddorp",
+      "Maastricht", "Leiden", "Dordrecht"),
+    "pl" -> IndexedSeq(
+      "Warszawa", "Kraków", "Łódź", "Wrocław", "Poznań", "Gdańsk", "Szczecin",
+      "Bydgoszcz", "Lublin", "Białystok", "Katowice", "Gdynia", "Częstochowa",
+      "Radom", "Sosnowiec", "Toruń", "Kielce", "Rzeszów", "Gliwice", "Zabrze"),
+    "sv" -> IndexedSeq(
+      "Stockholm", "Göteborg", "Malmö", "Uppsala", "Västerås", "Örebro",
+      "Linköping", "Helsingborg", "Jönköping", "Norrköping", "Lund", "Umeå",
+      "Gävle", "Borås", "Södertälje", "Eskilstuna", "Halmstad", "Växjö",
+      "Karlstad", "Sundsvall"),
+    "ja" -> IndexedSeq(
+      "Tokyo", "Yokohama", "Osaka", "Nagoya", "Sapporo", "Fukuoka", "Kobe",
+      "Kawasaki", "Kyoto", "Saitama", "Hiroshima", "Sendai", "Chiba",
+      "Kitakyushu", "Sakai", "Niigata", "Hamamatsu", "Kumamoto", "Sagamihara",
+      "Okayama"))
 
   /** Supported locales (others fall back to "en"). */
   val Locales: Set[String] = Set("en") ++ LocaleFirstNames.keySet
@@ -154,8 +276,19 @@ object FakerPools {
         case "street_address" => s"${1 + rnd.nextInt(9999)} ${pick(last)} ${pick(StreetSuffixes)}"
         case "phone_number" => f"${200 + rnd.nextInt(800)}%03d-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d"
         case "word" => ILTextCompiler.LoremWords(rnd.nextInt(ILTextCompiler.LoremWords.length))
+        case "state" => pick(States)
+        case "postcode" => f"${rnd.nextInt(100000)}%05d"
+        case "job" => pick(Jobs)
+        case "color" => pick(Colors)
+        case "domain_name" => pick(EmailDomains)
+        case "user_name" =>
+          s"${ascii(pick(first)).toLowerCase}${if (rnd.nextBoolean()) "." else "_"}${ascii(pick(last)).toLowerCase}${rnd.nextInt(100)}"
+        case "url" =>
+          s"https://www.${pick(EmailDomains)}/${ILTextCompiler.LoremWords(rnd.nextInt(ILTextCompiler.LoremWords.length))}"
+        case "ipv4" => s"${1 + rnd.nextInt(223)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${1 + rnd.nextInt(254)}"
         case other => throw SpecError(s"unknown faker provider '$other'; supported: first_name, " +
-          "last_name, name, email, company, city, country, street_address, phone_number, word")
+          "last_name, name, email, company, city, country, street_address, phone_number, word, " +
+          "state, postcode, job, color, domain_name, user_name, url, ipv4")
       }
     }
   }

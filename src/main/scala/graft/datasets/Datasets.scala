@@ -22,13 +22,35 @@ object Datasets {
 
   trait Provider {
     def meta: ProviderMeta
-    /** Single-table entry: the provider's primary table. */
-    def get(spark: SparkSession, rows: Long = 100000L, partitions: Option[Int] = None,
-        options: Options = Map.empty): DataFrame
+    /** Option keys this provider understands. `rows`/`partitions` are real
+      * parameters, so the map holds only provider-specific knobs; any other
+      * key fails fast (reference `allowed_options` decorator —
+      * dataset_provider.py:251-289). */
+    def allowedOptions: Set[String] = Set.empty
+    /** Single-table entry: validate options, then build the primary table. */
+    final def get(spark: SparkSession, rows: Long = 100000L, partitions: Option[Int] = None,
+        options: Options = Map.empty): DataFrame = {
+      checkOptions(options)
+      build(spark, rows, partitions, options)
+    }
     /** Multi-table entry; single-table providers return one entry. */
-    def getTables(spark: SparkSession, rows: Long = 100000L, partitions: Option[Int] = None,
-        options: Options = Map.empty): ListMap[String, DataFrame] =
-      ListMap(meta.tables.head -> get(spark, rows, partitions, options))
+    final def getTables(spark: SparkSession, rows: Long = 100000L, partitions: Option[Int] = None,
+        options: Options = Map.empty): ListMap[String, DataFrame] = {
+      checkOptions(options)
+      buildTables(spark, rows, partitions, options)
+    }
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int],
+        options: Options): DataFrame
+    protected def buildTables(spark: SparkSession, rows: Long, partitions: Option[Int],
+        options: Options): ListMap[String, DataFrame] =
+      ListMap(meta.tables.head -> build(spark, rows, partitions, options))
+    private def checkOptions(options: Options): Unit = {
+      val bad = options.keySet.diff(allowedOptions)
+      if (bad.nonEmpty) throw SpecError(
+        s"dataset ${meta.name}: unsupported options [${bad.toSeq.sorted.mkString(", ")}]; " +
+          (if (allowedOptions.isEmpty) "this provider takes no options"
+           else s"allowed: ${allowedOptions.toSeq.sorted.mkString(", ")}"))
+    }
   }
 
   private var reg: ListMap[String, Provider] = ListMap.empty
@@ -38,6 +60,29 @@ object Datasets {
   def apply(name: String): Provider =
     reg.getOrElse(name, throw SpecError(
       s"unknown dataset '$name'; registered: ${reg.keys.mkString(", ")}"))
+
+  // -------------------------------------------------------- navigator sugar
+  // (reference `Datasets(spark, name).get(...)` — datasets_object.py:345-489)
+
+  /** One-call fetch of a provider's primary table. */
+  def get(spark: SparkSession, name: String, rows: Long = 100000L,
+      partitions: Option[Int] = None, options: Options = Map.empty): DataFrame =
+    apply(name).get(spark, rows, partitions, options)
+
+  /** One-call fetch of all of a provider's tables. */
+  def getTables(spark: SparkSession, name: String, rows: Long = 100000L,
+      partitions: Option[Int] = None, options: Options = Map.empty): ListMap[String, DataFrame] =
+    apply(name).getTables(spark, rows, partitions, options)
+
+  /** Human-readable catalog entry: summary, tables, streaming, options. */
+  def describe(name: String): String = {
+    val p = apply(name)
+    val opts = if (p.allowedOptions.isEmpty) "none" else p.allowedOptions.toSeq.sorted.mkString(", ")
+    s"${p.meta.name}: ${p.meta.summary}\n  tables: ${p.meta.tables.mkString(", ")}\n" +
+      s"  streaming: ${p.meta.supportsStreaming}\n  options: $opts"
+  }
+
+  def list: Seq[String] = reg.keys.toSeq
 
   /** Auto partition heuristic (ref: dataset_provider.py:291). */
   def autoPartitions(rows: Long, columns: Int): Int =
@@ -53,10 +98,14 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("basic/user", "Basic user dataset (customer ids, names, emails, ip addresses, phones)",
       Seq("primary"), supportsStreaming = true)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("dedupe", "random")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       val dedupe = options.get("dedupe").exists(_.toBoolean)
+      // random=true flips the non-key columns to the legacy rand()-stream
+      // mode (reference basic/user's `random` option).
       val g = base(spark, "user", rows, partitions, 5)
         .withColumn("customer_id", "bigint", ColumnStrategy.Sequence(1000000L))
+        .withDefaultRandom(options.get("random").exists(_.toBoolean))
         .withColumn("name", "string", ColumnStrategy.Template("""\w \w|\w \w \w"""))
         .withColumn("email", "string", ColumnStrategy.Template("""\w.\w@\w.com|\w@\w.co.u\k"""))
         .withColumn("ip_addr", "string", ColumnStrategy.Template("""\n.\n.\n.\n"""))
@@ -70,7 +119,8 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("basic/geometries", "WKT geometries (points, lines, polygons)",
       Seq("primary"), supportsStreaming = true)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("geometryType", "maxVertices")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       val geomType = options.getOrElse("geometryType", "point")
       val maxVertices = options.getOrElse("maxVertices", "1").toInt
       val lonLat = Seq(
@@ -108,7 +158,8 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("basic/telematics", "Vehicle telematics (device pings: lat/lon/speed/heading)",
       Seq("primary"), supportsStreaming = true)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("numDevices")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       val numDevices = options.getOrElse("numDevices", "1000").toLong
       base(spark, "telematics", rows, partitions, 8)
         .withColumn(ColumnSpec("device_id", "bigint",
@@ -130,7 +181,8 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("basic/stock_ticker", "Daily stock ticker series (symbol, open/close/high/low/volume)",
       Seq("primary"), supportsStreaming = true)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("numSymbols", "startDate")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       val numSymbols = options.getOrElse("numSymbols", "100").toInt
       val start = java.time.LocalDate.parse(options.getOrElse("startDate", "2024-01-01"))
       base(spark, "stock_ticker", rows, partitions, 8)
@@ -160,7 +212,8 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("basic/process_historian", "Industrial process historian sensor readings",
       Seq("primary"), supportsStreaming = true)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("numDevices", "numTags")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       val numDevices = options.getOrElse("numDevices", "10000").toLong
       val numTags = options.getOrElse("numTags", "10").toInt
       base(spark, "process_historian", rows, partitions, 8)
@@ -184,7 +237,8 @@ object Datasets {
   register(new Provider {
     val meta = ProviderMeta("benchmark/groupby", "H2O groupby benchmark dataset (id1-id6, v1-v3)",
       Seq("primary"), supportsStreaming = false)
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
+    override val allowedOptions = Set("groups", "percentNulls")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame = {
       var groups = options.getOrElse("groups", "100").toLong
       if (rows < groups) groups = 1 + rows / 1000
       val percentNulls = options.get("percentNulls").map(_.toDouble).getOrElse(0.0)
@@ -222,6 +276,7 @@ object Datasets {
       "Multi-table sales order schema (customers, carriers, catalog items, orders, order line items, invoices)",
       Seq("customers", "carriers", "catalog_items", "base_orders", "base_order_line_items",
         "base_order_shipments", "invoices"), supportsStreaming = false)
+    override val allowedOptions = Set("numCustomers", "numCarriers", "numCatalogItems", "seed")
 
     private def plan(rows: Long, options: Options): DataGenPlan = {
       val nCustomers = options.getOrElse("numCustomers", "1000").toLong
@@ -286,10 +341,10 @@ object Datasets {
         seed = options.getOrElse("seed", "42").toLong)
     }
 
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame =
-      getTables(spark, rows, partitions, options)("base_order_line_items")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame =
+      buildTables(spark, rows, partitions, options)("base_order_line_items")
 
-    override def getTables(spark: SparkSession, rows: Long, partitions: Option[Int],
+    override protected def buildTables(spark: SparkSession, rows: Long, partitions: Option[Int],
         options: Options): ListMap[String, DataFrame] = {
       val generated = Generator.generate(spark, plan(rows, options))
       // Invoices are a JOIN product (order lines x orders), like the
@@ -311,6 +366,7 @@ object Datasets {
     val meta = ProviderMeta("multi_table/telephony",
       "Telephony schema (plans, customers, device events billing-style)",
       Seq("plans", "customers", "device_events"), supportsStreaming = false)
+    override val allowedOptions = Set("numPlans", "numCustomers", "seed")
 
     private def plan(rows: Long, options: Options): DataGenPlan = {
       val nPlans = options.getOrElse("numPlans", "20").toLong
@@ -346,10 +402,10 @@ object Datasets {
         seed = options.getOrElse("seed", "42").toLong)
     }
 
-    def get(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame =
-      getTables(spark, rows, partitions, options)("device_events")
+    protected def build(spark: SparkSession, rows: Long, partitions: Option[Int], options: Options): DataFrame =
+      buildTables(spark, rows, partitions, options)("device_events")
 
-    override def getTables(spark: SparkSession, rows: Long, partitions: Option[Int],
+    override protected def buildTables(spark: SparkSession, rows: Long, partitions: Option[Int],
         options: Options): ListMap[String, DataFrame] =
       Generator.generate(spark, plan(rows, options))
   })

@@ -465,6 +465,53 @@ object GenQueries {
         "n_emails" -> countDistinct(col("email")))
     }),
 
+    "q_gen_faker_breadth" -> ((s, _) => {
+      // Locale breadth (it/pt/nl/pl/sv/ja beyond en/de/fr/es) + the wider
+      // provider set. Locale pools must actually differ from en, and every
+      // provider's output must match its documented shape.
+      val df = gen(s, TableSpec("t", 5000, Seq(
+        c("name_it", "string", ColumnStrategy.Faker("last_name", locale = "it")),
+        c("name_ja", "string", ColumnStrategy.Faker("last_name", locale = "ja")),
+        c("city_pl", "string", ColumnStrategy.Faker("city", locale = "pl")),
+        c("job", "string", ColumnStrategy.Faker("job")),
+        c("state", "string", ColumnStrategy.Faker("state")),
+        c("postcode", "string", ColumnStrategy.Faker("postcode")),
+        c("user", "string", ColumnStrategy.Faker("user_name")),
+        c("ip", "string", ColumnStrategy.Faker("ipv4")))))
+      val itSet = graft.columns.FakerPools.pool("last_name", 200, 42L, "it").toSet
+      val enSet = graft.columns.FakerPools.pool("last_name", 200, 42L, "en").toSet
+      one(df, "n" -> count(lit(1)),
+        "locales_differ" -> lit(itSet != enSet),
+        "it_from_pool" -> all(col("name_it").isin(itSet.toSeq.map(lit): _*)),
+        "ja_shape" -> all(col("name_ja").rlike("^[A-Z][a-z]+$")),
+        "pl_city_nonempty" -> all(length(col("city_pl")) > 0),
+        "postcode_shape" -> all(col("postcode").rlike("^[0-9]{5}$")),
+        "user_shape" -> all(col("user").rlike("^[a-z]+[._][a-z]+[0-9]+$")),
+        "ip_shape" -> all(col("ip").rlike(
+          "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$")),
+        "job_state_nonempty" -> all(length(col("job")) > 0 && length(col("state")) > 0))
+    }),
+
+    "q_gen_dataset_options" -> ((s, _) => {
+      // allowed_options enforcement (ref: dataset_provider.py:251-289): a
+      // misspelled option must fail fast naming the provider, valid options
+      // must pass, and the navigator sugar must describe the catalog.
+      val rejected =
+        try { graft.datasets.Datasets.get(s, "basic/telematics", 100,
+          options = Map("numDevice" -> "5")); false }
+        catch { case e: SpecError =>
+          e.getMessage.contains("basic/telematics") && e.getMessage.contains("numDevice") }
+      val accepted = graft.datasets.Datasets.get(s, "basic/telematics", 100,
+        options = Map("numDevices" -> "5")).count() == 100L
+      val described = graft.datasets.Datasets.describe("benchmark/groupby")
+      one(s.range(1).toDF("x"),
+        "rejects_unknown" -> lit(rejected),
+        "accepts_known" -> lit(accepted),
+        "describe_lists_options" ->
+          lit(described.contains("groups") && described.contains("percentNulls")),
+        "catalog_size" -> lit(graft.datasets.Datasets.list.length.toLong))
+    }),
+
     "q_gen_plugin" -> ((s, _) => {
       val df = gen(s, TableSpec("t", 2000, Seq(
         c("v", "string", ColumnStrategy.Plugin(seed => s"plug-${math.floorMod(seed, 97L)}")))))

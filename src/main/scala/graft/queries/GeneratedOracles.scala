@@ -196,6 +196,11 @@ ORDER BY bucket, n""",
   TRUE AS v1_in_bounds,
   TRUE AS v2_in_bounds,
   TRUE AS id1_shape""",
+    "q_gen_dataset_options" ->
+      """SELECT TRUE AS rejects_unknown,
+  TRUE AS accepts_known,
+  TRUE AS describe_lists_options,
+  CAST(8 AS BIGINT) AS catalog_size""",
     "q_gen_dataset_telephony" ->
       """SELECT CAST(8000 AS BIGINT) AS n,
   CAST(0 AS BIGINT) AS orphans,
@@ -211,6 +216,16 @@ ORDER BY bucket, n""",
   TRUE AS email_ok,
   TRUE AS name_ok,
   CAST(4287 AS BIGINT) AS n_emails""",
+    "q_gen_faker_breadth" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+  TRUE AS locales_differ,
+  TRUE AS it_from_pool,
+  TRUE AS ja_shape,
+  TRUE AS pl_city_nonempty,
+  TRUE AS postcode_shape,
+  TRUE AS user_shape,
+  TRUE AS ip_shape,
+  TRUE AS job_state_nonempty""",
     "q_gen_fk_null_fraction" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   CAST(2110 AS BIGINT) AS n_null,
