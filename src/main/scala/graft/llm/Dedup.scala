@@ -121,9 +121,13 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(transform(shingles(col(textCol), shingleWidth), s => xxhash64(s))).as("sh"))
       .select(col("id"), col("sh"), explode(col("sh")).as("h"))
+    // `sh` rides in the GROUPING KEY (it is functionally dependent on id),
+    // not as a first() aggregate: an array-typed aggregate buffer forces
+    // SortAggregate — a per-partition sort of rows x shingles — while
+    // all-long min buffers keep the stage a true HashAggregate.
     val mins = (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"__m$k"))
-    exploded.groupBy("id")
-      .agg(first(col("sh")).as("sh"), mins: _*)
+    exploded.groupBy("id", "sh")
+      .agg(mins.head, mins.tail: _*)
       .select(col("id"), col("sh"),
         array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
   }

@@ -95,8 +95,11 @@ object Similarity {
         .cast("double") / 1000000.0 - 0.5
     val projAggs = for (p <- 0 until probes; l <- 0 until planes)
       yield sum(col("x") * component(p, l)).as(s"__pj_${p}_$l")
-    val agged = exploded.groupBy("__id")
-      .agg(first(col("__vec")).as("__vec"), projAggs: _*)
+    // __vec in the grouping key (functionally dependent on __id): a
+    // first(array) aggregate buffer would force SortAggregate; all-double
+    // sum buffers keep this a HashAggregate.
+    val agged = exploded.groupBy("__id", "__vec")
+      .agg(projAggs.head, projAggs.tail: _*)
     val keys = array((0 until probes).map { p =>
       concat(lit(s"$p#") +: (0 until planes).map(l =>
         when(col(s"__pj_${p}_$l") >= 0, lit("1")).otherwise(lit("0"))): _*)
