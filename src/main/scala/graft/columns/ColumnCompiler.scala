@@ -82,14 +82,20 @@ object ColumnCompiler {
       PatternCompiler.compile(p, seed, id)
 
     case ColumnStrategy.Template(t, escapeMode, words, baseCol) =>
-      // Under raw-values seeding the base value is the stringified array of
-      // the seed columns, so \v0..\v9 index the individual base values
-      // (reference VALUES_COMPUTE_METHOD — column_generation_spec.py:1285-1289).
-      val baseValue = baseCol.map(col).orElse(spec.seedMode match {
-        case SeedMode.FromColumnValues(cols) => Some(Seeds.rawValuesArray(cols))
+      // Under raw-values seeding the base value is the stringified seed
+      // columns, so \v0..\v9 index the individual base values (reference
+      // VALUES_COMPUTE_METHOD — column_generation_spec.py:1285-1289). The
+      // columns are passed as a list for direct indexing; the array form is
+      // only materialized for whole-value \v tokens.
+      val baseElems = spec.seedMode match {
+        case SeedMode.FromColumnValues(cols) if baseCol.isEmpty =>
+          Some(cols.map(cn => col(cn).cast(StringType)))
         case _ => None
-      })
-      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = baseValue)
+      }
+      val baseValue = baseCol.map(col).orElse(
+        baseElems.map(es => array(es: _*)))
+      TemplateCompiler.compile(t, escapeMode, words, seed, id, baseValue = baseValue,
+        baseElements = baseElems)
 
     case ColumnStrategy.Uuid =>
       uuidColumn(seed, id)

@@ -94,21 +94,28 @@ object TemplateCompiler {
     out.toList
   }
 
+  /** @param baseElements when the base is a known column list (raw-values
+    *   seeding), `\v0..\v9` index these columns DIRECTLY — skipping the
+    *   CreateArray + element_at construction, which both generates less
+    *   code and dodges a janino compile failure ("not an rvalue") that the
+    *   array form triggers inside wide projections. */
   def compile(template: String, escapeSpecialChars: Boolean, wordList: Seq[String],
-      columnSeed: Long, id: Column, baseValue: Option[Column]): Column = {
+      columnSeed: Long, id: Column, baseValue: Option[Column],
+      baseElements: Option[Seq[Column]] = None): Column = {
     val words = if (wordList.nonEmpty) wordList else DefaultWords
     val alts = parse(template, escapeSpecialChars)
     // `\v0`..`\v9` index into an ARRAY base value (text_generators.py:431-501);
     // without an explicit baseColumn the base degrades to the row id, which
     // is not indexable — reject early with a spec error instead of letting
     // element_at(string, i) throw an AnalysisException at build time.
-    if (baseValue.isEmpty && alts.exists(_.exists {
+    if (baseValue.isEmpty && baseElements.isEmpty && alts.exists(_.exists {
         case BaseVal(Some(_)) => true; case _ => false }))
       throw graft.spec.SpecError(
         s"template '$template' uses indexed base-value tokens (\\v0..\\v9) but no " +
         "baseColumn is set; set ColumnStrategy.Template(baseColumn = Some(<array column>))")
     val compiled = alts.zipWithIndex.map { case (toks, altIdx) =>
-      compileAlt(toks, words, Seeds.subSeed(columnSeed, 1000 + altIdx), id, baseValue)
+      compileAlt(toks, words, Seeds.subSeed(columnSeed, 1000 + altIdx), id, baseValue,
+        baseElements)
     }
     if (compiled.length == 1) compiled.head
     else {
@@ -130,8 +137,8 @@ object TemplateCompiler {
   }
 
   private def compileAlt(toks: List[Tok], words: Seq[String], altSeed: Long, id: Column,
-      baseValue: Option[Column]): Column = {
-    val base = baseValue.getOrElse(id.cast("string"))
+      baseValue: Option[Column], baseElements: Option[Seq[Column]] = None): Column = {
+    lazy val base = baseValue.getOrElse(id.cast("string"))
     val parts = mergeRuns(toks).zipWithIndex.map { case (tok, k) =>
       val tokSeed = Seeds.subSeed(altSeed, k)
       tok match {
@@ -147,7 +154,12 @@ object TemplateCompiler {
           val w = element_at(typedLit(words), idx + lit(1))
           if (upper) org.apache.spark.sql.functions.upper(w) else w
         case BaseVal(None) => base.cast("string")
-        case BaseVal(Some(i)) => element_at(base, i + 1).cast("string")
+        case BaseVal(Some(i)) => baseElements match {
+          // direct column indexing (out-of-range -> null, matching
+          // element_at's null semantics on short arrays)
+          case Some(es) => if (i < es.length) es(i).cast("string") else lit(null).cast("string")
+          case None => element_at(base, i + 1).cast("string")
+        }
       }
     }
     parts match {
