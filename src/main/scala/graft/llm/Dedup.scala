@@ -103,32 +103,72 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingleArr, s => xxhash64(s, k))))
 
-  /** MinHash signatures as a frame transform: explode each document's
-    * shingle-hash set, then one hash-aggregate with `numHashes` codegen'd
-    * `min(xxhash64(h, k))` aggregates. Map-side partial aggregation
-    * collapses every document locally (a document's shingles live in one
-    * partition), so the shuffle carries ~one row per document — this is the
-    * 100-TB path, unlike the interpreted nested-lambda Column form.
+  /** Per-document shingle-hash rows `(id, h)` via a codegen'd generator:
+    * explode the shingle INDEX range with `explode(sequence(...))`, then
+    * build and hash each shingle with `slice`/`array_join`/`xxhash64` — all
+    * native codegen'd expressions. The Column form above (`transform`, a
+    * higher-order function) is CodegenFallback: measured ~25 interpreted
+    * core-ms per sf0.1 document, ~100x the rest of the signature pipeline,
+    * so no pipeline path may evaluate it. Shingle strings are identical to
+    * `shingles()` output (for n <= width tokens, `slice` truncates to the
+    * whole token array = the single full-text shingle).
     *
-    * @return (id, sh, sig) — shingle array kept for exact verification.
+    * Multiset semantics: a shingle repeated in one document repeats here.
+    * `min` aggregates are insensitive to duplicates, and set consumers
+    * dedup with `collect_set`, so set semantics are preserved downstream. */
+  private[llm] def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    Similarity.parallelize(df)
+      .where(col(textCol).isNotNull) // legacy path dropped null docs via explode(null)
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - width, lit(0)))).as("i"))
+      .select(col("id"),
+        xxhash64(array_join(slice(col("toks"), col("i") + 1, lit(width)), " ")).as("h"))
+  }
+
+  /** Distinct shingle-hash set per document `(id, sh: array<long>)`, sorted
+    * for determinism. One ObjectHashAggregate (collect_set) over the
+    * generator-based shingle rows; map-side partial aggregation collapses
+    * each document locally. Shingles are kept as their 64-bit hashes: set
+    * semantics survive (collisions negligible) and exact-jaccard
+    * verification intersects long arrays instead of wide strings. */
+  private[llm] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      width: Int): DataFrame =
+    shingleHashRows(df, idCol, textCol, width)
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("sh"))
+
+  /** MinHash signatures as a frame transform: generator-based shingle-hash
+    * rows, then one hash-aggregate with `numHashes` codegen'd
+    * `min(xxhash64(h, k))` aggregates over a NARROW `(id, h)` input — the
+    * shingle array never rides through the explode or the grouping key.
+    * Map-side partial aggregation collapses every document locally (a
+    * document's shingles live in one partition), so the shuffle carries ~one
+    * compact row per document — this is the 100-TB path, unlike the
+    * interpreted nested-lambda Column form.
+    *
+    * @return (id, sh, sig) — shingle set attached by an id-keyed join for
+    *         exact verification (sorted; set-equal to the legacy
+    *         first-occurrence ordering).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, shingleWidth: Int = 3): DataFrame = {
-    // Shingles ride along as their 64-bit hashes: set semantics survive
-    // (collisions are negligible) and downstream exact-jaccard verification
-    // intersects long arrays instead of wide strings.
-    val exploded = Similarity.parallelize(df)
-      .select(col(idCol).as("id"),
-        array_distinct(transform(shingles(col(textCol), shingleWidth), s => xxhash64(s))).as("sh"))
-      .select(col("id"), col("sh"), explode(col("sh")).as("h"))
-    // `sh` rides in the GROUPING KEY (it is functionally dependent on id),
-    // not as a first() aggregate: an array-typed aggregate buffer forces
-    // SortAggregate — a per-partition sort of rows x shingles — while
-    // all-long min buffers keep the stage a true HashAggregate.
+    val sigs = minHashSigOnly(df, idCol, textCol, numHashes, shingleWidth)
+    sigs.join(shingleSets(df, idCol, textCol, shingleWidth), Seq("id"))
+      .select(col("id"), col("sh"), col("sig"))
+  }
+
+  /** Signatures without the shingle set: `(id, sig)`. The aggregation input
+    * is two longs per shingle, so the partial-aggregate hash map and the
+    * shuffle stay narrow no matter how long the documents are. */
+  private def minHashSigOnly(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleWidth: Int): DataFrame = {
     val mins = (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"__m$k"))
-    exploded.groupBy("id", "sh")
+    shingleHashRows(df, idCol, textCol, shingleWidth)
+      .groupBy("id")
       .agg(mins.head, mins.tail: _*)
-      .select(col("id"), col("sh"),
+      .select(col("id"),
         array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
   }
 
@@ -162,20 +202,30 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
 
-    val prepared = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
-      .withColumn("bandkey", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
-      .select("id", "sh", "bandkey")
+    // The band shuffle carries ONLY (id, bandkey) — 16-byte rows. Shipping
+    // the shingle array through `bands` exploded copies per document would
+    // multiply shuffle volume by bands x |sh| (~30x measured at 64 bands on
+    // the sf0.1 corpus); instead candidates are deduped first and the two
+    // shingle sets are attached to the surviving pairs by id-keyed joins.
+    val banded = minHashSigOnly(df, idCol, textCol, numHashes, shingleWidth)
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
 
     // Bucket join: only rows sharing a band key meet; id< ordering halves
-    // the pairs and kills self-matches.
-    val bucketed = capBuckets(prepared, "bandkey", maxBucket)
+    // the pairs and kills self-matches. Distinct BEFORE verification: a pair
+    // sharing several bands pays one jaccard, not one per shared band.
+    val bucketed = capBuckets(banded, "bandkey", maxBucket)
+    val candidates = bucketed.select(col("bandkey"), col("id").as("id_a"))
+      .join(bucketed.select(col("bandkey"), col("id").as("id_b")), Seq("bandkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
 
-    val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bandkey")).where(col("id_a") < col("id_b"))
+    val sets = shingleSets(df, idCol, textCol, shingleWidth)
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** Documents surviving minhash near-dup removal: from each connected
@@ -384,9 +434,11 @@ object Dedup {
     * (prefix-filter style), shuffles only by shingle and pair. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleWidth: Int = 3, maxDocFreq: Long = 1000): DataFrame = {
-    // Shingles as 64-bit hashes: the inverted index shuffles longs, not text.
-    val docs = Similarity.parallelize(df).select(col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), shingleWidth), s => xxhash64(s))).as("sh"))
+    // Shingles as 64-bit hashes: the inverted index shuffles longs, not
+    // text. The distinct set per document comes from the generator-based
+    // shingle path (shingleSets) — the higher-order-function Column form is
+    // interpreted and never used on a pipeline path.
+    val docs = shingleSets(df, idCol, textCol, shingleWidth)
       .withColumn("nsh", size(col("sh")))
 
     val inverted = docs.select(col("id"), col("nsh"), explode(col("sh")).as("shingle"))
@@ -416,25 +468,34 @@ object Dedup {
     val dim = Similarity.dimOf(df, vecCol)
     // Sketches come from the two-phase-aggregate path (codegen'd projection
     // sums; an inline planes*probes*dim expression would overflow codegen
-    // and fall back to interpreted eval). Norms are computed once per row,
-    // never per pair in the bucket join.
-    val prepared = Similarity
+    // and fall back to interpreted eval). The bucket shuffle carries ONLY
+    // (id, key) — shipping the vector through `probes` exploded copies per
+    // row would multiply shuffle volume by probes x dim; instead candidate
+    // pairs are deduped first and the two vectors (with norms, computed
+    // once per row, never per pair) are attached by id-keyed joins.
+    val banded = Similarity
       .hyperplaneSketches(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "id", "vec", planes, probes)
-      .withColumn("nrm", Similarity.norm(col("vec"), dim))
-      .withColumn("key", explode(col("keys"))).drop("keys")
+      .select(col("id"), explode(col("keys")).as("key"))
 
-    val bucketed = capBuckets(prepared, "key", maxBucket)
-    val a = bucketed.select(col("key"), col("id").as("id_a"), col("vec").as("v_a"),
-      col("nrm").as("n_a"))
-    val b = bucketed.select(col("key"), col("id").as("id_b"), col("vec").as("v_b"),
-      col("nrm").as("n_b"))
+    val bucketed = capBuckets(banded, "key", maxBucket)
+    val candidates = bucketed.select(col("key"), col("id").as("id_a"))
+      .join(bucketed.select(col("key"), col("id").as("id_b")), Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec"), dim))
     val denom = col("n_a") * col("n_b")
-    a.join(b, Seq("key")).where(col("id_a") < col("id_b"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(denom === 0, lit(0.0))
           .otherwise(Similarity.dot(col("v_a"), col("v_b"), dim) / denom).as("cosine"))
       .where(col("cosine") >= threshold)
-      .distinct()
   }
 }

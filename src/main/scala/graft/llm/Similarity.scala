@@ -79,32 +79,32 @@ object Similarity {
     * projection aggregates (the plane component is a per-row xxhash64 of
     * literals + the position column — whole-stage codegen'd). Map-side
     * partial aggregation collapses each vector locally, so the shuffle
-    * carries one compact row per vector. This is how the sketch scales:
-    * cost is O(rows*dim*planes*probes) of compiled arithmetic, never an
-    * interpreted expression tree.
+    * carries one compact row per vector — the grouping key is the bare id
+    * (carrying the vector array through the exploded aggregation would
+    * multiply the partial-aggregate row width by the dimension; consumers
+    * that need the vector re-attach it by an id-keyed join). This is how
+    * the sketch scales: cost is O(rows*dim*planes*probes) of compiled
+    * arithmetic, never an interpreted expression tree.
     *
-    * @return (idCol, vecCol as array<double>, keys array<string>)
+    * @return (idCol, keys array<string>)
     */
   def hyperplaneSketches(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, probes: Int): DataFrame = {
     val exploded = parallelize(df)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
-      .select(col("__id"), col("__vec"), posexplode(col("__vec")).as(Seq("pos", "x")))
+      .select(col("__id"), posexplode(col("__vec")).as(Seq("pos", "x")))
     def component(probe: Int, plane: Int): Column =
       pmod(xxhash64(lit(probe), lit(plane), col("pos")), lit(1000000L))
         .cast("double") / 1000000.0 - 0.5
     val projAggs = for (p <- 0 until probes; l <- 0 until planes)
       yield sum(col("x") * component(p, l)).as(s"__pj_${p}_$l")
-    // __vec in the grouping key (functionally dependent on __id): a
-    // first(array) aggregate buffer would force SortAggregate; all-double
-    // sum buffers keep this a HashAggregate.
-    val agged = exploded.groupBy("__id", "__vec")
+    val agged = exploded.groupBy("__id")
       .agg(projAggs.head, projAggs.tail: _*)
     val keys = array((0 until probes).map { p =>
       concat(lit(s"$p#") +: (0 until planes).map(l =>
         when(col(s"__pj_${p}_$l") >= 0, lit("1")).otherwise(lit("0"))): _*)
     }: _*)
-    agged.select(col("__id").as(idCol), col("__vec").as(vecCol), keys.as("keys"))
+    agged.select(col("__id").as(idCol), keys.as("keys"))
   }
 
   /** Spread a frame across the session's shuffle parallelism when it has
