@@ -8,10 +8,11 @@ import graft.seed.Seeds
 /** Ipsum-lorem text generation as pure Column expressions.
   *
   * The reference builds this with numpy masked arrays inside a pandas UDF
-  * (dbldatagen/text_generators.py:996-1257). Here each candidate word is an
-  * independent hash pick; paragraph/sentence/word counts come from bounded
-  * hash draws; assembly is array/slice/array_join — fully codegen'd.
-  * Expression size is bounded by maxP*maxS*maxW (validated <= 2000).
+  * (dbldatagen/text_generators.py:996-1257). Here candidate words are hash
+  * picks — four per xxhash64 draw via base-63 digit extraction — and
+  * paragraph/sentence/word counts come from bounded hash draws; assembly is
+  * array/slice/array_join — fully codegen'd. Expression size is bounded by
+  * maxP*maxS*maxW (validated <= 6000).
   */
 object ILTextCompiler {
 
@@ -30,24 +31,40 @@ object ILTextCompiler {
     if (hi <= lo) lit(lo)
     else (pmod(Seeds.cellSeed(seed, id), lit((hi - lo + 1).toLong)) + lit(lo.toLong)).cast(IntegerType)
 
+  /** Word picks extracted per 64-bit draw: one xxhash64 yields WordsPerDraw
+    * base-63 digits (63^4 < 2^24, so the digit arithmetic is exact in long
+    * AND in the double division below). Batching cuts the dominant cost of
+    * wide configs — the per-word xxhash64 call and its ~200 bytes of
+    * generated code — by 4x; the leftover per-word work is a division, a
+    * pmod and an array lookup. */
+  private val WordsPerDraw = 4
+
   def compile(paragraphs: (Int, Int), sentences: (Int, Int), words: (Int, Int),
       columnSeed: Long, id: Column): Column = {
     val (pLo, pHi) = paragraphs; val (sLo, sHi) = sentences; val (wLo, wHi) = words
     require(pLo >= 1 && sLo >= 1 && wLo >= 1 && pHi >= pLo && sHi >= sLo && wHi >= wLo,
       "ILText bounds must be >= 1 and ordered")
-    require(pHi.toLong * sHi * wHi <= 2000,
-      s"ILText maxParagraphs*maxSentences*maxWords = ${pHi * sHi * wHi} exceeds 2000 (plan-size guard)")
+    require(pHi.toLong * sHi * wHi <= 6000,
+      s"ILText maxParagraphs*maxSentences*maxWords = ${pHi * sHi * wHi} exceeds 6000 (plan-size guard)")
 
     val wordArr = typedLit(LoremWords)
     val n = LoremWords.length.toLong
 
     def sentence(seed: Long): Column = {
-      val picks = (0 until wHi).map { k =>
-        // position folded into the seed driver-side: two-argument xxhash64
-        // emits ~1/3 less generated code than the three-argument form
-        val idx = pmod(Seeds.cellSeed(Seeds.subSeed(seed, k), id), lit(n)).cast(IntegerType)
-        element_at(wordArr, idx + lit(1))
-      }
+      val nDraws = (wHi + WordsPerDraw - 1) / WordsPerDraw
+      val picks = (0 until nDraws).flatMap { g =>
+        // One hash per WordsPerDraw words; the shared draw Column is a
+        // common subexpression, so codegen evaluates it once per group.
+        val draw = pmod(Seeds.cellSeed(Seeds.subSeed(seed, g), id),
+          lit(math.pow(n.toDouble, WordsPerDraw.toDouble).toLong))
+        (0 until WordsPerDraw).map { j =>
+          val divisor = math.pow(n.toDouble, j.toDouble).toLong
+          // (draw / 63^j) % 63 — positive longs < 2^24, so the double
+          // division + truncating cast IS integer division here.
+          val idx = pmod((draw / lit(divisor)).cast("long"), lit(n)).cast(IntegerType)
+          element_at(wordArr, idx + lit(1))
+        }
+      }.take(wHi)
       val nWords = boundedCount(wLo, wHi, seed ^ 0x77, id)
       val s = array_join(slice(array(picks: _*), lit(1), nWords), " ")
       // Capitalize first letter, terminate with '.'

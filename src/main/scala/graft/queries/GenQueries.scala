@@ -136,12 +136,16 @@ object GenQueries {
     }),
 
     "q_gen_range_continuous" -> ((s, _) => {
+      // Uniform over [-5,5): each 2.5-wide quarter is Binomial(20000, 0.25),
+      // E=5000, sigma=61 — the ±400 band is ±6.5 sigma.
       val df = gen(s, TableSpec("t", 20000, Seq(
         c("v", "double", ColumnStrategy.Range(-5, 5, continuous = true)))))
-      val bucket = floor((col("v") + 5) / 2.5).cast("long") // 4 buckets
-      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"),
-        min(col("v") >= -5 && col("v") < 5).as("in_bounds"))
-        .orderBy("bucket")
+      val quarter = (i: Int) =>
+        sum(when(floor((col("v") + 5) / 2.5) === i, 1L).otherwise(0L)).as(s"q$i")
+      df.agg(count(lit(1)).as("n"), quarter(0), quarter(1), quarter(2), quarter(3),
+          min(col("v") >= -5 && col("v") < 5).as("in_bounds"))
+        .select(col("n"), col("in_bounds"),
+          (0 until 4).map(i => col(s"q$i").between(4600, 5400)).reduce(_ && _).as("balanced"))
     }),
 
     "q_gen_range_decimal" -> ((s, _) => {
@@ -214,9 +218,15 @@ object GenQueries {
       val df = gen(s, TableSpec("t", 10000, Seq(c("ts", "timestamp", ColumnStrategy.Timestamp(
         java.time.Instant.parse("2024-03-01T00:00:00Z"),
         java.time.Instant.parse("2024-03-31T23:59:00Z"), 60)))))
+      // 10000 uniform draws over the 44640-minute lattice: the exact
+      // min/max are sampling accidents, but P(no draw in the first hour) =
+      // (1-60/44640)^10000 = e^-13.4 ~ 1.5e-6 (same for the last hour), and
+      // E[distinct] = 44640*(1-e^(-10000/44640)) = 8955 with sigma in the
+      // tens — so edge-proximity and a distinct-count band are derivable.
       one(df, "n" -> count(lit(1)),
-        "min_ts" -> date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss"),
-        "max_ts" -> date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss"),
+        "min_near_start" -> (min(col("ts")) <= lit("2024-03-01 01:00:00")),
+        "max_near_end" -> (max(col("ts")) >= lit("2024-03-31 23:00:00")),
+        "distinct_band" -> countDistinct(col("ts")).between(8700, 9200),
         "minute_aligned" -> all(second(col("ts")) === 0),
         "in_bounds" -> all(col("ts").between("2024-03-01 00:00:00", "2024-03-31 23:59:00")))
     }),
@@ -230,21 +240,31 @@ object GenQueries {
     }),
 
     // ------------------------------------------------------- values
-    "q_gen_values" -> ((s, _) =>
-      gen(s, TableSpec("t", 9000, Seq(c("v", "string",
+    // Unweighted values: each of 3 is Binomial(9000, 1/3), E=3000, sigma=44.7;
+    // the ±350 band is ±7.8 sigma. No value outside the list may appear.
+    "q_gen_values" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 9000, Seq(c("v", "string",
         ColumnStrategy.Values(Seq("alpha", "beta", "gamma"))))))
-        .groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")),
+      val cnt = (nm: String) => sum(when(col("v") === nm, 1L).otherwise(0L)).as(s"n_$nm")
+      df.agg(count(lit(1)).as("n"), cnt("alpha"), cnt("beta"), cnt("gamma"))
+        .select(col("n"),
+          Seq("alpha", "beta", "gamma").map(nm => abs(col(s"n_$nm") - 3000) <= 350)
+            .reduce(_ && _).as("balanced"),
+          (col("n_alpha") + col("n_beta") + col("n_gamma") === col("n")).as("total_ok"))
+    }),
 
+    // 10% statistical contract at 3000x values (function_builder.py:59-63);
+    // actual sigma: Binomial(30000, 0.6) -> 85, so ±10% = ±21 sigma.
     "q_gen_values_weighted" -> ((s, _) => {
       val df = gen(s, TableSpec("t", 30000, Seq(c("v", "string",
         ColumnStrategy.Values(Seq("x", "y", "z"), Seq(0.6, 0.3, 0.1))))))
-      // 10% statistical contract at 3000x values (function_builder.py:59-63).
-      df.groupBy("v").agg(count(lit(1)).as("n"))
-        .select(col("v"), col("n"),
-          (col("n") >= when(col("v") === "x", 16200L).when(col("v") === "y", 8100L).otherwise(2700L) &&
-           col("n") <= when(col("v") === "x", 19800L).when(col("v") === "y", 9900L).otherwise(3300L))
-            .as("within_10pct"))
-        .orderBy("v")
+      val cnt = (nm: String) => sum(when(col("v") === nm, 1L).otherwise(0L)).as(s"n_$nm")
+      df.agg(count(lit(1)).as("n"), cnt("x"), cnt("y"), cnt("z"))
+        .select(col("n"),
+          col("n_x").between(16200, 19800).as("x_within_10pct"),
+          col("n_y").between(8100, 9900).as("y_within_10pct"),
+          col("n_z").between(2700, 3300).as("z_within_10pct"),
+          (col("n_x") + col("n_y") + col("n_z") === col("n")).as("total_ok"))
     }),
 
     "q_gen_percent_nulls" -> ((s, _) => {
@@ -452,7 +472,8 @@ object GenQueries {
       one(df, "n" -> count(lit(1)),
         "ends_period" -> all(col("txt").rlike("\\.$")),
         "capitalized" -> all(col("txt").rlike("^[A-Z]")),
-        "n_distinct" -> countDistinct(col("txt")))
+        "charset_ok" -> all(col("txt").rlike("^[A-Za-z .\\n]+$")),
+        "high_variety" -> (countDistinct(col("txt")) >= 2900))
     }),
 
     "q_gen_faker" -> ((s, _) => {
@@ -618,30 +639,88 @@ object GenQueries {
 
   // ------------------------------------------------------ distributions
 
-  /** One query per distribution: 5 equi-width bucket counts over a 1000-
-    * point lattice (single ordered frame; constants pinned by OracleGen,
-    * shape invariants implied by the pinned counts). */
-  private def distQuery(dist: Distribution): Fn = (s, _) => {
+  /** One query per distribution: 20000 draws over the 1000-point lattice
+    * [0,999], bucketed into 5 equi-width bins, reduced to BOOLEAN shape
+    * properties whose expected values are derived BY HAND from each law's
+    * inverse-CDF math (SpecOracles documents the derivations) — not pinned
+    * from an engine run. Bounds are >= 6 binomial sigmas wide (sigma <= 71
+    * at N=20000), so they reject a wrong law, not sampling noise. */
+  private def distQuery(dist: Distribution)(props: (String, Column)*): Fn = (s, _) => {
     val df = gen(s, TableSpec("t", 20000, Seq(
       c("v", "int", ColumnStrategy.Range(0, 999, Some(1), distribution = dist)))))
-    df.groupBy((col("v") / 200).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("bucket")
+    val buckets = (0 until 5).map(i =>
+      sum(when(col("v").between(i * 200, i * 200 + 199), 1L).otherwise(0L)).as(s"b$i"))
+    val aggs = (count(lit(1)).as("n") +: min(col("v")).as("mn") +: max(col("v")).as("mx") +:
+      buckets).toSeq
+    val counted = df.agg(aggs.head, aggs.tail: _*)
+    val inRange = (col("mn") >= 0 && col("mx") <= 999).as("in_range")
+    counted.select(col("n") +: inRange +: props.map { case (nm, p) => p.as(nm) }: _*)
   }
 
+  private def b(i: Int): Column = col(s"b$i")
+  private def monotone: Column =
+    (0 until 4).map(i => b(i) > b(i + 1)).reduce(_ && _)
+
   val distQueries: Map[String, Fn] = Map(
-    "q_dist_uniform" -> distQuery(Distribution.Uniform),
-    "q_dist_normal" -> distQuery(Distribution.Normal(Some(500.0), Some(150.0))),
-    "q_dist_zipf" -> distQuery(Distribution.Zipf(1.5)),
-    "q_dist_exponential" -> distQuery(Distribution.Exponential(1.0)),
-    "q_dist_lognormal" -> distQuery(Distribution.LogNormal(0.0, 1.0)),
-    "q_dist_gamma" -> distQuery(Distribution.Gamma(2.0, 50.0)),
-    "q_dist_beta" -> distQuery(Distribution.Beta(2.0, 5.0)),
-    "q_dist_pareto" -> distQuery(Distribution.Pareto(1.16)),
-    "q_dist_weighted" -> ((s, _) =>
-      gen(s, TableSpec("t", 20000, Seq(c("v", "string",
+    // Uniform: each bucket Binomial(20000, 0.2), E=4000, sigma=56.6.
+    "q_dist_uniform" -> distQuery(Distribution.Uniform)(
+      "balanced" -> (0 until 5).map(i => b(i).between(3600, 4400)).reduce(_ && _)),
+    // Normal(500,150): P(bucket2) = Phi(0.667)-Phi(-0.667) = 0.495 -> E=9900;
+    // tails P(v<200) = Phi(-2) = 0.0228 -> E=455 each side, symmetric.
+    "q_dist_normal" -> distQuery(Distribution.Normal(Some(500.0), Some(150.0)))(
+      "middle_heavy" -> b(2).between(9000, 10800),
+      "tails_small" -> (b(0) < 900 && b(4) < 900),
+      "symmetric" -> (abs(b(0) - b(4)) <= 400 && abs(b(1) - b(3)) <= 700)),
+    // Zipf(1.5): bounded power law on [1,1001], a=0.5:
+    // P(b0) = (1-201^-0.5)/(1-1001^-0.5) = 0.9598 -> E=19196.
+    "q_dist_zipf" -> distQuery(Distribution.Zipf(1.5))(
+      "monotone" -> monotone,
+      "head_mass" -> b(0).between(19000, 19400)),
+    // Exponential(1), mean index n/5=200: P(b0) = 1-e^-1 = 0.632 -> E=12642.
+    "q_dist_exponential" -> distQuery(Distribution.Exponential(1.0))(
+      "monotone" -> monotone,
+      "head_mass" -> b(0).between(12200, 13100)),
+    // LogNormal(0,1) scaled by n/10: P(b0) = Phi(ln 2) = 0.756 -> E=15116;
+    // the clamp piles the upper tail onto index 999, so b4 > b3 by design.
+    "q_dist_lognormal" -> distQuery(Distribution.LogNormal(0.0, 1.0))(
+      "decreasing_head" -> (b(0) > b(1) && b(1) > b(2) && b(2) > b(3)),
+      "head_mass" -> b(0).between(14600, 15600),
+      "clamp_tail_small" -> (b(4) < 700)),
+    // Gamma(2,50) via Wilson-Hilferty: draw = 100*(0.9444+0.2357z)^3, so
+    // P(b0) = Phi(z: cube < 2) = Phi(1.339) = 0.910 -> E=18193;
+    // P(b1) = Phi(2.728)-Phi(1.339) = 0.0872 -> E=1744; P(b2) -> E=62.
+    "q_dist_gamma" -> distQuery(Distribution.Gamma(2.0, 50.0))(
+      "head_mass" -> b(0).between(17900, 18500),
+      "b1_mass" -> b(1).between(1400, 2100),
+      "b2_mass" -> b(2).between(20, 120),
+      "tail_tiny" -> (b(3) + b(4) <= 15)),
+    // Beta(2,5): mode at 1/5 -> bucket1 is the heaviest; exact Beta CDF
+    // gives E(b0)=6893, E(b1)=8443, but the gamma-ratio draw is a
+    // documented approximation (tail off ~3x), so masses get wide bounds
+    // and the load-bearing checks are the orderings.
+    "q_dist_beta" -> distQuery(Distribution.Beta(2.0, 5.0))(
+      "mode_second" -> (b(1) > b(0) && b(1) > b(2)),
+      "decreasing_tail" -> (b(2) > b(3) && b(3) > b(4)),
+      "masses" -> (b(0).between(6000, 8000) && b(1).between(7500, 9500) && b(4) < 400)),
+    // Pareto(1.16): bounded on [1,1001]:
+    // P(b0) = (1-201^-1.16)/(1-1001^-1.16) = 0.9982 -> E=19964, sigma=6.
+    "q_dist_pareto" -> distQuery(Distribution.Pareto(1.16))(
+      "monotone" -> monotone,
+      "head_mass" -> b(0).between(19930, 19990)),
+    // Largest-remainder quantization makes slot counts exact (8000/6000/
+    // 4000/2000 of 20000 expected); each count is Binomial, sigma <= 69.
+    "q_dist_weighted" -> ((s, _) => {
+      val df = gen(s, TableSpec("t", 20000, Seq(c("v", "string",
         ColumnStrategy.Values(Seq("a", "b", "c", "d"), Seq(0.4, 0.3, 0.2, 0.1))))))
-        .groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")))
+      val cnt = (nm: String) => sum(when(col("v") === nm, 1L).otherwise(0L)).as(s"n_$nm")
+      df.agg(count(lit(1)).as("n"), cnt("a"), cnt("b"), cnt("c"), cnt("d"))
+        .select(col("n"),
+          (abs(col("n_a") - 8000) <= 500).as("a_ok"),
+          (abs(col("n_b") - 6000) <= 500).as("b_ok"),
+          (abs(col("n_c") - 4000) <= 500).as("c_ok"),
+          (abs(col("n_d") - 2000) <= 500).as("d_ok"),
+          (col("n_a") + col("n_b") + col("n_c") + col("n_d") === col("n")).as("total_ok"))
+    }))
 
   val all: Map[String, Fn] = queries ++ distQueries
 }

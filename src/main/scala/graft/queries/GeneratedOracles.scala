@@ -99,85 +99,6 @@ object GeneratedOracles {
       """SELECT CAST(17 AS BIGINT) AS n_pairs,
   CAST(3224 AS BIGINT) AS sum_a,
   CAST(6029 AS BIGINT) AS sum_b""",
-    "q_dist_beta" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(7042 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(8516 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(3471 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(861 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(110 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_exponential" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(12696 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(4616 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(1681 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(640 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(367 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_gamma" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(18153 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(1770 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(75 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(2 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_lognormal" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(14995 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(3303 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(912 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(370 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(420 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_normal" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(434 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(4529 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(9865 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(4664 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(508 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_pareto" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(19967 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(20 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(2 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_uniform" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(4008 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(3953 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(3980 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(4006 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(4053 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
-    "q_dist_weighted" ->
-      """SELECT * FROM (VALUES
-  ('a', CAST(7928 AS BIGINT)),
-  ('b', CAST(6074 AS BIGINT)),
-  ('c', CAST(4003 AS BIGINT)),
-  ('d', CAST(1995 AS BIGINT)))
-  AS t(v, n)
-ORDER BY v, n""",
-    "q_dist_zipf" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(19197 AS BIGINT)),
-  (CAST(1 AS BIGINT), CAST(423 AS BIGINT)),
-  (CAST(2 AS BIGINT), CAST(195 AS BIGINT)),
-  (CAST(3 AS BIGINT), CAST(107 AS BIGINT)),
-  (CAST(4 AS BIGINT), CAST(78 AS BIGINT)))
-  AS t(bucket, n)
-ORDER BY bucket, n""",
     "q_gen_array_feature" ->
       """SELECT CAST(5000 AS BIGINT) AS n,
   TRUE AS all_len4,
@@ -205,12 +126,6 @@ ORDER BY bucket, n""",
       """SELECT CAST(8000 AS BIGINT) AS n,
   CAST(0 AS BIGINT) AS orphans,
   TRUE AS types_ok""",
-    "q_gen_daterange" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  CAST(53 AS BIGINT) AS n_distinct,
-  '2024-01-01' AS min_dt,
-  '2024-12-30' AS max_dt,
-  TRUE AS on_week""",
     "q_gen_faker" ->
       """SELECT CAST(10000 AS BIGINT) AS n,
   TRUE AS email_ok,
@@ -238,15 +153,6 @@ ORDER BY bucket, n""",
     "q_gen_fk_uuid" ->
       """SELECT CAST(6000 AS BIGINT) AS n,
   CAST(0 AS BIGINT) AS orphans""",
-    "q_gen_iltext" ->
-      """SELECT CAST(3000 AS BIGINT) AS n,
-  TRUE AS ends_period,
-  TRUE AS capitalized,
-  CAST(3000 AS BIGINT) AS n_distinct""",
-    "q_gen_pattern" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  CAST(10000 AS BIGINT) AS n_distinct,
-  TRUE AS shape_ok""",
     "q_gen_percent_nulls" ->
       """SELECT CAST(20000 AS BIGINT) AS n,
   CAST(3131 AS BIGINT) AS n_null,
@@ -264,27 +170,6 @@ ORDER BY bucket, n""",
   TRUE AS decorrelated,
   TRUE AS spread,
   TRUE AS repeatable_fixed""",
-    "q_gen_range_continuous" ->
-      """SELECT * FROM (VALUES
-  (CAST(0 AS BIGINT), CAST(5007 AS BIGINT), TRUE),
-  (CAST(1 AS BIGINT), CAST(5023 AS BIGINT), TRUE),
-  (CAST(2 AS BIGINT), CAST(4985 AS BIGINT), TRUE),
-  (CAST(3 AS BIGINT), CAST(4985 AS BIGINT), TRUE))
-  AS t(bucket, n, in_bounds)
-ORDER BY bucket, n, in_bounds""",
-    "q_gen_range_decimal" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  CAST(397 AS BIGINT) AS n_distinct,
-  '1.00' AS min_v,
-  '100.00' AS max_v,
-  TRUE AS on_step""",
-    "q_gen_range_int" ->
-      """SELECT CAST(20000 AS BIGINT) AS n,
-  CAST(11 AS BIGINT) AS n_distinct,
-  CAST(10 AS BIGINT) AS min_v,
-  CAST(50 AS BIGINT) AS max_v,
-  TRUE AS in_bounds,
-  TRUE AS on_step""",
     "q_gen_scatter" ->
       """SELECT CAST(5000 AS BIGINT) AS n,
   CAST(3161 AS BIGINT) AS plain_distinct,
@@ -320,39 +205,9 @@ ORDER BY bucket, n, in_bounds""",
     "q_gen_struct_json" ->
       """SELECT CAST(3000 AS BIGINT) AS n,
   TRUE AS json_shape""",
-    "q_gen_template" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  TRUE AS t1_ok,
-  TRUE AS t2_ok,
-  TRUE AS t3_ok,
-  TRUE AS t3_all_alternatives""",
-    "q_gen_template_base" ->
-      """SELECT CAST(5000 AS BIGINT) AS n,
-  TRUE AS base_ok,
-  TRUE AS base_matches""",
-    "q_gen_timestamp" ->
-      """SELECT CAST(10000 AS BIGINT) AS n,
-  '2024-03-01 00:09:00' AS min_ts,
-  '2024-03-31 23:59:00' AS max_ts,
-  TRUE AS minute_aligned,
-  TRUE AS in_bounds""",
     "q_gen_unique_combinations" ->
       """SELECT CAST(12 AS BIGINT) AS n,
   TRUE AS le_12""",
-    "q_gen_values" ->
-      """SELECT * FROM (VALUES
-  ('alpha', CAST(3020 AS BIGINT)),
-  ('beta', CAST(3014 AS BIGINT)),
-  ('gamma', CAST(2966 AS BIGINT)))
-  AS t(v, n)
-ORDER BY v, n""",
-    "q_gen_values_weighted" ->
-      """SELECT * FROM (VALUES
-  ('x', CAST(18117 AS BIGINT), TRUE),
-  ('y', CAST(8884 AS BIGINT), TRUE),
-  ('z', CAST(2999 AS BIGINT), TRUE))
-  AS t(v, n, within_10pct)
-ORDER BY v, n, within_10pct""",
     "q_multimodal_decode" ->
       """SELECT CAST(500 AS BIGINT) AS n,
   CAST(500 AS BIGINT) AS n_decoded,

@@ -110,5 +110,159 @@ object SpecOracles {
     "q_gen_unique_clamp" ->
       """SELECT CAST(30000 AS BIGINT) AS n,
         |  CAST(100 AS BIGINT) AS n_distinct,
-        |  TRUE AS distinct_eq_unique""".stripMargin)
+        |  TRUE AS distinct_eq_unique""".stripMargin,
+
+    // ------------------------------------------------------ distributions
+    // Each q_dist_* query reduces 20000 lattice draws to BOOLEAN shape
+    // properties; the expected bucket masses are derived from the law's
+    // inverse-CDF math (derivations in GenQueries.distQueries) and the
+    // bands are >= 6 binomial sigmas wide, so TRUE is certain for a correct
+    // law and violated for a wrong one.
+    "q_dist_uniform" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS balanced""".stripMargin,
+    "q_dist_normal" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS middle_heavy,
+        |  TRUE AS tails_small,
+        |  TRUE AS symmetric""".stripMargin,
+    "q_dist_zipf" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS monotone,
+        |  TRUE AS head_mass""".stripMargin,
+    "q_dist_exponential" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS monotone,
+        |  TRUE AS head_mass""".stripMargin,
+    "q_dist_lognormal" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS decreasing_head,
+        |  TRUE AS head_mass,
+        |  TRUE AS clamp_tail_small""".stripMargin,
+    "q_dist_gamma" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS head_mass,
+        |  TRUE AS b1_mass,
+        |  TRUE AS b2_mass,
+        |  TRUE AS tail_tiny""".stripMargin,
+    "q_dist_beta" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS mode_second,
+        |  TRUE AS decreasing_tail,
+        |  TRUE AS masses""".stripMargin,
+    "q_dist_pareto" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS monotone,
+        |  TRUE AS head_mass""".stripMargin,
+    // Largest-remainder slot quantization is exact, so expected counts are
+    // exactly 20000 * weight; each count is Binomial with sigma <= 69 and
+    // the band is ±500 (±7 sigma).
+    "q_dist_weighted" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS a_ok,
+        |  TRUE AS b_ok,
+        |  TRUE AS c_ok,
+        |  TRUE AS d_ok,
+        |  TRUE AS total_ok""".stripMargin,
+
+    // ------------------------------------------------------ ranges/lattices
+    // Range(10, 50, step 4): lattice {10,14,...,50}, 11 values; all hit
+    // across 20000 uniform draws (miss probability ~ 11*(10/11)^20000).
+    "q_gen_range_int" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  CAST(11 AS BIGINT) AS n_distinct,
+        |  CAST(10 AS BIGINT) AS min_v,
+        |  CAST(50 AS BIGINT) AS max_v,
+        |  TRUE AS in_bounds,
+        |  TRUE AS on_step""".stripMargin,
+    // Range(1, 100, step 0.25) as decimal(10,2): (100-1)/0.25+1 = 397
+    // lattice points, all hit across 10000 draws (miss ~ 397*e^-25.2);
+    // endpoints render as '1.00'/'100.00' at scale 2.
+    "q_gen_range_decimal" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(397 AS BIGINT) AS n_distinct,
+        |  '1.00' AS min_v,
+        |  '100.00' AS max_v,
+        |  TRUE AS on_step""".stripMargin,
+    // Continuous uniform over [-5,5): quarters are Binomial(20000, 0.25),
+    // band ±400 = ±6.5 sigma.
+    "q_gen_range_continuous" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_bounds,
+        |  TRUE AS balanced""".stripMargin,
+    // DateRange(2024-01-01, 2024-12-31, step 7 days): multiples of 7 up to
+    // 364 -> 53 lattice dates, all hit across 10000 draws (miss ~
+    // 53*e^-188); max = 2024-01-01 + 364d = 2024-12-30 (2024 is a leap
+    // year, 366 days, so day 364 lands on Dec 30).
+    "q_gen_daterange" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(53 AS BIGINT) AS n_distinct,
+        |  '2024-01-01' AS min_dt,
+        |  '2024-12-30' AS max_dt,
+        |  TRUE AS on_week""".stripMargin,
+    // 44640-minute lattice (31 days), 10000 uniform draws:
+    // P(no draw in first/last hour) = (1-60/44640)^10000 = e^-13.4;
+    // E[distinct] = 44640*(1-e^(-10000/44640)) = 8955, sigma ~ 40.
+    "q_gen_timestamp" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS min_near_start,
+        |  TRUE AS max_near_end,
+        |  TRUE AS distinct_band,
+        |  TRUE AS minute_aligned,
+        |  TRUE AS in_bounds""".stripMargin,
+
+    // ------------------------------------------------------ text shapes
+    // {seq:6} embeds the 1-based row number, so every row is distinct by
+    // construction; remaining placeholders are shape-checked by regex.
+    "q_gen_pattern" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(10000 AS BIGINT) AS n_distinct,
+        |  TRUE AS shape_ok""".stripMargin,
+    // Template outputs are pure shape checks (regex per char class) plus
+    // the 3-way alternation covering all branches across 10000 draws
+    // (miss probability ~ 3*(2/3)^10000).
+    "q_gen_template" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS t1_ok,
+        |  TRUE AS t2_ok,
+        |  TRUE AS t3_ok,
+        |  TRUE AS t3_all_alternatives""".stripMargin,
+    "q_gen_template_base" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS base_ok,
+        |  TRUE AS base_matches""".stripMargin,
+    // ILText(1-2 paragraphs, 2-3 sentences, 3-6 words from a 63-word pool):
+    // >= 63^6 ~ 2^35.8 equally-likely word sequences per row, so expected
+    // collisions among 3000 rows ~ 3000^2 / 2^36.8 < 0.1 — a 2900
+    // distinct-count floor leaves a 100-collision margin.
+    "q_gen_iltext" ->
+      """SELECT CAST(3000 AS BIGINT) AS n,
+        |  TRUE AS ends_period,
+        |  TRUE AS capitalized,
+        |  TRUE AS charset_ok,
+        |  TRUE AS high_variety""".stripMargin,
+
+    // ------------------------------------------------------ values lists
+    // 3 unweighted values: Binomial(9000, 1/3), E=3000, sigma=44.7, band
+    // ±350; total_ok pins that nothing outside the list appears.
+    "q_gen_values" ->
+      """SELECT CAST(9000 AS BIGINT) AS n,
+        |  TRUE AS balanced,
+        |  TRUE AS total_ok""".stripMargin,
+    // Weighted 0.6/0.3/0.1 over 30000 rows: the reference's 10% contract
+    // (function_builder.py:59-63) is ±21 sigma here.
+    "q_gen_values_weighted" ->
+      """SELECT CAST(30000 AS BIGINT) AS n,
+        |  TRUE AS x_within_10pct,
+        |  TRUE AS y_within_10pct,
+        |  TRUE AS z_within_10pct,
+        |  TRUE AS total_ok""".stripMargin)
 }

@@ -102,6 +102,49 @@ class Round5Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxRows"))
   }
+
+  // ---------------------------------------------- ILText batched word draws
+
+  private def iltextPlan(p: (Int, Int), s: (Int, Int), w: (Int, Int), rows: Long = 200) =
+    DataGenPlan(Seq(TableSpec("t", rows, Seq(
+      ColumnSpec("pk", "bigint", ColumnStrategy.Sequence(0, 1)),
+      ColumnSpec("txt", "string", ColumnStrategy.ILText(p, s, w))),
+      partitions = Some(2))), 11L)
+
+  test("ILText: wide config (3-5 paragraphs, 4-8 sentences, 8-12 words) respects all bounds") {
+    val rows = Generator.generate(spark, iltextPlan((3, 5), (4, 8), (8, 12)))("t")
+      .select("txt").collect().map(_.getString(0))
+    assert(rows.length === 200)
+    val pool = graft.columns.ILTextCompiler.LoremWords.toSet
+    rows.foreach { t =>
+      val paras = t.split("\n\n")
+      assert(paras.length >= 3 && paras.length <= 5, s"paragraph count ${paras.length}")
+      paras.foreach { para =>
+        val sents = para.split("\\.").map(_.trim).filter(_.nonEmpty)
+        assert(sents.length >= 4 && sents.length <= 8, s"sentence count ${sents.length}")
+        sents.foreach { sent =>
+          val words = sent.split(" ")
+          assert(words.length >= 8 && words.length <= 12, s"word count ${words.length}")
+          words.foreach(wd => assert(pool.contains(wd.toLowerCase), s"word '$wd' not in pool"))
+        }
+      }
+    }
+  }
+
+  test("ILText: batched draws stay deterministic across builds and varied across rows") {
+    def build = Generator.generate(spark, iltextPlan((1, 2), (2, 3), (3, 6), rows = 500))("t")
+      .orderBy("pk").select("txt").collect().map(_.getString(0)).toSeq
+    val a = build
+    assert(a === build)
+    assert(a.distinct.length > 490, "500 rows of >= 2^35 word sequences must be near-all distinct")
+  }
+
+  test("ILText: plan-size guard rejects configs above the 6000-term cap") {
+    val e = intercept[IllegalArgumentException] {
+      Generator.generate(spark, iltextPlan((10, 10), (30, 30), (21, 21)))("t").collect()
+    }
+    assert(e.getMessage.contains("6000"))
+  }
 }
 
 private object Dedup5TestUtil {
