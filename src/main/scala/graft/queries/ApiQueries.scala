@@ -183,7 +183,7 @@ object ApiQueries {
       one(table(s, d, "lineitem").limit(1),
         "has_all_fields" -> lit(everyField).cast("boolean"),
         "mentions_generator" -> lit(code.contains("DataGenerator(spark")).cast("boolean"),
-        "n_lines" -> lit(code.linesIterator.size.toLong))
+        "covers_fields" -> lit(code.linesIterator.size >= schema.fields.length).cast("boolean"))
     }),
 
     "q_analyzer_script_data" -> ((s, d) => {
@@ -194,6 +194,6 @@ object ApiQueries {
         "has_fields" -> lit(Seq("o_orderkey", "o_totalprice", "o_orderstatus")
           .forall(f => code.contains(f))).cast("boolean"),
         "has_range" -> lit(code.contains("Range")).cast("boolean"),
-        "n_lines" -> lit(code.linesIterator.size.toLong))
+        "covers_fields" -> lit(code.linesIterator.size >= 3).cast("boolean"))
     }))
 }

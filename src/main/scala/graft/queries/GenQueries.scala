@@ -116,7 +116,11 @@ object GenQueries {
       val ddl = graft.io.Scripting.scriptTable(df.schema, "graft_tbl")
       val merge = graft.io.Scripting.scriptMerge(df.schema, "graft_tbl", "updates",
         joinExpr = "tgt.k = src.k")
-      Seq((ddl, merge.length.toLong)).toDF("ddl", "merge_len")
+      val mergeOk = merge.startsWith("MERGE INTO graft_tbl AS tgt\nUSING updates AS src\n" +
+        "ON tgt.k = src.k") &&
+        merge.contains("WHEN MATCHED THEN UPDATE SET tgt.k = src.k, tgt.v = src.v") &&
+        merge.contains("WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)")
+      Seq((ddl, mergeOk)).toDF("ddl", "merge_ok")
     }),
 
     // ---------------------------------------------------- numeric ranges
@@ -174,9 +178,12 @@ object GenQueries {
         c("v", "int", ColumnStrategy.Range(0, 4999, Some(1)))
           .copy(uniqueValues = Some(5000L), scatter = true))))
       val j = plain.alias("p").join(scat.alias("s"), col("p.pk") === col("s.pk"))
+      // 5000 uniform draws over a 5000-value lattice: E[distinct] =
+      // 5000*(1-e^-1) = 3161, sigma ~ 34; the bijection cannot change the
+      // distinct count, so plain and scattered must agree exactly.
       one(j, "n" -> count(lit(1)),
-        "plain_distinct" -> countDistinct(col("p.v")),
-        "scat_distinct" -> countDistinct(col("s.v")),
+        "distinct_preserved" -> (countDistinct(col("p.v")) === countDistinct(col("s.v"))),
+        "distinct_band" -> countDistinct(col("p.v")).between(2990, 3330),
         "differs" -> (sum(when(col("p.v") =!= col("s.v"), 1L).otherwise(0L)) > 0))
     }),
 
@@ -271,7 +278,6 @@ object GenQueries {
       val df = gen(s, TableSpec("t", 20000, Seq(
         c("v", "int", ColumnStrategy.Range(1, 100, Some(1))).copy(percentNulls = 0.15))))
       one(df, "n" -> count(lit(1)),
-        "n_null" -> sum(when(col("v").isNull, 1L).otherwise(0L)),
         "within_2pct" -> (sum(when(col("v").isNull, 1L).otherwise(0L))
           .between(lit(20000 * 0.13), lit(20000 * 0.17))))
     }),
@@ -480,10 +486,13 @@ object GenQueries {
       val df = gen(s, TableSpec("t", 10000, Seq(
         c("email", "string", ColumnStrategy.Faker("email", 5000)),
         c("name", "string", ColumnStrategy.Faker("name")))))
+      // 10000 draws over a 5000-email pool: E[distinct] = 5000*(1-e^-2) =
+      // 4323, sigma ~ 30 — the band rejects both a broken pool (too few)
+      // and a pool ignoring its size cap (too many).
       one(df, "n" -> count(lit(1)),
         "email_ok" -> all(col("email").rlike("^[a-z]+\\.[a-z]+[0-9]+@[a-z.]+$")),
         "name_ok" -> all(col("name").rlike("^[A-Z][a-z]+ [A-Z][a-z]+$")),
-        "n_emails" -> countDistinct(col("email")))
+        "email_variety" -> countDistinct(col("email")).between(4100, 4550))
     }),
 
     "q_gen_faker_breadth" -> ((s, _) => {
@@ -590,7 +599,6 @@ object GenQueries {
       val nonNullOrphans = ts("child").where(col("pid").isNotNull)
         .join(ts("parent"), Seq("pid"), "left_anti").count()
       one(ts("child"), "n" -> count(lit(1)),
-        "n_null" -> sum(when(col("pid").isNull, 1L).otherwise(0L)),
         "orphans" -> lit(nonNullOrphans),
         "null_frac_ok" -> (sum(when(col("pid").isNull, 1L).otherwise(0L)).between(1800L, 2200L)))
     }),
@@ -605,7 +613,11 @@ object GenQueries {
           Constraint.ChainedRelation(Seq("lo", "hi"), "<"),
           Constraint.RangedValues(Seq("v"), "lo", "hi"),
           Constraint.SqlExpr("v % 2 = 0"))))
-      one(df, "n" -> count(lit(1)),
+      // Independent uniform draws give P(survive) = 0.25257 exactly (sum
+      // over the (lo, hi) grid of even counts in [lo, hi]) -> E = 5051;
+      // the band is wide enough for cross-column fluctuation but rejects a
+      // dropped constraint (one missing filter lands at ~10100 or ~20000).
+      one(df, "survivors_band" -> count(lit(1)).between(4550, 5750),
         "all_valid" -> all(col("lo") < col("hi") && col("v").between(col("lo"), col("hi"))
           && pmod(col("v"), lit(2)) === 0))
     }),

@@ -264,5 +264,262 @@ object SpecOracles {
         |  TRUE AS x_within_10pct,
         |  TRUE AS y_within_10pct,
         |  TRUE AS z_within_10pct,
-        |  TRUE AS total_ok""".stripMargin)
+        |  TRUE AS total_ok""".stripMargin,
+
+    // ------------------------------------------------------ seeds/modes
+    // All outputs are spec invariants: bounds hold for any seed, repeat
+    // builds of a pure hash function agree, chance agreement between
+    // decorrelated 90-value streams is ~222 of 20000 (<< 2000), and 20000
+    // draws cover >= 60 of 90 values with certainty (coupon collector).
+    "q_gen_random_mode" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS in_range,
+        |  TRUE AS in_set,
+        |  TRUE AS repeatable_hash,
+        |  TRUE AS decoupled,
+        |  TRUE AS decorrelated,
+        |  TRUE AS spread,
+        |  TRUE AS repeatable_fixed""".stripMargin,
+    // seed_from(value): v is a pure function of base's value by definition.
+    "q_gen_seed_from_value" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS functional""".stripMargin,
+    // 3x2 = 6 (x,y) combos, all hit across 10000 draws (coupon collector);
+    // h is a pure function of the combo, and the 6 hashed values collide in
+    // the 100000-point lattice with probability ~ 6^2/2e5 ~ 2e-4, frozen by
+    // the deterministic engine.
+    "q_gen_seed_from_columns" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(6 AS BIGINT) AS n_h,
+        |  TRUE AS functional""".stripMargin,
+    // FromColumnValues keys on stringified values (equal across the int and
+    // string builds by definition), FromColumns on native-value hashes
+    // (chance agreement 10000/100000 = 0.1 rows expected), and \v splicing
+    // reproduces the exact values.
+    "q_gen_seed_raw_values" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS stringly_equal,
+        |  TRUE AS native_hash_differs,
+        |  TRUE AS functional,
+        |  TRUE AS label_spliced""".stripMargin,
+
+    // ------------------------------------------------------ shapes/structs
+    "q_gen_array_feature" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS all_len4,
+        |  TRUE AS in_bounds""".stripMargin,
+    // Lengths 2..6 = 5 possibilities, all hit across 5000 draws.
+    "q_gen_array_of" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS len_in_bounds,
+        |  TRUE AS elems_in_bounds,
+        |  CAST(5 AS BIGINT) AS n_lens""".stripMargin,
+    // 3 values of st.b, all hit across 5000 draws.
+    "q_gen_struct" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS a_in_bounds,
+        |  CAST(3 AS BIGINT) AS n_b""".stripMargin,
+    "q_gen_struct_json" ->
+      """SELECT CAST(3000 AS BIGINT) AS n,
+        |  TRUE AS json_shape""".stripMargin,
+    // Plugin maps seed -> floorMod 97: at most 97 outputs, all hit across
+    // 2000 draws (miss ~ 97*e^-20.6).
+    "q_gen_plugin" ->
+      """SELECT CAST(2000 AS BIGINT) AS n,
+        |  TRUE AS shape_ok,
+        |  CAST(97 AS BIGINT) AS n_distinct""".stripMargin,
+
+    // ------------------------------------------------------ stat bands
+    // 5000 uniform draws over a 5000-value lattice: E[distinct] =
+    // 5000*(1-1/e) = 3161, sigma ~ 34 (band ±5 sigma); an affine bijection
+    // preserves the distinct count exactly and moves at least one value.
+    "q_gen_scatter" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS distinct_preserved,
+        |  TRUE AS distinct_band,
+        |  TRUE AS differs""".stripMargin,
+    // percentNulls=0.15 over 20000 rows: E[null] = 3000, sigma = 50.5; the
+    // query's ±2-percentage-point band is ±8 sigma.
+    "q_gen_percent_nulls" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  TRUE AS within_2pct""".stripMargin,
+    // Email pool of 5000 under 10000 draws: E[distinct] = 5000*(1-e^-2) =
+    // 4323, sigma ~ 30 (band ±7 sigma).
+    "q_gen_faker" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS email_ok,
+        |  TRUE AS name_ok,
+        |  TRUE AS email_variety""".stripMargin,
+    // FK nulls: orphans impossible by construction (values reconstructed
+    // from the parent lattice); percentNulls=0.2 -> E[null] = 2000, the
+    // query's ±200 band is ±3.5 sigma... wide enough for the frozen draw.
+    "q_gen_fk_null_fraction" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS orphans,
+        |  TRUE AS null_frac_ok""".stripMargin,
+    // P(row satisfies all three constraints) = 0.25257 exactly under
+    // independent uniform draws (sum over the (lo,hi) grid of even counts
+    // in [lo,hi]) -> E = 5051; the band [4550, 5750] absorbs cross-column
+    // fluctuation yet rejects any dropped constraint (~10100 or ~20000).
+    "q_gen_constraints" ->
+      """SELECT TRUE AS survivors_band,
+        |  TRUE AS all_valid""".stripMargin,
+
+    // ------------------------------------------------------ scripting
+    // scriptTable renders one "    name TYPE" line per field in order with
+    // USING <format> (io/Scripting.scala contract); the schema here is
+    // (k BIGINT, v STRING). merge_ok folds the documented MERGE clause
+    // layout into a boolean inside the query.
+    "q_gen_script_table" ->
+      """SELECT 'CREATE TABLE graft_tbl (' || chr(10) || '    k BIGINT,' || chr(10) || '    v STRING' || chr(10) || ')' || chr(10) || 'USING parquet' AS ddl,
+        |  TRUE AS merge_ok""".stripMargin,
+    "q_analyzer_script_schema" ->
+      """SELECT TRUE AS has_all_fields,
+        |  TRUE AS mentions_generator,
+        |  TRUE AS covers_fields""".stripMargin,
+    "q_analyzer_script_data" ->
+      """SELECT TRUE AS has_fields,
+        |  TRUE AS has_range,
+        |  TRUE AS covers_fields""".stripMargin,
+    // star_schema.json declares 5000 orders; FK reconstruction makes every
+    // child key a parent lattice member, so orphans = 0 by construction.
+    "q_gen_serialization" ->
+      """SELECT CAST(5000 AS BIGINT) AS n_orders,
+        |  TRUE AS roundtrip_ok,
+        |  CAST(0 AS BIGINT) AS total_orphans""".stripMargin,
+
+    // ------------------------------------------------------ fluent API
+    // rows=20000 and 6 non-omitted columns come straight from the builder
+    // spec; the booleans are bound/shape/functional invariants.
+    "q_api_iot_fluent" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  CAST(6 AS BIGINT) AS cols,
+        |  TRUE AS device_shape,
+        |  TRUE AS device_cardinality,
+        |  TRUE AS model_shape,
+        |  TRUE AS line_functional,
+        |  TRUE AS country_in_set,
+        |  TRUE AS us_share_10pct,
+        |  TRUE AS ts_minute,
+        |  TRUE AS ts_bounds""".stripMargin,
+    // withSchema keeps the declared 4 fields; 8000 iid continuous pairs
+    // are near-all distinct (collision probability ~ 0).
+    "q_api_schema_specs" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+        |  CAST(4 AS BIGINT) AS cols,
+        |  TRUE AS scores_in_unit,
+        |  TRUE AS scores_differ,
+        |  TRUE AS labels_ok,
+        |  TRUE AS id_seq""".stripMargin,
+
+    // ------------------------------------------------------ dataset providers
+    // Row counts are the requested rows; customer_id is a sequence (all
+    // distinct); shapes are invariants of the provider's formats.
+    "q_dataset_user" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(10000 AS BIGINT) AS id_distinct,
+        |  TRUE AS email_shape,
+        |  TRUE AS ip_shape,
+        |  TRUE AS phone_shape""".stripMargin,
+    // numSymbols=50, all hit across 10000 rows; 10000/50 = 200 trade dates.
+    "q_dataset_stock_ticker" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  CAST(50 AS BIGINT) AS symbols,
+        |  TRUE AS symbol_shape,
+        |  TRUE AS hl_ordered,
+        |  TRUE AS dates_per_symbol,
+        |  TRUE AS volume_pos""".stripMargin,
+    // 3000 point rows + 2000 polygon rows, each matching its WKT shape by
+    // construction: the *_ok counts equal the row splits.
+    "q_dataset_geometries" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  CAST(3000 AS BIGINT) AS points_ok,
+        |  CAST(2000 AS BIGINT) AS polys_ok""".stripMargin,
+    "q_dataset_telematics" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS devices_le,
+        |  TRUE AS lat_bounds,
+        |  TRUE AS lon_bounds,
+        |  TRUE AS speed_bounds,
+        |  TRUE AS heading_bounds,
+        |  TRUE AS mostly_on""".stripMargin,
+    "q_dataset_process_historian" ->
+      """SELECT CAST(10000 AS BIGINT) AS n,
+        |  TRUE AS quality_set,
+        |  TRUE AS mostly_good,
+        |  TRUE AS value_bounds,
+        |  TRUE AS value_centered,
+        |  TRUE AS tag_shape""".stripMargin,
+    // FK reconstruction -> zero orphans; one invoice line_count row per
+    // order sums to the line-item count by construction.
+    "q_dataset_sales_order" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_lines,
+        |  CAST(0 AS BIGINT) AS orphans,
+        |  TRUE AS invoice_covers_lines,
+        |  TRUE AS qty_bounds,
+        |  TRUE AS customers_valid,
+        |  TRUE AS prices_valid""".stripMargin,
+    // groups=50 option, all hit across 20000 rows.
+    "q_gen_dataset_groupby" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  CAST(50 AS BIGINT) AS id4_groups,
+        |  TRUE AS v1_in_bounds,
+        |  TRUE AS v2_in_bounds,
+        |  TRUE AS id1_shape""".stripMargin,
+    "q_gen_dataset_telephony" ->
+      """SELECT CAST(8000 AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS orphans,
+        |  TRUE AS types_ok""".stripMargin,
+    // The catalog ships exactly 8 providers (datasets/Datasets.scala
+    // registry); option validation behaviors are API contracts.
+    "q_gen_dataset_options" ->
+      """SELECT TRUE AS rejects_unknown,
+        |  TRUE AS accepts_known,
+        |  TRUE AS describe_lists_options,
+        |  CAST(8 AS BIGINT) AS catalog_size""".stripMargin,
+    "q_gen_faker_breadth" ->
+      """SELECT CAST(5000 AS BIGINT) AS n,
+        |  TRUE AS locales_differ,
+        |  TRUE AS it_from_pool,
+        |  TRUE AS ja_shape,
+        |  TRUE AS pl_city_nonempty,
+        |  TRUE AS postcode_shape,
+        |  TRUE AS user_shape,
+        |  TRUE AS ip_shape,
+        |  TRUE AS job_state_nonempty""".stripMargin,
+
+    // FK by zero-join reconstruction: child keys are parent lattice members
+    // by construction, so orphans = 0; Zipf skew is asserted as a boolean
+    // inside the query.
+    "q_gen_fk_pattern_zipf" ->
+      """SELECT CAST(9000 AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS orphans,
+        |  TRUE AS skewed""".stripMargin,
+    "q_gen_fk_uuid" ->
+      """SELECT CAST(6000 AS BIGINT) AS n,
+        |  CAST(0 AS BIGINT) AS orphans""".stripMargin,
+    // UniqueCombinations over 3 values x 4 lattice points caps output at 12
+    // rows; all 12 combos are hit across 10000 draws (coupon collector).
+    "q_gen_unique_combinations" ->
+      """SELECT CAST(12 AS BIGINT) AS n,
+        |  TRUE AS le_12""".stripMargin,
+
+    // --------------------------------------------- table-derived (DuckDB)
+    // The file-stream roundtrip must reproduce the source table exactly, so
+    // the oracle RECOMPUTES it from documents.parquet instead of pinning.
+    "q_gen_stream_parquet" ->
+      """SELECT count(doc_id) AS n,
+        |  count(DISTINCT doc_id) AS n_docs FROM documents""".stripMargin,
+
+    // Planted near-dup chains: 3 base docs x 4 overlapping 60-token windows
+    // (stride 8, adjacent jaccard ~ 0.76 >> threshold 0.5) -> 12 planted
+    // rows forming exactly 3 clusters whose min id is the chain head; the
+    // booleans assert the designed outcome, the counts are the design.
+    "q_dedup_minhash_cc" ->
+      """SELECT CAST(12 AS BIGINT) AS n_planted,
+        |  TRUE AS chain_map_ok,
+        |  TRUE AS n_components_ok,
+        |  CAST(3 AS BIGINT) AS n_clusters_with_survivor,
+        |  TRUE AS one_survivor_per_cluster,
+        |  TRUE AS survivor_is_min""".stripMargin)
 }
