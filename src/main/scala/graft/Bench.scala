@@ -59,6 +59,12 @@ object Bench {
       // 128-aggregate minhash signatures exceed the default codegen
       // field cap (100) and would silently fall back to interpreted agg.
       .config("spark.sql.codegen.maxFields", "400")
+      // The generated-class cache defaults to 100 entries; a 100+-query run
+      // cycles it, so alphabetical neighbors sharing a pipeline (minhash /
+      // minhash_drop) recompile identical classes — measured ~10s of extra
+      // Janino+JIT per wide-aggregate recompile. Static conf: must be set
+      // before the first session builds.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,6 +75,28 @@ object Bench {
     // Warm up codegen + parquet footer caches outside the timed region.
     materialize(spark.range(1000000).toDF("id"))
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+
+    // Untimed warmup pass at the smallest scale: every registry query runs
+    // once over sf0.001, compiling and JIT-ing all of its generated classes
+    // (which the raised cache above then retains). The timed loop below
+    // still performs each query's full work at the target scale — this only
+    // removes first-run Janino/JIT cost from the measurements, which
+    // otherwise dominates the wide-aggregate pipelines (measured 5-21s
+    // run-to-run swings on an idle box) and models the steady state of a
+    // long-running cluster.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
+      }
+      // Drop the warmup's leftovers before timing: localCheckpoint blocks
+      // from the dedup pipelines stay cached until the ContextCleaner gets
+      // to them, and the JIT queue is still draining — both steal cycles
+      // from the CPU-bound generation benches that run first.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(5000)
+    }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
