@@ -360,6 +360,65 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup: pairs of `batch` documents that are near-dups of
+    * `corpus` documents — the ingest shape of a production pipeline, where
+    * each new crawl slice is deduped against the accumulated training set
+    * rather than re-running dedup over corpus x corpus. Same MinHash +
+    * banded-LSH + exact-verify machinery as [[nearDupMinHash]], but the band
+    * join is batch x corpus only: candidate volume scales with the BATCH
+    * size, and the corpus contributes one signature pass (in production the
+    * corpus band index would be written once and reused across batches —
+    * the frame returned by the signature stage is an ordinary DataFrame, so
+    * persisting it to a bucketed table by `bandkey` makes every later batch
+    * join shuffle-free on the corpus side). Intra-batch duplicates are NOT
+    * reported — compose with [[dropNearDupsMinHash]] on the batch for that;
+    * under Structured Streaming, call this per micro-batch via foreachBatch.
+    *
+    * Ids are namespaced per side: a batch row and corpus row may share an id
+    * value and still form a pair.
+    *
+    * @return (batch_id, corpus_id, jaccard) with jaccard >= threshold.
+    */
+  def nearDupMinHashAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+
+    def bandsOf(df: DataFrame): DataFrame =
+      minHashSigOnly(df, idCol, textCol, numHashes, shingleWidth)
+        .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
+
+    // The cap runs on the corpus side — the side whose pathological buckets
+    // (boilerplate shingles over billions of documents) can go quadratic.
+    // The batch side is bounded by construction (one ingest slice).
+    val corpusBands = capBuckets(bandsOf(corpus), "bandkey", maxBucket)
+    val candidates = bandsOf(batch).select(col("bandkey"), col("id").as("batch_id"))
+      .join(corpusBands.select(col("bandkey"), col("id").as("corpus_id")), Seq("bandkey"))
+      .select("batch_id", "corpus_id")
+      .distinct()
+
+    candidates
+      .join(shingleSets(batch, idCol, textCol, shingleWidth)
+        .select(col("id").as("batch_id"), col("sh").as("sh_a")), Seq("batch_id"))
+      .join(shingleSets(corpus, idCol, textCol, shingleWidth)
+        .select(col("id").as("corpus_id"), col("sh").as("sh_b")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Batch rows that are NOT near-dups of the corpus: the keep-side of
+    * [[nearDupMinHashAgainst]] — what an ingest job appends to the training
+    * set. One left_anti against the flagged batch ids. */
+  def dropNearDupsMinHashAgainst(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    val losers = nearDupMinHashAgainst(batch, corpus, idCol, textCol, threshold,
+      numHashes, bands, shingleWidth)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: per bit, the sign of the sum of

@@ -521,5 +521,16 @@ object SpecOracles {
         |  TRUE AS n_components_ok,
         |  CAST(3 AS BIGINT) AS n_clusters_with_survivor,
         |  TRUE AS one_survivor_per_cluster,
-        |  TRUE AS survivor_is_min""".stripMargin)
+        |  TRUE AS survivor_is_min""".stripMargin,
+
+    // Incremental dedup, planted: 5 batch variants each sharing 78 of their
+    // base's 98 shingles (jaccard ~0.796, certain LSH hit at 64 bands) and 5
+    // fresh disjoint-namespace docs (jaccard 0, certain miss after exact
+    // verification). Pairs: exactly the 5 (2.1e9+k, 2e9+k) hits, each with
+    // batch_id - corpus_id = 1e8; survivors: exactly the 5 fresh ids >= 3e9.
+    "q_dedup_incremental" ->
+      """SELECT CAST(5 AS BIGINT) AS n_pairs,
+        |  CAST(500000000 AS BIGINT) AS sum_delta,
+        |  CAST(5 AS BIGINT) AS n_survivors,
+        |  TRUE AS survivors_all_fresh""".stripMargin)
 }

@@ -145,6 +145,35 @@ class Round5Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("6000"))
   }
+
+  test("incremental dedup: batch near-dups of the corpus are flagged, fresh rows survive") {
+    import graft.llm.Dedup
+    // Corpus: two documents with disjoint vocabularies. Batch: a near-copy
+    // of corpus doc 10 (same 12 words minus the last), one near-copy of the
+    // OTHER batch row (intra-batch dup — must NOT be flagged: the contract
+    // is batch-vs-corpus only), and one fresh doc.
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("id", "text")
+    val nearCopy = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val batch = Seq(
+      (20L, nearCopy),
+      (21L, nearCopy + " nu"),
+      (22L, "red orange yellow green blue indigo violet cyan magenta white black grey"))
+      .toDF("id", "text")
+
+    val pairs = Dedup.nearDupMinHashAgainst(batch, corpus, "id", "text",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .select("batch_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((20L, 10L), (21L, 10L)),
+      "both near-copies must hit corpus doc 10 and nothing else")
+
+    val kept = Dedup.dropNearDupsMinHashAgainst(batch, corpus, "id", "text",
+      threshold = 0.5, numHashes = 32, bands = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(22L), "only the fresh doc survives the corpus filter")
+  }
 }
 
 private object Dedup5TestUtil {
