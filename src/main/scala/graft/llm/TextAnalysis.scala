@@ -124,6 +124,51 @@ object TextAnalysis {
     checks.reduce(_ + _) / checks.length
   }
 
+  // ------------------------------------------------- repetition (Gopher-style)
+
+  /** Newline-split lines (trailing empties kept — split limit -1). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Number of repeated lines: total minus distinct. The Gopher web-filter
+    * family uses the fraction of duplicate lines as a boilerplate signal
+    * (headers/footers/nav repeated inside one page). Integer count so
+    * aggregations stay exact; divide by `size(lines)` for the fraction. */
+  def duplicateLineCount(text: Column): Column = {
+    val l = lines(text)
+    size(l) - size(array_distinct(l))
+  }
+
+  /** Fraction of lines that are repeats (0 for empty/one-line docs). */
+  def duplicateLineFraction(text: Column): Column = {
+    val n = size(lines(text)).cast("double")
+    when(n <= 1, lit(0.0)).otherwise(duplicateLineCount(text).cast("double") / n)
+  }
+
+  /** Number of repeated word n-grams (total minus distinct over the shingle
+    * multiset; 0 when the document has <= width tokens and so a single
+    * full-text shingle). High values mark the looping/spammy text the
+    * Gopher rules drop via duplicate-n-gram fractions. */
+  def duplicateNgramCount(text: Column, width: Int = 3): Column = {
+    val sh = Dedup.shingles(text, width)
+    size(sh) - size(array_distinct(sh))
+  }
+
+  /** Fraction of n-grams that are repeats. */
+  def duplicateNgramFraction(text: Column, width: Int = 3): Column = {
+    val n = size(Dedup.shingles(text, width)).cast("double")
+    when(n === 0, lit(0.0)).otherwise(duplicateNgramCount(text, width).cast("double") / n)
+  }
+
+  /** Lines that start with a bullet marker (-, *, •) after leading spaces —
+    * list-heavy pages score high and read poorly as prose. */
+  def bulletLineCount(text: Column): Column =
+    size(filter(lines(text), l => ltrim(l).rlike("^[-*•]")))
+
+  /** Lines that trail off with "..." (after trailing spaces) — truncated
+    * scrapes and clickbait summaries. */
+  def ellipsisLineCount(text: Column): Column =
+    size(filter(lines(text), l => rtrim(l).endsWith("...")))
+
   // ------------------------------------------------------------ fingerprint
 
   /** 64-bit content fingerprint of normalized text (lowercase, punctuation

@@ -174,6 +174,26 @@ class Round5Spec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(22L), "only the fresh doc survives the corpus filter")
   }
+
+  test("repetition signals: duplicate lines/3-grams, bullets and ellipses count exactly") {
+    import graft.llm.TextAnalysis._
+    import org.apache.spark.sql.functions.col
+    val doc = Seq(
+      // 4 lines, "same line" repeated twice -> 1 dup; one bullet; one ellipsis.
+      "same line\nsame line\n- a bullet item\nto be continued ...",
+      // "a b c d a b c d a b c": 9 3-grams, distinct {abc,bcd,cda,dab} = 4 -> 5 dups.
+      "a b c d a b c d a b c",
+      // <= 3 tokens: single full shingle, zero dups.
+      "tiny doc").toDF("text")
+    val r = doc.select(
+      duplicateLineCount(col("text")).as("dl"),
+      duplicateNgramCount(col("text"), 3).as("dg"),
+      bulletLineCount(col("text")).as("bl"),
+      ellipsisLineCount(col("text")).as("el")).collect()
+    assert(r(0).getInt(0) === 1 && r(0).getInt(2) === 1 && r(0).getInt(3) === 1)
+    assert(r(1).getInt(1) === 5, "9 3-grams with 4 distinct = 5 duplicates")
+    assert(r(2).getInt(1) === 0, "short docs have one full-text shingle, no dups")
+  }
 }
 
 private object Dedup5TestUtil {
