@@ -16,6 +16,23 @@ object Q {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS); under the session's
+    * `nanosAsLong` flag it arrives as LONG nanos — normalize `ts` back to
+    * a real (microsecond) timestamp either way. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // Integer division: `/` on longs is DOUBLE division, and epoch nanos
+      // (~1.7e18) exceed a double's 53-bit mantissa — the rounding shifts
+      // timestamps by ±1 us.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Microsecond-precision string form of a timestamp — matches DuckDB's
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S.%f')`. */
+  def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   /** Exact money arithmetic: dollars double -> integer cents. Values carry
     * two decimals, so round() lands on the same integer in Spark and
     * DuckDB regardless of FP representation. */

@@ -95,21 +95,56 @@ object TableQueries {
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
         .orderBy("o_orderkey")),
 
-    "q_events_window" -> ((s, d) => {
-      // events.ts is TIMESTAMP(NANOS) in the file; with nanosAsLong set it
-      // arrives as LONG nanos — convert to a real timestamp for window().
-      val raw = table(s, d, "events")
-      val ts =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros((col("ts") / 1000).cast("long"))
-        else col("ts")
-      raw.withColumn("__ts", ts)
+    "q_events_window" -> ((s, d) =>
+      events(s, d).withColumn("__ts", col("ts"))
         .groupBy(window(col("__ts"), "1 hour"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("n"), col("users"))
-        .orderBy("hour_start")
+        .orderBy("hour_start")),
+
+    // ------------------------------------------- time-series ops (graft.ts)
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_value"))
+      graft.ts.TimeOps.asofJoin(purchases, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("view_value"),
+        rightTimeAs = Some("view_ts"))
+        .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts"),
+          tsFmt(col("view_ts")).as("view_ts"), col("view_value"))
+        .orderBy("event_id")
     }),
+
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("err_start"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("err_end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ts.TimeOps.rangeJoinPoint(errors, clicks, Seq("user_id"),
+        startCol = "err_start", endCol = "err_end", pointTime = "click_ts",
+        binSeconds = 4 * 3600)
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          tsFmt(col("click_ts")).as("click_ts"), col("click_value"))
+        .orderBy("err_id", "click_id")
+    }),
+
+    "q_sessionize" -> ((s, d) =>
+      graft.ts.TimeOps.sessions(
+        events(s, d).select("user_id", "ts", "value"),
+        Seq("user_id"), "ts", expr("INTERVAL 30 MINUTES"),
+        extraAggs = Seq(sum(cents(col("value"))).as("value_c")))
+        .select(col("user_id"), col("session_seq"),
+          tsFmt(col("session_start")).as("session_start"),
+          tsFmt(col("session_end")).as("session_end"),
+          col("n_events"), col("value_c"))
+        .orderBy("user_id", "session_seq")),
 
     "q_scalar_funcs" -> ((s, d) =>
       one(table(s, d, "part"),
@@ -228,6 +263,45 @@ object TableQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |count(*) AS n, count(DISTINCT user_id) AS users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |v.view_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+        |ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+        |strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON e.user_id = c.user_id
+        | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 4 HOUR
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(opens) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT CAST(sum(CASE WHEN printf('%s#%05d', p_brand, p_size) =

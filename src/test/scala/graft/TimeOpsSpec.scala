@@ -1,0 +1,214 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ts.{StreamSessionize, TimeOps}
+
+/** Component tests for the time-series operator family (graft.ts): as-of
+  * join, bin-bucketed range join, batch sessionization, and the stateful
+  * streaming sessionizer.
+  */
+class TimeOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ asofJoin
+
+  private def quotes = Seq(
+    (1L, t("2024-01-01 10:00:00"), 100.0),
+    (1L, t("2024-01-01 10:05:00"), 101.0),
+    (1L, t("2024-01-01 10:10:00"), 102.0),
+    (2L, t("2024-01-01 10:03:00"), 200.0)
+  ).toDF("user_id", "qts", "price")
+
+  private def trades = Seq(
+    (10L, 1L, t("2024-01-01 10:04:00")), // -> 100.0 (10:00)
+    (11L, 1L, t("2024-01-01 10:05:00")), // -> 101.0 (exact tie: >= matches)
+    (12L, 1L, t("2024-01-01 11:00:00")), // -> 102.0 (latest)
+    (13L, 2L, t("2024-01-01 10:00:00")), // -> null  (nothing at-or-before)
+    (14L, 3L, t("2024-01-01 10:00:00"))  // -> null  (no such key)
+  ).toDF("trade_id", "user_id", "tts")
+
+  test("asofJoin: latest at-or-before match, ties match, unmatched null") {
+    val got = TimeOps.asofJoin(trades, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      rightTimeAs = Some("quote_ts"))
+      .select("trade_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      10L -> Some(100.0), 11L -> Some(101.0), 12L -> Some(102.0),
+      13L -> None, 14L -> None))
+  }
+
+  test("asofJoin: tolerance drops stale matches but keeps the row") {
+    val got = TimeOps.asofJoin(trades, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select("trade_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // trade 12 (11:00) is 50 min after the last quote (10:10) -> nulled out.
+    assert(got === Map(
+      10L -> Some(100.0), 11L -> Some(101.0), 12L -> None,
+      13L -> None, 14L -> None))
+  }
+
+  test("asofJoin: null left keys/times survive with null matches") {
+    val l = Seq(
+      (1L, Option(1L), Option(t("2024-01-01 10:04:00"))),
+      (2L, None, Option(t("2024-01-01 10:04:00"))),
+      (3L, Option(1L), None)
+    ).toDF("row_id", "user_id", "tts")
+    val got = TimeOps.asofJoin(l, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"))
+      .select("row_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(100.0), 2L -> None, 3L -> None))
+  }
+
+  test("asofJoin: single shuffle — one Exchange, no join operator in the plan") {
+    val plan = TimeOps.asofJoin(trades, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  // ------------------------------------------------------ rangeJoinPoint
+
+  private def intervals = Seq(
+    (100L, 1L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+    (101L, 1L, t("2024-01-01 10:30:00"), t("2024-01-01 10:40:00")),
+    (102L, 2L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"))
+  ).toDF("iv_id", "user_id", "start", "end")
+
+  private def points = Seq(
+    (200L, 1L, t("2024-01-01 10:00:00")), // boundary: start inclusive
+    (201L, 1L, t("2024-01-01 10:35:00")), // in both 100 and 101
+    (202L, 1L, t("2024-01-01 11:00:00")), // boundary: end inclusive
+    (203L, 1L, t("2024-01-01 11:00:01")), // just outside
+    (204L, 2L, t("2024-01-01 10:35:00")), // key 2 -> only 102
+    (205L, 3L, t("2024-01-01 10:35:00"))  // no such interval key
+  ).toDF("pt_id", "user_id", "pts")
+
+  test("rangeJoinPoint: inclusive bounds, per-key, exactly-once pairs") {
+    val got = TimeOps.rangeJoinPoint(intervals, points, Seq("user_id"),
+      startCol = "start", endCol = "end", pointTime = "pts",
+      binSeconds = 600)
+      .select("iv_id", "pt_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (100L, 200L), (100L, 201L), (100L, 202L),
+      (101L, 201L),
+      (102L, 204L)))
+  }
+
+  test("rangeJoinPoint: same pairs at a bin width larger than every interval") {
+    val got = TimeOps.rangeJoinPoint(intervals, points, Seq("user_id"),
+      startCol = "start", endCol = "end", pointTime = "pts",
+      binSeconds = 86400)
+      .select("iv_id", "pt_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === 5)
+  }
+
+  test("rangeJoinPoint: oversized interval fails fast instead of fanning out") {
+    val wide = Seq((1L, 1L, t("2024-01-01 00:00:00"), t("2024-03-01 00:00:00")))
+      .toDF("iv_id", "user_id", "start", "end")
+    val ex = intercept[Exception] {
+      TimeOps.rangeJoinPoint(wide, points, Seq("user_id"),
+        "start", "end", "pts", binSeconds = 60, maxBinsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoinPoint"), ex.getMessage)
+  }
+
+  test("rangeJoinPoint: equi-join plan, no nested-loop/cartesian") {
+    val plan = TimeOps.rangeJoinPoint(intervals, points, Seq("user_id"),
+      "start", "end", "pts", binSeconds = 600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---------------------------------------------------------- sessionize
+
+  private def evts = Seq(
+    (1L, t("2024-01-01 10:00:00"), 1.0),
+    (1L, t("2024-01-01 10:10:00"), 2.0),  // same session (10 min gap)
+    (1L, t("2024-01-01 11:30:00"), 3.0),  // new session (80 min gap)
+    (2L, t("2024-01-01 09:00:00"), 4.0)
+  ).toDF("user_id", "ts", "value")
+
+  test("sessionize: gap splits sessions per key, 1-based sequence") {
+    val got = TimeOps.sessionize(evts, Seq("user_id"), "ts",
+      expr("INTERVAL 30 MINUTES"))
+      .select("user_id", "ts", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (1L, t("2024-01-01 10:10:00"), 1L),
+      (1L, t("2024-01-01 11:30:00"), 2L),
+      (2L, t("2024-01-01 09:00:00"), 1L)))
+  }
+
+  test("sessions: aggregates bounds, counts and extras per session") {
+    val got = TimeOps.sessions(evts, Seq("user_id"), "ts",
+      expr("INTERVAL 30 MINUTES"),
+      extraAggs = Seq(sum(col("value")).as("sum_value")))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      (1L, 1L) -> ((t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 2L, 3.0)),
+      (1L, 2L) -> ((t("2024-01-01 11:30:00"), t("2024-01-01 11:30:00"), 1L, 3.0)),
+      (2L, 1L) -> ((t("2024-01-01 09:00:00"), t("2024-01-01 09:00:00"), 1L, 4.0))))
+  }
+
+  test("sessionize: one Exchange for both windows") {
+    val plan = TimeOps.sessionize(evts, Seq("user_id"), "ts",
+      expr("INTERVAL 30 MINUTES")).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
+  // ------------------------------------------------- streaming sessionize
+
+  test("streaming sessionize: sessions close via gap and via watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamSessionize.Event]
+    val sessions = StreamSessionize(input.toDS(), gapSeconds = 600,
+      watermarkDelay = "1 minute")
+    val query = sessions.writeStream.format("memory")
+      .queryName("timeops_sessions").outputMode("append").start()
+    try {
+      // Batch 1: user 1 has two events 5 min apart (one open session);
+      // user 2 has one event.
+      input.addData(
+        StreamSessionize.Event(1L, t("2024-01-01 10:00:00"), 1.0),
+        StreamSessionize.Event(1L, t("2024-01-01 10:05:00"), 2.0),
+        StreamSessionize.Event(2L, t("2024-01-01 10:00:00"), 5.0))
+      query.processAllAvailable()
+      assert(spark.table("timeops_sessions").count() === 0,
+        "no session may close before the watermark passes end+gap")
+
+      // Batch 2: user 1 event two hours later — closes user 1's first
+      // session by gap, and pushes the watermark far enough that user 2's
+      // session times out.
+      input.addData(StreamSessionize.Event(1L, t("2024-01-01 12:00:00"), 3.0))
+      query.processAllAvailable()
+      // Timeout processing runs in the batch where the watermark advances;
+      // one more empty-ish batch lets the user-2 timeout fire if the
+      // engine deferred it.
+      input.addData(StreamSessionize.Event(9L, t("2024-01-01 12:00:01"), 0.0))
+      query.processAllAvailable()
+
+      val got = spark.table("timeops_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === Set(
+        (1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:05:00"), 2L, 3.0),
+        (2L, t("2024-01-01 10:00:00"), t("2024-01-01 10:00:00"), 1L, 5.0)))
+    } finally query.stop()
+  }
+}
