@@ -169,6 +169,57 @@ object TextAnalysis {
   def ellipsisLineCount(text: Column): Column =
     size(filter(lines(text), l => rtrim(l).endsWith("...")))
 
+  /** All Gopher-style repetition signals as ONE frame transform — the
+    * pipeline path. The Column forms above evaluate `filter`/`transform`
+    * higher-order lambdas, which are CodegenFallback: interpreted per
+    * document, they dominate a corpus pass (measured ~10x the whole rest of
+    * q_text_repetition at sf0.1). Here every per-line and per-shingle
+    * predicate is a native codegen'd expression over an exploded row set,
+    * collapsed by hash aggregates with map-side partial aggregation, so the
+    * shuffles carry one compact row per document. Same values as the
+    * Column forms, corpus-scale cost.
+    *
+    * @return one row per input row: idCol plus n_lines, dup_line_count,
+    *         bullet_line_count, ellipsis_line_count, ngram_total,
+    *         ngram_dup_count. Null/empty text: split("") yields [""], so
+    *         such docs count 1 line / 1 shingle, exactly like the Column
+    *         forms.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 3): DataFrame = {
+    val id = col(idCol)
+    // Lines: one exploded pass, aggregated per doc. countDistinct compiles
+    // to a two-phase (doc, line)-then-(doc) aggregate — no HOF anywhere.
+    val lineStats = df
+      .select(id, explode(lines(col(textCol))).as("__line"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("__line")).as("__n_distinct_lines"),
+        sum(when(ltrim(col("__line")).rlike("^[-*•]"), 1L).otherwise(0L))
+          .as("bullet_line_count"),
+        sum(when(rtrim(col("__line")).endsWith("..."), 1L).otherwise(0L))
+          .as("ellipsis_line_count"))
+      .select(id, col("n_lines"),
+        (col("n_lines") - col("__n_distinct_lines")).as("dup_line_count"),
+        col("bullet_line_count"), col("ellipsis_line_count"))
+    // Shingles: explode the index range and build each shingle with
+    // slice/array_join (all codegen'd) — the same generator trick as
+    // Dedup.shingleHashRows, but keeping the string for exact distinctness.
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val nToks = size(toks)
+    val ngramStats = df
+      .select(id,
+        explode(sequence(lit(0), greatest(nToks - width, lit(0)))).as("__i"),
+        toks.as("__toks"))
+      .select(id, array_join(slice(col("__toks"), col("__i") + 1, lit(width)), " ").as("__sh"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("ngram_total"),
+        countDistinct(col("__sh")).as("__n_distinct_sh"))
+      .select(id, col("ngram_total"),
+        (col("ngram_total") - col("__n_distinct_sh")).as("ngram_dup_count"))
+    lineStats.join(ngramStats, Seq(idCol))
+  }
+
   // ------------------------------------------------------------ fingerprint
 
   /** 64-bit content fingerprint of normalized text (lowercase, punctuation

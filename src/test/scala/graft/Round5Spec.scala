@@ -194,6 +194,31 @@ class Round5Spec extends AnyFunSuite {
     assert(r(1).getInt(1) === 5, "9 3-grams with 4 distinct = 5 duplicates")
     assert(r(2).getInt(1) === 0, "short docs have one full-text shingle, no dups")
   }
+
+  test("repetitionSignals frame path agrees with the Column forms per doc") {
+    import graft.llm.TextAnalysis
+    import graft.llm.TextAnalysis._
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = Seq(
+      (1L, "same line\nsame line\n- a bullet item\nto be continued ..."),
+      (2L, "a b c d a b c d a b c"),
+      (3L, "tiny doc"),
+      (4L, "* x\n* x\n* x\n...\n..."),
+      (5L, "")).toDF("doc_id", "text")
+    val expected = docs.select(col("doc_id"),
+      size(lines(col("text"))).cast("long").as("n_lines"),
+      duplicateLineCount(col("text")).cast("long").as("dup_line_count"),
+      bulletLineCount(col("text")).cast("long").as("bullet_line_count"),
+      ellipsisLineCount(col("text")).cast("long").as("ellipsis_line_count"),
+      size(graft.llm.Dedup.shingles(col("text"), 3)).cast("long").as("ngram_total"),
+      duplicateNgramCount(col("text"), 3).cast("long").as("ngram_dup_count"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_lines", "dup_line_count", "bullet_line_count",
+        "ellipsis_line_count", "ngram_total", "ngram_dup_count")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(got === expected)
+  }
 }
 
 private object Dedup5TestUtil {
