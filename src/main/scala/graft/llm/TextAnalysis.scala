@@ -49,9 +49,24 @@ object TextAnalysis {
     "it" -> Seq("il", "la", "le", "e", "è", "non", "un", "una", "di", "che",
       "per", "con", "del", "della", "si", "in", "da", "sono", "come", "più"))
 
-  /** Stopword-hit count for one language over a lowercase token array. */
+  /** Stopword-hit count for one language over a lowercase token array.
+    * NOTE: `filter` is a higher-order lambda (CodegenFallback, interpreted
+    * per row) — hot paths use [[stopwordHitsText]], which computes the same
+    * count with a codegen'd regex scan. */
   def stopwordHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(Stopwords(lang): _*)))
+
+  /** Same count as `stopwordHits(tokens(lower(text)), lang)` but fully
+    * codegen'd: whitespace-normalize + pad the lowercase text, then count
+    * non-consuming boundary-anchored matches of the stopword alternation.
+    * A token is exactly a maximal run between spaces of the normalized
+    * string, and the lookaround anchors don't consume the separating
+    * space, so adjacent hits ("the the the") all count. */
+  def stopwordHitsText(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), regexp_replace(lower(trim(text)), "\\s+", " "), lit(" "))
+    val pat = Stopwords(lang).map(java.util.regex.Pattern.quote).mkString("(?<= )(?:", "|", ")(?= )")
+    size(regexp_extract_all(padded, lit(pat), lit(0)))
+  }
 
   /** Predicted language code: script detection first (Han/Kana/Hangul/
     * Cyrillic/Arabic character ratios are near-certain signals), then
@@ -62,11 +77,10 @@ object TextAnalysis {
     val chars = greatest(length(t), lit(1)).cast("double")
     def scriptRatio(rangePattern: String): Column =
       (chars - length(regexp_replace(t, rangePattern, ""))) / chars
-    val toks = tokens(lower(text))
     val langs = Stopwords.keys.toSeq.sorted
     // Fold to (bestLang, bestScore); ties resolve to the alphabetically
     // first language for determinism.
-    val scored = langs.map(l => l -> stopwordHits(toks, l))
+    val scored = langs.map(l => l -> stopwordHitsText(text, l))
     val best = scored.foldLeft((lit("und"), lit(minHits - 1))) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
@@ -92,7 +106,7 @@ object TextAnalysis {
       when(chars === 0, lit(0.0))
         .otherwise((chars - length(regexp_replace(t, pattern, ""))) / chars)
     val stopRatio = when(nToks === 0, lit(0.0))
-      .otherwise(stopwordHits(transform(toks, lower _), "en").cast("double") / nToks)
+      .otherwise(stopwordHitsText(text, "en").cast("double") / nToks)
     val repetition = when(nToks === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks)
     struct(

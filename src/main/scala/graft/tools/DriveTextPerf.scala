@@ -19,14 +19,16 @@ object DriveTextPerf {
       body
       println(f"CHECK $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // warmup JIT/codegen
-    graft.SparkEntry.queries("q_text_repetition")(spark, "/root/testdata/sf0.001")
-      .write.mode("overwrite").format("noop").save()
-    for (_ <- 1 to 2)
-      time("q_text_repetition") {
-        graft.SparkEntry.queries("q_text_repetition")(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-      }
+    for (q <- Seq("q_text_repetition", "q_text_langid", "q_text_quality")) {
+      // warmup JIT/codegen
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      for (_ <- 1 to 2)
+        time(q) {
+          graft.SparkEntry.queries(q)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+    }
     spark.stop()
   }
 }

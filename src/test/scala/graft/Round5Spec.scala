@@ -195,6 +195,28 @@ class Round5Spec extends AnyFunSuite {
     assert(r(2).getInt(1) === 0, "short docs have one full-text shingle, no dups")
   }
 
+  test("stopwordHitsText regex path counts exactly like the token-filter form") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.functions.{col, lower}
+    val docs = Seq(
+      "the quick brown fox and the lazy dog",   // 3 en hits (the, and, the)
+      "the the the",                            // adjacent repeats all count
+      "The,  and\tof\nto",                      // "the," is one token: no hit; ws variety
+      "der die das und der",                    // de hits incl. repeat
+      "für sich auf",                           // non-ascii stopword
+      "  padded   spaces  ",
+      "",
+      "no stop word here x y z").toDF("text")
+    for (lang <- TextAnalysis.Stopwords.keys) {
+      val rows = docs.select(
+        TextAnalysis.stopwordHits(TextAnalysis.tokens(lower(col("text"))), lang).as("old"),
+        TextAnalysis.stopwordHitsText(col("text"), lang).as("neu")).collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(0) === r.getInt(1), s"lang=$lang doc=$i")
+      }
+    }
+  }
+
   test("repetitionSignals frame path agrees with the Column forms per doc") {
     import graft.llm.TextAnalysis
     import graft.llm.TextAnalysis._
