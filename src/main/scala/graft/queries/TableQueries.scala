@@ -118,6 +118,22 @@ object TableQueries {
         .orderBy("event_id")
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // Forward direction: each signup gets the user's earliest purchase
+      // at-or-after it (activation-latency style lookup).
+      val ev = events(s, d)
+      val signups = ev.where(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      graft.ts.TimeOps.asofJoin(signups, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightCols = Seq("purchase_value"),
+        rightTimeAs = Some("purchase_ts"), direction = "forward")
+        .select(col("event_id"), col("user_id"), tsFmt(col("ts")).as("ts"),
+          tsFmt(col("purchase_ts")).as("purchase_ts"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     "q_range_join" -> ((s, d) => {
       val ev = events(s, d)
       val errors = ev.where(col("event_type") === "error")
@@ -273,6 +289,18 @@ object TableQueries {
         |ASOF LEFT JOIN
         |  (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
         |ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |v.purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') p
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value AS purchase_value FROM events
+        |   WHERE event_type = 'purchase') v
+        |ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "q_range_join" ->

@@ -16,7 +16,7 @@ object DriveTimeOps {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- Seq("q_asof_join", "q_range_join", "q_sessionize")) {
+    for (name <- Seq("q_asof_join", "q_asof_forward", "q_range_join", "q_sessionize")) {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[timeops] wrote $name")

@@ -57,16 +57,27 @@ object TimeOps {
     * `expr("INTERVAL 30 MINUTES")` for timestamps, a numeric literal for
     * numeric times) drops matches older than the window.
     *
+    * Directions: `"backward"` (default — latest right at-or-before),
+    * `"forward"` (earliest right at-or-after, the symmetric window with a
+    * running `first` instead of `last`), `"nearest"` (whichever of the two
+    * is closer in time; equal distance resolves backward). All three share
+    * ONE Exchange; nearest pays a second in-partition Sort (opposite tie
+    * order), never a second shuffle.
+    *
     * @param rightCols   right columns to attach; must not collide with left
     *                    column names (rename before the call).
     * @param rightTimeAs when set, also emits the matched right timestamp
     *                    under this name.
+    * @param tolerance   max |leftTime - rightTime| for a match to count.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
       rightTimeAs: Option[String] = None,
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one equi-join key")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin direction must be backward|forward|nearest, got '$direction'")
     val collisions = rightCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"asofJoin right columns collide with left: ${collisions.mkString(", ")} — rename first")
@@ -95,16 +106,51 @@ object TimeOps {
     val unioned = l.unionByName(r.withColumn("__lpay",
       lit(null).cast(l.schema("__lpay").dataType)))
 
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, xxhash64(col("__rpay")).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
-      .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    // Backward: latest right at or before the row — right rows sort BEFORE
+    // left rows at equal times (__side asc, right=0) so `>=` ties match,
+    // and a running last(ignoreNulls) over the preceding frame carries the
+    // newest right payload forward. Forward is the mirror: left rows sort
+    // first at equal times (__side desc), and a running first(ignoreNulls)
+    // over the following frame pulls the earliest right payload back.
+    def matchedCol(dir: String): Column = dir match {
+      case "backward" =>
+        val w = Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc, xxhash64(col("__rpay")).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        last(col("__rpay"), ignoreNulls = true).over(w)
+      case "forward" =>
+        val w = Window.partitionBy(on.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").desc, xxhash64(col("__rpay")).asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        first(col("__rpay"), ignoreNulls = true).over(w)
+    }
+    // A left row with a null time must not match: it sorts first (nulls
+    // first), so the backward frame is naturally empty but the FORWARD
+    // frame would span everything — guard explicitly for both.
+    def guarded(m: Column): Column = when(col("__t").isNotNull, m)
+
+    val matched = (direction match {
+      case "nearest" =>
+        val b = guarded(matchedCol("backward"))
+        val f = guarded(matchedCol("forward"))
+        // Closer side wins; ties and one-sided matches resolve backward.
+        // abs() keeps the comparison sign-safe for numeric time columns
+        // (interval subtraction already yields the signed duration).
+        val db = col("__t") - b.getField("__rt")
+        val df_ = f.getField("__rt") - col("__t")
+        unioned.withColumn("__m",
+          when(b.isNull, f).when(f.isNull, b).when(df_ < db, f).otherwise(b))
+      case dir =>
+        unioned.withColumn("__m", guarded(matchedCol(dir)))
+    }).where(col("__side") === 1)
 
     val inWindow = tolerance match {
-      case Some(t) => col("__m").isNotNull && (col("__t") - col("__m.__rt")) <= t
-      case None    => col("__m").isNotNull
+      case Some(t) =>
+        val diff = col("__t") - col("__m.__rt")
+        val dist = when(diff < col("__m.__rt") - col("__t"), col("__m.__rt") - col("__t"))
+          .otherwise(diff)
+        col("__m").isNotNull && dist <= t
+      case None => col("__m").isNotNull
     }
     val out = left.columns.map(c => col(s"__lpay.$c").as(c)) ++
       rightTimeAs.map(n => when(inWindow, col("__m.__rt")).cast(rtType).as(n)) ++

@@ -78,6 +78,73 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asofJoin forward: earliest at-or-after, ties match, unmatched null") {
+    val got = TimeOps.asofJoin(trades, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      direction = "forward")
+      .select("trade_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      10L -> Some(101.0), // 10:04 -> next quote 10:05
+      11L -> Some(101.0), // equal ts matches
+      12L -> None,        // nothing after 11:00
+      13L -> Some(200.0), // 10:00 -> 10:03 quote on key 2
+      14L -> None))
+  }
+
+  test("asofJoin nearest: closer side wins, equal distance resolves backward") {
+    val l = Seq(
+      (1L, 1L, t("2024-01-01 10:04:00")), // back 10:00 (4m) vs fwd 10:05 (1m) -> fwd
+      (2L, 1L, t("2024-01-01 10:01:00")), // back 10:00 (1m) vs fwd 10:05 (4m) -> back
+      (3L, 1L, t("2024-01-01 10:07:30")), // 2.5m each way -> tie -> backward (10:05)
+      (4L, 1L, t("2024-01-01 09:00:00")), // only forward exists
+      (5L, 1L, t("2024-01-01 12:00:00"))  // only backward exists
+    ).toDF("row_id", "user_id", "tts")
+    val got = TimeOps.asofJoin(l, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      direction = "nearest")
+      .select("row_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(101.0), 2L -> Some(100.0), 3L -> Some(101.0),
+      4L -> Some(100.0), 5L -> Some(102.0)))
+  }
+
+  test("asofJoin nearest: tolerance bounds the absolute distance") {
+    val l = Seq(
+      (1L, 1L, t("2024-01-01 10:04:00")),  // nearest fwd at 1m -> kept
+      (2L, 1L, t("2024-01-01 11:00:00"))   // nearest back at 50m -> dropped
+    ).toDF("row_id", "user_id", "tts")
+    val got = TimeOps.asofJoin(l, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      direction = "nearest", tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select("row_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(101.0), 2L -> None))
+  }
+
+  test("asofJoin forward: null left time stays unmatched (guarded frame)") {
+    val l = Seq(
+      (1L, Option(1L), Option(t("2024-01-01 10:04:00"))),
+      (2L, Option(1L), Option.empty[Timestamp])
+    ).toDF("row_id", "user_id", "tts")
+    val got = TimeOps.asofJoin(l, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      direction = "forward")
+      .select("row_id", "price")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(101.0), 2L -> None))
+  }
+
+  test("asofJoin nearest: still a single Exchange") {
+    val plan = TimeOps.asofJoin(trades, quotes, Seq("user_id"),
+      leftTime = "tts", rightTime = "qts", rightCols = Seq("price"),
+      direction = "nearest")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   // ------------------------------------------------------ rangeJoinPoint
 
   private def intervals = Seq(
