@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment and weighted corpus mixing —
+  * the selection layer of a training-data pipeline.
+  *
+  * Everything here derives from `xxhash64(keys, salt)`, never from
+  * `rand()`: at 100 TB a sample must be reproducible across reruns,
+  * retries and repartitions (a task that retries with `rand()` silently
+  * changes the sample), auditable ("why is this row in val?"), and stable
+  * under incremental reruns (yesterday's rows keep yesterday's split).
+  * Hash-based selection gives all three for free and needs no shuffle —
+  * every operator below is a narrow map/filter over the input.
+  */
+object Sampling {
+
+  private val Buckets = 1L << 40
+
+  /** Uniform fraction in [0, 1) from the key columns and a salt —
+    * deterministic, partition-independent. */
+  def hashFraction(keys: Seq[Column], salt: Long): Column =
+    pmod(xxhash64(keys :+ lit(salt): _*), lit(Buckets)).cast("double") / Buckets.toDouble
+
+  /** Deterministic Bernoulli sample: keeps a row iff the hash fraction of
+    * its keys falls below `fraction`. Rows sharing the key columns are kept
+    * or dropped together (sample by document, not by chunk). */
+  def sample(df: DataFrame, keyCols: Seq[String], fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.where(hashFraction(keyCols.map(col), seed) < fraction)
+  }
+
+  /** Leakage-safe split assignment: appends `splitCol` with the split name
+    * chosen by where the key-hash fraction lands among the cumulative
+    * weights (normalized). All rows sharing the key columns land in the
+    * same split — the standard guard against train/test contamination when
+    * a document, user or session spans many rows. Weights need not sum to
+    * 1; they are normalized.
+    */
+  def assignSplits(df: DataFrame, keyCols: Seq[String],
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "assignSplits needs at least one split, all weights > 0")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val frac = hashFraction(keyCols.map(col), seed)
+    // fold: first cut whose bound exceeds the fraction wins; the last
+    // split takes the remainder (cuts.last == 1.0 up to FP rounding).
+    val expr0 = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(frac < cut, name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr0)
+  }
+
+  /** Weighted corpus mixture with deterministic epoch oversampling — the
+    * data-mixture step of LLM training runs ("2.3 epochs of corpus A, 0.5
+    * of corpus B"). A weight w contributes floor(w) full copies (tagged
+    * `mix_epoch` 0..floor(w)-1) plus one hash-sampled copy of rate
+    * frac(w) at epoch floor(w). Sampling salts the hash with (seed, epoch),
+    * so the fractional epoch is a fresh, reproducible subsample —
+    * disjointness across epochs is by tag, not by row identity.
+    *
+    * All inputs must share one schema (unionByName). Output adds
+    * `mix_source` and `mix_epoch`. The plan is a union of narrow
+    * filter/project branches over each source — no shuffle, no explode;
+    * Catalyst pushes the per-source filters into the scans.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      keyCols: Seq[String], seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.forall(_._3 > 0), "mixCorpora weights must be > 0")
+    val branches = sources.flatMap { case (name, df, w) =>
+      val full = math.floor(w).toLong
+      val frac = w - full
+      val fullCopies = (0L until full).map(e =>
+        df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e)))
+      val fracCopy =
+        if (frac > 0)
+          Seq(df.where(hashFraction(keyCols.map(col), seed ^ (full * 0x9E3779B97F4A7C15L)
+              ^ name.hashCode.toLong) < frac)
+            .withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(full)))
+        else Nil
+      fullCopies ++ fracCopy
+    }
+    branches.reduce(_.unionByName(_))
+  }
+}

@@ -532,5 +532,32 @@ object SpecOracles {
       """SELECT CAST(5 AS BIGINT) AS n_pairs,
         |  CAST(500000000 AS BIGINT) AS sum_delta,
         |  CAST(5 AS BIGINT) AS n_survivors,
-        |  TRUE AS survivors_all_fresh""".stripMargin)
+        |  TRUE AS survivors_all_fresh""".stripMargin,
+
+    // Hash split 80/10/10 by doc_id: the total and split-name coverage are
+    // exact (every row gets exactly one of the three names); per-split
+    // counts are Binomial(n, p) under the uniform hash fraction, checked
+    // Spark-side as 6-sigma bands (miss probability < 2e-9 per band, and
+    // the deterministic hash freezes the draw — stable across runs).
+    "q_sample_split" ->
+      """SELECT (SELECT count(*) FROM documents) AS n,
+        |  TRUE AS parts_sum_ok,
+        |  TRUE AS train_band,
+        |  TRUE AS val_band,
+        |  TRUE AS test_band""".stripMargin,
+
+    // Mixture 2.0/0.5/1.3 over disjoint source slices: integer-weight
+    // epochs are exact full copies (n_a = 2x|src0 U src1|, c epoch 0 =
+    // |src3| — both recomputed from the table); fractional epochs are
+    // hash-Bernoulli, checked as 6-sigma bands; b (weight 0.5) never
+    // reaches epoch 1.
+    "q_corpus_mix" ->
+      """SELECT
+        |  CAST(2 * (SELECT count(*) FROM documents WHERE source IN ('src0','src1'))
+        |    AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM documents WHERE source = 'src3') AS BIGINT)
+        |    AS n_c_epoch0,
+        |  TRUE AS b_band,
+        |  TRUE AS c_frac_band,
+        |  TRUE AS b_epoch_ok""".stripMargin)
 }

@@ -195,6 +195,60 @@ class Round5Spec extends AnyFunSuite {
     assert(r(2).getInt(1) === 0, "short docs have one full-text shingle, no dups")
   }
 
+  test("sampling: deterministic, key-consistent, and disjoint splits cover everything") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 2000L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val s1 = Sampling.sample(rows, Seq("id"), 0.3, seed = 7).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sample(rows, Seq("id"), 0.3, seed = 7).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "same seed must reproduce the same sample")
+    assert(math.abs(s1.size - 600) <= 6 * math.sqrt(2000 * 0.3 * 0.7),
+      s"sample size ${s1.size} outside 6-sigma of 600")
+    val s3 = Sampling.sample(rows.repartition(13), Seq("id"), 0.3, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 === s1, "sample must be partition-independent")
+
+    val split = Sampling.assignSplits(rows, Seq("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size === 2000 && split.values.forall(Set("train", "val", "test")))
+    // Key-consistency: duplicate keys land in the same split.
+    val dup = (0L until 500L).flatMap(i => Seq((i, "a"), (i, "b"))).toDF("id", "payload")
+    val perKey = Sampling.assignSplits(dup, Seq("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = 7)
+      .collect().groupBy(_.getLong(0)).values
+    assert(perKey.forall(_.map(_.getString(2)).toSet.size == 1),
+      "rows sharing a key must share a split")
+    // Same hash, same cuts: the 2000-row frame and the dup frame agree.
+    val dupMap = Sampling.assignSplits(dup, Seq("id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(dupMap.forall { case (k, v) => split(k) == v })
+  }
+
+  test("mixCorpora: exact integer epochs, banded fractional epoch, tags correct") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.functions.col
+    val a = (0L until 300L).map(i => (i, "a")).toDF("id", "payload")
+    val b = (1000L until 1400L).map(i => (i, "b")).toDF("id", "payload")
+    val mixed = Sampling.mixCorpora(Seq(("a", a, 2.5), ("b", b, 1.0)), Seq("id"), seed = 11)
+      .collect()
+    val byTag = mixed.groupBy(r => (r.getString(2), r.getLong(3)))
+      .view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    assert(byTag(("a", 0L)).sorted === (0L until 300L))
+    assert(byTag(("a", 1L)).sorted === (0L until 300L))
+    val fracIds = byTag(("a", 2L))
+    assert(fracIds.distinct.length === fracIds.length)
+    assert(math.abs(fracIds.length - 150) <= 6 * math.sqrt(300 * 0.25),
+      s"fractional epoch ${fracIds.length} outside 6-sigma of 150")
+    assert(byTag(("b", 0L)).sorted === (1000L until 1400L))
+    assert(!byTag.contains(("b", 1L)))
+    // Deterministic on rerun.
+    val again = Sampling.mixCorpora(Seq(("a", a, 2.5), ("b", b, 1.0)), Seq("id"), seed = 11)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(again === mixed.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet)
+  }
+
   test("stopwordHitsText regex path counts exactly like the token-filter form") {
     import graft.llm.TextAnalysis
     import org.apache.spark.sql.functions.{col, lower}
