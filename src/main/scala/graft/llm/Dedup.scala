@@ -524,7 +524,6 @@ object Dedup {
   def nearDupCosine(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 12, probes: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    val dim = Similarity.dimOf(df, vecCol)
     // Sketches come from the two-phase-aggregate path (codegen'd projection
     // sums; an inline planes*probes*dim expression would overflow codegen
     // and fall back to interpreted eval). The bucket shuffle carries ONLY
@@ -544,8 +543,10 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
+    // Native codegen'd kernels (graft.functions.VectorKernels): dimension
+    // read from the data, no unrolled element_at chain, no dimOf probe job.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nrm", Similarity.norm(col("vec"), dim))
+      .withColumn("nrm", graft.functions.VectorKernels.norm(col("vec")))
     val denom = col("n_a") * col("n_b")
     candidates
       .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a")),
@@ -554,7 +555,8 @@ object Dedup {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(denom === 0, lit(0.0))
-          .otherwise(Similarity.dot(col("v_a"), col("v_b"), dim) / denom).as("cosine"))
+          .otherwise(graft.functions.VectorKernels.dot(col("v_a"), col("v_b")) / denom)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * functions (`zip_with`, `aggregate`, `transform`) are CodegenFallback —
   * every evaluation allocates and interprets the lambda. That is tolerable
   * once per ROW, but a similarity join evaluates the kernel once per PAIR,
-  * so all pair-side kernels below are *unrolled* over the (small, known)
-  * vector dimension into flat `element_at` arithmetic that whole-stage
-  * codegen compiles, and norms are precomputed once per side before any
-  * join. `bruteForceTopK` is the exact baseline: broadcast the (small)
-  * query set, score every corpus row in one narrow pass, one shuffle to
-  * rank. The LSH and IVF variants are the scale path: bucket the corpus
-  * once, probe only matching buckets.
+  * so all pair-side kernels run as native codegen'd expressions
+  * ([[graft.functions.VectorKernels]] — one plan node, fused primitive
+  * loop; bit-identical to the historical dimension-unrolled `element_at`
+  * forms kept below for reference), and norms are precomputed once per
+  * side before any join. `bruteForceTopK` is the exact baseline: broadcast
+  * the (small) query set, score every corpus row in one narrow pass, one
+  * shuffle to rank. The LSH and IVF variants are the scale path: bucket
+  * the corpus once, probe only matching buckets.
   */
 object Similarity {
 
@@ -39,14 +40,13 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b, dim) / d)
   }
 
-  /** Generic (dimension-agnostic) forms — interpreted per evaluation; fine
-    * for one-off per-row use, never on a pair path. */
-  def dotGeneric(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-  def cosineGeneric(a: Column, b: Column): Column = {
-    val d = sqrt(dotGeneric(a, a)) * sqrt(dotGeneric(b, b))
-    when(d === 0, lit(0.0)).otherwise(dotGeneric(a, b) / d)
-  }
+  /** Generic (dimension-agnostic) forms — now the native codegen'd
+    * kernels (graft.functions.VectorKernels): one plan node, fused
+    * primitive loop, dimension read from the data. Identical results to
+    * the old zip_with/aggregate lambdas (which interpreted per evaluation)
+    * for uniform inputs; ragged pairs yield null either way. */
+  def dotGeneric(a: Column, b: Column): Column = graft.functions.VectorKernels.dot(a, b)
+  def cosineGeneric(a: Column, b: Column): Column = graft.functions.VectorKernels.cosine(a, b)
 
   /** Deterministic pseudo-random hyperplane component for (probe, plane,
     * dimension index): xxhash64 of the literal triple mapped to (-0.5, 0.5).
@@ -216,18 +216,19 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = dimOf(corpus, corpusVec)
+    import graft.functions.VectorKernels
     val q = broadcast(queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv"), dim)))
+      .withColumn("qn", VectorKernels.norm(col("qv"))))
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv"), dim)))
+      .withColumn("cn", VectorKernels.norm(col("cv"))))
     val denom = col("qn") * col("cn")
     val scored = c.crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        when(denom === 0, lit(0.0)).otherwise(dot(col("qv"), col("cv"), dim) / denom).as("cosine"))
+        when(denom === 0, lit(0.0))
+          .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -243,10 +244,10 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = dimOf(corpus, corpusVec)
+    import graft.functions.VectorKernels
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv"), dim)))
+      .withColumn("cn", VectorKernels.norm(col("cv"))))
 
     // Deterministic centroid sample: the nCentroids corpus rows with the
     // smallest xxhash64(id) — stable, independent of data layout.
@@ -261,7 +262,7 @@ object Similarity {
       val denom = vecN * col("centroid_n")
       df.crossJoin(cb)
         .withColumn("__cdist",
-          when(denom === 0, lit(0.0)).otherwise(dot(vec, col("centroid"), dim) / denom))
+          when(denom === 0, lit(0.0)).otherwise(VectorKernels.dot(vec, col("centroid")) / denom))
         .withColumn("__crank", row_number().over(w))
         .where(col("__crank") <= n)
         .drop("centroid", "centroid_n", "__cdist", "__crank")
@@ -271,7 +272,7 @@ object Similarity {
       c.withColumn("__vecid", col("neighbor_id"))).drop("__vecid")
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv"), dim))
+      .withColumn("qn", VectorKernels.norm(col("qv")))
     val probed = nearestCentroids(col("qv"), col("qn"), nProbe)(
       q.withColumn("__vecid", col("query_id"))).drop("__vecid")
 
@@ -280,7 +281,8 @@ object Similarity {
     probed.join(assigned, Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        when(denom === 0, lit(0.0)).otherwise(dot(col("qv"), col("cv"), dim) / denom).as("cosine"))
+        when(denom === 0, lit(0.0))
+          .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
       .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorKernels
+import graft.llm.Similarity
+
+/** Native vector-kernel tests: whole-stage-codegen and interpreted paths,
+  * null/ragged/empty contracts, and bit-equality with the unrolled
+  * element_at forms the pinned oracles were generated from. */
+class VectorKernelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(0.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0)),   // zero norm -> cosine 0.0
+    (3L, Seq(-1.5, 2.5, 0.25), Seq(3.25, -0.5, 8.0))
+  ).toDF("id", "a", "b")
+
+  test("dot and cosine: exact values on both codegen and interpreted paths") {
+    for (flag <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      try {
+        val r = vecs.orderBy("id").select(
+          VectorKernels.dot(col("a"), col("b")),
+          VectorKernels.cosine(col("a"), col("b"))).collect()
+        assert(r(0).getDouble(0) === 32.0)
+        assert(math.abs(r(0).getDouble(1) - 32.0 /
+          (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
+        assert(r(1).getDouble(0) === 0.0)
+        assert(r(1).getDouble(1) === 0.0, "zero-norm cosine must be 0.0, not NaN")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("bit-equality with the unrolled element_at kernels") {
+    // Deterministic pseudo-random 64-dim vectors; equality must be EXACT
+    // (==), not approximate — the pinned sketch oracles depend on it.
+    val df = spark.range(200).select(
+      col("id"),
+      transform(sequence(lit(1), lit(64)),
+        i => pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 250.0 - 2.0).as("a"),
+      transform(sequence(lit(1), lit(64)),
+        i => pmod(xxhash64(i, col("id")), lit(1000)).cast("double") / 250.0 - 2.0).as("b"))
+    val r = df.select(
+      (VectorKernels.dot(col("a"), col("b")) === Similarity.dot(col("a"), col("b"), 64)).as("d"),
+      (VectorKernels.norm(col("a")) === Similarity.norm(col("a"), 64)).as("n"),
+      (VectorKernels.cosine(col("a"), col("b")) === Similarity.cosine(col("a"), col("b"), 64)).as("c"))
+      .agg(sum(when(col("d") && col("n") && col("c"), 1L).otherwise(0L))).head().getLong(0)
+    assert(r === 200L, "native kernels must be bit-identical to the unrolled forms")
+  }
+
+  test("null, ragged and empty contracts") {
+    val df = Seq(
+      (1L, Option(Seq(Option(1.0), Option(2.0))), Option(Seq(Option(3.0), Option(4.0)))),
+      (2L, None, Option(Seq(Option(1.0), Option(2.0)))),                 // null array
+      (3L, Option(Seq(Option(1.0), None)), Option(Seq(Option(1.0), Option(2.0)))), // null elem
+      (4L, Option(Seq(Option(1.0))), Option(Seq(Option(1.0), Option(2.0)))),       // ragged
+      (5L, Option(Seq.empty[Option[Double]]), Option(Seq.empty[Option[Double]]))   // empty
+    ).toDF("id", "a", "b")
+    val r = df.orderBy("id").select(
+      VectorKernels.dot(col("a"), col("b")),
+      VectorKernels.cosine(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) === 11.0)
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+    assert(r(3).isNullAt(0) && r(3).isNullAt(1))
+    assert(r(4).getDouble(0) === 0.0 && r(4).getDouble(1) === 0.0)
+  }
+
+  test("float arrays upcast implicitly") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(VectorKernels.dot(col("a"), col("b"))).head().getDouble(0) === 11.0)
+  }
+
+  test("kernel stays inside whole-stage codegen (no CodegenFallback)") {
+    // Not a local relation (constant-folded) and no HOF array builders
+    // (transform is CodegenFallback and would evict the whole Project).
+    val df = spark.range(10).select(
+      array((1 to 4).map(i => (col("id") + i).cast("double")): _*).as("a"),
+      array((1 to 4).map(i => (col("id") * i).cast("double")): _*).as("b"))
+    val q = df.select(VectorKernels.cosine(col("a"), col("b")).as("c"))
+    // `*(n)` marks operators fused into WholeStageCodegen stage n; the
+    // Project evaluating the kernel must carry it (a CodegenFallback
+    // expression would evict its whole Project from the stage).
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Project .*graft_cosine.*""")), plan)
+    // And the generated source actually contains the fused loop.
+    val gen = org.apache.spark.sql.execution.debug.codegenString(q.queryExecution.executedPlan)
+    assert(gen.contains("getDouble") && gen.contains("Math.sqrt"), gen.take(2000))
+  }
+}
