@@ -55,6 +55,18 @@ object DriveThroughput {
       mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(iot(10000000L)), 42L))("iot"))
     }
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // JIT refuses methods over ~8000 bytecodes (DontCompileHugeMethods);
+    // Spark's default hugeMethodLimit (65535) still hands such stages to
+    // WSCG, which then runs INTERPRETED bytecode. Capping at the JIT limit
+    // makes Spark fall back to per-operator codegen for oversized stages.
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    time("iot-10m-jitcap", 10000000L) {
+      mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(iot(10000000L)), 42L))("iot"))
+    }
+    time("iot-50m-jitcap", 50000000L) {
+      mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(iot(50000000L)), 42L))("iot"))
+    }
+    spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     // narrow spec (no template/pattern) to see where the cost is
     time("narrow-50m", 50000000L) {
       mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(

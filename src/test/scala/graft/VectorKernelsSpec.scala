@@ -69,6 +69,18 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(r(4).getDouble(0) === 0.0 && r(4).getDouble(1) === 0.0)
   }
 
+  test("SQL surface: graft_dot / graft_cosine register and evaluate") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 1.0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(err.getMessage.contains("2 arguments"), err.getMessage)
+  }
+
   test("float arrays upcast implicitly") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(VectorKernels.dot(col("a"), col("b"))).head().getDouble(0) === 11.0)
