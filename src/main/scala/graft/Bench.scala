@@ -131,6 +131,12 @@ object Bench {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time(materialize(fn(spark, sfDir)))
+      // The dedup pipelines localCheckpoint their signature frames; the
+      // blocks are useless once the query finishes but linger until the
+      // ContextCleaner notices, taxing every later query with memory
+      // pressure and GC (measured 2-3x inflation on the late-alphabet
+      // text queries). Drop them eagerly outside the timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
