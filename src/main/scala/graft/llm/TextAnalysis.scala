@@ -234,6 +234,33 @@ object TextAnalysis {
     lineStats.join(ngramStats, Seq(idCol))
   }
 
+  // ------------------------------------------------------------ cleaning
+
+  /** PII masking: URLs, emails, IPv4 addresses and phone-like digit runs
+    * replaced by typed placeholders, in that order (URLs first so their
+    * path digits don't half-match as phones; IPs before phones because the
+    * phone class would otherwise nibble at dotted quads). Patterns are
+    * RE2-compatible (no lookaround/backrefs) so the exact same regexes run
+    * in other engines — the DuckDB oracle replays them verbatim. Pure
+    * codegen'd regexp_replace chain, shuffle-free. */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text, """https?://[^\s]+""", "<URL>")
+    val email = regexp_replace(url, """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
+    val ip = regexp_replace(email, """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b""", "<IP>")
+    regexp_replace(ip, """\+?[0-9][0-9()\-\s]{6,}[0-9]""", "<PHONE>")
+  }
+
+  /** Whitespace/control normalization: control characters to spaces,
+    * whitespace runs collapsed, ends trimmed. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, """\p{Cntrl}""", " "), """\s+""", " "))
+
+  /** Drop repeated lines, keeping the first occurrence in order — the
+    * remove-side twin of [[duplicateLineCount]] (boilerplate strip:
+    * headers/footers/nav repeated inside one page). */
+  def removeRepeatedLines(text: Column): Column =
+    array_join(array_distinct(lines(text)), "\n")
+
   // ------------------------------------------------------------ fingerprint
 
   /** 64-bit content fingerprint of normalized text (lowercase, punctuation

@@ -271,6 +271,30 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("text cleaning: PII redaction, whitespace normalization, boilerplate strip") {
+    import graft.llm.TextAnalysis._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      "mail a.b+c@x-corp.co.uk now",
+      "see https://x.io/a?b=1#c and http://y.z/2 end",
+      "call +1 (555) 010-7788 or 555-010-9999 done",
+      "host 192.168.0.1 up",
+      "no pii here",
+      "head\nbody\nhead\ntail\nbody"
+    ).toDF("text")
+    val r = docs.select(
+      redactPii(col("text")).as("red"),
+      cleanText(lit(" a\t\tbc  d ")).as("cl"),
+      removeRepeatedLines(col("text")).as("nl")).collect()
+    assert(r(0).getString(0) === "mail <EMAIL> now")
+    assert(r(1).getString(0) === "see <URL> and <URL> end")
+    assert(r(2).getString(0) === "call <PHONE> or <PHONE> done")
+    assert(r(3).getString(0) === "host <IP> up")
+    assert(r(4).getString(0) === "no pii here")
+    assert(r(0).getString(1) === "a bc d")
+    assert(r(5).getString(2) === "head\nbody\ntail")
+  }
+
   test("repetitionSignals frame path agrees with the Column forms per doc") {
     import graft.llm.TextAnalysis
     import graft.llm.TextAnalysis._
