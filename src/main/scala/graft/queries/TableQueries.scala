@@ -103,6 +103,34 @@ object TableQueries {
           col("n"), col("users"))
         .orderBy("hour_start")),
 
+    "q_events_window_stream" -> ((s, d) => {
+      // Streaming counterpart of q_events_window: file-stream the events
+      // parquet, event-time window aggregation, complete mode into a
+      // memory sink under Trigger.AvailableNow. The final table must
+      // equal the batch computation, so the oracle is a plain DuckDB
+      // recomputation. (countDistinct is unsupported under streaming, so
+      // the aggregates here are count + exact integer cents.)
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("part-0.parquet"))
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(dir.toString)
+      val ts =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts")
+      val q = raw.withColumn("__ts", ts)
+        .groupBy(window(col("__ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("n"), col("value_c"))
+        .writeStream.format("memory").queryName("graft_events_window_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      s.table("graft_events_window_stream").orderBy("hour_start")
+    }),
+
     // ------------------------------------------- time-series ops (graft.ts)
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -278,6 +306,12 @@ object TableQueries {
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_window_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |count(*) AS n,
+        |CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
