@@ -145,6 +145,24 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("asofJoin: plain numeric time columns work (generic ordering + subtraction)") {
+    val l = Seq((1L, 1L, 100L), (2L, 1L, 205L)).toDF("row_id", "k", "t")
+    val r = Seq((1L, 90L, "a"), (1L, 200L, "b"), (1L, 300L, "c")).toDF("k", "rt", "tag")
+    val got = TimeOps.asofJoin(l, r, Seq("k"), "t", "rt", Seq("tag"),
+      tolerance = Some(lit(10L)))
+      .select("row_id", "tag")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // row 1: backward match rt=90, distance 10 <= 10 -> kept;
+    // row 2: backward match rt=200, distance 5 -> kept.
+    assert(got === Map(1L -> Some("a"), 2L -> Some("b")))
+    val nearest = TimeOps.asofJoin(l, r, Seq("k"), "t", "rt", Seq("tag"),
+      direction = "nearest")
+      .select("row_id", "tag")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // row 1: |100-90|=10 vs |200-100|=100 -> backward; row 2: |205-200|=5 vs |300-205|=95 -> backward.
+    assert(nearest === Map(1L -> Some("a"), 2L -> Some("b")))
+  }
+
   // ------------------------------------------------------ rangeJoinPoint
 
   private def intervals = Seq(
