@@ -33,6 +33,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Dead localCheckpoint blocks from the dedup pipelines otherwise
+      // accumulate across the 100+ dumps (same memory-pressure tax the
+      // bench loop drops eagerly).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
