@@ -534,6 +534,15 @@ object SpecOracles {
         |  CAST(5 AS BIGINT) AS n_survivors,
         |  TRUE AS survivors_all_fresh""".stripMargin,
 
+    // Two independent near-dup algorithms (banded minhash LSH with
+    // hashed-shingle verification vs exhaustive inverted-index jaccard on
+    // exact string shingles) must produce IDENTICAL pair sets at
+    // threshold 0.5 (candidate miss probability ~1e-8 per pair at 64x2
+    // bands) — each implementation certifies the other, so the pinned
+    // count is double-derived, not self-certified. 25 pairs at sf0.01.
+    "q_dedup_minhash_recall" ->
+      """SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS sets_equal""".stripMargin,
+
     // Hash split 80/10/10 by doc_id: the total and split-name coverage are
     // exact (every row gets exactly one of the three names); per-split
     // counts are Binomial(n, p) under the uniform hash fraction, checked
