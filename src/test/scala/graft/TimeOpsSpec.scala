@@ -257,6 +257,50 @@ class TimeOpsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("streaming ingest dedup: foreachBatch + batch-vs-corpus near-dup filter") {
+    // The incremental dedup operator IS the streaming ingest path: each
+    // microbatch is filtered against the accumulated corpus before being
+    // appended. Two microbatches: the first carries a fresh doc plus a
+    // near-copy of the corpus; the second carries a near-copy of a doc
+    // ACCEPTED IN BATCH 1 (must be dropped — the corpus grew) and one
+    // fresh doc.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Dedup
+    val corpusSeed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("id", "text")
+    var corpus = corpusSeed
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Dedup.dropNearDupsMinHashAgainst(batch, corpus, "id", "text",
+          threshold = 0.5, numHashes = 32, bands = 16)
+        val keptRows = kept.collect()
+        accepted ++= keptRows.map(_.getLong(0))
+        corpus = corpus.unionByName(kept.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(keptRows: _*)), kept.schema))
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+        (11L, "one two three four five six seven eight nine ten eleven twelve"))
+      query.processAllAvailable()
+      assert(accepted.toSet === Set(11L), "corpus near-copy dropped, fresh doc kept")
+
+      input.addData(
+        (20L, "one two three four five six seven eight nine ten eleven"),
+        (21L, "red orange yellow green blue indigo violet cyan magenta white"))
+      query.processAllAvailable()
+      assert(accepted.toSet === Set(11L, 21L),
+        "near-copy of a batch-1 acceptance must be dropped against the grown corpus")
+    } finally query.stop()
+  }
+
   // ------------------------------------------------- streaming sessionize
 
   test("streaming sessionize: sessions close via gap and via watermark timeout") {
