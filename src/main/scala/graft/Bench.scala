@@ -95,6 +95,19 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+      // The generation benches compile their own (wide) generated classes —
+      // warm them at 1% scale so Janino+JIT run outside the timed region
+      // (row counts flow through plan parameters, not generated source, so
+      // the small build hits the same code cache entries).
+      materialize(graft.engine.Generator.generate(spark,
+        DataGenPlan(Seq(iotSpec(100000L, cpus.toInt * 3)), 42L))("iot"))
+      try {
+        val star = graft.io.PlanJson.loadFile(
+          "/root/reference/tests/core/fixtures/star_schema.json")
+        val scaled = star.copy(tables = star.tables.map(t =>
+          t.copy(rows = t.rows * 2, partitions = Some(cpus.toInt * 2))))
+        graft.engine.Generator.generate(spark, scaled).values.foreach(materialize)
+      } catch { case _: Throwable => () }
       // Drop the warmup's leftovers before timing: localCheckpoint blocks
       // from the dedup pipelines stay cached until the ContextCleaner gets
       // to them, and the JIT queue is still draining — both steal cycles
