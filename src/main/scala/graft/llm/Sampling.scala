@@ -32,6 +32,19 @@ object Sampling {
     df.where(hashFraction(keyCols.map(col), seed) < fraction)
   }
 
+  /** Deterministic exact-size sample: the `n` rows with the smallest key
+    * hashes — a frozen "random" subset that is stable across reruns and
+    * grows monotonically with `n` (the top-100 sample contains the
+    * top-50). Plans as TakeOrderedAndProject: one narrow pass keeping n
+    * rows per partition, one n-row merge on the driver side of the
+    * shuffle — never a full sort. */
+  def sampleN(df: DataFrame, keyCols: Seq[String], n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    df.orderBy(hashFraction(keyCols.map(col), seed).asc +: keyCols.map(col(_).asc): _*)
+      .limit(n)
+  }
+
   /** Leakage-safe split assignment: appends `splitCol` with the split name
     * chosen by where the key-hash fraction lands among the cumulative
     * weights (normalized). All rows sharing the key columns land in the

@@ -226,6 +226,22 @@ class Round5Spec extends AnyFunSuite {
     assert(dupMap.forall { case (k, v) => split(k) == v })
   }
 
+  test("sampleN: exact size, deterministic, monotone in n, TakeOrdered plan") {
+    import graft.llm.Sampling
+    val rows = (0L until 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val s100 = Sampling.sampleN(rows, Seq("id"), 100, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.sampleN(rows, Seq("id"), 50, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(s100.size === 100 && s50.size === 50)
+    assert(s50.subsetOf(s100), "hash-ordered samples must be monotone in n")
+    val again = Sampling.sampleN(rows.repartition(13), Seq("id"), 100, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === s100, "sample must be partition-independent")
+    val plan = Sampling.sampleN(rows, Seq("id"), 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("mixCorpora: exact integer epochs, banded fractional epoch, tags correct") {
     import graft.llm.Sampling
     import org.apache.spark.sql.functions.col
