@@ -103,74 +103,52 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       k => array_min(transform(shingleArr, s => xxhash64(s, k))))
 
-  /** Per-document shingle-hash rows `(id, h)` via a codegen'd generator:
-    * explode the shingle INDEX range with `explode(sequence(...))`, then
-    * build and hash each shingle with `slice`/`array_join`/`xxhash64` — all
-    * native codegen'd expressions. The Column form above (`transform`, a
-    * higher-order function) is CodegenFallback: measured ~25 interpreted
-    * core-ms per sf0.1 document, ~100x the rest of the signature pipeline,
-    * so no pipeline path may evaluate it. Shingle strings are identical to
-    * `shingles()` output (for n <= width tokens, `slice` truncates to the
-    * whole token array = the single full-text shingle).
-    *
-    * Multiset semantics: a shingle repeated in one document repeats here.
-    * `min` aggregates are insensitive to duplicates, and set consumers
-    * dedup with `collect_set`, so set semantics are preserved downstream. */
-  private[llm] def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
-      width: Int): DataFrame = {
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    Similarity.parallelize(df)
-      .where(col(textCol).isNotNull) // legacy path dropped null docs via explode(null)
-      .select(col(idCol).as("id"), toks.as("toks"))
-      .select(col("id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - width, lit(0)))).as("i"))
-      .select(col("id"),
-        xxhash64(array_join(slice(col("toks"), col("i") + 1, lit(width)), " ")).as("h"))
-  }
-
   /** Distinct shingle-hash set per document `(id, sh: array<long>)`, sorted
-    * for determinism. One ObjectHashAggregate (collect_set) over the
-    * generator-based shingle rows; map-side partial aggregation collapses
-    * each document locally. Shingles are kept as their 64-bit hashes: set
+    * for determinism. Shingles are kept as their 64-bit hashes: set
     * semantics survive (collisions negligible) and exact-jaccard
-    * verification intersects long arrays instead of wide strings. */
+    * verification intersects long arrays instead of wide strings. The
+    * Column form above (`transform`, a higher-order function) is
+    * CodegenFallback — measured ~25 interpreted core-ms per sf0.1
+    * document — so no pipeline path may evaluate it; the fused native
+    * kernel below computes the same hashes per row. */
   private[llm] def shingleSets(df: DataFrame, idCol: String, textCol: String,
       width: Int): DataFrame =
-    shingleHashRows(df, idCol, textCol, width)
-      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("sh"))
+    sketchFrame(df, idCol, textCol, width, numHashes = 0)
+      .select(col("id"), col("__sk.sh").as("sh"))
 
-  /** MinHash signatures as a frame transform: generator-based shingle-hash
-    * rows, then one hash-aggregate with `numHashes` codegen'd
-    * `min(xxhash64(h, k))` aggregates over a NARROW `(id, h)` input — the
-    * shingle array never rides through the explode or the grouping key.
-    * Map-side partial aggregation collapses every document locally (a
-    * document's shingles live in one partition), so the shuffle carries ~one
-    * compact row per document — this is the 100-TB path, unlike the
+  /** Fused per-row sketch (graft.functions.ShingleSketch): tokens ->
+    * struct(sh, sig) in one native pass — no explode, no wide aggregate,
+    * no shuffle; bit-identical to the legacy explode+aggregate pipeline
+    * (pinned in ShingleSketchSpec). */
+  private def sketchFrame(df: DataFrame, idCol: String, textCol: String,
+      width: Int, numHashes: Int): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    Similarity.parallelize(df)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleSketch.sketch(toks, width, numHashes).as("__sk"))
+  }
+
+  /** MinHash signatures as a frame transform: ONE narrow projection per
+    * document through the fused native sketch (tokens -> sorted distinct
+    * shingle hashes + signature in a single compiled pass; see
+    * graft.functions.ShingleSketch). No explode, no wide aggregate, no
+    * shuffle, no sig<->set join — the first exchange of every consumer is
+    * its own bucket-key shuffle. This is the 100-TB path, unlike the
     * interpreted nested-lambda Column form.
     *
-    * @return (id, sh, sig) — shingle set attached by an id-keyed join for
-    *         exact verification (sorted; set-equal to the legacy
-    *         first-occurrence ordering).
+    * @return (id, sh, sig) — sh sorted ascending for determinism.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 128, shingleWidth: Int = 3): DataFrame = {
-    val sigs = minHashSigOnly(df, idCol, textCol, numHashes, shingleWidth)
-    sigs.join(shingleSets(df, idCol, textCol, shingleWidth), Seq("id"))
-      .select(col("id"), col("sh"), col("sig"))
-  }
+      numHashes: Int = 128, shingleWidth: Int = 3): DataFrame =
+    sketchFrame(df, idCol, textCol, shingleWidth, numHashes)
+      .select(col("id"), col("__sk.sh").as("sh"), col("__sk.sig").as("sig"))
 
-  /** Signatures without the shingle set: `(id, sig)`. The aggregation input
-    * is two longs per shingle, so the partial-aggregate hash map and the
-    * shuffle stay narrow no matter how long the documents are. */
+  /** Signatures without the shingle set: `(id, sig)`. */
   private def minHashSigOnly(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleWidth: Int): DataFrame = {
-    val mins = (0 until numHashes).map(k => min(xxhash64(col("h"), lit(k))).as(s"__m$k"))
-    shingleHashRows(df, idCol, textCol, shingleWidth)
-      .groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(k => col(s"__m$k")): _*).as("sig"))
-  }
+      numHashes: Int, shingleWidth: Int): DataFrame =
+    sketchFrame(df, idCol, textCol, shingleWidth, numHashes)
+      .select(col("id"), col("__sk.sig").as("sig"))
 
   /** Banded LSH keys from a minhash signature: `bands` hashes, each over a
     * contiguous slice of rows-per-band signature entries. Two documents

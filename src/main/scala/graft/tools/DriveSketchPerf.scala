@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: time the minhash-family queries at sf0.1. */
+object DriveSketchPerf {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.maxFields", "400")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = Seq("q_dedup_minhash", "q_dedup_minhash_drop", "q_dedup_minhash_cc",
+      "q_dedup_incremental", "q_dedup_ngram_jaccard", "q_dedup_minhash_recall")
+    for (q <- qs) { // warmup
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    for (q <- qs) {
+      val t0 = System.nanoTime()
+      val row = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+        .collect().headOption
+      println(f"CHECK $q ${(System.nanoTime() - t0) / 1e9}%.2f s $row")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ShingleSketch
+import graft.llm.Dedup
+
+/** The fused shingle sketch must be BIT-IDENTICAL to the explode+aggregate
+  * pipeline it replaces (pinned dedup oracles depend on the signatures). */
+class ShingleSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "one two three"),                      // n == width boundary
+    (3L, "solo"),                               // single token
+    (4L, ""),                                   // empty text -> [""] token
+    (5L, "dup dup dup dup dup"),                // repeated shingles collapse in sh
+    (6L, "  padded   whitespace\ttabs\nnewlines  ")
+  ).toDF("doc_id", "text")
+
+  test("fused sketch equals the explode+aggregate pipeline bit-for-bit") {
+    val old = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 32, shingleWidth = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val fused = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), ShingleSketch.sketch(toks, 3, 32).as("sk"))
+      .select(col("doc_id"), col("sk.sh"), col("sk.sig"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))).toMap
+    assert(fused.keySet === old.keySet)
+    fused.keySet.foreach { id =>
+      assert(fused(id)._1 === old(id)._1, s"sh mismatch for doc $id")
+      assert(fused(id)._2 === old(id)._2, s"sig mismatch for doc $id")
+    }
+  }
+
+  test("interpreted path agrees with codegen") {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    def run(): Map[Long, List[Long]] = docs
+      .select(col("doc_id"), ShingleSketch.sketch(toks, 3, 16).getField("sig").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val a = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() === a)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("null text yields a null sketch; zero hash families allowed") {
+    val d = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val r = d.select(col("doc_id"), ShingleSketch.sketch(toks, 3, 0).as("sk"))
+      .orderBy("doc_id").collect()
+    assert(!r(0).isNullAt(1))
+    assert(r(0).getStruct(1).getSeq[Long](1).isEmpty, "numHashes=0 -> empty sig")
+    assert(r(1).isNullAt(1))
+  }
+}
