@@ -103,4 +103,54 @@ object ShingleSketch {
   /** Column API: `struct(sh, sig)` from a token-array column. */
   def sketch(tokens: Column, width: Int, numHashes: Int): Column =
     GraftSql.column(Sketch(GraftSql.expression(tokens), width, numHashes))
+
+  // ------------------------------------------------------------- simhash
+
+  /** Fused 64-bit SimHash of a token array — per-bit majority vote over
+    * the multiset of token hashes, one compiled pass. Bit-identical to
+    * the 64-vote-aggregate pipeline (`xxhash64(tok)` = seed-42 UTF8
+    * hash; vote > 0 sets the bit, integer arithmetic throughout). */
+  def computeSimHash(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sk = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sk |= (1L << b); b += 1 }
+    sk
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_simhash"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      computeSimHash(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = graft.functions.ShingleSketch.computeSimHash($arr);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: 64-bit simhash from a token-array column. */
+  def simHash64(tokens: Column): Column =
+    GraftSql.column(SimHash64(GraftSql.expression(tokens)))
 }

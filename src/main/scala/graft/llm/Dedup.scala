@@ -421,18 +421,16 @@ object Dedup {
     * @return (id, sk)
     */
   def simHashes(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
-    val exploded = Similarity.parallelize(df)
+    require(bits == 64, "the fused simhash kernel is fixed at 64 bits")
+    // Fused native kernel (graft.functions.ShingleSketch.simHash64): one
+    // compiled pass per document, no explode, no 64-vote aggregate, no
+    // shuffle — bit-identical to the legacy pipeline (ShingleSketchSpec).
+    // The null-text filter mirrors the legacy explode(null) row drop.
+    Similarity.parallelize(df)
+      .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until bits).map { bpos =>
-      sum(when(shiftright(col("h"), bpos).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"__v$bpos")
-    }
-    exploded.groupBy("id").agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(bpos => when(col(s"__v$bpos") > 0, lit(1L << bpos)).otherwise(lit(0L)))
-          .reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("sk"))
+        graft.functions.ShingleSketch.simHash64(
+          split(trim(lower(col(textCol))), "\\s+")).as("sk"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxDistance.

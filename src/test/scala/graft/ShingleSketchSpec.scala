@@ -48,6 +48,25 @@ class ShingleSketchSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("fused simhash equals the vote-aggregate pipeline bit-for-bit") {
+    // Rebuild the legacy 64-vote aggregate inline and compare.
+    val exploded = docs
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    val legacy = exploded.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Dedup.simHashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused === legacy)
+  }
+
   test("null text yields a null sketch; zero hash families allowed") {
     val d = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
     val toks = split(trim(lower(col("text"))), "\\s+")
