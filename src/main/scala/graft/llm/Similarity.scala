@@ -74,38 +74,25 @@ object Similarity {
       concat(lit(s"$probe#") +: signBits: _*)
     }: _*)
 
-  /** Hyperplane sketches as a frame transform: posexplode the vector, then
-    * one hash-aggregate with planes*probes codegen'd `sum(x * c(p,l,pos))`
-    * projection aggregates (the plane component is a per-row xxhash64 of
-    * literals + the position column — whole-stage codegen'd). Map-side
-    * partial aggregation collapses each vector locally, so the shuffle
-    * carries one compact row per vector — the grouping key is the bare id
-    * (carrying the vector array through the exploded aggregation would
-    * multiply the partial-aggregate row width by the dimension; consumers
-    * that need the vector re-attach it by an id-keyed join). This is how
-    * the sketch scales: cost is O(rows*dim*planes*probes) of compiled
-    * arithmetic, never an interpreted expression tree.
+  /** Hyperplane sketches as a frame transform: ONE narrow projection per
+    * vector through the fused native kernel
+    * (graft.functions.HyperplaneSketch) — all planes*probes projections
+    * computed in a single compiled pass per row, no posexplode, no wide
+    * aggregate, no shuffle. Bit-identical keys to the legacy
+    * explode+aggregate pipeline (pinned in ShingleSketchSpec). Cost is
+    * O(rows*dim*planes*probes) of compiled arithmetic either way; this
+    * form spends it without exchange or aggregation overhead.
     *
     * @return (idCol, keys array<string>)
     */
   def hyperplaneSketches(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, probes: Int): DataFrame = {
-    val exploded = parallelize(df)
-      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__vec"))
-      .select(col("__id"), posexplode(col("__vec")).as(Seq("pos", "x")))
-    def component(probe: Int, plane: Int): Column =
-      pmod(xxhash64(lit(probe), lit(plane), col("pos")), lit(1000000L))
-        .cast("double") / 1000000.0 - 0.5
-    val projAggs = for (p <- 0 until probes; l <- 0 until planes)
-      yield sum(col("x") * component(p, l)).as(s"__pj_${p}_$l")
-    val agged = exploded.groupBy("__id")
-      .agg(projAggs.head, projAggs.tail: _*)
-    val keys = array((0 until probes).map { p =>
-      concat(lit(s"$p#") +: (0 until planes).map(l =>
-        when(col(s"__pj_${p}_$l") >= 0, lit("1")).otherwise(lit("0"))): _*)
-    }: _*)
-    agged.select(col("__id").as(idCol), keys.as("keys"))
-  }
+      planes: Int, probes: Int): DataFrame =
+    parallelize(df)
+      .select(col(idCol),
+        graft.functions.HyperplaneSketch.keys(col(vecCol), planes, probes).as("keys"))
+      // The aggregate form dropped empty/null vectors (zero exploded
+      // rows); the fused kernel returns null for them — filter to match.
+      .where(col("keys").isNotNull)
 
   /** Spread a frame across the session's shuffle parallelism when it has
     * fewer partitions (a single parquet file arrives as one partition — a

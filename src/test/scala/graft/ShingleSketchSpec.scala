@@ -67,6 +67,33 @@ class ShingleSketchSpec extends AnyFunSuite {
     assert(fused === legacy)
   }
 
+  test("fused hyperplane keys equal the projection-aggregate pipeline bit-for-bit") {
+    // Pseudo-random 16-dim vectors incl. exact zeros; planes=6, probes=4.
+    val vecs = spark.range(50).select(col("id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        when(pmod(xxhash64(col("id"), i), lit(7)) === 0, lit(0.0))
+          .otherwise(pmod(xxhash64(i, col("id")), lit(1000)).cast("double") / 250.0 - 2.0))
+        .as("vec"))
+    val (planes, probes) = (6, 4)
+    // Legacy pipeline, rebuilt inline.
+    val exploded = vecs
+      .select(col("id"), posexplode(col("vec").cast("array<double>")).as(Seq("pos", "x")))
+    def component(p: Int, l: Int) =
+      pmod(xxhash64(lit(p), lit(l), col("pos")), lit(1000000L))
+        .cast("double") / 1000000.0 - 0.5
+    val projAggs = for (p <- 0 until probes; l <- 0 until planes)
+      yield sum(col("x") * component(p, l)).as(s"pj_${p}_$l")
+    val legacy = exploded.groupBy("id").agg(projAggs.head, projAggs.tail: _*)
+      .select(col("id"), array((0 until probes).map { p =>
+        concat(lit(s"$p#") +: (0 until planes).map(l =>
+          when(col(s"pj_${p}_$l") >= 0, lit("1")).otherwise(lit("0"))): _*)
+      }: _*).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val fused = graft.llm.Similarity.hyperplaneSketches(vecs, "id", "vec", planes, probes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(fused === legacy)
+  }
+
   test("null text yields a null sketch; zero hash families allowed") {
     val d = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
     val toks = split(trim(lower(col("text"))), "\\s+")
