@@ -26,6 +26,12 @@ object GraftExtensions {
     build(children(0), children(1))
   }
 
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   /** (identifier, info, builder) triples — the injectFunction payload. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -34,7 +40,30 @@ object GraftExtensions {
       two("graft_dot", VectorKernels.DotProduct)),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorKernels.CosineSimilarity].getName, "graft_cosine"),
-      two("graft_cosine", VectorKernels.CosineSimilarity)))
+      two("graft_cosine", VectorKernels.CosineSimilarity)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[ShingleSketch.SimHash64].getName, "graft_simhash"),
+      { children =>
+        require(children.length == 1,
+          s"graft_simhash expects exactly 1 argument, got ${children.length}")
+        ShingleSketch.SimHash64(children.head)
+      }),
+    (FunctionIdentifier("graft_shingle_sketch"),
+      new ExpressionInfo(classOf[ShingleSketch.Sketch].getName, "graft_shingle_sketch"),
+      { children =>
+        require(children.length == 3,
+          s"graft_shingle_sketch expects (tokens, width, numHashes), got ${children.length} args")
+        ShingleSketch.Sketch(children.head,
+          literalInt(children(1), "width"), literalInt(children(2), "numHashes"))
+      }),
+    (FunctionIdentifier("graft_hyperplane_keys"),
+      new ExpressionInfo(classOf[HyperplaneSketch.Keys].getName, "graft_hyperplane_keys"),
+      { children =>
+        require(children.length == 3,
+          s"graft_hyperplane_keys expects (vec, planes, probes), got ${children.length} args")
+        HyperplaneSketch.Keys(children.head,
+          literalInt(children(1), "planes"), literalInt(children(2), "probes"))
+      }))
 
   /** Install into a live session (idempotent — overwrites are replaces). */
   def register(spark: SparkSession): Unit =

@@ -79,6 +79,15 @@ class VectorKernelsSpec extends AnyFunSuite {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()
     }
     assert(err.getMessage.contains("2 arguments"), err.getMessage)
+
+    // Sketch kernels ride the same registration.
+    val sk = spark.sql(
+      "SELECT graft_simhash(array('a','b','a')) AS s, " +
+        "graft_shingle_sketch(array('a','b','c','d'), 3, 4).sig AS sig, " +
+        "graft_hyperplane_keys(array(1.0d, -2.0d), 4, 2) AS keys").head()
+    assert(sk.getLong(0) != 0L)
+    assert(sk.getSeq[Long](1).length === 4)
+    assert(sk.getSeq[String](2).length === 2 && sk.getSeq[String](2).head.startsWith("0#"))
   }
 
   test("float arrays upcast implicitly") {
