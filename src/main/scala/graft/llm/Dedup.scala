@@ -218,6 +218,25 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Documents surviving simhash near-dup removal (greedy larger-id drop,
+    * like [[dropNearDupsMinHash]]). */
+  def dropNearDupsSimHash(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val losers = nearDupSimHash(df, idCol, textCol, maxDistance, pieces, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Rows surviving embedding near-dup removal (greedy larger-id drop,
+    * like [[dropNearDupsMinHash]]). */
+  def dropNearDupsCosine(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 12, probes: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val losers = nearDupCosine(df, idCol, vecCol, threshold, planes, probes, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14) — the shuffle-only formulation that

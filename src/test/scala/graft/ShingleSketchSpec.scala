@@ -94,6 +94,26 @@ class ShingleSketchSpec extends AnyFunSuite {
     assert(fused === legacy)
   }
 
+  test("dropNearDupsSimHash / dropNearDupsCosine keep the smaller id per pair") {
+    val txt = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("id", "text")
+    val keptTxt = Dedup.dropNearDupsSimHash(txt, "id", "text", maxDistance = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTxt === Set(1L, 3L))
+
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(1.0, 1e-9, 0.0, 0.0)),  // near-dup of 1
+      (3L, Array(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "vec")
+    val keptEmb = Dedup.dropNearDupsCosine(emb, "id", "vec", threshold = 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptEmb === Set(1L, 3L))
+  }
+
   test("null text yields a null sketch; zero hash families allowed") {
     val d = Seq((1L, Option("a b c d")), (2L, Option.empty[String])).toDF("doc_id", "text")
     val toks = split(trim(lower(col("text"))), "\\s+")
