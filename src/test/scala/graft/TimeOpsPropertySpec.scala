@@ -89,6 +89,41 @@ class TimeOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("distributed connected components agree with union-find on random graphs") {
+    import graft.llm.Dedup
+    for (trial <- 0 until 3) {
+      val nNodes = 60 + trial * 40
+      val nEdges = nNodes / 2 + trial * 30 // sparse -> many components
+      val edges = (0 until nEdges).map(_ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2)
+      // Reference union-find with path compression.
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // Component label = min node id in the component (the operator's
+      // contract); reference: group touched nodes by root, take the min.
+      val byRoot = touched.groupBy(n => find(n.toInt))
+      val expected = byRoot.values.flatMap { ns =>
+        val label = ns.min
+        ns.map(_ -> label)
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0L) // force the large-star/small-star loop
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial=$trial nodes=$nNodes edges=${edges.size}")
+    }
+  }
+
   test("sessionize agrees with a per-key scan reference on random data") {
     val rows = randTimes(400, 9, 2000)
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
