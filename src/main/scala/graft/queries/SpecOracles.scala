@@ -555,6 +555,14 @@ object SpecOracles {
         |  TRUE AS val_band,
         |  TRUE AS test_band""".stripMargin,
 
+    // Exact-size hash sample: 100 of the 500 docs by smallest key hash.
+    // Size is exact by construction; monotone containment (top-50 inside
+    // top-100) and rerun stability are properties of the frozen hash order.
+    "q_sample_n" ->
+      """SELECT CAST(100 AS BIGINT) AS n,
+        |  TRUE AS monotone_ok,
+        |  TRUE AS deterministic_ok""".stripMargin,
+
     // Mixture 2.0/0.5/1.3 over disjoint source slices: integer-weight
     // epochs are exact full copies (n_a = 2x|src0 U src1|, c epoch 0 =
     // |src3| — both recomputed from the table); fractional epochs are
