@@ -220,57 +220,105 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic IVF centroid seed: the `nCentroids` corpus vectors with
+    * the smallest xxhash64(id) — stable, independent of data layout. One
+    * tiny TakeOrdered job; the matrix (nCentroids × dim doubles) lives on
+    * the driver, which is the point: a driver-known centroid set turns
+    * centroid assignment into a pure per-row function (see
+    * [[graft.functions.CentroidKernels]]) instead of a join+window. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): Array[Array[Double]] =
+    corpus.select(col(vecCol).cast("array<double>").as("cv"), col(idCol).as("id"))
+      .where(col("cv").isNotNull)
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nCentroids)
+      .select("cv").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Lloyd (k-means) refinement of a centroid matrix: each iteration
+    * assigns every corpus row to its nearest centroid with the fused
+    * kernel (narrow, zero shuffle) and recomputes centroids as per-cell
+    * means. The mean is taken per (cell, dimension) via posexplode +
+    * hash aggregate — map-side partial aggregation means the one shuffle
+    * carries nCentroids × dim partial sums per task, not data. Cells that
+    * capture no rows keep their previous centroid. Deterministic up to
+    * floating-point summation order (assignment flips from that are
+    * confined to points essentially equidistant between cells). */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], iterations: Int): Array[Array[Double]] = {
+    var mat = centroids
+    for (_ <- 0 until iterations if mat.nonEmpty) {
+      val cell = graft.functions.CentroidKernels.nearestIndex(col(vecCol), mat)
+      val means = corpus
+        .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy("__cell", "pos").agg(avg("col").as("m"))
+        .collect()
+      val next = mat.map(_.clone())
+      val seen = new Array[Boolean](mat.length)
+      means.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val c = r.getInt(0); val d = r.getInt(1)
+          if (c >= 0 && c < next.length && d < next(c).length) {
+            next(c)(d) = r.getDouble(2); seen(c) = true
+          }
+        }
+      }
+      mat = next.indices.map(i => if (seen(i)) next(i) else mat(i)).toArray
+    }
+    mat
+  }
+
   /** IVF-style approximate top-k: corpus rows are assigned to their nearest
-    * of `nCentroids` centroid vectors (a deterministic sample of the corpus
-    * itself, broadcast); each query probes the `nProbe` nearest centroids
-    * and ranks only within those partitions. At 100 TB this turns a full
-    * scan per query into a scan of nProbe/nCentroids of the data.
+    * of `nCentroids` centroid vectors; each query probes the `nProbe`
+    * nearest centroids and ranks only within those cells. At 100 TB this
+    * turns a full scan per query into a scan of ~nProbe/nCentroids of the
+    * data.
     *
-    * Exact when nProbe >= nCentroids (probes everything). */
+    * Plan shape: the centroid set is driver-known (deterministic hash
+    * sample, optionally Lloyd-refined), so both assignment and probing are
+    * fused per-row kernel calls — the corpus goes scan → project → equi-join
+    * with the broadcast probe set, with NO Exchange before the join (the
+    * historical spelling crossJoined a broadcast centroid frame and ranked
+    * through a `Window.partitionBy(row)`, shuffling an nCentroids×-fanned
+    * copy of the corpus just to take an argmax).
+    *
+    * Exact when nProbe >= nCentroids (probes everything).
+    *
+    * @param refineIterations optional Lloyd iterations on the sampled
+    *        centroids (2 aggregate passes each) — lifts recall on
+    *        unclustered corpora without changing the query shape. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      refineIterations: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorKernels
+    import graft.functions.{CentroidKernels, VectorKernels}
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv"))
       .withColumn("cn", VectorKernels.norm(col("cv"))))
 
-    // Deterministic centroid sample: the nCentroids corpus rows with the
-    // smallest xxhash64(id) — stable, independent of data layout.
-    val centroids = c.withColumn("h", xxhash64(col("neighbor_id")))
-      .orderBy("h").limit(nCentroids)
-      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centroid"),
-        col("cn").as("centroid_n"))
-    val cb = broadcast(centroids)
+    val seed = sampleCentroids(c, "neighbor_id", "cv", nCentroids)
+    val mat = refineCentroids(c, "cv", seed, refineIterations)
 
-    def nearestCentroids(vec: Column, vecN: Column, n: Int): DataFrame => DataFrame = { df =>
-      val w = Window.partitionBy("__vecid").orderBy(col("__cdist").desc, col("centroid_id").asc)
-      val denom = vecN * col("centroid_n")
-      df.crossJoin(cb)
-        .withColumn("__cdist",
-          when(denom === 0, lit(0.0)).otherwise(VectorKernels.dot(vec, col("centroid")) / denom))
-        .withColumn("__crank", row_number().over(w))
-        .where(col("__crank") <= n)
-        .drop("centroid", "centroid_n", "__cdist", "__crank")
-    }
-
-    val assigned = nearestCentroids(col("cv"), col("cn"), 1)(
-      c.withColumn("__vecid", col("neighbor_id"))).drop("__vecid")
+    // Corpus side: one narrow projection — argmax cosine against the
+    // embedded matrix, no fan-out, no shuffle.
+    val assigned = c.withColumn("centroid_idx",
+      CentroidKernels.nearestIndex(col("cv"), mat))
+    // Query side (tiny): top-nProbe cell indices per query, exploded to
+    // one row per (query, probed cell) and broadcast into the equi-join.
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
       .withColumn("qn", VectorKernels.norm(col("qv")))
-    val probed = nearestCentroids(col("qv"), col("qn"), nProbe)(
-      q.withColumn("__vecid", col("query_id"))).drop("__vecid")
+    val probed = q.withColumn("centroid_idx",
+      explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
 
     val denom = col("qn") * col("cn")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("centroid_id"))
+    assigned.join(broadcast(probed), Seq("centroid_idx"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(denom === 0, lit(0.0))
           .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }
