@@ -71,8 +71,22 @@ object TextAnalysis {
   /** Predicted language code: script detection first (Han/Kana/Hangul/
     * Cyrillic/Arabic character ratios are near-certain signals), then
     * argmax stopword-hit rate for Latin-script text; "und" (undetermined)
-    * when no signal scores at least `minHits` hits. */
-  def languageId(text: Column, minHits: Int = 1): Column = {
+    * when no signal scores at least `minHits` hits.
+    *
+    * Delegates to the fused [[graft.functions.LangIdKernel]]: one compiled
+    * pass per document (code-point scan for scripts + one tokenize pass
+    * with a stopword->language-bitmask hash probe per token). The built-in
+    * relational spelling needed >=10 full-text regex traversals per
+    * document — 5 script-class regexp_replace passes plus a 20-word
+    * lookaround-alternation scan per language — and measured 2-3x slower
+    * at corpus scale. [[languageIdColumns]] keeps that spelling as the
+    * bit-parity reference (Round6Spec asserts zero disagreements). */
+  def languageId(text: Column, minHits: Int = 1): Column =
+    graft.functions.LangIdKernel.languageId(text, minHits)
+
+  /** The historical pure-Column spelling of [[languageId]] — parity
+    * reference for the fused kernel, not a hot path. */
+  def languageIdColumns(text: Column, minHits: Int = 1): Column = {
     val t = trim(text)
     val chars = greatest(length(t), lit(1)).cast("double")
     def scriptRatio(rangePattern: String): Column =

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{CentroidKernels, LangIdKernel}
+import graft.llm.{Similarity, TextAnalysis}
+
+/** Round-6 component tests: the fused language-ID kernel (parity with the
+  * historical Column spelling plus the empty-text fix), and the fused
+  * nearest-centroid kernel behind the IVF rewrite. */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- language id
+
+  test("langid kernel matches the Column spelling on non-empty docs") {
+    val docs = Seq(
+      "The cat and the dog sat on the mat with the hat",
+      "der hund und die katze ist nicht auf der matte",
+      "le chat et le chien sont sur le tapis avec une balle",
+      "el gato y el perro en la casa con su sombrero",
+      "il gatto e il cane sono sulla sedia con la palla e più gioia",
+      "\tthe   the\nthe", // tabs/newlines tokenize like Java \s
+      "la la la la", // fr+es multi-membership word: tie goes to es (alphabetical)
+      "xyzzy plugh 12345", // no hits -> und
+      "漢字漢字漢字漢字 some latin", // Han ratio > 0.25 -> zh
+      "ひらがなとカタカナ mixed in", // Kana ratio > 0.1 -> ja
+      "한국어 텍스트입니다 완전히", // Hangul -> ko
+      "русский текст про кота", // Cyrillic -> ru
+      "نص عربي قصير جدا", // Arabic -> ar
+      "für die männer auf der straße") // non-ASCII lowercase path
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "text")
+    val cmp = df.select(col("id"),
+      TextAnalysis.languageId(col("text")).as("fused"),
+      TextAnalysis.languageIdColumns(col("text")).as("legacy")).collect()
+    cmp.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"id=${r.get(0)}")
+    }
+    // Spot-pin the script paths so both forms changing together is caught.
+    val byId = cmp.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(8) === "zh"); assert(byId(9) === "ja"); assert(byId(10) === "ko")
+    assert(byId(11) === "ru"); assert(byId(12) === "ar"); assert(byId(7) === "und")
+  }
+
+  test("langid kernel: null -> und; empty text fixed to und (legacy said zh)") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   ")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.languageId(col("text")).as("fused"),
+      TextAnalysis.languageIdColumns(col("text")).as("legacy")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1) === ("und", "und"))
+    // The documented divergence: the Column form's greatest(length,1) clamp
+    // made empty docs score Han ratio 1 and come out "zh".
+    assert(out(2) === ("und", "zh"))
+    assert(out(3) === ("und", "zh"))
+  }
+
+  test("langid minHits raises the und threshold") {
+    val df = Seq((1L, "the end")).toDF("id", "text") // exactly one en hit
+    val out = df.select(
+      TextAnalysis.languageId(col("text"), minHits = 1).as("one"),
+      TextAnalysis.languageId(col("text"), minHits = 2).as("two")).head()
+    assert(out.getString(0) === "en")
+    assert(out.getString(1) === "und")
+  }
+
+  // -------------------------------------------------------- centroid kernel
+
+  private val mat: Array[Array[Double]] = Array(
+    Array(1.0, 0.0, 0.0),
+    Array(0.0, 1.0, 0.0),
+    Array(0.0, 0.0, 1.0),
+    Array(1.0, 1.0, 0.0))
+
+  test("nearest-centroid kernel: argmax, top-n order, ties to lower index") {
+    val df = Seq(
+      (1L, Seq(0.9, 0.1, 0.0)), // nearest cell 0, then 3
+      (2L, Seq(0.0, 0.0, 2.0)), // cell 2
+      (3L, Seq(1.0, 1.0, 0.0)), // exactly cell 3
+      (4L, Seq(0.0, 0.0, 0.0))) // zero norm: all cosines 0.0 -> lowest index
+      .toDF("id", "vec")
+    val out = df.select(col("id"),
+      CentroidKernels.nearestIndex(col("vec"), mat).as("cell"),
+      CentroidKernels.nearestIndices(col("vec"), mat, 2).as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(out(1)._1 === 0); assert(out(1)._2 === Seq(0, 3))
+    assert(out(2)._1 === 2)
+    assert(out(3)._1 === 3)
+    assert(out(4)._1 === 0); assert(out(4)._2 === Seq(0, 1))
+  }
+
+  test("nearest-centroid kernel: null/ragged vectors and empty centroid set") {
+    val df = Seq((1L, Seq[Double](1.0, 0.0)), (2L, null: Seq[Double]))
+      .toDF("id", "vec")
+    val ragged = df.select(CentroidKernels.nearestIndex(col("vec"), mat).as("cell"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(ragged.forall(_ == null)) // dim 2 vs centroid dim 3 -> null; null vec -> null
+    val empty = df.where(col("id") === 1)
+      .select(CentroidKernels.nearestIndices(col("vec"),
+        Array.empty[Array[Double]], 2).as("t"))
+      .head().getSeq[Int](0)
+    assert(empty.isEmpty)
+  }
+
+  test("Lloyd refinement moves centroids toward cluster means, keeps empty cells") {
+    // Two tight clusters around (10,0) and (0,10); seed centroids off-center
+    // plus one far-away cell that captures nothing.
+    val pts = (0 until 50).map(i => (i.toLong, Seq(10.0 + (i % 5) * 0.01, 0.0))) ++
+      (50 until 100).map(i => (i.toLong, Seq(0.0, 10.0 + (i % 5) * 0.01)))
+    val df = pts.toDF("id", "vec")
+    val seed = Array(Array(5.0, 1.0), Array(1.0, 5.0), Array(-50.0, -50.0))
+    val refined = Similarity.refineCentroids(df, "vec", seed, iterations = 2)
+    assert(math.abs(refined(0)(0) - 10.02) < 0.1 && math.abs(refined(0)(1)) < 1e-9)
+    assert(math.abs(refined(1)(1) - 10.02) < 0.1 && math.abs(refined(1)(0)) < 1e-9)
+    assert(refined(2).toSeq === Seq(-50.0, -50.0)) // empty cell keeps its centroid
+  }
+
+  test("ivfTopK with refinement and full probes still equals brute force") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val df = base.toDF("id", "vec")
+    val q = df.where(col("id") < 4)
+    val bf = Similarity.bruteForceTopK(df, "id", "vec", q, "id", "vec", k = 3)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(df, "id", "vec", q, "id", "vec", k = 3,
+      nCentroids = 5, nProbe = 5, refineIterations = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(ivf === bf)
+  }
+}
