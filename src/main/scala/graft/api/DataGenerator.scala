@@ -131,6 +131,17 @@ final case class DataGenerator(
     Generator.generateStream(spark, resolved, tableSpec, rowsPerSecond, partitions)
   }
 
+  /** Deterministic streaming build (`rate-micro-batch` source): batch k is
+    * seeds [k*rowsPerBatch, (k+1)*rowsPerBatch) at a parameterized
+    * timestamp — reproducible row sets for tests and backfills (see
+    * [[graft.engine.Generator.generateStreamMicroBatch]]). */
+  def buildStreamMicroBatch(rowsPerBatch: Long = 1000L, startTimestampMs: Long = 0L,
+      advanceMillisPerBatch: Long = 1000L): DataFrame = {
+    val resolved = Planner.resolveOrThrow(plan)
+    Generator.generateStreamMicroBatch(spark, resolved, tableSpec, rowsPerBatch,
+      startTimestampMs, advanceMillisPerBatch, partitions)
+  }
+
   /** Build and register as a temp view (reference view registration —
     * data_generator.py:1696-1705). */
   def buildAsView(viewName: String, global: Boolean = false): DataFrame = {

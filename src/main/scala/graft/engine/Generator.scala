@@ -57,6 +57,32 @@ object Generator {
     assemble(spark, resolved, table, base, streaming = true)
   }
 
+  /** Deterministic streaming build over Spark's `rate-micro-batch` source:
+    * batch k carries seed values [k*rowsPerBatch, (k+1)*rowsPerBatch) with
+    * timestamp startTimestamp + k*advanceMillisPerBatch — no wall clock
+    * anywhere, so under `Trigger.AvailableNow` (exactly one batch) the row
+    * set is a pure function of the options and every generated column is
+    * fully oracle-able. The reference pins its streaming test counts the
+    * same way (tests/test_streaming.py:116-172). Use [[generateStream]]
+    * when wall-clock pacing is the point; use this for verification and
+    * reproducible streaming pipelines. */
+  def generateStreamMicroBatch(spark: SparkSession, resolved: ResolvedPlan, table: TableSpec,
+      rowsPerBatch: Long = 1000L, startTimestampMs: Long = 0L,
+      advanceMillisPerBatch: Long = 1000L, numPartitions: Option[Int] = None): DataFrame = {
+    table.constraints.filterNot(_.supportsStreaming).foreach { c =>
+      throw SpecError(s"constraint ${c.getClass.getSimpleName} does not support streaming builds")
+    }
+    val reader = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("startTimestamp", startTimestampMs.toString)
+      .option("advanceMillisPerBatch", advanceMillisPerBatch.toString)
+    numPartitions.foreach(n => reader.option("numPartitions", n.toString))
+    val base = reader.load()
+      .withColumnRenamed("timestamp", StreamingTimestampColumn)
+      .withColumnRenamed("value", IdColumn)
+    assemble(spark, resolved, table, base, streaming = true)
+  }
+
   private def assemble(spark: SparkSession, resolved: ResolvedPlan, table: TableSpec,
       base: DataFrame, streaming: Boolean): DataFrame = {
     val ctx = BuildContext(resolved.plan.seed, table.name, table.rows, resolved.pkInfo)

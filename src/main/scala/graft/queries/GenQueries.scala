@@ -359,23 +359,28 @@ object GenQueries {
     }),
 
     "q_gen_stream_rate" -> ((s, _) => {
-      // Rate-source streaming build, deliberately oracle-less (the row count
-      // depends on wall clock, so the driver records a rows-only check);
-      // the value invariants still fold into booleans.
+      // Rate-family streaming build made fully deterministic: the
+      // rate-micro-batch source under Trigger.AvailableNow emits exactly
+      // one batch of seeds [0, rowsPerBatch) at the parameterized start
+      // timestamp — no wall clock anywhere, so the whole row set (and
+      // every hash-derived column) is a pure function of the spec and the
+      // driver gets a real rows+schema+hash row instead of a rows-only
+      // check. The wall-clock rowsPerSecond path keeps its coverage in
+      // Round6Spec ("plain rate source streams generated rows").
       val qname = "graft_q_stream_rate"
       val q = graft.api.DataGenerator(s, "sr", rows = Long.MaxValue)
         .withColumn("v", "int", ColumnStrategy.Range(1, 100, Some(1)))
         .withColumn("tag", "string", ColumnStrategy.Values(Seq("a", "b")))
-        .buildStream(rowsPerSecond = 1000)
-        .writeStream.format("memory").queryName(qname).start()
-      try {
-        var waited = 0
-        while (s.table(qname).isEmpty && waited < 300) { Thread.sleep(200); waited += 1 }
-      } finally if (q.isActive) q.stop()
-      one(s.table(qname), "has_rows" -> (count(lit(1)) > 0),
-        "v_in_range" -> all(col("v").between(1, 100)),
-        "tag_in_set" -> all(col("tag").isin("a", "b")),
-        "has_ts" -> all(col(Generator.StreamingTimestampColumn).isNotNull))
+        .buildStreamMicroBatch(rowsPerBatch = 2000, startTimestampMs = 0L)
+        .writeStream.format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(60000)
+      require(finished, "rate-micro-batch AvailableNow stream did not finish in 60s")
+      one(s.table(qname), "n" -> count(lit(1)),
+        "sum_v" -> sum(col("v")).cast("long"),
+        "n_a" -> sum(when(col("tag") === "a", 1L).otherwise(0L)),
+        "ts_epoch" -> all(col(Generator.StreamingTimestampColumn) ===
+          to_timestamp(lit("1970-01-01 00:00:00"))))
     }),
 
     // ------------------------------------------------------ multi-column

@@ -27,6 +27,11 @@ object GeneratedOracles {
       """SELECT CAST(17 AS BIGINT) AS n_pairs,
   CAST(3224 AS BIGINT) AS sum_a,
   CAST(6029 AS BIGINT) AS sum_b""",
+    "q_gen_stream_rate" ->
+      """SELECT CAST(2000 AS BIGINT) AS n,
+  CAST(101546 AS BIGINT) AS sum_v,
+  CAST(1017 AS BIGINT) AS n_a,
+  TRUE AS ts_epoch""",
     "q_text_fingerprint" ->
       """SELECT CAST(500 AS BIGINT) AS n_fp,
   CAST(27165 AS BIGINT) AS n_subwords""",

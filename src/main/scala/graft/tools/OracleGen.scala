@@ -27,7 +27,6 @@ object OracleGen {
     val targets = (GenQueries.all ++ LlmQueries.queries ++ TableQueries.queries ++
         graft.queries.ApiQueries.queries)
       .filterNot { case (name, _) => handwritten.contains(name) }
-      .filterNot { case (name, _) => name == "q_gen_stream_rate" } // nondeterministic
 
     val entries = targets.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

@@ -66,6 +66,48 @@ class Round6Spec extends AnyFunSuite {
     assert(out.getString(1) === "und")
   }
 
+  // ---------------------------------------------------- streaming rate paths
+
+  test("plain rate source streams generated rows (wall-clock path)") {
+    // Coverage moved here from q_gen_stream_rate, which now uses the
+    // deterministic rate-micro-batch source so the driver gets a full
+    // hash-checked oracle row.
+    val qname = "r6_rate_plain"
+    val q = graft.api.DataGenerator(spark, "sr", rows = Long.MaxValue)
+      .withColumn("v", "int", graft.spec.ColumnStrategy.Range(1, 100, Some(BigDecimal(1))))
+      .buildStream(rowsPerSecond = 1000)
+      .writeStream.format("memory").queryName(qname).start()
+    try {
+      var waited = 0
+      while (spark.table(qname).isEmpty && waited < 300) { Thread.sleep(200); waited += 1 }
+    } finally if (q.isActive) q.stop()
+    val rows = spark.table(qname)
+    assert(rows.count() > 0)
+    assert(rows.where(!col("v").between(1, 100)).count() === 0)
+    assert(rows.where(col(graft.engine.Generator.StreamingTimestampColumn).isNull).count() === 0)
+  }
+
+  test("rate-micro-batch build is deterministic across runs") {
+    import org.apache.spark.sql.streaming.Trigger
+    def run(qname: String): Seq[Seq[Any]] = {
+      val q = graft.api.DataGenerator(spark, "sr", rows = Long.MaxValue)
+        .withColumn("v", "int", graft.spec.ColumnStrategy.Range(1, 100, Some(BigDecimal(1))))
+        .withColumn("tag", "string", graft.spec.ColumnStrategy.Values(Seq("a", "b")))
+        .buildStreamMicroBatch(rowsPerBatch = 500, startTimestampMs = 86400000L)
+        .writeStream.format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), "AvailableNow micro-batch did not finish")
+      val t = spark.table(qname)
+      t.orderBy(t.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    }
+    val a = run("r6_mb_a")
+    val b = run("r6_mb_b")
+    assert(a.length === 500)
+    assert(a === b)
+    // Timestamp is the parameterized start, not the wall clock.
+    assert(a.head.contains(java.sql.Timestamp.valueOf("1970-01-02 00:00:00")))
+  }
+
   // -------------------------------------------------------- centroid kernel
 
   private val mat: Array[Array[Double]] = Array(
