@@ -15,22 +15,32 @@ import org.apache.spark.sql.types._
   */
 object DataAnalyzer {
 
-  val Measures: Seq[String] = Seq("count", "null_count", "distinct_count", "min", "max")
+  val Measures: Seq[String] =
+    Seq("count", "null_count", "distinct_count", "min", "max", "mean", "stddev")
 
   /** measure x column summary: first column `measure`, one STRING column per
     * source column. `exact` uses count(distinct); the default approximates
-    * (approx_count_distinct) which is the right call at scale. */
+    * (approx_count_distinct) which is the right call at scale. mean/stddev
+    * (describe()-style, ref data_analyzer.py:149-175) apply to numeric
+    * columns only (null elsewhere) and render with fixed 6-decimal
+    * formatting so the summary string is engine-portable rather than
+    * hostage to shortest-round-trip float printing. Still ONE aggregation
+    * pass for all measures. */
   def summarizeToDF(df: DataFrame, exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val cols = df.schema.fields.toSeq
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
+      def numericSafe(agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (isNumeric(f.dataType)) format_string("%.6f", agg) else lit(null).cast(StringType)
       Seq(
         count(c).as(s"${f.name}__count"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__null_count"),
         (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${f.name}__distinct_count"),
         minMaxSafe(f, min(c)).as(s"${f.name}__min"),
-        minMaxSafe(f, max(c)).as(s"${f.name}__max"))
+        minMaxSafe(f, max(c)).as(s"${f.name}__max"),
+        numericSafe(avg(c)).as(s"${f.name}__mean"),
+        numericSafe(stddev(c)).as(s"${f.name}__stddev"))
     }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect().head
 

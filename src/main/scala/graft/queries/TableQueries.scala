@@ -245,7 +245,7 @@ object TableQueries {
     "q_analyzer_summary" -> ((s, d) => {
       val df = table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
       graft.analyzer.DataAnalyzer.summarizeToDF(df, exact = true)
-        .where(col("measure").isin("count", "null_count", "distinct_count"))
+        .where(col("measure").isin("count", "null_count", "distinct_count", "mean", "stddev"))
         .orderBy("measure")
     }))
 
@@ -404,5 +404,12 @@ object TableQueries {
         |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
         |    CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
         |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
-        |  FROM lineitem) ORDER BY measure""".stripMargin)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'mean', printf('%.6f', avg(l_orderkey)),
+        |    printf('%.6f', avg(l_linenumber)), CAST(NULL AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'stddev', printf('%.6f', stddev(l_orderkey)),
+        |    printf('%.6f', stddev(l_linenumber)), CAST(NULL AS VARCHAR) FROM lineitem
+        |  ) ORDER BY measure""".stripMargin)
 }
