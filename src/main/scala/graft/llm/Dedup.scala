@@ -509,6 +509,78 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------ substring-level dedup
+
+  /** Window fingerprints repeated ACROSS documents: the xxhash64 of every
+    * `width`-token window (RefinedWeb/exact-substring-style granularity —
+    * finer than document near-dup, coarser than line dedup; the detection
+    * half of the "drop spans duplicated across the corpus" rule). A
+    * fingerprint row means some `width`-token span occurs in `n_docs`
+    * distinct documents.
+    *
+    * Plan shape: fused per-row sketch (no explode until the fingerprints
+    * are 8-byte longs) -> explode -> hash aggregate. The one shuffle
+    * carries (fp, partial count) pairs after map-side combine, so hot
+    * boilerplate fingerprints cost one row per task, not one per
+    * occurrence — no cap needed, skew-immune. Null-text rows are excluded
+    * (as in the whole dedup family).
+    *
+    * @return (fp, n_docs) with n_docs >= minDocs.
+    */
+  def repeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minDocs: Int = 2): DataFrame =
+    shingleSets(df, idCol, textCol, width)
+      .select(explode(col("sh")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= lit(minDocs))
+
+  /** Annotate every document with how much of it is corpus-repeated at the
+    * `width`-token window level: `n_windows` (distinct fingerprints in the
+    * doc), `n_repeated_windows` (those shared with >= minDocs-1 other
+    * docs), and `repeated_window_fraction` — the signal an LLM pipeline
+    * thresholds to drop boilerplate-heavy documents. Null-text rows are
+    * excluded from the output (they have no windows to judge).
+    *
+    * Two aggregation shuffles (fingerprint doc-frequency, then per-doc
+    * repeated count), both over (long, long) rows with map-side combine;
+    * the doc-frequency side joins back by fingerprint, where AQE picks
+    * broadcast when the repeated set is small. */
+  def flagRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minDocs: Int = 2): DataFrame = {
+    val wins = shingleSets(df, idCol, textCol, width)
+    val exploded = wins.select(col("id"), explode(col("sh")).as("fp"))
+    val repeatedFps = exploded.groupBy("fp").agg(count(lit(1)).as("__n_docs"))
+      .where(col("__n_docs") >= lit(minDocs)).select("fp")
+    val perDoc = exploded.join(repeatedFps, Seq("fp"))
+      .groupBy("id").agg(count(lit(1)).as("n_repeated_windows"))
+    df.join(wins.select(col("id").as(idCol), size(col("sh")).as("n_windows")), Seq(idCol))
+      .join(perDoc.select(col("id").as(idCol), col("n_repeated_windows")), Seq(idCol), "left")
+      .na.fill(0L, Seq("n_repeated_windows"))
+      .withColumn("repeated_window_fraction",
+        when(col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_repeated_windows").cast("double") / col("n_windows")))
+  }
+
+  /** Document pairs sharing at least `minShared` distinct `width`-token
+    * windows — the pair view of [[repeatedSubstrings]], same capped
+    * inverted-index shape as [[ngramJaccardPairs]] (maxDocFreq bounds the
+    * per-fingerprint bucket so ubiquitous boilerplate cannot go quadratic;
+    * such spans are better handled by the aggregate detector above).
+    *
+    * @return (id_a, id_b, shared_windows) with id_a < id_b.
+    */
+  def repeatedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minShared: Int = 1, maxDocFreq: Long = 1000): DataFrame = {
+    val exploded = shingleSets(df, idCol, textCol, width)
+      .select(col("id"), explode(col("sh")).as("fp"))
+    val capped = capBuckets(exploded, "fp", maxDocFreq)
+    capped.select(col("fp"), col("id").as("id_a"))
+      .join(capped.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= lit(minShared))
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine similarity, bucketed by

@@ -66,6 +66,53 @@ class Round6Spec extends AnyFunSuite {
     assert(out.getString(1) === "und")
   }
 
+  // ------------------------------------------------- substring-level dedup
+
+  test("repeated-substring detector finds the planted shared span") {
+    import graft.llm.Dedup
+    // Docs 1 and 2 share an 8-token boilerplate span inside otherwise
+    // distinct text; doc 3 is unrelated; doc 4 is short (< width tokens).
+    val boiler = "please subscribe to our newsletter for daily updates"
+    val df = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two three four five $boiler six"),
+      (3L, "completely unrelated text with enough tokens to have many windows here now"),
+      (4L, "tiny doc")).toDF("id", "text")
+
+    val reps = Dedup.repeatedSubstrings(df, "id", "text", width = 8, minDocs = 2).collect()
+    assert(reps.length === 1, "exactly the one shared 8-token window repeats")
+    assert(reps.head.getLong(1) === 2L)
+
+    val flags = Dedup.flagRepeatedSubstrings(df, "id", "text", width = 8, minDocs = 2)
+      .select("id", "n_windows", "n_repeated_windows").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(flags(1)._2 === 1L && flags(2)._2 === 1L)
+    assert(flags(3)._2 === 0L)
+    assert(flags(4) === ((1, 0L)), "short doc: one full-text window, not repeated")
+
+    val pairs = Dedup.repeatedSubstringPairs(df, "id", "text", width = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1L)))
+  }
+
+  test("window fingerprints in the frame path match the Column form") {
+    import graft.llm.{Dedup, TextAnalysis}
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "short"),
+      (3L, "x y z x y z x y z x y z")) // repeated windows collapse to a set
+      .toDF("id", "text")
+    // Frame path = ShingleSketch (sorted distinct hashes); Column form =
+    // transform(shingles, xxhash64) — same strings, same seed-42 hash.
+    val colForm = df.select(col("id"),
+      array_sort(array_distinct(TextAnalysis.windowFingerprints(col("text"), 8))).as("fp"))
+    val frame = Dedup.repeatedSubstrings(df, "id", "text", width = 8, minDocs = 1)
+    val colFps = colForm.select(explode(col("fp")).as("fp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val frameFps = frame.collect().map(_.getLong(0)).toSet
+    assert(frameFps === colFps)
+  }
+
   // ---------------------------------------------------- streaming rate paths
 
   test("plain rate source streams generated rows (wall-clock path)") {
