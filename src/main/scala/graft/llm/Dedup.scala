@@ -439,8 +439,10 @@ object Dedup {
     *
     * @return (id, sk)
     */
-  def simHashes(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
-    require(bits == 64, "the fused simhash kernel is fixed at 64 bits")
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Sketch width is fixed at 64 bits by the fused kernel — no parameter,
+    // so the constraint is visible at compile time instead of failing at
+    // runtime (the historical `bits` argument accepted only 64 anyway).
     // Fused native kernel (graft.functions.ShingleSketch.simHash64): one
     // compiled pass per document, no explode, no 64-vote aggregate, no
     // shuffle — bit-identical to the legacy pipeline (ShingleSketchSpec).

@@ -209,17 +209,23 @@ object TextAnalysis {
     *
     * @return one row per input row: idCol plus n_lines, dup_line_count,
     *         bullet_line_count, ellipsis_line_count, ngram_total,
-    *         ngram_dup_count. Null/empty text: split("") yields [""], so
-    *         such docs count 1 line / 1 shingle, exactly like the Column
-    *         forms.
+    *         ngram_dup_count. Empty text: split("") yields [""], so such
+    *         docs count 1 line / 1 shingle, exactly like the Column forms.
+    *         NULL text is coalesced to "" first — explode(split(null))
+    *         would emit zero rows and the inner join would silently drop
+    *         the document, breaking the one-row-per-input contract (the
+    *         per-row Column forms return null for such docs; the frame
+    *         path counts them as empty instead, which keeps corpus-level
+    *         sums null-safe).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       width: Int = 3): DataFrame = {
     val id = col(idCol)
+    val text = coalesce(col(textCol), lit(""))
     // Lines: one exploded pass, aggregated per doc. countDistinct compiles
     // to a two-phase (doc, line)-then-(doc) aggregate — no HOF anywhere.
     val lineStats = df
-      .select(id, explode(lines(col(textCol))).as("__line"))
+      .select(id, explode(lines(text)).as("__line"))
       .groupBy(idCol).agg(
         count(lit(1)).as("n_lines"),
         countDistinct(col("__line")).as("__n_distinct_lines"),
@@ -233,7 +239,7 @@ object TextAnalysis {
     // Shingles: explode the index range and build each shingle with
     // slice/array_join (all codegen'd) — the same generator trick as
     // Dedup.shingleHashRows, but keeping the string for exact distinctness.
-    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val toks = split(trim(lower(text)), "\\s+")
     val nToks = size(toks)
     val ngramStats = df
       .select(id,

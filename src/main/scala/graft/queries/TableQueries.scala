@@ -127,7 +127,13 @@ object TableQueries {
         .writeStream.format("memory").queryName("graft_events_window_stream")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      val finished = q.awaitTermination(60000)
+      require(finished,
+        "events AvailableNow stream did not finish in 60s — refusing to read a partial sink")
+      // The copied source dir is only needed while the stream runs.
+      try java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }
       s.table("graft_events_window_stream").orderBy("hour_start")
     }),
 

@@ -69,6 +69,12 @@ object TimeOps {
     * @param rightTimeAs when set, also emits the matched right timestamp
     *                    under this name.
     * @param tolerance   max |leftTime - rightTime| for a match to count.
+    *                    Filters CANDIDATES before the nearest comparison
+    *                    (pandas merge_asof semantics); since the nearest
+    *                    pick is the min-distance side this coincides with
+    *                    filtering after, but the implementation keeps the
+    *                    candidate-filter form so the equivalence is
+    *                    structural.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, rightCols: Seq[String],
@@ -131,11 +137,21 @@ object TimeOps {
 
     val matched = (direction match {
       case "nearest" =>
-        val b = guarded(matchedCol("backward"))
-        val f = guarded(matchedCol("forward"))
+        val b0 = guarded(matchedCol("backward"))
+        val f0 = guarded(matchedCol("forward"))
+        // Tolerance filters CANDIDATES before the nearest comparison
+        // (pandas merge_asof semantics): a side whose match is out of
+        // tolerance is nulled here, so the opposite in-tolerance side can
+        // still win — pick-then-filter would wrongly emit null for such
+        // rows. Distances are one-signed per direction (backward match is
+        // at-or-before, forward at-or-after).
+        def gate(m: Column, dist: Column): Column = tolerance match {
+          case Some(t) => when(dist <= t, m)
+          case None => m
+        }
+        val b = gate(b0, col("__t") - b0.getField("__rt"))
+        val f = gate(f0, f0.getField("__rt") - col("__t"))
         // Closer side wins; ties and one-sided matches resolve backward.
-        // abs() keeps the comparison sign-safe for numeric time columns
-        // (interval subtraction already yields the signed duration).
         val db = col("__t") - b.getField("__rt")
         val df_ = f.getField("__rt") - col("__t")
         unioned.withColumn("__m",

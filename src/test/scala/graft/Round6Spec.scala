@@ -66,6 +66,45 @@ class Round6Spec extends AnyFunSuite {
     assert(out.getString(1) === "und")
   }
 
+  // ------------------------------------------------------ advice follow-ups
+
+  test("asofJoin nearest+tolerance follows pandas filter-then-pick semantics") {
+    import org.apache.spark.sql.functions.expr
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 1L, t("2024-01-01 10:00:00"))).toDF("row_id", "k", "lt")
+    val r = Seq(
+      (1L, t("2024-01-01 09:59:45"), "back15"), // 15s back
+      (1L, t("2024-01-01 10:00:30"), "fwd30")) // 30s fwd
+      .toDF("k", "rt", "tag")
+    def join(tolSecs: Int) =
+      graft.ts.TimeOps.asofJoin(l, r, Seq("k"), "lt", "rt", Seq("tag"),
+        direction = "nearest", tolerance = Some(expr(s"INTERVAL $tolSecs SECONDS")))
+        .select("tag").head()
+    // Both candidates out of tolerance -> null.
+    assert(join(3).isNullAt(0))
+    // Only the nearer (backward) side in tolerance -> it wins.
+    assert(join(20).getString(0) === "back15")
+    // Both in tolerance -> nearest wins.
+    assert(join(60).getString(0) === "back15")
+    // (The candidate-filtering restructure is semantics-preserving for
+    // two-sided rows: the picked side is the min-distance side, so "nearest
+    // out of tolerance" implies the opposite side is out too. The filter-
+    // then-pick form makes that pandas equivalence structural rather than
+    // coincidental.)
+  }
+
+  test("repetitionSignals keeps null-text rows (counted as empty docs)") {
+    val df = Seq((1L, "a b\na b"), (2L, null: String), (3L, ""))
+      .toDF("id", "text")
+    val out = graft.llm.TextAnalysis.repetitionSignals(df, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3, "one row per input row, including null text")
+    assert(out(2).getAs[Long]("n_lines") === 1L) // null -> "" -> one empty line
+    assert(out(2).getAs[Long]("ngram_total") === 1L)
+    assert(out(3).getAs[Long]("n_lines") === 1L)
+    assert(out(1).getAs[Long]("dup_line_count") === 1L)
+  }
+
   // ------------------------------------------------- substring-level dedup
 
   test("repeated-substring detector finds the planted shared span") {
