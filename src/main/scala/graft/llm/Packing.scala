@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Sequence packing — the step between a filtered corpus and a training
+  * run: documents are arranged into fixed-token-budget units so every
+  * training sequence is (nearly) full. Two standard disciplines:
+  *
+  *  - [[chunkPack]] (concat-and-chunk): conceptually concatenate all
+  *    documents in a deterministic order and cut every `chunkTokens`
+  *    tokens; a document may straddle a chunk boundary. This is the
+  *    classic causal-LM packing.
+  *  - [[binPack]] (next-fit bins, no splitting): a document never splits;
+  *    a new pack opens whenever the running total would overflow. Used
+  *    when documents must stay intact (SFT examples, contrastive pairs).
+  *
+  * Both are deterministic (xxhash64 ordering, no `rand()`) and sharded:
+  * documents are hashed into `shards` independent streams packed in
+  * parallel, so the only coordination is within a shard. At 100 TB the
+  * alternative — one global ordering — would funnel the corpus through a
+  * single sort partition; sharding keeps the plan fully parallel at the
+  * cost of at most one partially-filled pack per shard.
+  */
+object Packing {
+
+  private def shardCol(keyCols: Seq[String], shards: Int, seed: Long) =
+    pmod(xxhash64(keyCols.map(col) :+ lit(seed ^ 0x5bd1e995L): _*), lit(shards.toLong))
+
+  /** Concat-and-chunk packing. Adds:
+    *  - `pack_shard`: which independent stream the doc belongs to;
+    *  - `chunk_first` / `chunk_last`: the chunk index range (within the
+    *    shard) this document's tokens land in;
+    *  - `chunk_offset`: token offset of the document's first token inside
+    *    `chunk_first`.
+    *
+    * Plan: one shuffle (window cumulative sum per shard, streaming frame —
+    * no per-group buffering). Rows with a null/negative token count are
+    * treated as 0 tokens (they attach to the current position and occupy
+    * nothing). */
+  def chunkPack(df: DataFrame, keyCols: Seq[String], tokenCol: String,
+      chunkTokens: Long, shards: Int = 256, seed: Long = 42L): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(shards > 0, s"shards must be > 0, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val tok = greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L))
+    val w = Window.partitionBy(col("pack_shard"))
+      .orderBy(Sampling.hashFraction(keyCols.map(col), seed).asc +: keyCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_shard", shardCol(keyCols, shards, seed))
+      .withColumn("__cum", sum(tok).over(w))
+      .withColumn("chunk_first", floor((col("__cum") - tok) / chunkTokens))
+      .withColumn("chunk_last",
+        greatest(floor((col("__cum") - 1) / chunkTokens), floor((col("__cum") - tok) / chunkTokens)))
+      .withColumn("chunk_offset", (col("__cum") - tok) % chunkTokens)
+      .drop("__cum")
+  }
+
+  /** Next-fit bin packing without document splitting. Adds:
+    *  - `pack_shard`: the independent stream;
+    *  - `pack_id`: pack index within the shard;
+    *  - `pack_pos`: the document's position within its pack.
+    *
+    * A document larger than `maxTokens` gets a pack of its own (the
+    * standard pipeline behavior — flag or pre-chunk oversized docs
+    * upstream if that is unacceptable). Next-fit guarantees at most
+    * 2x the optimal pack count per shard.
+    *
+    * Plan: repartition by shard + in-partition sort, then ONE sequential
+    * pass per partition (`mapPartitions`) — bin state is inherently
+    * recursive (each boundary depends on the previous), which is exactly
+    * the per-partition imperative case mapPartitions exists for; the scan
+    * resets its state on every shard change, so shards sharing a Spark
+    * partition stay independent and the result does not depend on the
+    * shard->partition mapping. */
+  def binPack(df: DataFrame, keyCols: Seq[String], tokenCol: String,
+      maxTokens: Long, shards: Int = 256, seed: Long = 42L): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val prepared = df
+      .withColumn("pack_shard", shardCol(keyCols, shards, seed))
+      .withColumn("__tok", greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L)))
+      .withColumn("__h", Sampling.hashFraction(keyCols.map(col), seed))
+      .repartition(shards, col("pack_shard"))
+      .sortWithinPartitions(col("pack_shard").asc +:
+        col("__h").asc +: keyCols.map(col(_).asc): _*)
+    val shardIdx = prepared.schema.fieldIndex("pack_shard")
+    val tokIdx = prepared.schema.fieldIndex("__tok")
+    val outSchema = StructType(prepared.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("pack_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack_pos", LongType, nullable = false)))
+    val packed = prepared.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var curSum = 0L
+      var packId = -1L
+      var pos = 0L
+      it.map { row =>
+        val sh = row.getLong(shardIdx)
+        val tok = row.getLong(tokIdx)
+        if (sh != curShard) { curShard = sh; curSum = 0L; packId = -1L }
+        if (packId < 0 || curSum + tok > maxTokens) {
+          packId += 1; curSum = 0L; pos = 0L
+        } else pos += 1
+        curSum += tok
+        Row.fromSeq(row.toSeq ++ Seq(packId, pos))
+      }
+    }(Encoders.row(outSchema))
+    packed.drop("__tok", "__h")
+  }
+}

@@ -45,6 +45,24 @@ object Sampling {
       .limit(n)
   }
 
+  /** Deterministic per-group exact-size sample (stratified sampling): for
+    * each distinct value of `groupCols`, the `n` rows with the smallest
+    * key hashes — "500 documents per language/source" selection with the
+    * same determinism story as [[sampleN]] (stable across reruns and
+    * repartitions, monotone in n). One shuffle: the window partition by
+    * group; rank is evaluated streaming per group, no per-group
+    * materialization. Groups smaller than n keep all their rows. */
+  def sampleNPerGroup(df: DataFrame, keyCols: Seq[String], groupCols: Seq[String],
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(groupCols.nonEmpty, "sampleNPerGroup needs at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashFraction(keyCols.map(col), seed).asc +: keyCols.map(col(_).asc): _*)
+    df.withColumn("__graft_rk", row_number().over(w))
+      .where(col("__graft_rk") <= n).drop("__graft_rk")
+  }
+
   /** Leakage-safe split assignment: appends `splitCol` with the split name
     * chosen by where the key-hash fraction lands among the cumulative
     * weights (normalized). All rows sharing the key columns land in the

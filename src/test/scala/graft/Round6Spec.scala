@@ -66,6 +66,80 @@ class Round6Spec extends AnyFunSuite {
     assert(out.getString(1) === "und")
   }
 
+  // ------------------------------------------------- packing + stratified
+
+  test("sampleNPerGroup: exact per-group sizes, deterministic, monotone") {
+    import graft.llm.Sampling
+    val df = (0 until 100).map(i => (i.toLong, s"g${i % 3}")) ++
+      Seq((1000L, "tiny"), (1001L, "tiny"))
+    val docs = df.toDF("id", "grp")
+    val s5 = Sampling.sampleNPerGroup(docs, Seq("id"), Seq("grp"), 5, seed = 9)
+    val sizes = s5.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L, "tiny" -> 2L))
+    val again = Sampling.sampleNPerGroup(docs, Seq("id"), Seq("grp"), 5, seed = 9)
+    assert(s5.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    val s2 = Sampling.sampleNPerGroup(docs, Seq("id"), Seq("grp"), 2, seed = 9)
+    val ids5 = s5.select("id").collect().map(_.getLong(0)).toSet
+    assert(s2.select("id").collect().map(_.getLong(0)).forall(ids5.contains))
+  }
+
+  test("binPack: next-fit invariants hold on every shard") {
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 400).map(i => (i.toLong, 20L + rnd.nextInt(400).toLong)) :+
+      (9999L, 5000L) // oversized doc: must sit alone in its own pack
+    val df = docs.toDF("id", "n_tok")
+    val budget = 512L
+    val packed = Packing.binPack(df, Seq("id"), "n_tok", budget, shards = 4, seed = 3)
+    assert(packed.count() === 401L, "every doc assigned exactly once")
+    val packs = packed.groupBy("pack_shard", "pack_id")
+      .agg(sum("n_tok").as("tok"), count(lit(1)).as("ndocs"),
+        min(struct(col("pack_pos"), col("n_tok"))).as("first"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getStruct(4).getLong(1))).toMap
+    packs.foreach { case ((sh, pid), (tok, ndocs, firstTok)) =>
+      assert(tok <= budget || ndocs === 1L, s"pack ($sh,$pid) overflows with $ndocs docs")
+      // The defining next-fit property: this pack's first doc did NOT fit
+      // in the previous pack.
+      packs.get((sh, pid - 1)).foreach { case (prevTok, _, _) =>
+        assert(prevTok + firstTok > budget,
+          s"pack ($sh,$pid) opened although its first doc fit the previous pack")
+      }
+    }
+    // pack_pos is contiguous from 0.
+    val badPos = packed.groupBy("pack_shard", "pack_id")
+      .agg(min("pack_pos").as("mn"), max("pack_pos").as("mx"), count(lit(1)).as("n"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(badPos === 0L)
+    // Deterministic across reruns.
+    val again = Packing.binPack(df, Seq("id"), "n_tok", budget, shards = 4, seed = 3)
+      .select("id", "pack_shard", "pack_id", "pack_pos").collect().map(_.toSeq).toSet
+    assert(packed.select("id", "pack_shard", "pack_id", "pack_pos")
+      .collect().map(_.toSeq).toSet === again)
+  }
+
+  test("chunkPack: chunk ranges tile each shard's token stream exactly") {
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(6)
+    val docs = (0 until 300).map(i => (i.toLong, rnd.nextInt(700).toLong)) :+
+      (777L, 0L) // zero-token doc: occupies nothing, stays in range
+    val df = docs.toDF("id", "n_tok")
+    val budget = 256L
+    val out = Packing.chunkPack(df, Seq("id"), "n_tok", budget, shards = 4, seed = 3)
+    // Per-row range arithmetic: last - first == floor((offset + max(tok,1) - 1) / budget).
+    val badRange = out.where(col("chunk_last") - col("chunk_first") =!=
+      floor((col("chunk_offset") + greatest(col("n_tok"), lit(1L)) - 1) / budget)).count()
+    assert(badRange === 0L)
+    assert(out.where(col("chunk_offset") < 0 || col("chunk_offset") >= budget).count() === 0L)
+    // Per-shard: the highest chunk index is exactly the one holding the
+    // shard's last token.
+    val badShard = out.groupBy("pack_shard")
+      .agg(max("chunk_last").as("mxc"), sum("n_tok").as("tok"))
+      .where(col("tok") > 0 && col("mxc") =!= floor((col("tok") - 1) / budget)).count()
+    assert(badShard === 0L)
+  }
+
   // ------------------------------------------------------ advice follow-ups
 
   test("asofJoin nearest+tolerance follows pandas filter-then-pick semantics") {
