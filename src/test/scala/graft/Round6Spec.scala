@@ -66,6 +66,34 @@ class Round6Spec extends AnyFunSuite {
     assert(out.getString(1) === "und")
   }
 
+  test("langid kernel parity property: random mixed-script texts agree with the Column form") {
+    // The pinned q_text_langid oracle depends on the fused kernel matching
+    // the historical Column spelling exactly; sweep randomized texts over
+    // every code path: stopwords of all 5 languages, mixed scripts near
+    // the ratio thresholds, messy whitespace, non-ASCII case, numbers.
+    val rnd = new scala.util.Random(17)
+    val stopPool = TextAnalysis.Stopwords.values.flatten.toArray
+    val fillers = Array("lorem", "ipsum", "xyzzy", "WORD", "Tree", "123", "a-b", "café",
+      "STRASSE", "projeção", "中文", "の", "한", "тест", "عرب", "...", "?!")
+    val ws = Array(" ", "  ", "\t", "\n", " \t ", "\u00A0") // incl. NBSP (not \s)
+    def randText(): String = {
+      val n = rnd.nextInt(30)
+      (0 until n).map { _ =>
+        val tok = if (rnd.nextBoolean()) stopPool(rnd.nextInt(stopPool.length))
+        else fillers(rnd.nextInt(fillers.length))
+        val cased = if (rnd.nextInt(4) == 0) tok.toUpperCase else tok
+        cased + ws(rnd.nextInt(ws.length))
+      }.mkString
+    }
+    val texts = (1 to 400).map(i => (i.toLong, randText())).filter(_._2.trim.nonEmpty)
+    val df = texts.toDF("id", "text")
+    val bad = df.select(col("id"),
+      TextAnalysis.languageId(col("text")).as("fused"),
+      TextAnalysis.languageIdColumns(col("text")).as("legacy"))
+      .where(col("fused") =!= col("legacy")).collect()
+    assert(bad.isEmpty, s"kernel/Column disagreement on: ${bad.take(3).mkString("; ")}")
+  }
+
   // ------------------------------------------------- packing + stratified
 
   test("sampleNPerGroup: exact per-group sizes, deterministic, monotone") {
