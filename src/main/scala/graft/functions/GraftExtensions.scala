@@ -63,6 +63,14 @@ object GraftExtensions {
           s"graft_hyperplane_keys expects (vec, planes, probes), got ${children.length} args")
         HyperplaneSketch.Keys(children.head,
           literalInt(children(1), "planes"), literalInt(children(2), "probes"))
+      }),
+    (FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangIdKernel.LanguageId].getName, "graft_langid"),
+      { children =>
+        require(children.length == 1 || children.length == 2,
+          s"graft_langid expects (text[, minHits]), got ${children.length} args")
+        val minHits = if (children.length == 2) literalInt(children(1), "minHits") else 1
+        LangIdKernel.LanguageId(children.head, minHits)
       }))
 
   /** Install into a live session (idempotent — overwrites are replaces). */

@@ -88,6 +88,13 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(sk.getLong(0) != 0L)
     assert(sk.getSeq[Long](1).length === 4)
     assert(sk.getSeq[String](2).length === 2 && sk.getSeq[String](2).head.startsWith("0#"))
+
+    // Language-ID kernel rides the same registration (optional minHits arg).
+    val lid = spark.sql(
+      "SELECT graft_langid('the cat and the dog') AS a, " +
+        "graft_langid('the end', 2) AS b").head()
+    assert(lid.getString(0) === "en")
+    assert(lid.getString(1) === "und")
   }
 
   test("float arrays upcast implicitly") {
