@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.GraftSql
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused Gopher-style repetition statistics: all six per-document signals
+  * in ONE compiled pass — replaces the exploded frame pipeline (two
+  * full-corpus explode+hash-aggregate passes joined by id: the operator's
+  * only shuffles, and at 100 TB the whole cost).
+  *
+  * Parity contract with the exploded spelling (whose DuckDB oracle
+  * recomputes everything from strings — the gate checks this end to end):
+  *  - lines: `split(text, "\n")` with Java limit -1 (trailing empties
+  *    kept; "" yields [""]). The kernel calls the same regex split.
+  *  - dup_line_count = lines - distinct lines (string distinctness).
+  *  - bullet lines: space-only ltrim, then first char in {-, *, •}
+  *    (exactly `ltrim(line) rlike "^[-*•]"`).
+  *  - ellipsis lines: space-only rtrim, then endsWith "...".
+  *  - n-grams: tokens = `split(trim(lower(text)), "\s+")` (space-only
+  *    trim, UTF8String lowercase, Java ASCII \s, limit -1 — a leading
+  *    tab yields an empty first token, same as the Column spelling);
+  *    windows i in [0, max(n-width, 0)] of `min(i+width, n) - i` tokens
+  *    joined with one space; total = max(n-width, 0) + 1;
+  *    dup = total - distinct windows.
+  */
+object TextStatsKernel {
+
+  private val NewlinePattern = java.util.regex.Pattern.compile("\n")
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, width: Int): InternalRow = {
+    val s = text.toString
+
+    // Lines pass.
+    val lines = NewlinePattern.split(s, -1)
+    val lineSet = new java.util.HashSet[String](lines.length * 2)
+    var bullets = 0L
+    var ellipsis = 0L
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      lineSet.add(line)
+      var b = 0
+      while (b < line.length && line.charAt(b) == ' ') b += 1
+      if (b < line.length) {
+        val c = line.charAt(b)
+        if (c == '-' || c == '*' || c == '•') bullets += 1
+      }
+      var e = line.length
+      while (e > 0 && line.charAt(e - 1) == ' ') e -= 1
+      if (e >= 3 && line.charAt(e - 1) == '.' && line.charAt(e - 2) == '.' &&
+        line.charAt(e - 3) == '.') ellipsis += 1
+      i += 1
+    }
+
+    // N-gram pass (space-only trim + same lowercase as Spark's lower()).
+    val lowerTrimmed = text.trim().toLowerCase.toString
+    val toks = WsPattern.split(lowerTrimmed, -1)
+    val n = toks.length
+    val total = math.max(n - width, 0) + 1
+    val winSet = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < total) {
+      sb.setLength(0)
+      val end = math.min(w + width, n)
+      var j = w
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      winSet.add(sb.toString)
+      w += 1
+    }
+
+    InternalRow(lines.length.toLong, (lines.length - lineSet.size).toLong,
+      bullets, ellipsis, total.toLong, (total - winSet.size).toLong)
+  }
+
+  case class TextStats(child: Expression, width: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_text_stats"
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("dup_line_count", LongType, nullable = false),
+      StructField("bullet_line_count", LongType, nullable = false),
+      StructField("ellipsis_line_count", LongType, nullable = false),
+      StructField("ngram_total", LongType, nullable = false),
+      StructField("ngram_dup_count", LongType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[UTF8String], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, str =>
+        s"${ev.value} = graft.functions.TextStatsKernel.compute($str, $width);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: struct of the six repetition signals. */
+  def stats(text: Column, width: Int): Column =
+    GraftSql.column(TextStats(GraftSql.expression(text), width))
+}

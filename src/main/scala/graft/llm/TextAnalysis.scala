@@ -198,14 +198,17 @@ object TextAnalysis {
     size(filter(lines(text), l => rtrim(l).endsWith("...")))
 
   /** All Gopher-style repetition signals as ONE frame transform — the
-    * pipeline path. The Column forms above evaluate `filter`/`transform`
-    * higher-order lambdas, which are CodegenFallback: interpreted per
-    * document, they dominate a corpus pass (measured ~10x the whole rest of
-    * q_text_repetition at sf0.1). Here every per-line and per-shingle
-    * predicate is a native codegen'd expression over an exploded row set,
-    * collapsed by hash aggregates with map-side partial aggregation, so the
-    * shuffles carry one compact row per document. Same values as the
-    * Column forms, corpus-scale cost.
+    * pipeline path, now a single fused kernel pass per document
+    * ([[graft.functions.TextStatsKernel]]): no explode, no aggregation,
+    * no join — the operator is a narrow projection with zero shuffles.
+    * (History: the per-row Column forms evaluate `filter`/`transform`
+    * higher-order lambdas — CodegenFallback, ~10x the rest of the query;
+    * the round-5 exploded+hash-aggregated spelling fixed that but still
+    * paid two full-corpus exploded aggregations joined by id — the
+    * operator's only shuffles, and at 100 TB the whole cost. The kernel
+    * computes identical values; [[repetitionSignalsExploded]] keeps the
+    * exploded spelling as the parity reference, and the DuckDB oracle
+    * recomputes everything from strings.)
     *
     * @return one row per input row: idCol plus n_lines, dup_line_count,
     *         bullet_line_count, ellipsis_line_count, ngram_total,
@@ -219,6 +222,21 @@ object TextAnalysis {
     *         sums null-safe).
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 3): DataFrame = {
+    val st = graft.functions.TextStatsKernel.stats(coalesce(col(textCol), lit("")), width)
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st.n_lines").as("n_lines"),
+        col("__st.dup_line_count").as("dup_line_count"),
+        col("__st.bullet_line_count").as("bullet_line_count"),
+        col("__st.ellipsis_line_count").as("ellipsis_line_count"),
+        col("__st.ngram_total").as("ngram_total"),
+        col("__st.ngram_dup_count").as("ngram_dup_count"))
+  }
+
+  /** The round-5 exploded+aggregated spelling of [[repetitionSignals]] —
+    * parity reference for the fused kernel, not a hot path. */
+  def repetitionSignalsExploded(df: DataFrame, idCol: String, textCol: String,
       width: Int = 3): DataFrame = {
     val id = col(idCol)
     val text = coalesce(col(textCol), lit(""))

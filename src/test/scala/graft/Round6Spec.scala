@@ -195,6 +195,24 @@ class Round6Spec extends AnyFunSuite {
     // coincidental.)
   }
 
+  test("fused repetition kernel matches the exploded spelling") {
+    val docs = Seq(
+      (1L, "a b\na b\n- item\n* other\n  - spaced bullet\nend..."),
+      (2L, "the cat the cat the cat the cat"),
+      (3L, ""),
+      (4L, null: String),
+      (5L, "\tleading tab tokens here\nsecond  line"),
+      (6L, "one\n\n\ntrailing newlines\n\n"),
+      (7L, "x y z x y z x y z"),
+      (8L, "• unicode bullet\n...bare ellipsis line...   "))
+      .toDF("id", "text")
+    val a = graft.llm.TextAnalysis.repetitionSignals(docs, "id", "text", 3)
+      .orderBy("id").collect().map(_.toSeq)
+    val b = graft.llm.TextAnalysis.repetitionSignalsExploded(docs, "id", "text", 3)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("repetitionSignals keeps null-text rows (counted as empty docs)") {
     val df = Seq((1L, "a b\na b"), (2L, null: String), (3L, ""))
       .toDF("id", "text")
