@@ -119,4 +119,23 @@ class VectorKernelsSpec extends AnyFunSuite {
     val gen = org.apache.spark.sql.execution.debug.codegenString(q.queryExecution.executedPlan)
     assert(gen.contains("getDouble") && gen.contains("Math.sqrt"), gen.take(2000))
   }
+
+  test("round-6 kernels stay inside whole-stage codegen too") {
+    // langid + text-stats over a derived string column; nearest-centroid
+    // over a derived vector column — all three must ride one fused Project
+    // (a CodegenFallback expression would evict its Project from the stage).
+    val mat = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = spark.range(10).select(
+      concat(lit("the cat line one\nline "), col("id").cast("string")).as("t"),
+      array(col("id").cast("double"), (col("id") * 2).cast("double")).as("v"))
+    val q = df.select(
+      graft.functions.LangIdKernel.languageId(col("t")).as("lang"),
+      graft.functions.TextStatsKernel.stats(col("t"), 3).as("st"),
+      graft.functions.CentroidKernels.nearestIndex(col("v"), mat).as("cell"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Project .*graft_langid.*""")), plan)
+    assert(plan.contains("graft_text_stats") && plan.contains("graft_nearest_centroids"), plan)
+    assert(q.collect().length === 10)
+  }
 }
