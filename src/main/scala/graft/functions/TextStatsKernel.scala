@@ -114,4 +114,106 @@ object TextStatsKernel {
   /** Column API: struct of the six repetition signals. */
   def stats(text: Column, width: Int): Column =
     GraftSql.column(TextStats(GraftSql.expression(text), width))
+
+  // ------------------------------------------------------- quality stats
+
+  private val EnStopwords: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    graft.llm.TextAnalysis.Stopwords("en").foreach(set.add)
+    set
+  }
+
+  private def isAsciiWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** POSIX punct (Java `\p{Punct}`): ASCII 33-47, 58-64, 91-96, 123-126. */
+  private def isPosixPunct(c: Int): Boolean =
+    (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
+      (c >= 123 && c <= 126)
+
+  /** All quality features in one char scan + one tokenize pass — the
+    * fused form of [[graft.llm.TextAnalysis.qualityFeatures]]'s Column
+    * spelling (5 char-class regexp_replace traversals + a 20-word
+    * stopword alternation scan + tokenize + distinct per document).
+    *
+    * Parity contract: counts are over the space-only-trimmed text;
+    * character classes are the Java ASCII classes ([A-Za-z], [0-9],
+    * [A-Z], POSIX punct, ASCII \s); tokens come from the same Java
+    * `\s+` split (limit -1) the Column form compiles to, with the
+    * `tokens("") -> []` special case; stopword hits compare lowercase
+    * tokens for equality with the "en" list; every ratio is the same
+    * int-over-int double division.
+    */
+  def computeQuality(text: UTF8String): InternalRow = {
+    val trimmed = text.trim()
+    val s = trimmed.toString
+    var chars = 0; var alpha = 0; var punct = 0; var digit = 0; var upper = 0; var ws = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      chars += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        alpha += 1
+        if (cp <= 'Z') upper += 1
+      } else if (cp >= '0' && cp <= '9') digit += 1
+      else if (isPosixPunct(cp)) punct += 1
+      else if (isAsciiWs(cp)) ws += 1
+    }
+    val toks: Array[String] = if (s.isEmpty) Array.empty else WsPattern.split(s, -1)
+    val n = toks.length
+    val tokSet = new java.util.HashSet[String](n * 2)
+    var t = 0
+    while (t < n) { tokSet.add(toks(t)); t += 1 }
+    var hits = 0
+    if (n > 0) {
+      val lowerToks = WsPattern.split(trimmed.toLowerCase.toString, -1)
+      var l = 0
+      while (l < lowerToks.length) {
+        if (EnStopwords.contains(lowerToks(l))) hits += 1
+        l += 1
+      }
+    }
+    val charsD = chars.toDouble
+    def ratio(count: Int): Double = if (chars == 0) 0.0 else count / charsD
+    val meanLen = if (n == 0) 0.0 else (chars - ws).toDouble / n
+    val stopRatio = if (n == 0) 0.0 else hits.toDouble / n
+    val repetition = if (n == 0) 0.0 else 1.0 - tokSet.size.toDouble / n
+    InternalRow(chars, n, meanLen, ratio(alpha), ratio(punct), ratio(digit),
+      ratio(upper), stopRatio, repetition)
+  }
+
+  case class QualityStats(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_quality_stats"
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("mean_token_len", DoubleType, nullable = false),
+      StructField("alpha_ratio", DoubleType, nullable = false),
+      StructField("punct_ratio", DoubleType, nullable = false),
+      StructField("digit_ratio", DoubleType, nullable = false),
+      StructField("upper_ratio", DoubleType, nullable = false),
+      StructField("stopword_ratio", DoubleType, nullable = false),
+      StructField("repetition", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      computeQuality(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, str =>
+        s"${ev.value} = graft.functions.TextStatsKernel.computeQuality($str);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: struct of the nine quality features. */
+  def quality(text: Column): Column =
+    GraftSql.column(QualityStats(GraftSql.expression(text)))
 }

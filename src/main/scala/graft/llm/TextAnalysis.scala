@@ -110,8 +110,19 @@ object TextAnalysis {
 
   /** Struct of quality features: n_chars, n_tokens, mean_token_len,
     * alpha_ratio, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
-    * repetition (1 - distinct/total tokens). */
-  def qualityFeatures(text: Column): Column = {
+    * repetition (1 - distinct/total tokens).
+    *
+    * Delegates to the fused [[graft.functions.TextStatsKernel.quality]]
+    * kernel: one char scan + one tokenize pass per document instead of
+    * 5 char-class regexp traversals + a stopword alternation scan.
+    * [[qualityFeaturesColumns]] keeps the relational spelling as the
+    * parity reference (Round6Spec + the string-level DuckDB oracle). */
+  def qualityFeatures(text: Column): Column =
+    graft.functions.TextStatsKernel.quality(text)
+
+  /** The historical pure-Column spelling of [[qualityFeatures]] — parity
+    * reference for the fused kernel, not a hot path. */
+  def qualityFeaturesColumns(text: Column): Column = {
     val t = trim(text)
     val chars = length(t).cast("double")
     val toks = tokens(t)

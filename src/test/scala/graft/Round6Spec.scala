@@ -195,6 +195,40 @@ class Round6Spec extends AnyFunSuite {
     // coincidental.)
   }
 
+  test("fused quality kernel matches the Column spelling field by field") {
+    val docs = Seq(
+      (1L, "The cat AND the dog sat on the mat, 42 times..."),
+      (2L, ""),
+      (3L, "   "),
+      (4L, null: String),
+      (5L, "\tleading tab"),
+      (6L, "x x x x x x x x"),
+      (7L, "Ünïcödé tëxt — em-dash and « guillemets » stay unclassified"),
+      (8L, "a, b; c: d! e? (f) [g] {h} #i $j %k"),
+      (9L, "the the the and and of"))
+      .toDF("id", "text")
+    val fused = graft.llm.TextAnalysis.qualityFeatures(col("text"))
+    val legacy = graft.llm.TextAnalysis.qualityFeaturesColumns(col("text"))
+    val fields = Seq("n_chars", "n_tokens", "mean_token_len", "alpha_ratio",
+      "punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio", "repetition")
+    val cmp = docs.where(col("text").isNotNull).select(
+      col("id") +: fields.flatMap(f =>
+        Seq(fused.getField(f).as(s"f_$f"), legacy.getField(f).as(s"l_$f"))): _*)
+      .collect()
+    cmp.foreach { r =>
+      fields.foreach { f =>
+        val a = r.getAs[Any](s"f_$f"); val b = r.getAs[Any](s"l_$f")
+        assert(a === b, s"id=${r.get(0)} field=$f fused=$a legacy=$b")
+      }
+    }
+    // Score composes over the features — spot-check both ends.
+    val scores = docs.where(col("text").isNotNull).select(col("id"),
+      graft.llm.TextAnalysis.qualityScore(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1) > 0.8, s"prose doc scored ${scores(1)}")
+    assert(scores(6) < 0.8, s"repetitive doc scored ${scores(6)}")
+  }
+
   test("fused repetition kernel matches the exploded spelling") {
     val docs = Seq(
       (1L, "a b\na b\n- item\n* other\n  - spaced bullet\nend..."),
