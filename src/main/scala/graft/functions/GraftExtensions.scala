@@ -71,6 +71,20 @@ object GraftExtensions {
           s"graft_langid expects (text[, minHits]), got ${children.length} args")
         val minHits = if (children.length == 2) literalInt(children(1), "minHits") else 1
         LangIdKernel.LanguageId(children.head, minHits)
+      }),
+    (FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStatsKernel.TextStats].getName, "graft_text_stats"),
+      { children =>
+        require(children.length == 2,
+          s"graft_text_stats expects (text, width), got ${children.length} args")
+        TextStatsKernel.TextStats(children.head, literalInt(children(1), "width"))
+      }),
+    (FunctionIdentifier("graft_quality_stats"),
+      new ExpressionInfo(classOf[TextStatsKernel.QualityStats].getName, "graft_quality_stats"),
+      { children =>
+        require(children.length == 1,
+          s"graft_quality_stats expects exactly 1 argument, got ${children.length}")
+        TextStatsKernel.QualityStats(children.head)
       }))
 
   /** Install into a live session (idempotent — overwrites are replaces). */

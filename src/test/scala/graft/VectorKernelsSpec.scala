@@ -95,6 +95,13 @@ class VectorKernelsSpec extends AnyFunSuite {
         "graft_langid('the end', 2) AS b").head()
     assert(lid.getString(0) === "en")
     assert(lid.getString(1) === "und")
+
+    // Text-stats and quality kernels too.
+    val ts = spark.sql(
+      "SELECT graft_text_stats('a b\na b', 3).dup_line_count AS d, " +
+        "graft_quality_stats('The cat and the dog').n_tokens AS n").head()
+    assert(ts.getLong(0) === 1L)
+    assert(ts.getInt(1) === 5)
   }
 
   test("float arrays upcast implicitly") {
