@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -216,4 +218,87 @@ object TextStatsKernel {
   /** Column API: struct of the nine quality features. */
   def quality(text: Column): Column =
     GraftSql.column(QualityStats(GraftSql.expression(text)))
+
+  // ------------------------------------------------------- span removal
+
+  /** Rebuild a document with the token spans starting at `starts` (0-based
+    * token indices, each `width` tokens long, clamped at the end) removed —
+    * the execution half of substring-level dedup. Tokens come from the
+    * same space-trimmed Java `\s+` split as the window construction, so
+    * positions line up exactly; output is the surviving tokens joined with
+    * single spaces (whitespace-normalized, like the window pipeline
+    * itself). Null `starts` (no repeated spans) keeps every token. */
+  def computeRemoveSpans(text: UTF8String, starts: ArrayData, width: Int): UTF8String = {
+    val s = text.trim().toString
+    val toks = WsPattern.split(s, -1)
+    val n = toks.length
+    val covered = new Array[Boolean](n)
+    if (starts != null) {
+      var k = 0
+      while (k < starts.numElements()) {
+        if (!starts.isNullAt(k)) {
+          var j = math.max(starts.getInt(k), 0)
+          val end = math.min(j.toLong + width, n.toLong).toInt
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        k += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    var j = 0
+    var first = true
+    while (j < n) {
+      if (!covered(j)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(j))
+        first = false
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  case class RemoveSpans(left: Expression, right: Expression, width: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "graft_remove_spans"
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, array<int>), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+    // The starts side must NOT null-propagate (null = "no spans to drop"),
+    // so eval handles nulls explicitly instead of nullSafeEval.
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val t = left.eval(input)
+      if (t == null) null
+      else computeRemoveSpans(t.asInstanceOf[UTF8String],
+        right.eval(input).asInstanceOf[ArrayData], width)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val leftGen = left.genCode(ctx)
+      val rightGen = right.genCode(ctx)
+      val code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${rightGen.code}
+          ${ev.value} = graft.functions.TextStatsKernel.computeRemoveSpans(
+            ${leftGen.value}, ${rightGen.isNull} ? null : ${rightGen.value}, $width);
+        }"""
+      ev.copy(code = code)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Column API: text with the `width`-token spans at `starts` removed. */
+  def removeSpans(text: Column, starts: Column, width: Int): Column =
+    GraftSql.column(RemoveSpans(GraftSql.expression(text), GraftSql.expression(starts), width))
 }

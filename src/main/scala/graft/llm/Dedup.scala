@@ -583,6 +583,41 @@ object Dedup {
       .where(col("shared_windows") >= lit(minShared))
   }
 
+  /** Remove corpus-repeated spans from every document — the execution half
+    * of substring-level dedup (RefinedWeb-style exact-substring removal):
+    * any `width`-token window whose fingerprint occurs in >= `minDocs`
+    * documents is dropped from ALL of them, and a document's surviving
+    * tokens are re-joined with single spaces (whitespace-normalized, the
+    * same normalization the window pipeline applies). Fingerprints hash
+    * the lowercased window; removal preserves original token case.
+    *
+    * Plan shape: windows explode to (id, pos, fp) longs; the doc-frequency
+    * aggregate and the per-doc `collect_set(pos)` are the two shuffles
+    * (both map-side combined); the rebuild is one fused kernel call per
+    * document. Null text passes through as null.
+    *
+    * @return df with `textCol` replaced by the deduplicated text.
+    */
+  def removeRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 8, minDocs: Int = 2): DataFrame = {
+    val lowToks = split(trim(lower(col(textCol))), "\\s+")
+    val n = size(lowToks)
+    val wins = df
+      .select(col(idCol), explode(sequence(lit(0), greatest(n - width, lit(0)))).as("__i"),
+        lowToks.as("__lt"))
+      .select(col(idCol), col("__i"),
+        xxhash64(array_join(slice(col("__lt"), col("__i") + 1, lit(width)), " ")).as("__fp"))
+    val repeatedFps = wins.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= lit(minDocs)).select("__fp")
+    val hitStarts = wins.join(repeatedFps, Seq("__fp"))
+      .groupBy(idCol).agg(collect_set(col("__i")).as("__starts"))
+    df.join(hitStarts, Seq(idCol), "left")
+      .withColumn(textCol, graft.functions.TextStatsKernel.removeSpans(
+        col(textCol), col("__starts"), width))
+      .drop("__starts")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine similarity, bucketed by

@@ -288,6 +288,28 @@ class Round6Spec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1L)))
   }
 
+  test("removeRepeatedSubstrings drops exactly the shared spans") {
+    import graft.llm.Dedup
+    val boiler = "please subscribe to our newsletter for daily updates" // 8 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma $boiler delta"),
+      (2L, s"one two $boiler three four"),
+      (3L, "untouched document with plenty of distinct tokens in it"),
+      (4L, null: String)).toDF("id", "text")
+    val out = Dedup.removeRepeatedSubstrings(df, "id", "text", width = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1) === Some("alpha beta gamma delta"))
+    assert(out(2) === Some("one two three four"))
+    assert(out(3) === Some("untouched document with plenty of distinct tokens in it"))
+    assert(out(4) === None, "null text passes through as null")
+    // Whole-doc duplication: both copies collapse to empty strings.
+    val dupes = Seq((1L, "exact copy here now"), (2L, "exact copy here now"))
+      .toDF("id", "text")
+    val wiped = Dedup.removeRepeatedSubstrings(dupes, "id", "text", width = 8, minDocs = 2)
+      .collect().map(_.getString(1))
+    assert(wiped.forall(_ === ""))
+  }
+
   test("window fingerprints in the frame path match the Column form") {
     import graft.llm.{Dedup, TextAnalysis}
     val df = Seq(
