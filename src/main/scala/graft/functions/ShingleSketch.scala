@@ -104,6 +104,54 @@ object ShingleSketch {
   def sketch(tokens: Column, width: Int, numHashes: Int): Column =
     GraftSql.column(Sketch(GraftSql.expression(tokens), width, numHashes))
 
+  // ------------------------------------------------- positional variant
+
+  /** Per-POSITION window hashes: element i is the hash of the window
+    * starting at token i (same strings and seed-42 hash as [[compute]],
+    * but ordered and NOT distinct — for consumers that need positions,
+    * like substring-span removal). `max(1, n - width + 1)` elements. */
+  def computeWindowHashes(tokens: ArrayData, width: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nShingles = if (n <= width) 1 else n - width + 1
+    val out = new Array[Long](nShingles)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + width, n)
+      val parts = new Array[UTF8String](end - i)
+      var j = i
+      while (j < end) { parts(j - i) = tokens.getUTF8String(j); j += 1 }
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(sep, parts: _*), Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class WindowHashes(child: Expression, width: Int) extends UnaryExpression {
+    override def prettyName: String = "graft_window_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      computeWindowHashes(input.asInstanceOf[ArrayData], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = graft.functions.ShingleSketch.computeWindowHashes($arr, $width);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: ordered per-position window hashes from a token array. */
+  def windowHashes(tokens: Column, width: Int): Column =
+    GraftSql.column(WindowHashes(GraftSql.expression(tokens), width))
+
   // ------------------------------------------------------------- simhash
 
   /** Fused 64-bit SimHash of a token array — per-bit majority vote over

@@ -601,12 +601,16 @@ object Dedup {
   def removeRepeatedSubstrings(df: DataFrame, idCol: String, textCol: String,
       width: Int = 8, minDocs: Int = 2): DataFrame = {
     val lowToks = split(trim(lower(col(textCol))), "\\s+")
-    val n = size(lowToks)
+    // One fused kernel pass emits the ordered per-position window hashes
+    // (identical strings+seed to the relational slice/array_join/xxhash64
+    // spelling) so the exploded rows are (id, pos, long) — no per-window
+    // string building in the exploded plan. Lazily checkpointed: the frame
+    // feeds both the doc-frequency aggregate and the position join, and
+    // recomputing it would double the corpus scan.
     val wins = df
-      .select(col(idCol), explode(sequence(lit(0), greatest(n - width, lit(0)))).as("__i"),
-        lowToks.as("__lt"))
-      .select(col(idCol), col("__i"),
-        xxhash64(array_join(slice(col("__lt"), col("__i") + 1, lit(width)), " ")).as("__fp"))
+      .select(col(idCol), posexplode(
+        graft.functions.ShingleSketch.windowHashes(lowToks, width)).as(Seq("__i", "__fp")))
+      .localCheckpoint(false)
     val repeatedFps = wins.select(col(idCol), col("__fp")).distinct()
       .groupBy("__fp").agg(count(lit(1)).as("__nd"))
       .where(col("__nd") >= lit(minDocs)).select("__fp")
