@@ -147,6 +147,37 @@ class Round6Spec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet === again)
   }
 
+  test("packing invariants hold across random budgets, widths and shard counts") {
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val budget = 64L + rnd.nextInt(960)
+      val shards = Seq(1, 3, 8)(rnd.nextInt(3))
+      val docs = (0 until 150).map(i => (i.toLong + trial * 1000, rnd.nextInt(500).toLong))
+      val df = docs.toDF("id", "n_tok")
+      val packed = Packing.binPack(df, Seq("id"), "n_tok", budget, shards, seed = trial)
+      assert(packed.count() === 150L, s"trial=$trial: every doc assigned")
+      val packs = packed.groupBy("pack_shard", "pack_id")
+        .agg(sum("n_tok").as("tok"), count(lit(1)).as("ndocs"),
+          min(struct(col("pack_pos"), col("n_tok"))).as("first"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getStruct(4).getLong(1))).toMap
+      packs.foreach { case ((sh, pid), (tok, ndocs, firstTok)) =>
+        assert(tok <= budget || ndocs === 1L,
+          s"trial=$trial budget=$budget: pack ($sh,$pid) overflows")
+        packs.get((sh, pid - 1)).foreach { case (prevTok, _, _) =>
+          assert(prevTok + firstTok > budget,
+            s"trial=$trial budget=$budget: pack ($sh,$pid) opened early")
+        }
+      }
+      val chunked = Packing.chunkPack(df, Seq("id"), "n_tok", budget, shards, seed = trial)
+      val badShard = chunked.groupBy("pack_shard")
+        .agg(max("chunk_last").as("mxc"), sum("n_tok").as("tok"))
+        .where(col("tok") > 0 && col("mxc") =!= floor((col("tok") - 1) / budget)).count()
+      assert(badShard === 0L, s"trial=$trial budget=$budget: chunk tiling broken")
+    }
+  }
+
   test("chunkPack: chunk ranges tile each shard's token stream exactly") {
     import graft.llm.Packing
     val rnd = new scala.util.Random(6)
