@@ -126,45 +126,71 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Aggregate CPU steal jiffies (field 8 of /proc/stat's "cpu " line):
-    // the box shares a host, and steal — not code — has explained 4-13x
-    // swings between runs of identical workloads. Recording the per-query
-    // steal delta makes noise-dominated timings machine-identifiable
-    // without re-running anything. -1 when unreadable (non-Linux).
-    def stealJiffies(): Long =
+    // Noise markers. The box shares a host, and contention — not code —
+    // has explained 4-13x swings between runs of identical workloads.
+    // Two per-query deltas make noise-dominated timings machine-
+    // identifiable without re-running anything:
+    //  - steal: hypervisor steal jiffies (field 8 of /proc/stat "cpu ");
+    //  - other: busy CPU seconds consumed by OTHER processes on the host
+    //    (total busy minus this JVM's utime+stime) — host-level neighbors
+    //    never appear as steal, but they do appear here.
+    // (-1, -1) when unreadable (non-Linux).
+    def cpuMarkers(): (Long, Long) =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
-        try src.getLines().find(_.startsWith("cpu "))
-          .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+        val cpu = try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")).getOrElse(Array.empty[String])
         finally src.close()
-      } catch { case _: Throwable => -1L }
+        // busy = user+nice+system+irq+softirq+steal+guest+guest_nice
+        // (skip idle=4, iowait=5).
+        val busy = Seq(1, 2, 3, 6, 7, 8, 9, 10)
+          .filter(_ < cpu.length).map(cpu(_).toLong).sum
+        val steal = if (cpu.length > 8) cpu(8).toLong else -1L
+        val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+        val self = try {
+          // utime/stime are fields 14/15 (1-based) AFTER the comm field,
+          // which may contain spaces — parse from the closing paren.
+          val line = selfSrc.getLines().next()
+          val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+          rest(11).toLong + rest(12).toLong // utime, stime
+        } finally selfSrc.close()
+        (steal, busy - self)
+      } catch { case _: Throwable => (-1L, -1L) }
 
     val nCpus = cpus.toInt
     val genRows = 10000000L
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val steal = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val other = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spread = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
 
+    def recordMarkers(name: String, m0: (Long, Long), m1: (Long, Long)): Unit = {
+      steal(name) = if (m0._1 < 0 || m1._1 < 0) -1.0 else (m1._1 - m0._1) / 100.0
+      // Clamped at 0: aggregate /proc/stat is tick-sampled while per-task
+      // accounting is ns-precise, so quiet intervals can drift slightly
+      // negative; real neighbor activity dwarfs the drift.
+      other(name) = if (m0._2 < 0 || m1._2 < 0) -1.0
+        else math.max(0.0, (m1._2 - m0._2) / 100.0)
+    }
+
     def timed(name: String)(body: => Unit): Unit = {
-      val s0 = stealJiffies()
+      val m0 = cpuMarkers()
       results(name) = time(body)
-      val s1 = stealJiffies()
-      steal(name) = if (s0 < 0 || s1 < 0) -1.0 else (s1 - s0) / 100.0
+      recordMarkers(name, m0, cpuMarkers())
     }
 
     // The box shares a host with noisy neighbors: identical gen runs have
-    // measured 1.8s to 48s from CPU steal alone. Best-of-two reports
+    // measured 1.8s to 48s from contention alone. Best-of-two reports
     // steady-state capability instead of scheduler luck for the two
     // headline benches (registry queries stay single-shot — 110+ of them
-    // amortize the noise, and each carries its steal marker).
+    // amortize the noise, and each carries its markers).
     def timeMin2(name: String)(body: => Unit): Unit = {
-      val s0 = stealJiffies()
+      val m0 = cpuMarkers()
       val a = time(body)
       val b = time(body)
-      val s1 = stealJiffies()
+      recordMarkers(name, m0, cpuMarkers())
       results(name) = if (a < 0) b else if (b < 0) a else math.min(a, b)
       spread(name) = Seq(a, b)
-      steal(name) = if (s0 < 0 || s1 < 0) -1.0 else (s1 - s0) / 100.0
     }
 
     // Headline generation throughput (BASELINE.md: ~86k rows/s/core).
@@ -193,12 +219,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val st = steal.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val ot = other.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val sp = spread.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"spread":$sp}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp}"""
     // Stdout tails have truncated this line two rounds running, losing the
     // headline numbers — persist the full JSON to a file the driver (and
     // the judge) can read whole, then print the same line for the
