@@ -219,6 +219,59 @@ object TextStatsKernel {
   def quality(text: Column): Column =
     GraftSql.column(QualityStats(GraftSql.expression(text)))
 
+  // ------------------------------------------------------ subword count
+
+  /** Count of BPE-ish pieces — fused spelling of
+    * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))`.
+    * Exact parity with the regex's code-POINT semantics (Java regex
+    * classes consume whole code points): a letter run counts once, a
+    * digit counts once, and any other non-ASCII-whitespace code point —
+    * including an astral character — counts once. */
+  def computeSubwordCount(text: UTF8String): Int = {
+    val s = text.toString
+    var count = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        count += 1
+        i += 1
+        while (i < s.length && {
+          val d = s.charAt(i); (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) i += 1
+      } else {
+        if (!isAsciiWs(cp)) count += 1
+        i += Character.charCount(cp)
+      }
+    }
+    count
+  }
+
+  case class SubwordCount(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_subword_count"
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      computeSubwordCount(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, str =>
+        s"${ev.value} = graft.functions.TextStatsKernel.computeSubwordCount($str);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: fused subword-piece count. */
+  def subwords(text: Column): Column =
+    GraftSql.column(SubwordCount(GraftSql.expression(text)))
+
   // ------------------------------------------------------- span removal
 
   /** Rebuild a document with the token spans starting at `starts` (0-based

@@ -20,10 +20,15 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word-ish runs, digit runs, and punctuation
+  /** BPE-ish subword count: word-ish runs, digit singles, and punctuation
     * singles counted separately (a cheap stand-in for a real tokenizer's
-    * piece count — deterministic and vectorized). */
+    * piece count — deterministic and vectorized). Fused kernel; the regex
+    * spelling stays as [[subwordCountColumns]] for parity testing. */
   def subwordCount(text: Column): Column =
+    graft.functions.TextStatsKernel.subwords(text)
+
+  /** The historical regex spelling of [[subwordCount]] — parity reference. */
+  def subwordCountColumns(text: Column): Column =
     size(regexp_extract_all(text, lit("""[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"""), lit(0)))
 
   /** Characters per token — crude fertility proxy. */

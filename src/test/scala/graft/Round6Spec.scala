@@ -226,6 +226,23 @@ class Round6Spec extends AnyFunSuite {
     // coincidental.)
   }
 
+  test("fused subword count matches the regex spelling, incl. astral chars") {
+    val t = graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "Hello, world! 42 pieces a-b c_d"),
+      (2L, ""),
+      (3L, "   \t  "),
+      (4L, "día café naïve 中文 🙂 done"), // non-ASCII letters + astral emoji
+      (5L, "a1b2c3"),
+      (6L, "....!!!!"))
+      .toDF("id", "text")
+    val bad = docs.select(col("id"),
+      t.subwordCount(col("text")).as("fused"),
+      t.subwordCountColumns(col("text")).as("legacy"))
+      .where(col("fused") =!= col("legacy")).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("fused quality kernel matches the Column spelling field by field") {
     val docs = Seq(
       (1L, "The cat AND the dog sat on the mat, 42 times..."),
