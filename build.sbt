@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout/stderr in forked runs instead of the default
+// LoggedOutput, which prefixes every line with "[info] " / "[error] " —
+// the prefix made Bench's one-line JSON contract unparseable to the
+// driver for six rounds (every BENCH_r*.json: "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

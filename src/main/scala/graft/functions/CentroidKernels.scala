@@ -77,6 +77,13 @@ object CentroidKernels {
         }
         c += 1
       }
+      // An all-NaN score row (any NaN element NaNs every dot product) fills
+      // no slot: NaN never displaces -Infinity under strict >. Leftover -1
+      // sentinels would flow into the probe equi-join and spuriously pair
+      // NaN corpus rows with NaN queries on centroid_idx = -1 — such rows
+      // are unassignable, so honor the kernel's null contract instead.
+      var m2 = 0
+      while (m2 < k) { if (bestIdx(m2) < 0) return null; m2 += 1 }
       new GenericArrayData(bestIdx)
     }
   }

@@ -263,18 +263,22 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, localEdgeThreshold: Long = 1000000L): DataFrame = {
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+    import graft.tools.StageLog
+    var edges = StageLog.timed("cc_edge_checkpoint") {
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+    }
 
     val integralIds = edges.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (integralIds && edges.count() <= localEdgeThreshold) {
+    if (integralIds && StageLog.timed("cc_edge_count")(edges.count()) <= localEdgeThreshold) {
       // Union-find with path compression; union-by-min makes every root the
       // minimum id of its component, matching the distributed fixpoint.
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = StageLog.timed("cc_local_unionfind")(
+        edges.collect()).map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -300,10 +304,10 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var fp = fingerprint(edges)
+    var fp = StageLog.timed("cc_rounds")(fingerprint(edges))
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged && iter < maxIter) StageLog.timed("cc_rounds") {
       // Large-star: every node links its larger neighbors to the minimum of
       // its closed neighborhood. groupBy+join (not a window) — the min is
       // partial-aggregatable, so hot hubs never buffer in a single task.

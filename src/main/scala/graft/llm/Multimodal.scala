@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: images/audio/video ride through the pipeline
   * as opaque `binary` columns plus typed metadata structs.
   *
-  * The Spark-side shape is the real thing — binary columns, metadata
-  * extraction as codegen'd expressions, and batched per-partition decode
-  * with an explicit batch size (the Scala analog of an Arrow-vectorized
-  * decode UDF). The pixel/sample math itself is STUBBED with deterministic
-  * fakes: this container ships no image/audio codecs, so `decodeBatch`
-  * marks exactly where libjpeg/ffmpeg calls would go. Swapping the stub for
-  * a real decoder changes no plan shape, schema, or partitioning.
+  * The Spark-side shape is binary columns, metadata extraction as codegen'd
+  * expressions, and batched per-partition decode with an explicit batch size
+  * (the Scala analog of an Arrow-vectorized decode UDF). Image decode is
+  * REAL: `decodeImages` parses PNG/JPEG/GIF/BMP pixels with the JDK's
+  * built-in `javax.imageio` (no external codec dependency); undecodable
+  * bytes yield a null struct. Audio/video feature extraction
+  * (`sampleFrames`) remains a byte-slice plan shape — ffmpeg-class demuxers
+  * are out of scope for a JVM-only library.
   */
 object Multimodal {
 
@@ -73,17 +74,18 @@ object Multimodal {
   /** Batched per-partition image decode — the Scala analog of a vectorized
     * decode UDF. Rows stream through in `batchSize` groups (bounding
     * decoder memory exactly like an Arrow batch would); output schema is
-    * the input plus a `decoded` struct.
-    *
-    * STUB: `decodeOne` fabricates dimensions deterministically from the
-    * checksum where a real codec (ImageIO/libjpeg) would parse the bytes.
+    * the input plus a `decoded` struct. Decode is real pixel parsing via
+    * the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP/WBMP); bytes that no
+    * registered reader accepts — or that throw mid-parse — decode to a
+    * null struct rather than failing the task.
     */
   def decodeImages(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField("decoded", DecodedImageType))
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // A real implementation hands the whole batch to the codec here.
+        // ImageIO readers are pooled per call; grouping bounds the number of
+        // in-flight BufferedImages exactly like an Arrow batch would.
         batch.map { row =>
           val bytes = row.getAs[Array[Byte]](binIdx)
           Row.fromSeq(row.toSeq :+ decodeOne(bytes))
@@ -93,24 +95,72 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB decoder: deterministic fake (width/height/channels/intensity from
-    * the content hash). Replace the body with a real codec call; signature
-    * and batching stay identical. */
-  private def decodeOne(bytes: Array[Byte]): Row = {
-    if (bytes == null || bytes.isEmpty) Row(0, 0, 0, 0.0)
+  /** ImageIO's default stream cache spills every read to a temp FILE; the
+    * payloads are already in memory, so force the heap cache once per JVM. */
+  @transient private lazy val imageIoNoDiskCache: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode one image with `javax.imageio`. Returns width/height/band-count
+    * and the mean raster sample over all bands normalized to [0,1] (8-bit
+    * scale), or null when the bytes are not a decodable image. */
+  private[graft] def decodeOne(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) null
     else {
-      var h = 0L
-      bytes.foreach(b => h = h * 31L + (b & 0xFF))
-      val width = 64 + math.floorMod(h, 1024L).toInt
-      val height = 64 + math.floorMod(h >> 10, 1024L).toInt
-      val channels = 1 + math.floorMod(h >> 20, 4L).toInt
-      val intensity = math.floorMod(h >> 22, 256L).toDouble / 255.0
-      Row(width, height, channels, intensity)
+      imageIoNoDiskCache
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val bands = raster.getNumBands
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          val count = w.toLong * h * bands
+          val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
+          Row(w, h, bands, mean)
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
     }
   }
 
-  /** Resize planning (STUB math, real plan shape): target dims preserving
-    * aspect ratio, as a column over the decoded struct. */
+  /** Encode a solid-color RGB image of the given dimensions — the synthetic
+    * generator for image-typed columns (PNG/BMP/GIF via `javax.imageio`).
+    * Solid fills keep the pixel statistics exactly predictable (mean
+    * intensity = gray/255) so generated corpora stay oracle-checkable. */
+  def encodeSolidImage(width: Int, height: Int, gray: Int, format: String = "png"): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = gray & 0xFF
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Resize planning: target dims preserving aspect ratio, as a column over
+    * the decoded struct (the codegen'd half of a resize; the pixel resample
+    * itself would ride the same `mapPartitions` shape as `decodeImages`). */
   def resizePlan(decoded: Column, maxSide: Int = 512): Column = {
     val w = decoded("width").cast(DoubleType)
     val h = decoded("height").cast(DoubleType)

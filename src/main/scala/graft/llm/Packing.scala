@@ -22,8 +22,30 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * alternative — one global ordering — would funnel the corpus through a
   * single sort partition; sharding keeps the plan fully parallel at the
   * cost of at most one partially-filled pack per shard.
+  *
+  * `shards = 0` (the default) auto-sizes the shard count from the corpus:
+  * a fixed default would silently bound parallelism and per-shard sort
+  * size at scale, the way the reference auto-computes partitions instead
+  * of pinning them (dbldatagen/datasets/dataset_provider.py:291).
   */
 object Packing {
+
+  /** Row ceiling per auto-sized shard: small enough that one shard's
+    * window/sort partition comfortably fits an executor, large enough that
+    * per-shard waste (at most one partial pack) stays negligible. */
+  val TargetRowsPerShard = 1000000L
+
+  /** Resolve `shards = 0` to `max(cluster parallelism, rows / 1M)`. The
+    * one extra count job is metadata-only over parquet sources; pass an
+    * explicit shard count to skip it (results depend on the shard count,
+    * so pinned-output pipelines should pin it). */
+  private def resolveShards(df: DataFrame, shards: Int): Int =
+    if (shards > 0) shards
+    else {
+      val floor = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+      val byRows = (df.count() + TargetRowsPerShard - 1) / TargetRowsPerShard
+      math.max(floor.toLong, math.min(byRows, 1L << 20)).toInt
+    }
 
   private def shardCol(keyCols: Seq[String], shards: Int, seed: Long) =
     pmod(xxhash64(keyCols.map(col) :+ lit(seed ^ 0x5bd1e995L): _*), lit(shards.toLong))
@@ -37,23 +59,29 @@ object Packing {
     *
     * Plan: one shuffle (window cumulative sum per shard, streaming frame —
     * no per-group buffering). Rows with a null/negative token count are
-    * treated as 0 tokens (they attach to the current position and occupy
-    * nothing). */
+    * treated as 0 tokens: they attach to the chunk already in progress and
+    * occupy nothing — in particular, a zero-token row whose cumulative
+    * offset lands on an exact chunk boundary clamps to the PREVIOUS chunk
+    * rather than indexing one past the shard's last real chunk. */
   def chunkPack(df: DataFrame, keyCols: Seq[String], tokenCol: String,
-      chunkTokens: Long, shards: Int = 256, seed: Long = 42L): DataFrame = {
+      chunkTokens: Long, shards: Int = 0, seed: Long = 42L): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
-    require(shards > 0, s"shards must be > 0, got $shards")
+    require(shards >= 0, s"shards must be >= 0 (0 = auto), got $shards")
     import org.apache.spark.sql.expressions.Window
+    val nShards = resolveShards(df, shards)
     val tok = greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L))
     val w = Window.partitionBy(col("pack_shard"))
       .orderBy(Sampling.hashFraction(keyCols.map(col), seed).asc +: keyCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("pack_shard", shardCol(keyCols, shards, seed))
+    val start = col("__cum") - tok
+    val first = when(tok > lit(0L), floor(start / chunkTokens))
+      .otherwise(floor(greatest(col("__cum") - 1, lit(0L)) / chunkTokens))
+    df.withColumn("pack_shard", shardCol(keyCols, nShards, seed))
       .withColumn("__cum", sum(tok).over(w))
-      .withColumn("chunk_first", floor((col("__cum") - tok) / chunkTokens))
-      .withColumn("chunk_last",
-        greatest(floor((col("__cum") - 1) / chunkTokens), floor((col("__cum") - tok) / chunkTokens)))
-      .withColumn("chunk_offset", (col("__cum") - tok) % chunkTokens)
+      .withColumn("chunk_first", first)
+      .withColumn("chunk_last", greatest(floor((col("__cum") - 1) / chunkTokens), first))
+      .withColumn("chunk_offset", when(tok > lit(0L), start % chunkTokens)
+        .otherwise(least(col("__cum") - first * chunkTokens, lit(chunkTokens - 1))))
       .drop("__cum")
   }
 
@@ -75,14 +103,15 @@ object Packing {
     * partition stay independent and the result does not depend on the
     * shard->partition mapping. */
   def binPack(df: DataFrame, keyCols: Seq[String], tokenCol: String,
-      maxTokens: Long, shards: Int = 256, seed: Long = 42L): DataFrame = {
+      maxTokens: Long, shards: Int = 0, seed: Long = 42L): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
-    require(shards > 0, s"shards must be > 0, got $shards")
+    require(shards >= 0, s"shards must be >= 0 (0 = auto), got $shards")
+    val nShards = resolveShards(df, shards)
     val prepared = df
-      .withColumn("pack_shard", shardCol(keyCols, shards, seed))
+      .withColumn("pack_shard", shardCol(keyCols, nShards, seed))
       .withColumn("__tok", greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L)))
       .withColumn("__h", Sampling.hashFraction(keyCols.map(col), seed))
-      .repartition(shards, col("pack_shard"))
+      .repartition(nShards, col("pack_shard"))
       .sortWithinPartitions(col("pack_shard").asc +:
         col("__h").asc +: keyCols.map(col(_).asc): _*)
     val shardIdx = prepared.schema.fieldIndex("pack_shard")

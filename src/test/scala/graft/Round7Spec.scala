@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.Multimodal
+
+/** Round-7 component tests: the real `javax.imageio` image decoder that
+  * replaced the round-1..6 deterministic stub. */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ image decode
+
+  test("decodeOne recovers exact dims/bands/mean from solid PNG and BMP") {
+    for (fmt <- Seq("png", "bmp"); (w, h, g) <- Seq((3, 2, 0), (7, 5, 128), (64, 1, 255))) {
+      val row = Multimodal.decodeOne(Multimodal.encodeSolidImage(w, h, g, fmt))
+      assert(row != null, s"$fmt ${w}x$h decode returned null")
+      assert(row.getInt(0) == w && row.getInt(1) == h, s"$fmt dims")
+      assert(row.getInt(2) == 3, s"$fmt bands")
+      assert(row.getDouble(3) == g / 255.0, s"$fmt mean for gray $g")
+    }
+  }
+
+  test("decodeOne handles GIF (palette raster, 1 band) with exact mean") {
+    val row = Multimodal.decodeOne(Multimodal.encodeSolidImage(4, 3, 200, "gif"))
+    assert(row != null)
+    assert(row.getInt(0) == 4 && row.getInt(1) == 3)
+    // GIF decodes to an indexed raster: band count is reader-dependent, but
+    // the normalized mean must still be exact for a solid fill.
+    assert(row.getInt(2) >= 1)
+    if (row.getInt(2) == 3) assert(row.getDouble(3) == 200 / 255.0)
+  }
+
+  test("decodeOne returns null for corrupt, truncated, empty, and null bytes") {
+    assert(Multimodal.decodeOne("definitely not an image".getBytes("UTF-8")) == null)
+    val png = Multimodal.encodeSolidImage(8, 8, 10, "png")
+    assert(Multimodal.decodeOne(png.take(12)) == null, "truncated header")
+    assert(Multimodal.decodeOne(Array.empty[Byte]) == null)
+    assert(Multimodal.decodeOne(null) == null)
+  }
+
+  test("decodeImages: planted corpus decodes distributed, corrupt rows null") {
+    val media = spark.range(0, 60).as[Long].map { id =>
+      val bytes =
+        if (id % 17 == 0) s"junk-$id".getBytes("UTF-8")
+        else Multimodal.encodeSolidImage((3 + id % 5).toInt, (2 + id % 7).toInt,
+          (id % 251).toInt, if (id % 2 == 0) "bmp" else "png")
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(media, "payload", batchSize = 7)
+    assert(out.schema.fieldNames.last == "decoded")
+    val rows = out.select(col("doc_id"), col("decoded.width"), col("decoded.height"),
+      col("decoded.channels"), col("decoded.mean_intensity")).collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 17 == 0) assert(r.isNullAt(1), s"corrupt row $id should be null")
+      else {
+        assert(r.getInt(1) == 3 + (id % 5).toInt, s"width of $id")
+        assert(r.getInt(2) == 2 + (id % 7).toInt, s"height of $id")
+        assert(r.getInt(3) == 3, s"bands of $id")
+        assert(r.getDouble(4) == (id % 251).toDouble / 255.0, s"mean of $id")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- packing
+
+  test("chunkPack clamps zero-token docs at exact chunk boundaries") {
+    import graft.llm.Packing
+    val budget = 128L
+    // Every real doc is exactly one chunk wide, so every cumulative offset
+    // is an exact boundary — wherever a zero-token doc sorts (including
+    // last in its shard), it hits the r6-advice pathological case.
+    val docs = (0 until 40).map(i => (i.toLong, budget)) ++
+      Seq((1000L, 0L), (1001L, 0L), (1002L, 0L))
+    for (seed <- 1 to 5) {
+      val out = Packing.chunkPack(docs.toDF("id", "n_tok"), Seq("id"), "n_tok",
+        budget, shards = 2, seed = seed)
+      val bad = out.groupBy("pack_shard")
+        .agg(max("chunk_last").as("mxl"), max("chunk_first").as("mxf"),
+          sum("n_tok").as("tok"))
+        .where(col("tok") > 0 &&
+          (col("mxl") =!= floor((col("tok") - 1) / budget) || col("mxf") > col("mxl")))
+        .count()
+      assert(bad === 0L, s"seed=$seed: zero-token doc escaped the shard's chunk range")
+      assert(out.where(col("chunk_offset") < 0 || col("chunk_offset") >= budget)
+        .count() === 0L, s"seed=$seed: offset out of range")
+      assert(out.where(col("chunk_last") - col("chunk_first") =!=
+        floor((col("chunk_offset") + greatest(col("n_tok"), lit(1L)) - 1) / budget))
+        .count() === 0L, s"seed=$seed: range arithmetic broken")
+    }
+  }
+
+  test("auto-sized shards (shards = 0) hold packing invariants under skew") {
+    import graft.llm.Packing
+    val rnd = new scala.util.Random(11)
+    // Heavily skewed token counts: a few giants among many tiny docs.
+    val docs = (0 until 500).map { i =>
+      (i.toLong, if (i % 97 == 0) 50000L else rnd.nextInt(30).toLong)
+    }
+    val df = docs.toDF("id", "n_tok")
+    val budget = 4096L
+    val packed = Packing.binPack(df, Seq("id"), "n_tok", budget) // auto shards
+    assert(packed.count() === 500L)
+    val par = spark.sparkContext.defaultParallelism.toLong
+    assert(packed.agg(max("pack_shard")).head.getLong(0) < par,
+      s"small corpus auto-resolves to the parallelism floor ($par shards)")
+    val overflow = packed.groupBy("pack_shard", "pack_id")
+      .agg(sum("n_tok").as("tok"), count(lit(1)).as("n"))
+      .where(col("tok") > budget && col("n") > 1).count()
+    assert(overflow === 0L, "multi-doc pack overflows under skew")
+    val chunked = Packing.chunkPack(df, Seq("id"), "n_tok", budget) // auto shards
+    val badShard = chunked.groupBy("pack_shard")
+      .agg(max("chunk_last").as("mxc"), sum("n_tok").as("tok"))
+      .where(col("tok") > 0 && col("mxc") =!= floor((col("tok") - 1) / budget)).count()
+    assert(badShard === 0L, "chunk tiling broken with auto shards")
+  }
+
+  // ------------------------------------------------------------- centroids
+
+  test("nearestIndices yields null (not -1 sentinels) for NaN vectors") {
+    import graft.functions.CentroidKernels
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(Double.NaN, 1.0)),
+      (2L, Seq(1.0, Double.NaN)),
+      (3L, Seq(3.0, 4.0))).toDF("id", "vec")
+    val out = df.select(col("id"),
+      CentroidKernels.nearestIndices(col("vec"), centroids, 2).as("idx"),
+      CentroidKernels.nearestIndex(col("vec"), centroids).as("best"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2), "NaN-first vector must be null")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2), "NaN-second vector must be null")
+    assert(out(2).getSeq[Int](1) == Seq(1, 0) && out(2).getInt(2) == 1,
+      "real vector still ranks centroids")
+  }
+
+  test("resizePlan is identity below maxSide and clamps above it") {
+    val df = Seq((800, 600), (100, 50)).toDF("width", "height")
+      .select(struct(col("width"), col("height")).as("decoded"))
+      .select(Multimodal.resizePlan(col("decoded"), maxSide = 512).as("t"))
+      .select("t.width", "t.height").collect()
+    assert(df(0).getInt(0) == 512 && df(0).getInt(1) == 384)
+    assert(df(1).getInt(0) == 100 && df(1).getInt(1) == 50)
+  }
+}
