@@ -16,23 +16,30 @@ import org.apache.spark.sql.types._
 object DataAnalyzer {
 
   val Measures: Seq[String] =
-    Seq("count", "null_count", "distinct_count", "min", "max", "mean", "stddev")
+    Seq("count", "null_count", "distinct_count", "min", "max", "mean", "stddev",
+      "p25", "p50", "p75")
 
   /** measure x column summary: first column `measure`, one STRING column per
-    * source column. `exact` uses count(distinct); the default approximates
-    * (approx_count_distinct) which is the right call at scale. mean/stddev
-    * (describe()-style, ref data_analyzer.py:149-175) apply to numeric
-    * columns only (null elsewhere) and render with fixed 6-decimal
-    * formatting so the summary string is engine-portable rather than
-    * hostage to shortest-round-trip float printing. Still ONE aggregation
-    * pass for all measures. */
+    * source column. `exact` uses count(distinct) and exact interpolated
+    * percentiles; the default approximates (approx_count_distinct /
+    * percentile_approx) which is the right call at scale. mean/stddev and
+    * the quartiles (describe()-style, ref data_analyzer.py:149-175) apply
+    * to numeric columns only (null elsewhere) and render with fixed
+    * 6-decimal formatting so the summary string is engine-portable rather
+    * than hostage to shortest-round-trip float printing. Still ONE
+    * aggregation pass for all measures. */
   def summarizeToDF(df: DataFrame, exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val cols = df.schema.fields.toSeq
     val aggs = cols.flatMap { f =>
       val c = col(f.name)
-      def numericSafe(agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      def numericSafe(agg: => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         if (isNumeric(f.dataType)) format_string("%.6f", agg) else lit(null).cast(StringType)
+      // percentile returns double, but percentile_approx returns the input
+      // type (long for integral columns) — cast so %.6f formats both.
+      def pct(q: Double): org.apache.spark.sql.Column =
+        (if (exact) percentile(c, lit(q))
+         else percentile_approx(c, lit(q), lit(10000))).cast("double")
       Seq(
         count(c).as(s"${f.name}__count"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__null_count"),
@@ -40,7 +47,10 @@ object DataAnalyzer {
         minMaxSafe(f, min(c)).as(s"${f.name}__min"),
         minMaxSafe(f, max(c)).as(s"${f.name}__max"),
         numericSafe(avg(c)).as(s"${f.name}__mean"),
-        numericSafe(stddev(c)).as(s"${f.name}__stddev"))
+        numericSafe(stddev(c)).as(s"${f.name}__stddev"),
+        numericSafe(pct(0.25)).as(s"${f.name}__p25"),
+        numericSafe(pct(0.5)).as(s"${f.name}__p50"),
+        numericSafe(pct(0.75)).as(s"${f.name}__p75"))
     }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).collect().head
 
@@ -76,18 +86,46 @@ object DataAnalyzer {
     sb.toString
   }
 
-  /** Emit generator code parameterized by observed data ranges (reference
-    * `scriptDataGeneratorFromData` — data_analyzer.py:500). */
+  /** Emit generator code parameterized by observed data ranges AND shape
+    * (reference `scriptDataGeneratorFromData` — data_analyzer.py:500, which
+    * only carries min/max). Numeric columns whose quartiles are symmetric
+    * about the median reverse-engineer to a Normal(mean, stddev) range;
+    * skewed columns keep a uniform range but embed the observed quartiles
+    * as a comment so the spec records the shape it could not name. */
   def scriptDataGeneratorFromData(df: DataFrame, name: String = "synthetic"): String = {
     val summary = summarizeToDF(df).collect()
     def measure(m: String): Row = summary.find(_.getString(0) == m).get
     val mins = measure("min"); val maxs = measure("max"); val distincts = measure("distinct_count")
+    val means = measure("mean"); val stddevs = measure("stddev")
+    val p25s = measure("p25"); val p50s = measure("p50"); val p75s = measure("p75")
+    def num(r: Row, i: Int): Option[Double] =
+      Option(r.getString(i)).flatMap(s => scala.util.Try(s.toDouble).toOption)
     val sb = new StringBuilder
     sb.append(s"""DataGenerator(spark, "$name", rows = ${df.count()}L)\n""")
     df.schema.fields.zipWithIndex.foreach { case (f, i) =>
       val strat = f.dataType match {
         case t if isNumeric(t) && mins.get(i + 1) != null =>
-          s"ColumnStrategy.Range(${mins.getString(i + 1)}, ${maxs.getString(i + 1)})"
+          val range = s"${mins.getString(i + 1)}, ${maxs.getString(i + 1)}"
+          (num(p25s, i + 1), num(p50s, i + 1), num(p75s, i + 1),
+            num(means, i + 1), num(stddevs, i + 1)) match {
+            case (Some(q1), Some(q2), Some(q3), Some(mu), Some(sd)) if q3 > q1 =>
+              val upper = q3 - q2
+              val lower = q2 - q1
+              val span = for {
+                lo <- num(mins, i + 1); hi <- num(maxs, i + 1) if hi > lo
+              } yield (q3 - q1) / (hi - lo)
+              val symmetric = math.min(upper, lower) >= 0.75 * math.max(upper, lower)
+              // Symmetric + narrow IQR reads as a central distribution
+              // (normal IQR ~ 0.22 of a +-3sigma range); symmetric + wide
+              // IQR (~0.5 of range) is uniform — the default Range already.
+              if (symmetric && span.exists(_ < 0.4))
+                f"ColumnStrategy.Range($range, distribution = Distribution.Normal($mu%.6f, $sd%.6f))"
+              else if (symmetric)
+                s"ColumnStrategy.Range($range)"
+              else
+                f"ColumnStrategy.Range($range) /* skewed: p25=$q1%.6f p50=$q2%.6f p75=$q3%.6f */"
+            case _ => s"ColumnStrategy.Range($range)"
+          }
         case StringType if distincts.get(i + 1) != null && distincts.getString(i + 1).toLong <= 20 =>
           // Low-cardinality string: enumerate as a values column.
           "ColumnStrategy.Values(Seq(/* observed values */))"

@@ -420,6 +420,49 @@ object Dedup {
     batch.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Streaming near-dup WITHOUT foreachBatch: pure Structured Streaming
+    * operators end to end. Every document's banded-LSH keys are claimed
+    * through `dropDuplicatesWithinWatermark` (state = one row per band key,
+    * evicted by the watermark); a downstream event-time-windowed count then
+    * reassembles a per-document verdict — a document is `kept` iff it was
+    * first to claim EVERY one of its band keys, i.e. no band matched any
+    * earlier in-watermark document. Chained stateful operators (dedup ->
+    * windowed agg) in append mode; both stages are watermark-bounded, so
+    * state never grows with the stream.
+    *
+    * Tradeoff vs the foreachBatch composition over
+    * [[nearDupMinHashAgainst]]: candidates are not exact-jaccard verified,
+    * so precision is the LSH S-curve's (tighten with more rows per band).
+    * Recall is the standard banded bound; a same-band hash collision of
+    * 64-bit keys is negligible.
+    *
+    * @param delayThreshold watermark delay — ALSO the dedup horizon: a
+    *   duplicate arriving more than this after the first occurrence is not
+    *   detected (its keys have left the state store).
+    * @return streaming frame (window_start, id, n_claimed, kept), emitted
+    *   when the watermark closes each window.
+    */
+  def streamNearDupVerdicts(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delayThreshold: String, windowDuration: String,
+      numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
+      .getField("sig")
+    val claimed = stream
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        explode(lshBandKeys(sig, bands, rowsPerBand)).as("bandkey"))
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicatesWithinWatermark("bandkey")
+    claimed
+      .groupBy(window(col("ts"), windowDuration), col("id"))
+      .agg(count(lit(1)).as("n_claimed"))
+      .select(col("window.start").as("window_start"), col("id"),
+        col("n_claimed"), (col("n_claimed") === bands).as("kept"))
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of a token array: per bit, the sign of the sum of

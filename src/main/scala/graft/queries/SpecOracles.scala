@@ -534,6 +534,27 @@ object SpecOracles {
         |  CAST(5 AS BIGINT) AS n_survivors,
         |  TRUE AS survivors_all_fresh""".stripMargin,
 
+    // Streaming near-dup verdicts, planted: batch-1 originals (ids 1-6)
+    // and the batch-2 fresh docs (201-203) claim every band -> kept; the
+    // batch-2 variants (1001-1003) hit bands their batch-1 bases already
+    // claimed -> flagged. The sentinel's window never closes, so it does
+    // not appear. Windows start at the planted event times.
+    "q_dedup_stream" ->
+      """SELECT * FROM (VALUES
+        |  ('2024-01-01 00:00:00', CAST(1 AS BIGINT), true),
+        |  ('2024-01-01 00:00:00', CAST(2 AS BIGINT), true),
+        |  ('2024-01-01 00:00:00', CAST(3 AS BIGINT), true),
+        |  ('2024-01-01 00:00:00', CAST(4 AS BIGINT), true),
+        |  ('2024-01-01 00:00:00', CAST(5 AS BIGINT), true),
+        |  ('2024-01-01 00:00:00', CAST(6 AS BIGINT), true),
+        |  ('2024-01-01 00:10:00', CAST(201 AS BIGINT), true),
+        |  ('2024-01-01 00:10:00', CAST(202 AS BIGINT), true),
+        |  ('2024-01-01 00:10:00', CAST(203 AS BIGINT), true),
+        |  ('2024-01-01 00:10:00', CAST(1001 AS BIGINT), false),
+        |  ('2024-01-01 00:10:00', CAST(1002 AS BIGINT), false),
+        |  ('2024-01-01 00:10:00', CAST(1003 AS BIGINT), false)
+        |) t(w, id, kept) ORDER BY id""".stripMargin,
+
     // Two independent near-dup algorithms (banded minhash LSH with
     // hashed-shingle verification vs exhaustive inverted-index jaccard on
     // exact string shingles) must produce IDENTICAL pair sets at

@@ -251,7 +251,8 @@ object TableQueries {
     "q_analyzer_summary" -> ((s, d) => {
       val df = table(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
       graft.analyzer.DataAnalyzer.summarizeToDF(df, exact = true)
-        .where(col("measure").isin("count", "null_count", "distinct_count", "mean", "stddev"))
+        .where(col("measure").isin("count", "null_count", "distinct_count",
+          "mean", "stddev", "p25", "p50", "p75"))
         .orderBy("measure")
     }))
 
@@ -417,5 +418,14 @@ object TableQueries {
         |  UNION ALL
         |  SELECT 'stddev', printf('%.6f', stddev(l_orderkey)),
         |    printf('%.6f', stddev(l_linenumber)), CAST(NULL AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p25', printf('%.6f', quantile_cont(l_orderkey, 0.25)),
+        |    printf('%.6f', quantile_cont(l_linenumber, 0.25)), CAST(NULL AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p50', printf('%.6f', quantile_cont(l_orderkey, 0.50)),
+        |    printf('%.6f', quantile_cont(l_linenumber, 0.50)), CAST(NULL AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p75', printf('%.6f', quantile_cont(l_orderkey, 0.75)),
+        |    printf('%.6f', quantile_cont(l_linenumber, 0.75)), CAST(NULL AS VARCHAR) FROM lineitem
         |  ) ORDER BY measure""".stripMargin)
 }

@@ -137,6 +137,26 @@ class Round7Spec extends AnyFunSuite {
       "real vector still ranks centroids")
   }
 
+  // --------------------------------------------------------------- analyzer
+
+  test("scriptDataGeneratorFromData classifies uniform / normal / skewed shapes") {
+    import graft.analyzer.DataAnalyzer
+    // u: uniform ramp; sq: right-skewed (quadratic); g: Irwin-Hall sum of 12
+    // hash-uniforms (approximately normal, deterministic).
+    val df = spark.range(0, 20000).select(
+      col("id").cast("double").as("u"),
+      (col("id") * col("id") / lit(20000.0)).as("sq"),
+      (0 until 12).map(k => pmod(xxhash64(col("id"), lit(k)), lit(1000)).cast("double"))
+        .reduce(_ + _).as("g"))
+    val code = DataAnalyzer.scriptDataGeneratorFromData(df, "shapes")
+    val lines = code.linesIterator.toSeq
+    def lineFor(c: String) = lines.find(_.contains("\"" + c + "\"")).get
+    assert(lineFor("u").contains("Range(") && !lineFor("u").contains("Normal")
+      && !lineFor("u").contains("skewed"), s"uniform misread: ${lineFor("u")}")
+    assert(lineFor("sq").contains("skewed"), s"skew missed: ${lineFor("sq")}")
+    assert(lineFor("g").contains("Distribution.Normal"), s"normal missed: ${lineFor("g")}")
+  }
+
   test("resizePlan is identity below maxSide and clamps above it") {
     val df = Seq((800, 600), (100, 50)).toDF("width", "height")
       .select(struct(col("width"), col("height")).as("decoded"))
