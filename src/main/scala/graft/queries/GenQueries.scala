@@ -23,8 +23,10 @@ object GenQueries {
 
   type Fn = (SparkSession, String) => DataFrame
 
-  /** Invariant boolean: no row violates `ok`. */
-  private def all(ok: Column): Column = sum(when(ok, 0L).otherwise(1L)) === 0L
+  /** Invariant boolean: no row violates `ok` (coalesced so an empty input
+    * passes vacuously instead of going null). */
+  private def all(ok: Column): Column =
+    coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)) === 0L
 
   private def gen(s: SparkSession, t: TableSpec, seed: Long = 42L): DataFrame =
     Generator.generate(s, DataGenPlan(Seq(t), seed))(t.name)
@@ -90,6 +92,34 @@ object GenQueries {
       q.awaitTermination(60000)
       one(s.table("graft_stream_q"), "n" -> count(lit(1)),
         "n_docs" -> countDistinct(col("doc_id")))
+    }),
+
+    // ------------------------------------------------------ DSv2 (SQL path)
+    // The same plan built (a) purely through SQL — CREATE TABLE USING graft
+    // + SELECT against the DSv2 source — and (b) through the programmatic
+    // engine; bit_xor row-hash equality pins that the SQL path IS the same
+    // generator (the source extracts the compiled Range->Project pipeline
+    // and evaluates it per id-slice in its partition readers).
+    "q_gen_dsv2" -> ((s, _) => {
+      val spec = TableSpec("dsv2_t", 20000, Seq(
+        c("k", "bigint", ColumnStrategy.Sequence()),
+        c("v", "int", ColumnStrategy.Range(1, 100, Some(1))),
+        c("tag", "string", ColumnStrategy.Values(Seq("a", "b", "c"))),
+        c("label", "string", ColumnStrategy.Pattern("id-{digit:4}"))))
+      val planJson = PlanJson.saveJson(DataGenPlan(Seq(spec), 42L))
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_q")
+      s.sql("CREATE TABLE graft_dsv2_q USING graft OPTIONS (plan '" +
+        planJson.replace("'", "''") + "')")
+      val viaSql = s.table("graft_dsv2_q")
+      def h(df: DataFrame): Long =
+        df.agg(coalesce(expr("bit_xor(xxhash64(struct(*)))"), lit(0L))).head.getLong(0)
+      val hashesMatch = h(viaSql) == h(gen(s, spec))
+      one(viaSql,
+        "n" -> count(lit(1)),
+        "n_tags" -> countDistinct(col("tag")),
+        "sql_matches_api" -> lit(hashesMatch),
+        "label_shape" -> all(col("label").rlike("^id-[0-9]{4}$")),
+        "v_in_range" -> all(col("v").between(1, 100)))
     }),
 
     // ------------------------------------------------- serialization + ddl

@@ -381,6 +381,15 @@ object SpecOracles {
       """SELECT TRUE AS has_fields,
         |  TRUE AS has_range,
         |  TRUE AS covers_fields""".stripMargin,
+    // DSv2 SQL path vs programmatic engine: rows/tags come straight from
+    // the spec; the booleans pin hash equality and shape invariants.
+    "q_gen_dsv2" ->
+      """SELECT CAST(20000 AS BIGINT) AS n,
+        |  CAST(3 AS BIGINT) AS n_tags,
+        |  TRUE AS sql_matches_api,
+        |  TRUE AS label_shape,
+        |  TRUE AS v_in_range""".stripMargin,
+
     // star_schema.json declares 5000 orders; FK reconstruction makes every
     // child key a parent lattice member, so orphans = 0 by construction.
     "q_gen_serialization" ->

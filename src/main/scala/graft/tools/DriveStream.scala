@@ -12,7 +12,7 @@ object DriveStream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = graft.SparkEntry.queries("q_dedup_stream")(spark, "/root/testdata/sf0.001")
+    val out = graft.SparkEntry.queries("q_gen_dsv2")(spark, "/root/testdata/sf0.001")
     out.collect().foreach(r => println("CHECK row " + r.mkString(" | ")))
     println("CHECK n=" + out.count())
     spark.stop()
