@@ -268,6 +268,36 @@ object Similarity {
     mat
   }
 
+  /** Auto centroid count: ~sqrt(N), the standard IVF balance point — each
+    * probe scans ~N/nc rows while the per-query probe ranking costs ~nc, so
+    * sqrt equalizes the two as the corpus scales. Clamped to [1, 65536]
+    * (the centroid matrix is a driver/codegen-embedded literal). */
+  def autoCentroids(n: Long): Int =
+    math.max(1L, math.min(65536L, math.round(math.sqrt(math.max(0L, n).toDouble)))).toInt
+
+  /** Cell-size diagnostics for an IVF index: one row per centroid cell,
+    * `(centroid_idx, n_rows)`, INCLUDING empty cells (n_rows = 0) — the
+    * numbers that tell an operator whether probes will be balanced before
+    * committing to an index layout. One narrow fused-kernel pass + one
+    * count aggregate; `nCentroids = 0` auto-sizes to ~sqrt(N). */
+  def ivfCellStats(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 0, refineIterations: Int = 0): DataFrame = {
+    import graft.functions.CentroidKernels
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = parallelize(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("cv")))
+    val n = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    val mat = refineCentroids(c, "cv",
+      sampleCentroids(c, "id", "cv", n), refineIterations)
+    val counts = c
+      .select(CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"))
+      .groupBy("centroid_idx").agg(count(lit(1)).as("n_rows"))
+    mat.indices.toDF("centroid_idx")
+      .join(counts, Seq("centroid_idx"), "left")
+      .select(col("centroid_idx"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** IVF-style approximate top-k: corpus rows are assigned to their nearest
     * of `nCentroids` centroid vectors; each query probes the `nProbe`
     * nearest centroids and ranks only within those cells. At 100 TB this
@@ -284,6 +314,8 @@ object Similarity {
     *
     * Exact when nProbe >= nCentroids (probes everything).
     *
+    * @param nCentroids cell count; 0 auto-sizes to ~sqrt(corpus rows)
+    *        ([[autoCentroids]] — one extra count job).
     * @param refineIterations optional Lloyd iterations on the sampled
     *        centroids (2 aggregate passes each) — lifts recall on
     *        unclustered corpora without changing the query shape. */
@@ -297,7 +329,8 @@ object Similarity {
       col(corpusVec).cast("array<double>").as("cv"))
       .withColumn("cn", VectorKernels.norm(col("cv"))))
 
-    val seed = sampleCentroids(c, "neighbor_id", "cv", nCentroids)
+    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    val seed = sampleCentroids(c, "neighbor_id", "cv", nCells)
     val mat = refineCentroids(c, "cv", seed, refineIterations)
 
     // Corpus side: one narrow projection — argmax cosine against the

@@ -137,6 +137,37 @@ class Round7Spec extends AnyFunSuite {
       "real vector still ranks centroids")
   }
 
+  // -------------------------------------------------------------------- ivf
+
+  test("autoCentroids follows sqrt(N) with clamps") {
+    import graft.llm.Similarity
+    assert(Similarity.autoCentroids(0) == 1)
+    assert(Similarity.autoCentroids(100) == 10)
+    assert(Similarity.autoCentroids(2000) == 45)
+    assert(Similarity.autoCentroids(Long.MaxValue) == 65536)
+  }
+
+  test("ivfCellStats reports every cell, including empty ones") {
+    import graft.llm.Similarity
+    // All-identical vectors: every sampled centroid coincides, ties go to
+    // the lowest index, so cells 1 and 2 must still appear with 0 rows.
+    val df = Seq.tabulate(6)(i => (i.toLong, Seq(1.0, 0.0))).toDF("id", "vec")
+    val rows = Similarity.ivfCellStats(df, "id", "vec", nCentroids = 3)
+      .orderBy("centroid_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).toSeq == Seq(6L, 0L, 0L))
+  }
+
+  test("Lloyd refinement does not worsen cell balance on the test corpus") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def maxCell(iters: Int): Long =
+      Similarity.ivfCellStats(emb, "vec_id", "embedding",
+        nCentroids = 0, refineIterations = iters)
+        .agg(max("n_rows")).head.getLong(0)
+    assert(maxCell(2) <= maxCell(0), "2 Lloyd iterations should not increase the largest cell")
+  }
+
   // --------------------------------------------------------------- analyzer
 
   test("scriptDataGeneratorFromData classifies uniform / normal / skewed shapes") {
