@@ -10,9 +10,10 @@ import graft.spec.Distribution
   * Given a per-cell 64-bit seed, produce an index in `[0, n)` (or a value in
   * continuous space). All formulas are deterministic hash → inverse-CDF
   * transforms: no RNG state, no UDFs, whole-stage-codegen friendly.
-  * Semantics follow dbldatagen/core/engine/distributions.py:45-240; Gamma and
-  * Beta use documented approximations (Wilson-Hilferty) because exact inverse
-  * CDFs have no closed form.
+  * Semantics follow dbldatagen/core/engine/distributions.py:45-240. Gamma and
+  * Beta — whose inverse CDFs have no elementary closed form — go through the
+  * exact numerical quantile kernel ([[graft.functions.DistKernels]]), so all
+  * nine laws are distribution-exact.
   */
 object Distributions {
 
@@ -124,22 +125,19 @@ object Distributions {
         .cast("double") / lit(Seeds.FractionDenominator.toDouble)
   }
 
-  /** Wilson-Hilferty: Gamma(k, theta) ~ k*theta*(1 - 1/(9k) + z*sqrt(1/(9k)))^3.
-    * Good to a few percent for k >= 1; documented approximation. */
-  private def gammaDraw(shape: Double, scale: Double, columnSeed: Long, id: Column): Column = {
-    val z = standardNormal(columnSeed, id)
-    val c = 1.0 / (9.0 * shape)
-    val cube = pow(greatest(lit(1.0 - c) + z * lit(math.sqrt(c)), lit(0.0)), lit(3.0))
-    cube * lit(shape * scale)
-  }
+  /** Exact Gamma(k, theta) draw: theta * InvP(k, u) via the bracketed-Newton
+    * inverse regularized incomplete gamma (DistKernels), applied to the
+    * deterministic per-cell uniform. Replaces the round-1..6 Wilson-Hilferty
+    * cube (tail mass was off by a few percent). */
+  private def gammaDraw(shape: Double, scale: Double, columnSeed: Long, id: Column): Column =
+    graft.functions.DistKernels.gammaQuantileCol(
+      openUnit(fraction(columnSeed, id)), shape, scale)
 
-  /** Beta(a,b) ~ Ga/(Ga+Gb) with independent Gamma approximations. */
-  private def betaDraw(a: Double, b: Double, columnSeed: Long, id: Column): Column = {
-    val ga = gammaDraw(a, 1.0, Seeds.subSeed(columnSeed, 2), id)
-    val gb = gammaDraw(b, 1.0, Seeds.subSeed(columnSeed, 3), id)
-    val denom = greatest(ga + gb, lit(1e-300))
-    least(ga / denom, lit(1.0 - 1e-12))
-  }
+  /** Exact Beta(a,b) draw: InvI(a, b, u) via the inverse regularized
+    * incomplete beta (DistKernels). Replaces the gamma-ratio approximation. */
+  private def betaDraw(a: Double, b: Double, columnSeed: Long, id: Column): Column =
+    least(graft.functions.DistKernels.betaQuantileCol(
+      openUnit(fraction(columnSeed, id)), a, b), lit(1.0 - 1e-12))
 
   /** Weighted choice via a quantized slot table: weights are normalized to
     * `Granularity` slots (largest-remainder rounding, so every positive

@@ -32,6 +32,19 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def literalDouble(e: Expression, what: String): Double = e match {
+    // SQL numeric literals arrive as double, int/long, or (for `2.0`
+    // under the default parser) Decimal — accept all of them.
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Float, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   /** (identifier, info, builder) triples — the injectFunction payload. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -85,6 +98,22 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_quality_stats expects exactly 1 argument, got ${children.length}")
         TextStatsKernel.QualityStats(children.head)
+      }),
+    (FunctionIdentifier("graft_gamma_quantile"),
+      new ExpressionInfo(classOf[DistKernels.GammaQuantileExpr].getName, "graft_gamma_quantile"),
+      { children =>
+        require(children.length == 3,
+          s"graft_gamma_quantile expects (u, shape, scale), got ${children.length} args")
+        DistKernels.GammaQuantileExpr(children.head,
+          literalDouble(children(1), "shape"), literalDouble(children(2), "scale"))
+      }),
+    (FunctionIdentifier("graft_beta_quantile"),
+      new ExpressionInfo(classOf[DistKernels.BetaQuantileExpr].getName, "graft_beta_quantile"),
+      { children =>
+        require(children.length == 3,
+          s"graft_beta_quantile expects (u, alpha, beta), got ${children.length} args")
+        DistKernels.BetaQuantileExpr(children.head,
+          literalDouble(children(1), "alpha"), literalDouble(children(2), "beta"))
       }))
 
   /** Install into a live session (idempotent — overwrites are replaces). */

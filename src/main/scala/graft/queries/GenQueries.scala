@@ -733,22 +733,28 @@ object GenQueries {
       "decreasing_head" -> (b(0) > b(1) && b(1) > b(2) && b(2) > b(3)),
       "head_mass" -> b(0).between(14600, 15600),
       "clamp_tail_small" -> (b(4) < 700)),
-    // Gamma(2,50) via Wilson-Hilferty: draw = 100*(0.9444+0.2357z)^3, so
-    // P(b0) = Phi(z: cube < 2) = Phi(1.339) = 0.910 -> E=18193;
-    // P(b1) = Phi(2.728)-Phi(1.339) = 0.0872 -> E=1744; P(b2) -> E=62.
+    // Gamma(2,50), EXACT inverse-CDF draw (DistKernels): for shape 2 the
+    // CDF has the closed form P(2,x) = 1-(1+x)e^-x, so with draw = 50*X:
+    // P(b0) = P(2,4)  = 1-5e^-4  = 0.90842 -> E=18168, sigma=40.8;
+    // P(b1) = P(2,8)-P(2,4)  = 0.08856 -> E=1771, sigma=40.2;
+    // P(b2) = P(2,12)-P(2,8) = 0.00294 -> E=59, sigma=7.7;
+    // P(b3)+P(b4) (incl. the >=1000 clamp) = 8.1e-5 -> E=1.6.
+    // Bands are +/- >=6 sigma.
     "q_dist_gamma" -> distQuery(Distribution.Gamma(2.0, 50.0))(
-      "head_mass" -> b(0).between(17900, 18500),
-      "b1_mass" -> b(1).between(1400, 2100),
-      "b2_mass" -> b(2).between(20, 120),
+      "head_mass" -> b(0).between(17900, 18430),
+      "b1_mass" -> b(1).between(1520, 2020),
+      "b2_mass" -> b(2).between(10, 110),
       "tail_tiny" -> (b(3) + b(4) <= 15)),
-    // Beta(2,5): mode at 1/5 -> bucket1 is the heaviest; exact Beta CDF
-    // gives E(b0)=6893, E(b1)=8443, but the gamma-ratio draw is a
-    // documented approximation (tail off ~3x), so masses get wide bounds
-    // and the load-bearing checks are the orderings.
+    // Beta(2,5), EXACT inverse-CDF draw: I_x(2,5) is the binomial tail
+    // sum_{j>=2} C(6,j) x^j (1-x)^(6-j), so bucket masses are exact:
+    // I_.2=0.34464 -> E(b0)=6893 (sigma 67); I_.4=0.76672 -> E(b1)=8442
+    // (sigma 70); I_.6=0.95904 -> E(b2)=3846 (sigma 56); I_.8=0.99840 ->
+    // E(b3)=787 (sigma 28); E(b4)=32 (sigma 5.7). Bands +/- >=6 sigma.
     "q_dist_beta" -> distQuery(Distribution.Beta(2.0, 5.0))(
       "mode_second" -> (b(1) > b(0) && b(1) > b(2)),
       "decreasing_tail" -> (b(2) > b(3) && b(3) > b(4)),
-      "masses" -> (b(0).between(6000, 8000) && b(1).between(7500, 9500) && b(4) < 400)),
+      "masses" -> (b(0).between(6480, 7310) && b(1).between(8010, 8870) &&
+        b(2).between(3500, 4190) && b(3).between(610, 960) && b(4).between(2, 70))),
     // Pareto(1.16): bounded on [1,1001]:
     // P(b0) = (1-201^-1.16)/(1-1001^-1.16) = 0.9982 -> E=19964, sigma=6.
     "q_dist_pareto" -> distQuery(Distribution.Pareto(1.16))(

@@ -28,10 +28,11 @@ object Distribution {
   final case class Exponential(rate: Double) extends Distribution
   /** exp(Normal(mu, sigma)) scaled into the index range. */
   final case class LogNormal(mu: Double, sigma: Double) extends Distribution
-  /** Wilson-Hilferty approximation of Gamma via cube of a normal (legacy
-    * parity; documented approximation, see SURVEY §2.4). */
+  /** Gamma(shape, scale) via the exact inverse regularized incomplete
+    * gamma (DistKernels quantile kernel). */
   final case class Gamma(shape: Double, scale: Double) extends Distribution
-  /** Beta via ratio of two Gamma approximations (legacy parity). */
+  /** Beta(alpha, beta) via the exact inverse regularized incomplete beta
+    * (DistKernels quantile kernel). */
   final case class Beta(alpha: Double, beta: Double) extends Distribution
   /** Pareto heavy tail via inverse CDF `(1-u)^(-1/alpha) - 1`, scaled so the
     * mode sits at index 0 and the tail covers the range; alpha > 0.

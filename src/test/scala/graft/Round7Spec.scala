@@ -196,4 +196,72 @@ class Round7Spec extends AnyFunSuite {
     assert(df(0).getInt(0) == 512 && df(0).getInt(1) == 384)
     assert(df(1).getInt(0) == 100 && df(1).getInt(1) == 50)
   }
+
+  // -------------------------------------------- exact gamma/beta quantiles
+
+  import graft.functions.DistKernels
+
+  test("regGammaP matches closed forms for integer shapes") {
+    // P(1,x) = 1 - e^-x; P(2,x) = 1 - (1+x)e^-x.
+    for (x <- Seq(0.01, 0.1, 0.5, 1.0, 2.0, 4.0, 8.0, 12.0, 30.0)) {
+      assert(math.abs(DistKernels.regGammaP(1.0, x) - (1 - math.exp(-x))) < 1e-12, s"P(1,$x)")
+      assert(math.abs(DistKernels.regGammaP(2.0, x) - (1 - (1 + x) * math.exp(-x))) < 1e-12,
+        s"P(2,$x)")
+    }
+  }
+
+  test("regBetaI matches the binomial-tail closed form for (2,5) and identity for (1,1)") {
+    def choose(n: Int, k: Int): Double = (1 to k).map(i => (n - k + i).toDouble / i).product
+    def exact(x: Double): Double =
+      (2 to 6).map(j => choose(6, j) * math.pow(x, j) * math.pow(1 - x, 6 - j)).sum
+    for (x <- Seq(0.05, 0.2, 0.4, 0.6, 0.8, 0.95)) {
+      assert(math.abs(DistKernels.regBetaI(2.0, 5.0, x) - exact(x)) < 1e-12, s"I_$x(2,5)")
+      assert(math.abs(DistKernels.regBetaI(1.0, 1.0, x) - x) < 1e-14, s"I_$x(1,1)")
+    }
+  }
+
+  test("quantile inverses round-trip through the CDFs across shapes incl. a<1") {
+    val ps = Seq(1e-6, 1e-3, 0.05, 0.25, 0.5, 0.75, 0.95, 0.999, 1 - 1e-6)
+    for (a <- Seq(0.3, 0.7, 1.0, 2.0, 5.5, 20.0); p <- ps) {
+      val x = DistKernels.invGammaP(a, p)
+      assert(math.abs(DistKernels.regGammaP(a, x) - p) < 1e-10, s"gamma a=$a p=$p -> x=$x")
+    }
+    for ((a, b) <- Seq((0.4, 0.6), (1.0, 1.0), (2.0, 5.0), (5.0, 2.0), (8.0, 8.0)); p <- ps) {
+      val x = DistKernels.invBetaI(a, b, p)
+      assert(math.abs(DistKernels.regBetaI(a, b, x) - p) < 1e-10, s"beta ($a,$b) p=$p -> x=$x")
+    }
+    // Anchors: Exp(1) median ln 2; symmetric Beta median 1/2; I(1,1) identity.
+    assert(math.abs(DistKernels.invGammaP(1.0, 0.5) - math.log(2.0)) < 1e-12)
+    assert(math.abs(DistKernels.invBetaI(8.0, 8.0, 0.5) - 0.5) < 1e-12)
+    assert(math.abs(DistKernels.invBetaI(1.0, 1.0, 0.37) - 0.37) < 1e-12)
+  }
+
+  test("quantile kernels agree with the static math under codegen and propagate nulls") {
+    val df = spark.range(0, 2000)
+      .select((col("id").cast("double") / 2000.0).as("u"))
+      .select(col("u"),
+        DistKernels.gammaQuantileCol(col("u"), 2.0, 50.0).as("g"),
+        DistKernels.betaQuantileCol(col("u"), 2.0, 5.0).as("b"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val u = r.getDouble(0)
+      assert(r.getDouble(1) == DistKernels.gammaQuantile(2.0, 50.0, u))
+      assert(r.getDouble(2) == DistKernels.betaQuantile(2.0, 5.0, u))
+    }
+    val withNull = Seq[Option[Double]](Some(0.5), None).toDF("u")
+      .select(DistKernels.gammaQuantileCol(col("u"), 1.0, 1.0).as("g")).collect()
+    assert(withNull.exists(_.isNullAt(0)) && withNull.exists(!_.isNullAt(0)))
+  }
+
+  test("exact draws are monotone in u and hit known medians") {
+    // Quantile functions are nondecreasing; medians: Gamma(2,50) median =
+    // 50*invP(2,.5) ~ 83.9; Beta(2,5) median ~ 0.26445.
+    val us = (1 to 99).map(_ / 100.0)
+    val gs = us.map(DistKernels.gammaQuantile(2.0, 50.0, _))
+    val bs = us.map(DistKernels.betaQuantile(2.0, 5.0, _))
+    assert(gs.zip(gs.tail).forall { case (x, y) => x < y })
+    assert(bs.zip(bs.tail).forall { case (x, y) => x < y })
+    assert(math.abs(gs(49) - 50.0 * DistKernels.invGammaP(2.0, 0.5)) < 1e-9)
+    assert(math.abs(DistKernels.regBetaI(2.0, 5.0, bs(49)) - 0.5) < 1e-10)
+  }
 }

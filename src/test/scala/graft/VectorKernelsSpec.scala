@@ -102,6 +102,14 @@ class VectorKernelsSpec extends AnyFunSuite {
         "graft_quality_stats('The cat and the dog').n_tokens AS n").head()
     assert(ts.getLong(0) === 1L)
     assert(ts.getInt(1) === 5)
+
+    // Exact quantile kernels: decimal-literal params must coerce, and the
+    // values must match the static math (Exp(1) median = ln 2).
+    val q = spark.sql(
+      "SELECT graft_gamma_quantile(0.5d, 1.0, 1.0) AS g, " +
+        "graft_beta_quantile(0.5d, 2, 5) AS b").head()
+    assert(math.abs(q.getDouble(0) - math.log(2.0)) < 1e-12)
+    assert(q.getDouble(1) === graft.functions.DistKernels.betaQuantile(2.0, 5.0, 0.5))
   }
 
   test("float arrays upcast implicitly") {
