@@ -531,29 +531,46 @@ object GenQueries {
     }),
 
     "q_gen_faker_breadth" -> ((s, _) => {
-      // Locale breadth (it/pt/nl/pl/sv/ja beyond en/de/fr/es) + the wider
-      // provider set. Locale pools must actually differ from en, and every
-      // provider's output must match its documented shape.
+      // Locale breadth (23 locales: it/pt/nl/pl/sv/ja + the r7 additions
+      // ru/uk/cs/da/fi/no/hu/ro/tr/el/zh/ko/ar beyond en/de/fr/es) + the
+      // wider provider set. Locale pools must actually differ from en, and
+      // every provider's output must match its documented shape.
       val df = gen(s, TableSpec("t", 5000, Seq(
         c("name_it", "string", ColumnStrategy.Faker("last_name", locale = "it")),
         c("name_ja", "string", ColumnStrategy.Faker("last_name", locale = "ja")),
         c("city_pl", "string", ColumnStrategy.Faker("city", locale = "pl")),
+        c("name_ru", "string", ColumnStrategy.Faker("name", locale = "ru")),
+        c("mail_tr", "string", ColumnStrategy.Faker("email", locale = "tr")),
         c("job", "string", ColumnStrategy.Faker("job")),
         c("state", "string", ColumnStrategy.Faker("state")),
         c("postcode", "string", ColumnStrategy.Faker("postcode")),
         c("user", "string", ColumnStrategy.Faker("user_name")),
-        c("ip", "string", ColumnStrategy.Faker("ipv4")))))
+        c("ip", "string", ColumnStrategy.Faker("ipv4")),
+        c("cc", "string", ColumnStrategy.Faker("credit_card_number")),
+        c("ccode", "string", ColumnStrategy.Faker("country_code")),
+        c("cur", "string", ColumnStrategy.Faker("currency_code")),
+        c("dob", "string", ColumnStrategy.Faker("date_of_birth")),
+        c("uid", "string", ColumnStrategy.Faker("uuid4")))))
       val itSet = graft.columns.FakerPools.pool("last_name", 200, 42L, "it").toSet
       val enSet = graft.columns.FakerPools.pool("last_name", 200, 42L, "en").toSet
+      val ruSet = graft.columns.FakerPools.pool("last_name", 200, 42L, "ru").toSet
       one(df, "n" -> count(lit(1)),
-        "locales_differ" -> lit(itSet != enSet),
+        "locales_differ" -> lit(itSet != enSet && ruSet != enSet && ruSet != itSet),
         "it_from_pool" -> all(col("name_it").isin(itSet.toSeq.map(lit): _*)),
         "ja_shape" -> all(col("name_ja").rlike("^[A-Z][a-z]+$")),
         "pl_city_nonempty" -> all(length(col("city_pl")) > 0),
+        "ru_name_shape" -> all(col("name_ru").rlike("^[A-Z][a-z]+ [A-Z][a-z]+$")),
+        // Diacritics in tr names must fold to plain ASCII local parts.
+        "tr_email_ascii" -> all(col("mail_tr").rlike("^[a-z0-9.]+@[a-z0-9.]+$")),
         "postcode_shape" -> all(col("postcode").rlike("^[0-9]{5}$")),
         "user_shape" -> all(col("user").rlike("^[a-z]+[._][a-z]+[0-9]+$")),
         "ip_shape" -> all(col("ip").rlike(
           "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$")),
+        "cc_shape" -> all(col("cc").rlike("^4[0-9]{15}$")),
+        "codes_shape" -> all(col("ccode").rlike("^[A-Z]{2}$") && col("cur").rlike("^[A-Z]{3}$")),
+        "dob_range" -> all(col("dob").between("1950-01-01", "2005-12-31")),
+        "uuid_shape" -> all(col("uid").rlike(
+          "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")),
         "job_state_nonempty" -> all(length(col("job")) > 0 && length(col("state")) > 0))
     }),
 

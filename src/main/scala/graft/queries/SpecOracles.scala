@@ -492,9 +492,15 @@ object SpecOracles {
         |  TRUE AS it_from_pool,
         |  TRUE AS ja_shape,
         |  TRUE AS pl_city_nonempty,
+        |  TRUE AS ru_name_shape,
+        |  TRUE AS tr_email_ascii,
         |  TRUE AS postcode_shape,
         |  TRUE AS user_shape,
         |  TRUE AS ip_shape,
+        |  TRUE AS cc_shape,
+        |  TRUE AS codes_shape,
+        |  TRUE AS dob_range,
+        |  TRUE AS uuid_shape,
         |  TRUE AS job_state_nonempty""".stripMargin,
 
     // FK by zero-join reconstruction: child keys are parent lattice members

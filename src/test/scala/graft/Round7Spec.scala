@@ -197,6 +197,56 @@ class Round7Spec extends AnyFunSuite {
     assert(df(1).getInt(0) == 100 && df(1).getInt(1) == 50)
   }
 
+  // ------------------------------------------------- faker locale breadth
+
+  test("all 23 faker locales have distinct name pools and ASCII-safe emails") {
+    import graft.columns.FakerPools
+    val locales = FakerPools.Locales
+    assert(locales.size >= 23, s"expected >= 23 locales, got ${locales.size}: $locales")
+    // Every locale's last-name pool differs from en (except en itself).
+    val en = FakerPools.pool("last_name", 300, 7L, "en").toSet
+    for (loc <- locales if loc != "en") {
+      val p = FakerPools.pool("last_name", 300, 7L, loc).toSet
+      assert(p != en, s"locale $loc fell back to en")
+    }
+    // Emails stay RFC-ish ASCII in every locale, incl. non-Latin-origin ones.
+    val emailRe = "^[a-z0-9.]+@[a-z0-9.]+$".r
+    for (loc <- locales; e <- FakerPools.pool("email", 50, 11L, loc)) {
+      assert(emailRe.findFirstIn(e).isDefined, s"locale $loc email '$e'")
+    }
+  }
+
+  test("new faker providers emit valid shapes, Luhn-valid PANs, deterministic pools") {
+    import graft.columns.FakerPools
+    def luhnOk(pan: String): Boolean = {
+      val ds = pan.map(_ - '0')
+      ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    FakerPools.pool("credit_card_number", 200, 3L).foreach { pan =>
+      assert(pan.matches("^4[0-9]{15}$") && luhnOk(pan), s"bad PAN $pan")
+    }
+    FakerPools.pool("ipv6", 50, 3L).foreach(v =>
+      assert(v.matches("^([0-9a-f]{4}:){7}[0-9a-f]{4}$"), v))
+    FakerPools.pool("mac_address", 50, 3L).foreach(v =>
+      assert(v.matches("^([0-9a-f]{2}:){5}[0-9a-f]{2}$"), v))
+    FakerPools.pool("latitude", 50, 3L).foreach { v =>
+      val d = v.toDouble; assert(d >= -90 && d <= 90, v)
+    }
+    FakerPools.pool("longitude", 50, 3L).foreach { v =>
+      val d = v.toDouble; assert(d >= -180 && d <= 180, v)
+    }
+    FakerPools.pool("ssn", 50, 3L).foreach(v => assert(v.matches("^[0-9]{3}-[0-9]{2}-[0-9]{4}$"), v))
+    FakerPools.pool("sentence", 20, 3L).foreach(v =>
+      assert(v.matches("^[A-Z][a-z]+( [a-z]+)+\\.$"), v))
+    FakerPools.pool("paragraph", 10, 3L).foreach(v =>
+      assert(v.split("\\. ").length >= 3, v))
+    // Determinism: same seed -> identical pool; different seed -> different.
+    assert(FakerPools.pool("uuid4", 20, 5L) == FakerPools.pool("uuid4", 20, 5L))
+    assert(FakerPools.pool("uuid4", 20, 5L) != FakerPools.pool("uuid4", 20, 6L))
+  }
+
   // -------------------------------------------- exact gamma/beta quantiles
 
   import graft.functions.DistKernels
