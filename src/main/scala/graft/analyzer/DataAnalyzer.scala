@@ -35,11 +35,18 @@ object DataAnalyzer {
       val c = col(f.name)
       def numericSafe(agg: => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         if (isNumeric(f.dataType)) format_string("%.6f", agg) else lit(null).cast(StringType)
-      // percentile returns double, but percentile_approx returns the input
-      // type (long for integral columns) — cast so %.6f formats both.
-      def pct(q: Double): org.apache.spark.sql.Column =
-        (if (exact) percentile(c, lit(q))
-         else percentile_approx(c, lit(q), lit(10000))).cast("double")
+      // All three quartiles from ONE aggregation buffer per column (the
+      // array-percentage form), not three independent percentile aggs — the
+      // exact variant buffers the whole column per agg, so sharing the
+      // buffer is a 3x memory/update-cost cut. percentile returns doubles,
+      // but percentile_approx returns the input type (long for integral
+      // columns) — cast so %.6f formats both.
+      val qs = array(lit(0.25), lit(0.5), lit(0.75))
+      val pcts: org.apache.spark.sql.Column =
+        if (isNumeric(f.dataType))
+          (if (exact) percentile(c, qs) else percentile_approx(c, qs, lit(10000)))
+            .cast("array<double>")
+        else lit(null).cast("array<double>")
       Seq(
         count(c).as(s"${f.name}__count"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__null_count"),
@@ -48,11 +55,20 @@ object DataAnalyzer {
         minMaxSafe(f, max(c)).as(s"${f.name}__max"),
         numericSafe(avg(c)).as(s"${f.name}__mean"),
         numericSafe(stddev(c)).as(s"${f.name}__stddev"),
-        numericSafe(pct(0.25)).as(s"${f.name}__p25"),
-        numericSafe(pct(0.5)).as(s"${f.name}__p50"),
-        numericSafe(pct(0.75)).as(s"${f.name}__p75"))
+        pcts.as(s"${f.name}__pcts"))
     }
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    // Expand the shared quartile array into p25/p50/p75 AFTER the agg (a
+    // projection over the 1-row result — format_string passes nulls through,
+    // so non-numeric/all-null columns stay null like every other measure).
+    val expanded = cols.flatMap { f =>
+      Seq("count", "null_count", "distinct_count", "min", "max", "mean", "stddev")
+        .map(m => col(s"${f.name}__$m")) ++
+      Seq("p25" -> 1, "p50" -> 2, "p75" -> 3).map { case (m, i) =>
+        format_string("%.6f", element_at(col(s"${f.name}__pcts"), i)).as(s"${f.name}__$m")
+      }
+    }
+    val row: Row =
+      df.agg(aggs.head, aggs.tail: _*).select(expanded: _*).collect().head
 
     val out = Measures.zipWithIndex.map { case (m, mi) =>
       Row.fromSeq(m +: cols.indices.map { ci =>
