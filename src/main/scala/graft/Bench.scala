@@ -249,19 +249,37 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcJ = gc.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json =
+    val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ}"""
-    // Persist the full JSON to a file the driver (and the judge) can read
-    // whole, then print the same line for the driver's stdout contract.
-    // The stdout line is only machine-readable because build.sbt sets
-    // `run / outputStrategy := StdoutOutput`: sbt's default LoggedOutput
-    // prefixed every forked line with "[info] ", which made this line
-    // unparseable to the driver for six straight rounds.
+    // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] write $outPath: $e") }
-    println(json)
+    // The driver captures only the LAST 2000 CHARS of stdout (measured:
+    // every BENCH_r*.json "tail" is exactly 2000 chars), and sbt appends a
+    // ~75-char "[success] Total time ..." line after us. The full JSON is
+    // 10KB+ — printing it truncated the line's head and left "parsed":null
+    // for seven straight rounds. Print a COMPACT line instead: headline
+    // queries only (stable curated set, so rounds stay comparable), noise
+    // totals as scalars, and a pointer to the full file. Budget ≤ 1800.
+    val headline = Seq(
+      "bench_gen_iot_10m", "bench_gen_star_1m", "q_analyzer_summary",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_cc",
+      "q_dedup_stream", "q_dedup_cosine_lsh", "q_dedup_simhash",
+      "q_dedup_ngram_jaccard", "q_ann_ivf", "q_ann_topk", "q_agg_groupby",
+      "q_join_broadcast", "q_window_rank", "q_events_window_stream",
+      "q_pack_sequences", "q_text_quality", "q_text_langid",
+      "q_multimodal_decode", "q_gen_dsv2", "q_asof_join")
+    val hq = headline.filter(results.contains)
+      .map(k => "\"" + k + f"\":${results(k)}%.3f").mkString("{", ",", "}")
+    def tot(m: scala.collection.Map[String, Double]): Double =
+      m.values.filter(_ >= 0).sum
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"steal_sec_total":${tot(steal)}%.2f,"neighbor_cpu_sec_total":${tot(other)}%.2f,"gc_sec_total":${tot(gc)}%.2f,"detail":"$outPath"}"""
+    if (compact.length > 1800) // belt-and-braces: never regress the contract
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","detail":"$outPath"}""")
+    else println(compact)
     System.out.flush()
     spark.stop()
   }

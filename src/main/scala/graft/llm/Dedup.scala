@@ -440,7 +440,11 @@ object Dedup {
     *   duplicate arriving more than this after the first occurrence is not
     *   detected (its keys have left the state store).
     * @return streaming frame (window_start, id, n_claimed, kept), emitted
-    *   when the watermark closes each window.
+    *   when the watermark closes each window. EVERY in-watermark document
+    *   gets a row: each claims a per-document sentinel key alongside its
+    *   band keys, so a document whose every band was already taken (e.g.
+    *   an exact duplicate of an earlier doc) still surfaces, as
+    *   (n_claimed = 0, kept = false) rather than silently vanishing.
     */
   def streamNearDupVerdicts(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, delayThreshold: String, windowDuration: String,
@@ -450,15 +454,20 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")
+    // The sentinel is keyed by the doc id, so it is never claimed by another
+    // document (64-bit collision odds are the same negligible ones the band
+    // keys already accept) and always survives the dedup — guaranteeing one
+    // group per document downstream.
+    val selfKey = xxhash64(lit("graft_self_claim"), col(idCol))
     val claimed = stream
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
-        explode(lshBandKeys(sig, bands, rowsPerBand)).as("bandkey"))
+        explode(concat(lshBandKeys(sig, bands, rowsPerBand), array(selfKey))).as("bandkey"))
       .withWatermark("ts", delayThreshold)
       .dropDuplicatesWithinWatermark("bandkey")
     claimed
       .groupBy(window(col("ts"), windowDuration), col("id"))
-      .agg(count(lit(1)).as("n_claimed"))
+      .agg((count(lit(1)) - 1L).as("n_claimed"))
       .select(col("window.start").as("window_start"), col("id"),
         col("n_claimed"), (col("n_claimed") === bands).as("kept"))
   }

@@ -103,8 +103,14 @@ object Multimodal {
   }
 
   /** Decode one image with `javax.imageio`. Returns width/height/band-count
-    * and the mean raster sample over all bands normalized to [0,1] (8-bit
-    * scale), or null when the bytes are not a decodable image. */
+    * and the mean sample over all bands normalized to [0,1] (8-bit scale),
+    * or null when the bytes are not a decodable image.
+    *
+    * Palette-indexed images (GIF, indexed PNG) are resolved through the
+    * palette via `getRGB`: their raster samples are palette INDICES, so a
+    * raw-raster mean would be meaningless and the band count would depend
+    * on which reader happened to load the image. Indexed images therefore
+    * always report 3 channels and a true color-intensity mean. */
   private[graft] def decodeOne(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) null
     else {
@@ -113,24 +119,41 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) null
         else {
-          val raster = img.getRaster
           val w = img.getWidth
           val h = img.getHeight
-          val bands = raster.getNumBands
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              var b = 0
-              while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-              x += 1
+          if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            val count = w.toLong * h * 3
+            val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
+            Row(w, h, 3, mean)
+          } else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            val count = w.toLong * h * bands
+            val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
+            Row(w, h, bands, mean)
           }
-          val count = w.toLong * h * bands
-          val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
-          Row(w, h, bands, mean)
         }
       } catch { case scala.util.control.NonFatal(_) => null }
     }

@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * single sort partition; sharding keeps the plan fully parallel at the
   * cost of at most one partially-filled pack per shard.
   *
-  * `shards = 0` (the default) auto-sizes the shard count from the corpus:
-  * a fixed default would silently bound parallelism and per-shard sort
-  * size at scale, the way the reference auto-computes partitions instead
-  * of pinning them (dbldatagen/datasets/dataset_provider.py:291).
+  * `shards = 0` (the default) auto-sizes the shard count from the corpus
+  * ROW COUNT ONLY — a fixed default would silently bound parallelism and
+  * per-shard sort size at scale (the reference auto-computes partitions
+  * instead of pinning them, dbldatagen/datasets/dataset_provider.py:291),
+  * while folding in cluster parallelism would make pack assignment depend
+  * on where the job runs. Same data -> same shard count -> same packs,
+  * on a laptop or a 1000-executor cluster.
   */
 object Packing {
 
@@ -35,16 +38,19 @@ object Packing {
     * per-shard waste (at most one partial pack) stays negligible. */
   val TargetRowsPerShard = 1000000L
 
-  /** Resolve `shards = 0` to `max(cluster parallelism, rows / 1M)`. The
-    * one extra count job is metadata-only over parquet sources; pass an
-    * explicit shard count to skip it (results depend on the shard count,
-    * so pinned-output pipelines should pin it). */
+  /** Resolve `shards = 0` to `ceil(rows / 1M)` — a pure function of the
+    * data, NOT of the cluster (defaultParallelism was an input until r8;
+    * that made default pack assignment environment-dependent, a silent
+    * reproducibility break in an engine that advertises deterministic,
+    * partition-independent output). The one extra count job is
+    * metadata-only over parquet sources; pass an explicit shard count to
+    * skip it (results depend on the shard count, so pinned-output
+    * pipelines should pin it). */
   private def resolveShards(df: DataFrame, shards: Int): Int =
     if (shards > 0) shards
     else {
-      val floor = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
       val byRows = (df.count() + TargetRowsPerShard - 1) / TargetRowsPerShard
-      math.max(floor.toLong, math.min(byRows, 1L << 20)).toInt
+      math.min(math.max(byRows, 1L), 1L << 20).toInt
     }
 
   private def shardCol(keyCols: Seq[String], shards: Int, seed: Long) =

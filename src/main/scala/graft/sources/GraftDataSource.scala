@@ -150,18 +150,35 @@ class GraftScanBuilder(program: GraftDataSource.Program)
     required = requiredSchema
 
   override def build(): Scan = {
-    // Generation plans collapse to a single Project over Range (optimizer's
-    // CollapseProject), so pruning the FINAL project list prunes the whole
-    // per-column expression tree — unused generator columns cost nothing.
+    // Generation plans usually collapse to a single Project over Range
+    // (optimizer's CollapseProject), so pruning the FINAL project list
+    // prunes the whole per-column expression tree — unused generator
+    // columns cost nothing.
     val keep = required.fieldNames.toSet
-    val pruned = program.steps.zipWithIndex.map {
-      case (ProjectStep(exprs), i) if i == program.steps.length - 1 =>
-        val names = program.schema.fieldNames
-        ProjectStep(exprs.zip(names).collect { case (e, n) if keep.contains(n) => e })
-      case (s, _) => s
-    }
+    val names = program.schema.fieldNames
     val schema = StructType(program.schema.fields.filter(f => keep.contains(f.name)))
-    new GraftScan(program.copy(steps = pruned, schema = schema))
+    program.steps.lastOption match {
+      case Some(ProjectStep(exprs)) =>
+        val pruned = program.steps.init :+ ProjectStep(
+          exprs.zip(names).collect { case (e, n) if keep.contains(n) => e })
+        new GraftScan(program.copy(steps = pruned, schema = schema))
+      case _ =>
+        // The outermost step is a Filter — happens whenever a spec combines
+        // a filter constraint with nondeterministic columns, because
+        // PushPredicateThroughNonJoin refuses to push past them. The filter
+        // needs the full-width row, so narrowing the inner Project would
+        // silently misalign ordinals against readSchema. Prune by APPENDING
+        // a BoundReference projection above the filter instead: generator
+        // expressions still evaluate (the filter demands them), but the
+        // reader emits only the required columns.
+        val fields = program.schema.fields
+        val prune = ProjectStep(names.zipWithIndex.collect {
+          case (n, i) if keep.contains(n) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, fields(i).dataType, fields(i).nullable)
+        })
+        new GraftScan(program.copy(steps = program.steps :+ prune, schema = schema))
+    }
   }
 }
 

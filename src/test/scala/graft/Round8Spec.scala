@@ -37,6 +37,74 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 column pruning stays correct when the plan ends in a Filter") {
+    import graft.spec._
+    // A filter constraint + a random=true column: Catalyst cannot push the
+    // filter below the nondeterministic project, so the extracted pipeline's
+    // OUTERMOST step is the Filter. Pre-r8 the scan builder pruned the read
+    // schema anyway while leaving every ProjectStep full-width — downstream
+    // ordinal access then read the wrong columns.
+    val spec = TableSpec("fspec", 5000, Seq(
+      ColumnSpec("k", "bigint", ColumnStrategy.Sequence()),
+      ColumnSpec("a", "int", ColumnStrategy.Range(1, 100, Some(1))).copy(random = true),
+      ColumnSpec("tag", "string", ColumnStrategy.Values(Seq("x", "y", "z")))),
+      constraints = Seq(Constraint.SqlExpr("a >= 50")))
+    val planJson = graft.io.PlanJson.saveJson(DataGenPlan(Seq(spec), 7L))
+    val full = spark.read.format("graft").option("plan", planJson).load().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(full.nonEmpty && full.length < 5000, "filter constraint should drop rows")
+    assert(full.forall(_._2 >= 50), "constraint must hold on the DSv2 read")
+    // Non-prefix column subset: any ordinal misalignment between readSchema
+    // and the full-width rows shows up as wrong values or a class cast.
+    val sub = spark.read.format("graft").option("plan", planJson).load()
+      .select("tag", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sub.toSet === full.map(t => (t._3, t._1)).toSet,
+      "pruned read must agree with the full read")
+  }
+
+  test("streamNearDupVerdicts surfaces exact duplicates as kept=false rows") {
+    // Pre-r8, a document whose EVERY band key was already claimed (an exact
+    // duplicate of an in-watermark doc) emitted no verdict row at all — the
+    // strongest duplicates silently vanished. The per-document sentinel
+    // claim guarantees one row per in-watermark document.
+    def at(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val words = (0 until 80).map(i => s"w$i").mkString(" ")
+    val batch1 = Seq((1L, words, at("2024-01-01T00:00:00Z")))
+    val batch2 = Seq((2L, words, at("2024-01-01T00:10:00Z"))) // exact dup of doc 1
+    val batch3 = Seq((9999L, (0 until 80).map(i => s"zz$i").mkString(" "),
+      at("2024-01-01T02:00:00Z"))) // watermark sentinel
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_dupstream")
+    val stage = java.nio.file.Files.createTempDirectory("graft_r8_dupstage")
+    Seq(batch1, batch2, batch3).zipWithIndex.foreach { case (rows, i) =>
+      val out = stage.resolve(s"b$i").toString
+      rows.toDF("doc_id", "text", "ts").coalesce(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val verdicts = graft.llm.Dedup.streamNearDupVerdicts(sdf, "doc_id", "text", "ts",
+      delayThreshold = "30 minutes", windowDuration = "5 minutes",
+      numHashes = 128, bands = 64)
+    val q = verdicts.writeStream.format("memory").queryName("graft_r8_dupstream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val rows = spark.table("graft_r8_dupstream")
+      .select("id", "n_claimed", "kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rows(1L) === ((64L, true)), "original claims every band")
+    assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
+  }
+
   test("exact and approx summarize agree on exact-computable measures") {
     val df = spark.range(0, 1000)
       .select(col("id"), (col("id") % 7).as("m"), concat(lit("v"), col("id") % 3).as("s"))
