@@ -44,4 +44,19 @@ object Q {
 
   /** Long literal column (avoids Int literals surfacing as INTEGER). */
   def L(v: Long): Column = lit(v)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    * Streaming queries allocate one state-store instance per shuffle
+    * partition per stateful operator PER MICRO-BATCH; at the default 32
+    * partitions a 4-batch two-operator stream pays 256 store commits to
+    * process a handful of rows. Results are partitioning-independent —
+    * this only right-sizes the state fan-out to the data. (A real
+    * deployment sizes it to keyspace/throughput; these queries carry a
+    * few planted keys.) */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 }

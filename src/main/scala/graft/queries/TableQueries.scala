@@ -119,15 +119,19 @@ object TableQueries {
         if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
           timestamp_micros(expr("ts div 1000"))
         else col("ts")
-      val q = raw.withColumn("__ts", ts)
-        .groupBy(window(col("__ts"), "1 hour"))
-        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("n"), col("value_c"))
-        .writeStream.format("memory").queryName("graft_events_window_stream")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      val finished = q.awaitTermination(60000)
+      // Reduce-side keys are hour windows (a handful); 8 state partitions
+      // right-size the store without limiting the parallel file scan.
+      val finished = withShufflePartitions(s, 8) {
+        val q = raw.withColumn("__ts", ts)
+          .groupBy(window(col("__ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("n"), col("value_c"))
+          .writeStream.format("memory").queryName("graft_events_window_stream")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
       require(finished,
         "events AvailableNow stream did not finish in 60s — refusing to read a partial sink")
       // The copied source dir is only needed while the stream runs.
