@@ -267,7 +267,7 @@ object Bench {
       "bench_gen_iot_10m", "bench_gen_star_1m", "q_analyzer_summary",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_cc",
       "q_dedup_stream", "q_dedup_cosine_lsh", "q_dedup_simhash",
-      "q_dedup_ngram_jaccard", "q_ann_ivf", "q_ann_topk", "q_agg_groupby",
+      "q_dedup_ngram_jaccard", "q_decontaminate", "q_ann_ivf", "q_ann_topk", "q_agg_groupby",
       "q_join_broadcast", "q_window_rank", "q_events_window_stream",
       "q_pack_sequences", "q_text_quality", "q_text_langid",
       "q_multimodal_decode", "q_gen_dsv2", "q_asof_join")

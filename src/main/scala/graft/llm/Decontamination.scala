@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the eval-overlap pass a training-data
+  * pipeline runs before training: a training document is contaminated when
+  * it shares at least one token n-gram with any document of an evaluation
+  * corpus (the 13-gram matching discipline of the published LM dataset
+  * reports; n = 13 is the customary default).
+  *
+  * Beyond-reference surface: builds on the same fused shingle kernel and
+  * hashed-n-gram semantics as the dedup family ([[Dedup.shingleSets]] —
+  * grams are compared as xxhash64 fingerprints, the family's standing
+  * collision-negligible assumption; short documents contribute their
+  * single whole-text window, `max(1, tokens - n + 1)` grams).
+  *
+  * Scale shape: the evaluation corpus is benchmark-sized by construction,
+  * so its distinct gram set broadcasts; the training side is one narrow
+  * projection + explode feeding a broadcast hash join — no shuffle of
+  * training data except the per-id hit aggregation, which only carries
+  * MATCHED grams (a tiny fraction of the corpus). A 100 TB train corpus
+  * streams through map-side; nothing fans in until after the join filter.
+  */
+object Decontamination {
+
+  /** Per-training-document contamination report.
+    *
+    * @return (id, n_grams, n_hits, contaminated): total distinct n-grams
+    *   of the document, how many of them appear anywhere in `eval`, and
+    *   whether any did. Rows with null `textCol` are dropped (no grams).
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val trainGrams = Dedup.shingleSets(train, idCol, textCol, n)
+    val evalGrams = Dedup.shingleSets(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val hits = trainGrams.select(col("id"), explode(col("sh")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    trainGrams.select(col("id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= 1L)
+  }
+
+  /** The keep-side: training rows sharing fewer than `minHits` n-grams
+    * with the evaluation corpus (rows with null text carry no grams and
+    * are always kept). One left_anti against the flagged id set. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame = {
+    val flagged = contaminationReport(train, eval, idCol, textCol, n)
+      .where(col("n_hits") >= minHits)
+      .select(col("id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+}

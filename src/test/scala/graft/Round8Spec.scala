@@ -105,6 +105,36 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
   }
 
+  test("decontamination flags exactly the documents sharing an n-gram") {
+    import graft.llm.Decontamination
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val train = Seq(
+      (1L, words("a", 30)),                      // shares a0..a29 windows with eval doc 1
+      (2L, words("b", 30)),                      // clean
+      (3L, words("c", 8)),                       // short: single whole-doc gram
+      (4L, words("c", 8)),                       // exact duplicate of eval doc 3 -> hit
+      (5L, null.asInstanceOf[String])            // null text: no grams, kept
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (101L, (5 until 25).map(i => s"a$i").mkString(" ")), // slice of train 1
+      (103L, words("c", 8))                                // whole short doc = train 3/4's gram
+    ).toDF("doc_id", "text")
+    val rep = Decontamination.contaminationReport(train, eval_, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep(1L)._3 && rep(1L)._2 >= 1, "doc 1 shares slice windows")
+    assert(!rep(2L)._3 && rep(2L)._2 === 0L, "doc 2 is clean")
+    assert(rep(3L) === ((1L, 1L, true)), "short doc matches its whole-text gram")
+    assert(rep(4L) === ((1L, 1L, true)))
+    assert(!rep.contains(5L), "null text drops out of the report")
+    val kept = Decontamination.decontaminate(train, eval_, "doc_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 5L), "clean + null-text rows survive")
+    // minHits above the overlap keeps everything
+    val lax = Decontamination.decontaminate(train, eval_, "doc_id", "text",
+      n = 13, minHits = 1000L).count()
+    assert(lax === 5L)
+  }
+
   test("exact and approx summarize agree on exact-computable measures") {
     val df = spark.range(0, 1000)
       .select(col("id"), (col("id") % 7).as("m"), concat(lit("v"), col("id") % 3).as("s"))
