@@ -96,6 +96,25 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case NonFatal(_) => () }
       }
+      // Second, mid-scale warmup for the heavy pipelines: the sf0.001 pass
+      // compiles every generated class but rarely crosses the C2 JIT
+      // invocation thresholds, so the timed sf0.1 run still paid 2-9s of
+      // first-iteration compilation per heavy query (measured trial1 vs
+      // trial2 gaps of 13s -> 4s). One untimed sf0.01 iteration of the
+      // hot families pushes their loops through the JIT.
+      val jitWarm = Seq(
+        "q_analyzer_summary", "q_dedup_minhash", "q_dedup_minhash_recall",
+        "q_dedup_minhash_cc", "q_dedup_cosine_recall", "q_dedup_cosine_lsh",
+        "q_dedup_incremental", "q_dedup_substring", "q_dedup_substring_drop",
+        "q_dedup_ngram_jaccard", "q_decontaminate", "q_ann_ivf_recall",
+        "q_ann_ivf_cells", "q_dataset_sales_order", "q_dedup_stream")
+      val midDir = "/root/testdata/sf0.01"
+      if (new java.io.File(midDir).isDirectory && midDir != sfDir)
+        jitWarm.foreach { name =>
+          SparkEntry.queries.get(name).foreach { fn =>
+            try materialize(fn(spark, midDir)) catch { case NonFatal(_) => () }
+          }
+        }
       // The generation benches compile their own (wide) generated classes —
       // warm them at 1% scale so Janino+JIT run outside the timed region
       // (row counts flow through plan parameters, not generated source, so
@@ -266,7 +285,7 @@ object Bench {
     val headline = Seq(
       "bench_gen_iot_10m", "bench_gen_star_1m", "q_analyzer_summary",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_cc",
-      "q_dedup_stream", "q_dedup_cosine_lsh", "q_dedup_simhash",
+      "q_dedup_stream", "q_dedup_cosine_lsh", "q_dedup_semantic", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_decontaminate", "q_ann_ivf", "q_ann_topk", "q_agg_groupby",
       "q_join_broadcast", "q_window_rank", "q_events_window_stream",
       "q_pack_sequences", "q_text_quality", "q_text_langid",

@@ -723,4 +723,69 @@ object Dedup {
           .as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs: the corpus is k-means-celled
+    * (deterministic hash-sampled centroids, optional Lloyd refinement —
+    * [[Similarity.refineCentroids]]), candidate pairs are WITHIN-CELL only,
+    * then exact-cosine verified. The cluster-then-compare recipe of the
+    * SemDeDup paper (Abbas et al. 2023): versus [[nearDupCosine]]'s random
+    * hyperplanes, learned cells adapt to the corpus shape, and the
+    * by-construction miss is exactly the paper's — a near-dup pair split
+    * across cells is not compared (raise `refineIterations` or lower
+    * `nCentroids` to trade cost for recall; precision is 1 regardless,
+    * every emitted pair is exact-verified).
+    *
+    * Scale shape: assignment is a fused driver-literal argmax (narrow,
+    * zero shuffle); the cell shuffle carries only (id, cell); vectors are
+    * attached to the deduped candidate pairs by id-keyed joins — the same
+    * never-ship-vectors-through-the-fanout discipline as `nearDupCosine`.
+    *
+    * @param nCentroids cell count; 0 auto-sizes to ~sqrt(N)
+    * @param maxCell cap on comparable cell size (duplicate-blob corpora
+    *   would otherwise go quadratic inside one cell) — capped cells are
+    *   dropped whole, like the LSH `maxBucket`.
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
+      maxCell: Int = 10000): DataFrame = {
+    import graft.functions.{CentroidKernels, VectorKernels}
+    val vecs0 = Similarity.parallelize(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")))
+      .where(col("id").isNotNull && col("vec").isNotNull)
+    val k = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(vecs0.count())
+    val mat = Similarity.refineCentroids(vecs0, "vec",
+      Similarity.sampleCentroids(vecs0, "id", "vec", k), refineIterations)
+    val celled = vecs0.select(col("id"),
+      CentroidKernels.nearestIndex(col("vec"), mat).as("cell"))
+    val capped = capBuckets(celled, "cell", maxCell)
+    val candidates = capped.select(col("cell"), col("id").as("id_a"))
+      .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val vecs = vecs0.withColumn("nrm", VectorKernels.norm(col("vec")))
+    val denom = col("n_a") * col("n_b")
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a"), col("nrm").as("n_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b"), col("nrm").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(denom === 0, lit(0.0))
+          .otherwise(VectorKernels.dot(col("v_a"), col("v_b")) / denom)
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Rows surviving semantic (SemDeDup-style) near-dup removal — greedy
+    * larger-id drop within each cell, like [[dropNearDupsCosine]]. */
+  def dropSemanticDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
+      maxCell: Int = 10000): DataFrame = {
+    val losers = semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
+      refineIterations, maxCell)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -105,6 +105,26 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
   }
 
+  test("semantic dedup finds within-cluster duplicates with exact precision") {
+    import graft.llm.Dedup
+    // Two tight clusters, one near-identical pair inside each; near-identical
+    // vectors land in the same cell under ANY centroid set, so the planted
+    // pairs always surface, and nothing else passes the 0.99 verification.
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.999, 0.01, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.01, 0.999, 0.0)),
+      (5L, Seq(0.7, 0.7, 0.1))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 2, refineIterations = 2, maxCell = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val kept = Dedup.dropSemanticDups(vecs, "vec_id", "embedding",
+      threshold = 0.99, nCentroids = 2, refineIterations = 2, maxCell = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L), "larger id of each pair drops")
+  }
+
   test("decontamination flags exactly the documents sharing an n-gram") {
     import graft.llm.Decontamination
     def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i").mkString(" ")
