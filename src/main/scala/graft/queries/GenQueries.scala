@@ -122,6 +122,36 @@ object GenQueries {
         "v_in_range" -> all(col("v").between(1, 100)))
     }),
 
+    // DSv2 with the TRAILING-FILTER pipeline shape: a filter constraint
+    // plus a random=true column means Catalyst cannot push the filter
+    // below the nondeterministic project, so the extracted program ends in
+    // a FilterStep — the shape where column pruning must append a narrow
+    // projection instead of narrowing the inner project (r8 fix; pre-fix,
+    // a pruned read returned values from the wrong ordinals). Partitions
+    // are pinned so the rand(hash) draw — and thus the surviving row set —
+    // is identical in any environment.
+    "q_gen_dsv2_filter" -> ((s, _) => {
+      val spec = TableSpec("dsv2_f", 5000, Seq(
+        c("k", "bigint", ColumnStrategy.Sequence()),
+        c("a", "int", ColumnStrategy.Range(1, 100, Some(1))).copy(random = true),
+        c("tag", "string", ColumnStrategy.Values(Seq("x", "y", "z")))),
+        partitions = Some(8),
+        constraints = Seq(Constraint.SqlExpr("a >= 50")))
+      val planJson = PlanJson.saveJson(DataGenPlan(Seq(spec), 7L))
+      val full = s.read.format("graft").option("plan", planJson).load()
+      val fullRows = full.select("k", "a", "tag").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // Non-prefix subset: ordinal misalignment surfaces as wrong values.
+      val sub = s.read.format("graft").option("plan", planJson).load()
+        .select("tag", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+      one(full,
+        "nonempty" -> lit(fullRows.nonEmpty),
+        "filtered" -> lit(fullRows.length < 5000),
+        "filter_holds" -> lit(fullRows.forall(_._2 >= 50)),
+        "pruned_matches_full" ->
+          lit(sub.toSet == fullRows.map(t => (t._3, t._1)).toSet))
+    }),
+
     // ------------------------------------------------- serialization + ddl
     "q_gen_serialization" -> ((s, _) => {
       val star = PlanJson.loadFile("/root/reference/tests/core/fixtures/star_schema.json")

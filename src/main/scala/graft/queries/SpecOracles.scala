@@ -389,6 +389,12 @@ object SpecOracles {
         |  TRUE AS sql_matches_api,
         |  TRUE AS label_shape,
         |  TRUE AS v_in_range""".stripMargin,
+    // Trailing-filter DSv2 shape (filter constraint + random column): the
+    // booleans pin that the filter applied, rows survived, and a pruned
+    // column-subset read agrees with the full read (the r8 ordinal fix).
+    "q_gen_dsv2_filter" ->
+      """SELECT TRUE AS nonempty, TRUE AS filtered,
+        |  TRUE AS filter_holds, TRUE AS pruned_matches_full""".stripMargin,
 
     // star_schema.json declares 5000 orders; FK reconstruction makes every
     // child key a parent lattice member, so orphans = 0 by construction.
