@@ -106,8 +106,9 @@ object Bench {
         "q_analyzer_summary", "q_dedup_minhash", "q_dedup_minhash_recall",
         "q_dedup_minhash_cc", "q_dedup_cosine_recall", "q_dedup_cosine_lsh",
         "q_dedup_incremental", "q_dedup_substring", "q_dedup_substring_drop",
-        "q_dedup_ngram_jaccard", "q_decontaminate", "q_ann_ivf_recall",
-        "q_ann_ivf_cells", "q_dataset_sales_order", "q_dedup_stream")
+        "q_dedup_ngram_jaccard", "q_decontaminate", "q_dedup_semantic",
+        "q_ann_ivf_recall", "q_ann_ivf_cells", "q_dataset_sales_order",
+        "q_dedup_stream")
       val midDir = "/root/testdata/sf0.01"
       if (new java.io.File(midDir).isDirectory && midDir != sfDir)
         jitWarm.foreach { name =>

@@ -778,14 +778,24 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** Greedy drop of the `id_b` side of a PRECOMPUTED near-dup pair frame —
+    * the shared tail of every `dropNearDups*` variant. Exposed so a
+    * pipeline that already materialized its pair frame (for reporting,
+    * threshold sweeps, or a recall harness) does not pay the candidate
+    * generation twice; with nondeterministic-refinement pipelines (Lloyd
+    * means are float-summation-order sensitive) it is also the only way to
+    * guarantee the drop agrees with the pair frame it reports. */
+  def dropPairLosers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Rows surviving semantic (SemDeDup-style) near-dup removal — greedy
     * larger-id drop within each cell, like [[dropNearDupsCosine]]. */
   def dropSemanticDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
-      maxCell: Int = 10000): DataFrame = {
-    val losers = semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
-      refineIterations, maxCell)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      maxCell: Int = 10000): DataFrame =
+    dropPairLosers(df, idCol,
+      semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
+        refineIterations, maxCell))
 }
