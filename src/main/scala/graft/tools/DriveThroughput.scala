@@ -68,6 +68,10 @@ object DriveThroughput {
     }
     spark.conf.unset("spark.sql.codegen.hugeMethodLimit")
     // narrow spec (no template/pattern) to see where the cost is
+    time("iot-200m-jitcap", 200000000L) {
+      spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+      mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(iot(200000000L).copy(partitions = Some(192))), 42L))("iot"))
+    }
     time("narrow-50m", 50000000L) {
       mat(graft.engine.Generator.generate(spark, DataGenPlan(Seq(
         TableSpec("n", 50000000L, Seq(
