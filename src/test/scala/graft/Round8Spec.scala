@@ -105,6 +105,42 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
   }
 
+  test("decontamination partition law holds on randomized corpora") {
+    import graft.llm.Decontamination
+    // For random train/eval corpora: report covers every non-null-text
+    // train row; kept + flagged partitions the corpus; hits <= grams.
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(): String = Seq.fill(5 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val train = (0 until 60).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+      val eval_ = (0 until 8).map(i => (1000L + i, doc())).toDF("doc_id", "text")
+      val n = 3 + trial * 2 // widths 5, 7, 9
+      val rep = Decontamination.contaminationReport(train, eval_, "doc_id", "text", n)
+        .collect()
+      assert(rep.length === 60, s"report covers every train row (n=$n)")
+      assert(rep.forall(r => r.getLong(2) <= r.getLong(1)), "hits <= grams")
+      assert(rep.forall(r => (r.getLong(2) >= 1) == r.getBoolean(3)), "flag == hits>=1")
+      val flagged = rep.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+      val kept = Decontamination.decontaminate(train, eval_, "doc_id", "text", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.intersect(flagged).isEmpty && (kept.size + flagged.size) === 60,
+        s"kept + flagged partitions the corpus (n=$n)")
+    }
+  }
+
+  test("dropPairLosers: survivors = corpus minus distinct id_b, any pair frame") {
+    import graft.llm.Dedup
+    val corpus = (1L to 50L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val pairs = Seq((1L, 7L), (2L, 7L), (3L, 49L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val kept = Dedup.dropPairLosers(corpus, "id", pairs)
+    assert(kept.count() === 47L)
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(7L) && !ids.contains(49L) && !ids.contains(10L))
+    assert(ids.contains(1L) && ids.contains(9L), "id_a side survives")
+  }
+
   test("semantic dedup finds within-cluster duplicates with exact precision") {
     import graft.llm.Dedup
     // Two tight clusters, one near-identical pair inside each; near-identical
