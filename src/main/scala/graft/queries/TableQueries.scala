@@ -43,6 +43,18 @@ object TableQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Salted skew-join: identical aggregates to the plain join (the oracle
+    // IS the plain join), with the hot-key rows spread over 8 sub-keys.
+    "q_join_salted" -> ((s, d) => {
+      val li = table(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = table(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.SkewJoin.saltedEquiJoin(li, ord, Seq("l_orderkey"), salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_join_multi" -> ((s, d) => {
       val li = table(s, d, "lineitem")
       val orders = table(s, d, "orders")
@@ -287,6 +299,14 @@ object TableQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'""".stripMargin,
+
+    // The salted join's oracle is the PLAIN join — salting must be
+    // row-for-row invisible in the result.
+    "q_join_salted" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_mktsegment, rnk, o_orderkey FROM (

@@ -105,6 +105,25 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
   }
 
+  test("salted equi-join equals the plain join under skew, all supported types") {
+    import graft.operators.SkewJoin
+    // A pathologically hot key (key 1: 500 of 600 rows), unmatched left
+    // rows (key 99) and unmatched right rows (key 77).
+    val left = ((1 to 500).map(_ => 1L) ++ (2L to 51L) ++ Seq.fill(50)(99L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    val right = ((1L to 51L) ++ Seq(77L)).map(k => (k, s"r$k")).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti"); salt <- Seq(1, 7)) {
+      val plain = canon(left.join(right, Seq("k"), jt))
+      val salted = canon(SkewJoin.saltedEquiJoin(left, right, Seq("k"), salt, jt))
+      assert(salted === plain, s"joinType=$jt salt=$salt")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(left, right, Seq("k"), 4, "full")
+    }
+  }
+
   test("decontamination partition law holds on randomized corpora") {
     import graft.llm.Decontamination
     // For random train/eval corpora: report covers every non-null-text
