@@ -13,9 +13,31 @@ import graft.spec.OutputDataset
   */
 object Writer {
 
-  /** Write a batch DataFrame per the output config. */
-  def writeBatch(df: DataFrame, out: OutputDataset): Unit =
-    df.write.format(out.format).mode(out.outputMode).options(out.options).save(out.location)
+  /** Write a batch DataFrame per the output config. Partitioning gives
+    * directory pruning; bucketing co-locates join keys at write time, so
+    * two tables bucketed the same way equi-join with ZERO Exchange — the
+    * write-once-shuffle-never layout for a fact table joined every day.
+    * Bucketed output requires the catalog (`tableName`): Spark's bucket
+    * metadata lives in the table definition, not in the files. */
+  def writeBatch(df: DataFrame, out: OutputDataset): Unit = {
+    val base = df.write.format(out.format).mode(out.outputMode).options(out.options)
+    val parted =
+      if (out.partitionBy.nonEmpty) base.partitionBy(out.partitionBy: _*) else base
+    (out.bucketBy, out.tableName) match {
+      case (cols, Some(t)) if cols.nonEmpty =>
+        require(out.buckets >= 1,
+          s"bucketBy(${cols.mkString(",")}) needs buckets >= 1, got ${out.buckets}")
+        parted.bucketBy(out.buckets, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", out.location)
+          .saveAsTable(t)
+      case (cols, None) if cols.nonEmpty =>
+        throw graft.spec.SpecError(
+          "bucketBy requires tableName: Spark stores bucket metadata in the catalog, " +
+            "path-only writes silently lose it")
+      case _ => parted.save(out.location)
+    }
+  }
 
   /** Start a streaming write; caller owns the returned query lifecycle.
     * `triggerProcessingTime` examples: "5 seconds"; "available-now" runs one

@@ -122,6 +122,43 @@ object GenQueries {
         "v_in_range" -> all(col("v").between(1, 100)))
     }),
 
+    // Bucketed sink: both generated tables are written bucketBy(8, key)
+    // + sortBy through the catalog, then equi-joined with broadcast OFF —
+    // the join must run with ZERO Exchange (bucket co-location replaces
+    // the shuffle; the write-once-shuffle-never layout for fact tables).
+    "q_gen_sink_bucketed" -> ((s, _) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val fact = gen(s, TableSpec("bfact", 20000, Seq(
+        c("k", "bigint", ColumnStrategy.Sequence(0, 1)),
+        c("key", "int", ColumnStrategy.Expression("CAST(k % 100 AS INT)")),
+        c("v", "int", ColumnStrategy.Range(1, 50, Some(1))))))
+      val dim = gen(s, TableSpec("bdim", 100, Seq(
+        c("key", "int", ColumnStrategy.Sequence(0, 1)),
+        c("name", "string", ColumnStrategy.Pattern("dim-{digit:3}")))))
+      s.sql("DROP TABLE IF EXISTS graft_bfact")
+      s.sql("DROP TABLE IF EXISTS graft_bdim")
+      graft.io.Writer.writeBatch(fact, OutputDataset(s"$tmp/bfact",
+        bucketBy = Seq("key"), buckets = 8, tableName = Some("graft_bfact")))
+      graft.io.Writer.writeBatch(dim, OutputDataset(s"$tmp/bdim",
+        bucketBy = Seq("key"), buckets = 8, tableName = Some("graft_bdim")))
+      val pathOnlyRejected =
+        try { graft.io.Writer.writeBatch(dim, OutputDataset(s"$tmp/bad",
+          bucketBy = Seq("key"), buckets = 8)); false }
+        catch { case _: graft.spec.SpecError => true }
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("graft_bfact").join(s.table("graft_bdim"), "key")
+        val rows = joined.collect()
+        val noShuffle = !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        one(s.range(1).toDF("one"),
+          "n" -> lit(rows.length.toLong),
+          "dim_keys_covered" -> lit(rows.map(_.getAs[Int]("key")).distinct.length == 100L),
+          "zero_exchange_join" -> lit(noShuffle),
+          "path_only_rejected" -> lit(pathOnlyRejected))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }),
+
     // DSv2 with the TRAILING-FILTER pipeline shape: a filter constraint
     // plus a random=true column means Catalyst cannot push the filter
     // below the nondeterministic project, so the extracted program ends in

@@ -389,6 +389,12 @@ object SpecOracles {
         |  TRUE AS sql_matches_api,
         |  TRUE AS label_shape,
         |  TRUE AS v_in_range""".stripMargin,
+    // Bucketed-sink roundtrip: 20000 fact rows x key = k % 100 against a
+    // 100-key dim — every fact row joins exactly once; the booleans pin
+    // zero-Exchange co-location and the catalog-required guard.
+    "q_gen_sink_bucketed" ->
+      """SELECT CAST(20000 AS BIGINT) AS n, TRUE AS dim_keys_covered,
+        |  TRUE AS zero_exchange_join, TRUE AS path_only_rejected""".stripMargin,
     // Trailing-filter DSv2 shape (filter constraint + random column): the
     // booleans pin that the filter applied, rows survived, and a pruned
     // column-subset read agrees with the full read (the r8 ordinal fix).

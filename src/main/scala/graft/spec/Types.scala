@@ -254,6 +254,15 @@ final case class OutputDataset(
     format: String = "parquet",
     outputMode: String = "overwrite",
     options: Map[String, String] = Map.empty,
-    triggerProcessingTime: Option[String] = None)
+    triggerProcessingTime: Option[String] = None,
+    /** Hive-style partition columns (directory pruning at read time). */
+    partitionBy: Seq[String] = Nil,
+    /** Bucket spec: co-locates join/agg keys at WRITE time so downstream
+      * same-key joins between bucketed tables run with zero Exchange.
+      * Bucketed writes go through the catalog (`saveAsTable`), so
+      * `tableName` is required alongside. */
+    bucketBy: Seq[String] = Nil,
+    buckets: Int = 0,
+    tableName: Option[String] = None)
 
 final case class SpecError(message: String) extends RuntimeException(message)
