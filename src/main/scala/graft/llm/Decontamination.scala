@@ -56,4 +56,31 @@ object Decontamination {
       .select(col("id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Streaming decontamination: drop in-flight documents sharing an
+    * n-gram with a STATIC evaluation corpus — the ingest-time guard that
+    * keeps fresh benchmark material out of a continuously-built training
+    * set. Entirely STATELESS: the eval gram set is collected once at plan
+    * build (benchmark-sized by definition — 8 bytes per gram) and probed
+    * per row by the fused [[graft.functions.SetKernels]] membership
+    * kernel, so the operator is a pure projection+filter that composes
+    * with any downstream watermark/stateful stage. (The relational
+    * spelling — explode + join + reassemble per-doc verdicts — needs an
+    * aggregation, which under streaming means watermarked state, and
+    * anti-joining a stream against its own derived hits is unsupported.)
+    *
+    * Refresh the eval corpus by restarting the query — the standard
+    * stream-static contract. Works identically on batch frames. Rows with
+    * null text carry no grams and are kept, like [[decontaminate]]. */
+  def streamDecontaminate(stream: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    require(!eval.isStreaming, "eval corpus must be a static frame")
+    val evalGrams: Array[Long] = Dedup.shingleSets(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+      .collect().map(_.getLong(0))
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
+    val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)
+    stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
+  }
 }

@@ -105,6 +105,64 @@ class Round8Spec extends AnyFunSuite {
     assert(rows(2L) === ((0L, false)), "exact duplicate surfaces with zero claims")
   }
 
+  test("SetKernels membership probes: hits, misses, null elements, codegen parity") {
+    import graft.functions.SetKernels
+    val set = Array(5L, 1L, 9L, 1L << 40)
+    val df = Seq(
+      (1L, Some(Seq(2L, 3L, 9L))),     // hit (9)
+      (2L, Some(Seq(2L, 3L, 4L))),     // miss
+      (3L, Some(Seq(1L << 40))),       // hit (large value)
+      (4L, Some(Seq.empty[Long])),     // empty: false / 0
+      (5L, None: Option[Seq[Long]])    // null array: null
+    ).toDF("id", "arr")
+    val out = df.select(col("id"), SetKernels.anyInSet(col("arr"), set).as("any"),
+      SetKernels.countInSet(col("arr"), set).as("cnt")).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) null else r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getLong(2)))).toMap
+    assert(out(1L) === ((true, 1L)))
+    assert(out(2L) === ((false, 0L)))
+    assert(out(3L) === ((true, 1L)))
+    assert(out(4L) === ((false, 0L)))
+    assert(out(5L) === ((null, null)))
+    // null ELEMENT -> unknown membership -> null
+    val withNullElem = spark.sql("SELECT array(CAST(2 AS BIGINT), CAST(NULL AS BIGINT)) AS arr")
+    assert(withNullElem.select(SetKernels.anyInSet(col("arr"), set)).head.isNullAt(0))
+  }
+
+  test("streamDecontaminate drops contaminated docs in-flight, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Decontamination
+    def words(prefix: String, k: Int) = (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val eval_ = Seq((100L, words("e", 30))).toDF("doc_id", "text")
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val clean = Decontamination.streamDecontaminate(
+      input.toDS().toDF("doc_id", "text"), eval_, "doc_id", "text", n = 13)
+    val q = clean.writeStream.format("memory").queryName("graft_r8_decon_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, words("e", 30)),                         // contaminated: same grams
+      (2L, words("f", 30)),                         // clean
+      (3L, (5 until 25).map(i => s"e$i").mkString(" "))) // slice of eval -> contaminated
+    q.processAllAvailable()
+    input.addData((4L, words("g", 14)))             // clean, second batch
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("graft_r8_decon_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+    // Batch agreement: the same frame through the batch decontaminate.
+    val batch = Seq((1L, words("e", 30)), (2L, words("f", 30)),
+      (3L, (5 until 25).map(i => s"e$i").mkString(" ")), (4L, words("g", 14)))
+      .toDF("doc_id", "text")
+    val batchKept = Decontamination.decontaminate(batch, eval_, "doc_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept === kept, "stream and batch guards agree")
+    val streamAsBatch = Decontamination.streamDecontaminate(batch, eval_, "doc_id", "text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamAsBatch === kept, "kernel path agrees on a batch frame")
+  }
+
   test("salted equi-join equals the plain join under skew, all supported types") {
     import graft.operators.SkewJoin
     // A pathologically hot key (key 1: 500 of 600 rows), unmatched left
