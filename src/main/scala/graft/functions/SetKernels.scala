@@ -26,19 +26,42 @@ import org.apache.spark.sql.types._
 object SetKernels {
 
   /** Sorted-array set with binary-search probes; shipped to executors as
-    * one codegen reference object. */
+    * one codegen reference object. Equality/hashCode are CONTENT-based
+    * with a precomputed hash, because the expression tree embeds this
+    * object: plan canonicalization and codegen-cache keys compare
+    * expressions repeatedly, and a structural Seq field would walk up to
+    * 10^7 boxed elements on the driver per comparison (Spark's own InSet
+    * wraps its literal set for the same reason). */
   final class LongSortedSet(val sorted: Array[Long]) extends Serializable {
+    override val hashCode: Int = java.util.Arrays.hashCode(sorted)
+    override def equals(other: Any): Boolean = other match {
+      case o: LongSortedSet =>
+        (this eq o) || (hashCode == o.hashCode &&
+          java.util.Arrays.equals(sorted, o.sorted))
+      case _ => false
+    }
+    override def toString: String =
+      s"LongSortedSet(n=${sorted.length}, hash=$hashCode)"
+
+    /** SQL three-valued membership: TRUE if ANY non-null element is in the
+      * set (a hit is a hit regardless of null neighbors — `TRUE OR
+      * UNKNOWN = TRUE`, matching `array_contains`); null if no element hit
+      * but a null element was seen (membership unknown); else false. */
     def containsAny(arr: ArrayData): Any = {
       val n = arr.numElements()
+      var sawNull = false
       var i = 0
       while (i < n) {
-        if (arr.isNullAt(i)) return null
-        if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) return true
+        if (arr.isNullAt(i)) sawNull = true
+        else if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) return true
         i += 1
       }
-      false
+      if (sawNull) null else false
     }
 
+    /** Count of elements present in the set; null when ANY element is null
+      * (the exact count is unknowable — a null element might or might not
+      * be a member). */
     def countIn(arr: ArrayData): Any = {
       val n = arr.numElements()
       var hits = 0L
@@ -53,9 +76,8 @@ object SetKernels {
   }
 
   sealed abstract class SetProbe extends UnaryExpression {
-    def values: Seq[Long]
+    def set: LongSortedSet
     override def nullable: Boolean = true
-    @transient protected lazy val set = new LongSortedSet(values.toArray.sorted)
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -63,10 +85,10 @@ object SetKernels {
     }
   }
 
-  /** TRUE iff any element is in the set; null for null input or a null
-    * element (unknown membership). Holds the set as Seq for case-class
-    * equality (plan canonicalization / codegen cache keys). */
-  case class ArrayAnyInSet(child: Expression, values: Seq[Long]) extends SetProbe {
+  /** TRUE iff any element is in the set (see [[LongSortedSet.containsAny]]
+    * for the null semantics). The set rides in the case class as the
+    * content-hashed holder, so structural plan comparisons stay cheap. */
+  case class ArrayAnyInSet(child: Expression, set: LongSortedSet) extends SetProbe {
     override def prettyName: String = "graft_any_in_set"
     override def dataType: DataType = BooleanType
     override def nullSafeEval(input: Any): Any =
@@ -82,8 +104,9 @@ object SetKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** Count of elements present in the set (null on null input/element). */
-  case class ArrayCountInSet(child: Expression, values: Seq[Long]) extends SetProbe {
+  /** Count of elements present in the set (null when any element is null —
+    * the count is unknowable, see [[LongSortedSet.countIn]]). */
+  case class ArrayCountInSet(child: Expression, set: LongSortedSet) extends SetProbe {
     override def prettyName: String = "graft_count_in_set"
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
@@ -100,8 +123,10 @@ object SetKernels {
   }
 
   def anyInSet(arr: Column, values: Array[Long]): Column =
-    GraftSql.column(ArrayAnyInSet(GraftSql.expression(arr), values.toSeq))
+    GraftSql.column(ArrayAnyInSet(GraftSql.expression(arr),
+      new LongSortedSet(values.clone().sorted)))
 
   def countInSet(arr: Column, values: Array[Long]): Column =
-    GraftSql.column(ArrayCountInSet(GraftSql.expression(arr), values.toSeq))
+    GraftSql.column(ArrayCountInSet(GraftSql.expression(arr),
+      new LongSortedSet(values.clone().sorted)))
 }

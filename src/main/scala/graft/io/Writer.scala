@@ -35,7 +35,15 @@ object Writer {
         throw graft.spec.SpecError(
           "bucketBy requires tableName: Spark stores bucket metadata in the catalog, " +
             "path-only writes silently lose it")
-      case _ => parted.save(out.location)
+      case (_, Some(t)) =>
+        // Unbucketed but catalog-registered: the config named a table, so
+        // silently degrading to a path-only write would strand downstream
+        // `spark.table(name)` readers.
+        parted.option("path", out.location).saveAsTable(t)
+      case _ =>
+        require(out.buckets == 0,
+          s"buckets=${out.buckets} without bucketBy columns — set bucketBy (and tableName) too")
+        parted.save(out.location)
     }
   }
 

@@ -51,6 +51,9 @@ object Decontamination {
     * are always kept). One left_anti against the flagged id set. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame = {
+    require(minHits >= 1,
+      s"minHits must be >= 1, got $minHits (0 would flag EVERY document — " +
+        "n_hits >= 0 is vacuously true — and drop the whole corpus)")
     val flagged = contaminationReport(train, eval, idCol, textCol, n)
       .where(col("n_hits") >= minHits)
       .select(col("id").as(idCol))

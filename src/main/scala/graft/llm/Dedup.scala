@@ -454,20 +454,27 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")
-    // The sentinel is keyed by the doc id, so it is never claimed by another
-    // document (64-bit collision odds are the same negligible ones the band
-    // keys already accept) and always survives the dedup — guaranteeing one
-    // group per document downstream.
-    val selfKey = xxhash64(lit("graft_self_claim"), col(idCol))
+    // The sentinel is keyed by (id, event time), so it is never claimed by
+    // another document (64-bit collision odds are the same negligible ones
+    // the band keys already accept) and survives the dedup even when the
+    // SAME id reappears later within the watermark — an id-only sentinel
+    // would be consumed by the first arrival, silently vanishing (or
+    // off-by-one undercounting) every redelivery. Sentinel claims are
+    // flagged at explode time (posexplode: the appended position IS the
+    // sentinel) so the verdict counts exactly the non-sentinel claims
+    // rather than assuming one sentinel per group.
+    val selfKey = xxhash64(lit("graft_self_claim"), col(idCol), col(tsCol))
     val claimed = stream
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
-        explode(concat(lshBandKeys(sig, bands, rowsPerBand), array(selfKey))).as("bandkey"))
+        posexplode(concat(lshBandKeys(sig, bands, rowsPerBand), array(selfKey))))
+      .select(col("id"), col("ts"), col("col").as("bandkey"),
+        (col("pos") === bands).as("is_self"))
       .withWatermark("ts", delayThreshold)
       .dropDuplicatesWithinWatermark("bandkey")
     claimed
       .groupBy(window(col("ts"), windowDuration), col("id"))
-      .agg((count(lit(1)) - 1L).as("n_claimed"))
+      .agg(sum(when(col("is_self"), 0L).otherwise(1L)).as("n_claimed"))
       .select(col("window.start").as("window_start"), col("id"),
         col("n_claimed"), (col("n_claimed") === bands).as("kept"))
   }
@@ -750,9 +757,14 @@ object Dedup {
       threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
       maxCell: Int = 10000): DataFrame = {
     import graft.functions.{CentroidKernels, VectorKernels}
+    // Lazy localCheckpoint: the projection feeds the auto-size count, the
+    // centroid sample, every Lloyd iteration, the cell assignment, AND
+    // both vector-attach joins — without it each reference re-scans and
+    // re-casts the source (measured 5-6 full passes at refineIterations=2).
     val vecs0 = Similarity.parallelize(
       df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec")))
       .where(col("id").isNotNull && col("vec").isNotNull)
+      .localCheckpoint(false)
     val k = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(vecs0.count())
     val mat = Similarity.refineCentroids(vecs0, "vec",
       Similarity.sampleCentroids(vecs0, "id", "vec", k), refineIterations)

@@ -121,38 +121,49 @@ object Multimodal {
         else {
           val w = img.getWidth
           val h = img.getHeight
-          if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-                x += 1
+          img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              // Palette LUT once (<= 256 entries: r+g+b sum per index),
+              // then one raster-sample lookup per pixel — per-pixel
+              // getRGB would re-derive the colormap entry 16M times on a
+              // 4k image.
+              val lutSize = icm.getMapSize
+              val rgbs = new Array[Int](lutSize)
+              icm.getRGBs(rgbs)
+              val lut = rgbs.map(rgb =>
+                (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)).toLong)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val idx = raster.getSample(x, y, 0)
+                  if (idx >= 0 && idx < lutSize) sum += lut(idx)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val count = w.toLong * h * 3
-            val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
-            Row(w, h, 3, mean)
-          } else {
-            val raster = img.getRaster
-            val bands = raster.getNumBands
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-                x += 1
+              val count = w.toLong * h * 3
+              val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
+              Row(w, h, 3, mean)
+            case _ =>
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  var b = 0
+                  while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val count = w.toLong * h * bands
-            val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
-            Row(w, h, bands, mean)
+              val count = w.toLong * h * bands
+              val mean = if (count == 0) 0.0 else sum.toDouble / count / 255.0
+              Row(w, h, bands, mean)
           }
         }
       } catch { case scala.util.control.NonFatal(_) => null }

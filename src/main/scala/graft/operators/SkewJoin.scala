@@ -46,6 +46,9 @@ object SkewJoin {
     val jt = joinType.toLowerCase.replace("_", "")
     require(SupportedJoinTypes.map(_.replace("_", "")).contains(jt),
       s"saltedEquiJoin preserves semantics only for inner/left/left_semi/left_anti joins, got '$joinType'")
+    require(!left.columns.contains("__graft_salt") && !right.columns.contains("__graft_salt"),
+      "saltedEquiJoin reserves the column name __graft_salt; rename the input column " +
+        "(overwriting it would corrupt the join and drop the user's data from the output)")
     // Content-derived salt over the full left row: deterministic across
     // retries AND spreads even a single-key table (a key-derived salt
     // would put the whole hot key back on one reducer).

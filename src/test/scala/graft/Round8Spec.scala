@@ -124,9 +124,17 @@ class Round8Spec extends AnyFunSuite {
     assert(out(3L) === ((true, 1L)))
     assert(out(4L) === ((false, 0L)))
     assert(out(5L) === ((null, null)))
-    // null ELEMENT -> unknown membership -> null
-    val withNullElem = spark.sql("SELECT array(CAST(2 AS BIGINT), CAST(NULL AS BIGINT)) AS arr")
-    assert(withNullElem.select(SetKernels.anyInSet(col("arr"), set)).head.isNullAt(0))
+    // Three-valued logic: a HIT wins over a null element (TRUE OR UNKNOWN
+    // = TRUE, like array_contains); null only when no hit and a null seen.
+    val mixed = spark.sql(
+      "SELECT array(CAST(NULL AS BIGINT), CAST(9 AS BIGINT)) AS hitArr, " +
+        "array(CAST(2 AS BIGINT), CAST(NULL AS BIGINT)) AS missArr")
+    val mr = mixed.select(SetKernels.anyInSet(col("hitArr"), set).as("hit"),
+      SetKernels.anyInSet(col("missArr"), set).as("miss"),
+      SetKernels.countInSet(col("hitArr"), set).as("cnt")).head
+    assert(mr.getBoolean(0) === true, "hit beats null element")
+    assert(mr.isNullAt(1), "no hit + null element -> unknown")
+    assert(mr.isNullAt(2), "count with null element -> unknown")
   }
 
   test("streamDecontaminate drops contaminated docs in-flight, stateless") {
@@ -266,6 +274,54 @@ class Round8Spec extends AnyFunSuite {
     val lax = Decontamination.decontaminate(train, eval_, "doc_id", "text",
       n = 13, minHits = 1000L).count()
     assert(lax === 5L)
+  }
+
+  test("stream dedup verdicts survive id redelivery within the watermark") {
+    // The r8 review found the id-only sentinel was consumed by a doc's
+    // FIRST arrival: the same id reappearing within the watermark (new
+    // content, later window) undercounted by one and flagged kept=false.
+    // The (id, ts)-keyed sentinel + explicit non-self counting fixes both.
+    def at(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    def words(prefix: String, k: Int) = (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val batch1 = Seq((7L, words("a", 80), at("2024-01-01T00:00:00Z")))
+    val batch2 = Seq(
+      (7L, words("b", 80), at("2024-01-01T00:10:00Z")),   // same id, NEW text
+      (8L, words("a", 80), at("2024-01-01T00:10:00Z")))   // exact dup text, new id
+    val batch3 = Seq((9999L, words("z", 80), at("2024-01-01T02:00:00Z")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_redeliver")
+    val stage = java.nio.file.Files.createTempDirectory("graft_r8_redeliver_st")
+    Seq(batch1, batch2, batch3).zipWithIndex.foreach { case (rows, i) =>
+      val out = stage.resolve(s"b$i").toString
+      rows.toDF("doc_id", "text", "ts").coalesce(1).write.mode("overwrite").parquet(out)
+      val part = new java.io.File(out).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val verdicts = graft.llm.Dedup.streamNearDupVerdicts(sdf, "doc_id", "text", "ts",
+      delayThreshold = "30 minutes", windowDuration = "5 minutes",
+      numHashes = 128, bands = 64)
+    val q = verdicts.writeStream.format("memory").queryName("graft_r8_redeliver")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val rows = spark.table("graft_r8_redeliver")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("id"),
+        col("n_claimed"), col("kept")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(("00:00", 7L)) === ((64L, true)), "first arrival claims all bands")
+    assert(rows(("00:10", 7L)) === ((64L, true)),
+      "redelivered id with NEW content gets a full-credit verdict")
+    assert(rows(("00:10", 8L)) === ((0L, false)),
+      "exact duplicate text under a new id is flagged with a visible row")
   }
 
   test("exact and approx summarize agree on exact-computable measures") {
