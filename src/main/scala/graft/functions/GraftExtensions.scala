@@ -114,7 +114,45 @@ object GraftExtensions {
           s"graft_beta_quantile expects (u, alpha, beta), got ${children.length} args")
         DistKernels.BetaQuantileExpr(children.head,
           literalDouble(children(1), "alpha"), literalDouble(children(2), "beta"))
+      }),
+    (FunctionIdentifier("graft_any_in_set"),
+      new ExpressionInfo(classOf[SetKernels.ArrayAnyInSet].getName, "graft_any_in_set"),
+      { children =>
+        require(children.length == 2,
+          s"graft_any_in_set expects (arr, set_literal_array), got ${children.length} args")
+        SetKernels.ArrayAnyInSet(children.head,
+          new SetKernels.LongSortedSet(literalLongArray(children(1), "set")))
+      }),
+    (FunctionIdentifier("graft_count_in_set"),
+      new ExpressionInfo(classOf[SetKernels.ArrayCountInSet].getName, "graft_count_in_set"),
+      { children =>
+        require(children.length == 2,
+          s"graft_count_in_set expects (arr, set_literal_array), got ${children.length} args")
+        SetKernels.ArrayCountInSet(children.head,
+          new SetKernels.LongSortedSet(literalLongArray(children(1), "set")))
       }))
+
+  /** A foldable array-of-integral expression (e.g. `array(1, 2, 3)`)
+    * evaluated at resolution time into the kernel's sorted set. */
+  private def literalLongArray(e: Expression, what: String): Array[Long] = {
+    require(e.foldable, s"$what must be a foldable array literal, got $e")
+    e.eval(null) match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val dt = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        (0 until arr.numElements()).map { i =>
+          require(!arr.isNullAt(i), s"$what must not contain nulls")
+          dt match {
+            case org.apache.spark.sql.types.LongType => arr.getLong(i)
+            case org.apache.spark.sql.types.IntegerType => arr.getInt(i).toLong
+            case org.apache.spark.sql.types.ShortType => arr.getShort(i).toLong
+            case other => throw new IllegalArgumentException(
+              s"$what must be an integral array, got element type $other")
+          }
+        }.toArray.sorted
+      case other => throw new IllegalArgumentException(
+        s"$what must evaluate to an array, got $other")
+    }
+  }
 
   /** Install into a live session (idempotent — overwrites are replaces). */
   def register(spark: SparkSession): Unit =

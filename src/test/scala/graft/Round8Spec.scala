@@ -137,6 +137,18 @@ class Round8Spec extends AnyFunSuite {
     assert(mr.isNullAt(2), "count with null element -> unknown")
   }
 
+  test("SQL surface: graft_any_in_set / graft_count_in_set register and evaluate") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_any_in_set(array(CAST(2 AS BIGINT), CAST(9 AS BIGINT)), array(9, 11)) AS a, " +
+        "graft_count_in_set(array(CAST(9 AS BIGINT), CAST(11 AS BIGINT), CAST(3 AS BIGINT)), array(9, 11)) AS c, " +
+        "graft_any_in_set(array(CAST(2 AS BIGINT)), array(9, 11)) AS miss").head
+    assert(r.getBoolean(0) === true && r.getLong(1) === 2L && r.getBoolean(2) === false)
+    intercept[Exception] {
+      spark.sql("SELECT graft_any_in_set(array(CAST(1 AS BIGINT)), array(CAST(NULL AS INT)))").collect()
+    }
+  }
+
   test("streamDecontaminate drops contaminated docs in-flight, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.llm.Decontamination
