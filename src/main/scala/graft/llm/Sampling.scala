@@ -118,4 +118,36 @@ object Sampling {
     }
     branches.reduce(_.unionByName(_))
   }
+
+  /** Temperature-derived mixture weights — the multilingual/multi-corpus
+    * sampling rule (probability mass p_i ∝ n_i^alpha): alpha = 1 is
+    * size-proportional, alpha -> 0 approaches uniform-over-sources, the
+    * usual 0.3-0.7 band up-weights small corpora without drowning large
+    * ones. Returned as EPOCH weights for [[mixCorpora]], scaled so the
+    * mixture's expected row count is `budgetRows`:
+    * `w_i = budgetRows * p_i / n_i` (a weight above 1 oversamples —
+    * multiple epochs — exactly how small corpora get their boost).
+    * Pure driver arithmetic on the (name, size) list. */
+  def temperatureWeights(sizes: Seq[(String, Long)], alpha: Double,
+      budgetRows: Long): Seq[(String, Double)] = {
+    require(sizes.nonEmpty, "temperatureWeights needs at least one source")
+    require(sizes.forall(_._2 > 0), "temperatureWeights needs positive sizes")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(budgetRows > 0, s"budgetRows must be > 0, got $budgetRows")
+    val mass = sizes.map { case (n, s) => n -> math.pow(s.toDouble, alpha) }
+    val z = mass.map(_._2).sum
+    mass.zip(sizes).map { case ((name, m), (_, size)) =>
+      name -> (budgetRows.toDouble * (m / z) / size.toDouble)
+    }
+  }
+
+  /** Temperature-weighted mixture in one call: counts each source (one
+    * metadata-only job over parquet), derives the weights, and mixes.
+    * The expected output row count is `budgetRows`. */
+  def mixByTemperature(sources: Seq[(String, DataFrame)], keyCols: Seq[String],
+      alpha: Double, budgetRows: Long, seed: Long = 42L): DataFrame = {
+    val ws = temperatureWeights(
+      sources.map { case (n, df) => n -> df.count() }, alpha, budgetRows).toMap
+    mixCorpora(sources.map { case (n, df) => (n, df, ws(n)) }, keyCols, seed)
+  }
 }

@@ -183,6 +183,27 @@ class Round8Spec extends AnyFunSuite {
     assert(streamAsBatch === kept, "kernel path agrees on a batch frame")
   }
 
+  test("temperature weights: proportional at alpha=1, uniform mass at alpha=0, budget-exact") {
+    import graft.llm.Sampling
+    val sizes = Seq("big" -> 9000L, "mid" -> 900L, "small" -> 100L)
+    // alpha=1: every source contributes p_i = n_i/N -> weight = budget/N for all.
+    val w1 = Sampling.temperatureWeights(sizes, alpha = 1.0, budgetRows = 10000L).toMap
+    sizes.foreach { case (n, _) => assert(math.abs(w1(n) - 1.0) < 1e-12, s"alpha=1 $n") }
+    // alpha=0: uniform mass over sources -> small corpora oversample hard.
+    val w0 = Sampling.temperatureWeights(sizes, alpha = 0.0, budgetRows = 3000L).toMap
+    assert(math.abs(w0("big") - 1000.0 / 9000) < 1e-9)
+    assert(math.abs(w0("small") - 10.0) < 1e-9)
+    // any alpha: expected rows sum exactly to the budget
+    for (a <- Seq(0.0, 0.3, 0.5, 0.7, 1.0)) {
+      val w = Sampling.temperatureWeights(sizes, a, 12345L)
+      val exp = w.map { case (n, wi) => wi * sizes.toMap.apply(n) }.sum
+      assert(math.abs(exp - 12345.0) < 1e-6, s"budget at alpha=$a")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(sizes, -0.1, 100L)
+    }
+  }
+
   test("salted equi-join equals the plain join under skew, all supported types") {
     import graft.operators.SkewJoin
     // A pathologically hot key (key 1: 500 of 600 rows), unmatched left
