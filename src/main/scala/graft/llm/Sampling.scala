@@ -95,19 +95,35 @@ object Sampling {
     * disjointness across epochs is by tag, not by row identity.
     *
     * All inputs must share one schema (unionByName). Output adds
-    * `mix_source` and `mix_epoch`. The plan is a union of narrow
-    * filter/project branches over each source — no shuffle, no explode;
-    * Catalyst pushes the per-source filters into the scans.
+    * `mix_source` and `mix_epoch`. The plan is a union of AT MOST TWO
+    * narrow branches per source — full epochs are replicated by
+    * `explode(sequence(0, floor(w)-1))` inside one branch (generator-style
+    * row replication, no shuffle), the fractional epoch is one
+    * hash-filtered branch — so a weight of 1000 epochs costs one plan
+    * branch, not a thousand. Catalyst pushes the per-source filters into
+    * the scans. `maxEpochs` guards against a runaway weight (a tiny
+    * source under a huge budget): exceeding it fails fast at plan build
+    * with the knob named, instead of silently materializing
+    * floor(w) x n rows nobody intended.
     */
   def mixCorpora(sources: Seq[(String, DataFrame, Double)],
-      keyCols: Seq[String], seed: Long = 42L): DataFrame = {
+      keyCols: Seq[String], seed: Long = 42L,
+      maxEpochs: Double = 10000.0): DataFrame = {
     require(sources.nonEmpty, "mixCorpora needs at least one source")
     require(sources.forall(_._3 > 0), "mixCorpora weights must be > 0")
+    val over = sources.filter(_._3 > maxEpochs)
+    require(over.isEmpty,
+      s"mixCorpora epoch weight exceeds maxEpochs=$maxEpochs for " +
+        s"${over.map(x => s"${x._1} (w=${x._3})").mkString(", ")}; " +
+        "raise the maxEpochs parameter if this replication is intended")
     val branches = sources.flatMap { case (name, df, w) =>
       val full = math.floor(w).toLong
       val frac = w - full
-      val fullCopies = (0L until full).map(e =>
-        df.withColumn("mix_source", lit(name)).withColumn("mix_epoch", lit(e)))
+      val fullCopies =
+        if (full > 0)
+          Seq(df.withColumn("mix_source", lit(name))
+            .withColumn("mix_epoch", explode(sequence(lit(0L), lit(full - 1)))))
+        else Nil
       val fracCopy =
         if (frac > 0)
           Seq(df.where(hashFraction(keyCols.map(col), seed ^ (full * 0x9E3779B97F4A7C15L)
@@ -143,11 +159,16 @@ object Sampling {
 
   /** Temperature-weighted mixture in one call: counts each source (one
     * metadata-only job over parquet), derives the weights, and mixes.
-    * The expected output row count is `budgetRows`. */
+    * The expected output row count is `budgetRows`. When the per-source
+    * sizes are already known (e.g. from a single groupBy over a shared
+    * table), prefer [[temperatureWeights]] + [[mixCorpora]] directly and
+    * skip the per-source count jobs. */
   def mixByTemperature(sources: Seq[(String, DataFrame)], keyCols: Seq[String],
-      alpha: Double, budgetRows: Long, seed: Long = 42L): DataFrame = {
+      alpha: Double, budgetRows: Long, seed: Long = 42L,
+      maxEpochs: Double = 10000.0): DataFrame = {
     val ws = temperatureWeights(
       sources.map { case (n, df) => n -> df.count() }, alpha, budgetRows).toMap
-    mixCorpora(sources.map { case (n, df) => (n, df, ws(n)) }, keyCols, seed)
+    mixCorpora(sources.map { case (n, df) => (n, df, ws(n)) }, keyCols, seed,
+      maxEpochs)
   }
 }

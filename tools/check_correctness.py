@@ -79,7 +79,11 @@ def main():
 
     results = {}
     produced = {os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)}
-    for name in sorted(set(list(oracles) + list(produced))):
+    names = set(list(oracles) + list(produced))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names &= {q.strip() for q in only.split(",")}
+    for name in sorted(names):
         status = []
         try:
             if name not in produced:
