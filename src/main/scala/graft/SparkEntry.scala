@@ -8,11 +8,12 @@ import graft.queries.{ApiQueries, GenQueries, GeneratedOracles, LlmQueries, Spec
   * LLM-pipeline operators) to a DataFrame builder over the driver's test
   * tables; `oracleSql` holds the DuckDB-equivalent SQL the driver replays:
   * genuine recomputation for everything DuckDB can express
-  * (TableQueries/LlmQueries.oracles), handwritten spec-derived constants
+  * (TableQueries/LlmQueries.oracles) and handwritten spec-derived oracles
   * where the expected output is analytically computable from the column
-  * specs (SpecOracles), and pinned deterministic constants for the
-  * remaining generator/sketch queries (GeneratedOracles, regenerated by
-  * `graft.tools.OracleGen`).
+  * specs (SpecOracles). GeneratedOracles (pinned constants captured from an
+  * engine run) is EMPTY as of round 9 — it remains only as the safety net
+  * `graft.tools.OracleGen` would repopulate if a query ever shipped
+  * without a genuine oracle.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

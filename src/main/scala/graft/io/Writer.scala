@@ -20,6 +20,11 @@ object Writer {
     * Bucketed output requires the catalog (`tableName`): Spark's bucket
     * metadata lives in the table definition, not in the files. */
   def writeBatch(df: DataFrame, out: OutputDataset): Unit = {
+    // Consistency gate BEFORE the dispatch: buckets>0 with no bucketBy
+    // columns must fail on EVERY branch — previously the catalog branch
+    // matched first and silently wrote an unbucketed table.
+    require(out.buckets == 0 || out.bucketBy.nonEmpty,
+      s"buckets=${out.buckets} without bucketBy columns — set bucketBy (and tableName) too")
     val base = df.write.format(out.format).mode(out.outputMode).options(out.options)
     val parted =
       if (out.partitionBy.nonEmpty) base.partitionBy(out.partitionBy: _*) else base
@@ -41,8 +46,6 @@ object Writer {
         // `spark.table(name)` readers.
         parted.option("path", out.location).saveAsTable(t)
       case _ =>
-        require(out.buckets == 0,
-          s"buckets=${out.buckets} without bucketBy columns — set bucketBy (and tableName) too")
         parted.save(out.location)
     }
   }

@@ -74,13 +74,28 @@ object Decontamination {
     *
     * Refresh the eval corpus by restarting the query — the standard
     * stream-static contract. Works identically on batch frames. Rows with
-    * null text carry no grams and are kept, like [[decontaminate]]. */
+    * null text carry no grams and are kept, like [[decontaminate]].
+    *
+    * `maxEvalGrams` guards the driver collect: "benchmark-sized by
+    * definition" is a contract, not an enforcement — a caller handing a
+    * training-corpus-sized frame as `eval` would otherwise OOM the driver
+    * at plan build. The count-first gate (one cheap metadata-ish job over
+    * the gram pipeline) fails fast with the knob named instead; the
+    * default cap (~50M grams ≈ 400 MB of longs) is far above any real
+    * benchmark suite. Mirrors the union-find ≤1M-edge gate in [[Dedup]]. */
   def streamDecontaminate(stream: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int = 13): DataFrame = {
+      textCol: String, n: Int = 13, maxEvalGrams: Long = 50000000L): DataFrame = {
     require(!eval.isStreaming, "eval corpus must be a static frame")
-    val evalGrams: Array[Long] = Dedup.shingleSets(eval, idCol, textCol, n)
+    val grams = Dedup.shingleSets(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("gram")).distinct()
-      .collect().map(_.getLong(0))
+    val nGrams = grams.count()
+    require(nGrams <= maxEvalGrams,
+      s"streamDecontaminate would collect $nGrams distinct eval grams to the " +
+        s"driver (cap maxEvalGrams=$maxEvalGrams, ~8 bytes each). An eval corpus " +
+        "this large is usually a swapped argument; if intended, raise " +
+        "maxEvalGrams, or use the join-based batch path " +
+        "Decontamination.decontaminate, which never collects grams.")
+    val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
     val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew-resistant equi-join by key salting.
   *
@@ -49,15 +50,33 @@ object SkewJoin {
     require(!left.columns.contains("__graft_salt") && !right.columns.contains("__graft_salt"),
       "saltedEquiJoin reserves the column name __graft_salt; rename the input column " +
         "(overwriting it would corrupt the join and drop the user's data from the output)")
-    // Content-derived salt over the full left row: deterministic across
-    // retries AND spreads even a single-key table (a key-derived salt
-    // would put the whole hot key back on one reducer).
+    // Content-derived salt over the HASHABLE left columns: deterministic
+    // across retries AND spreads even a single-key table (a key-derived
+    // salt would put the whole hot key back on one reducer). Spark's hash
+    // functions reject MapType (at any nesting depth), so map-bearing
+    // columns are excluded rather than failing analysis; if every column
+    // is unhashable the join cannot be salted deterministically.
+    val hashableCols = left.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(hashableCols.nonEmpty,
+      "saltedEquiJoin needs at least one hashable (non-map) left column to " +
+        "derive a deterministic salt; every column of the left frame " +
+        "contains a MapType")
     val saltCol = pmod(
-      xxhash64(left.columns.map(col) :+ lit(0x5ca1ab1eL): _*), lit(salt.toLong))
+      xxhash64(hashableCols.toIndexedSeq :+ lit(0x5ca1ab1eL): _*), lit(salt.toLong))
       .cast("int")
     val l = left.withColumn("__graft_salt", saltCol)
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__graft_salt", joinType).drop("__graft_salt")
+  }
+
+  /** Whether `xxhash64` accepts this type — maps are unhashable in Spark
+    * (non-deterministic entry order), at any nesting depth. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType => hashable(a.elementType)
+    case _ => true
   }
 }

@@ -156,7 +156,14 @@ object GenQueries {
           "dim_keys_covered" -> lit(rows.map(_.getAs[Int]("key")).distinct.length == 100L),
           "zero_exchange_join" -> lit(noShuffle),
           "path_only_rejected" -> lit(pathOnlyRejected))
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        // Leave no residue: the catalog tables and the per-run temp dir
+        // would otherwise accumulate across bench/verify invocations.
+        s.sql("DROP TABLE IF EXISTS graft_bfact")
+        s.sql("DROP TABLE IF EXISTS graft_bdim")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
     }),
 
     // DSv2 with the TRAILING-FILTER pipeline shape: a filter constraint
@@ -456,28 +463,32 @@ object GenQueries {
     }),
 
     "q_gen_stream_rate" -> ((s, _) => {
-      // Rate-family streaming build made fully deterministic: the
-      // rate-micro-batch source under Trigger.AvailableNow emits exactly
-      // one batch of seeds [0, rowsPerBatch) at the parameterized start
-      // timestamp — no wall clock anywhere, so the whole row set (and
-      // every hash-derived column) is a pure function of the spec and the
-      // driver gets a real rows+schema+hash row instead of a rows-only
-      // check. The wall-clock rowsPerSecond path keeps its coverage in
-      // Round6Spec ("plain rate source streams generated rows").
+      // Rate-family streaming build made fully deterministic AND fully
+      // SQL-derivable: the rate-micro-batch source under
+      // Trigger.AvailableNow emits exactly one batch of seeds
+      // [0, rowsPerBatch) at the parameterized start timestamp — no wall
+      // clock anywhere — and the columns are Sequence + Expression
+      // (pure seed arithmetic), so DuckDB replays the ENTIRE row set from
+      // generate_series(0, 1999), including the epoch timestamp the
+      // start-timestamp option pins (formatted as a string both sides).
+      // Hash-derived column stability keeps its coverage in the batch
+      // generation queries; the wall-clock rowsPerSecond path keeps its
+      // coverage in Round6Spec ("plain rate source streams generated rows").
       val qname = "graft_q_stream_rate"
       val q = graft.api.DataGenerator(s, "sr", rows = Long.MaxValue)
-        .withColumn("v", "int", ColumnStrategy.Range(1, 100, Some(1)))
-        .withColumn("tag", "string", ColumnStrategy.Values(Seq("a", "b")))
+        .withColumn("pk", "bigint", ColumnStrategy.Sequence(0, 1))
+        .withColumn("v", "int", ColumnStrategy.Expression("cast(pk % 100 + 1 as int)"))
+        .withColumn("tag", "string", ColumnStrategy.Expression("if(pk % 2 = 0, 'a', 'b')"))
         .buildStreamMicroBatch(rowsPerBatch = 2000, startTimestampMs = 0L)
         .writeStream.format("memory").queryName(qname)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(60000)
       require(finished, "rate-micro-batch AvailableNow stream did not finish in 60s")
-      one(s.table(qname), "n" -> count(lit(1)),
-        "sum_v" -> sum(col("v")).cast("long"),
-        "n_a" -> sum(when(col("tag") === "a", 1L).otherwise(0L)),
-        "ts_epoch" -> all(col(Generator.StreamingTimestampColumn) ===
-          to_timestamp(lit("1970-01-01 00:00:00"))))
+      s.table(qname)
+        .select(col("pk"), col("v"), col("tag"),
+          date_format(col(Generator.StreamingTimestampColumn),
+            "yyyy-MM-dd HH:mm:ss").as("ts"))
+        .orderBy("pk")
     }),
 
     // ------------------------------------------------------ multi-column

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Driver-facing queries for the training-data pipeline operators, over the
-  * `documents` and `embeddings` test tables. Where DuckDB can recompute the
-  * semantics directly (exact dedup, brute-force cosine, token counts,
-  * quality ratios) the oracle is genuine SQL; the LSH/sketch variants are
-  * deterministic, so their oracles are pinned constants generated by
-  * `graft.tools.OracleGen` (with the exact variants cross-checking recall).
+  * `documents` and `embeddings` test tables. Every oracle is genuine SQL:
+  * either a direct recomputation (exact dedup, brute-force cosine, token
+  * counts, quality ratios, the inverted-index jaccard replay that also
+  * certifies the minhash family), or a replay of a planted construction
+  * whose true answer is derivable from id arithmetic (simhash families,
+  * duplicated vectors, known-language wordlists). Sketch QUALITY on
+  * natural data is separately measured by the recall-harness queries.
   */
 object LlmQueries {
   import Q._
@@ -58,12 +60,25 @@ object LlmQueries {
         threshold = 0.5, numHashes = 128, bands = 64),
         "n_survivors" -> count(lit(1)))),
 
+    // Planted construction with a SQL-derivable answer: each even/odd
+    // doc_id pair shares one 24-token vocabulary disjoint from every other
+    // family's, so identical texts (hamming 0) are the ONLY pairs within
+    // distance 3 — cross-family 64-bit sketches differ in ~32 bits
+    // (P(<=3) ~ 2e-15 per pair, and deterministic for a fixed corpus).
+    // Pigeonhole candidate generation is exact (distance<pieces guarantees
+    // a shared piece), so the output is exactly the planted pair list,
+    // which the oracle re-derives from the doc_id arithmetic. Sketch
+    // QUALITY on natural text is covered by the minhash/cosine recall
+    // harnesses; this gate pins end-to-end correctness scale-invariantly.
     "q_dedup_simhash" -> ((s, d) => {
-      val pairs = Dedup.nearDupSimHash(table(s, d, "documents"), "doc_id", "text",
-        maxDistance = 3)
-      one(pairs, "n_pairs" -> count(lit(1)),
-        "sum_a" -> coalesce(sum(col("id_a")), L(0)),
-        "sum_b" -> coalesce(sum(col("id_b")), L(0)))
+      val fam = (col("doc_id") - pmod(col("doc_id"), lit(2))).cast("long")
+      val toks = transform(sequence(lit(0), lit(23)),
+        i => concat(lit("w"), fam, lit("x"), i.cast("string")))
+      val aug = table(s, d, "documents")
+        .select(col("doc_id"), array_join(toks, " ").as("text"))
+      Dedup.nearDupSimHash(aug, "doc_id", "text", maxDistance = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a")
     }),
 
     // ------------------------------------- substring-level dedup
@@ -344,13 +359,24 @@ object LlmQueries {
     }),
 
     "q_dedup_cosine_lsh" -> ((s, d) => {
-      // 8 planes keep buckets small on clustered embeddings (4 planes = 16
-      // patterns -> quadratic bucket blowup); maxBucket bounds the worst case.
-      val pairs = Dedup.nearDupCosine(table(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, planes = 8, probes = 16, maxBucket = 500)
-      one(pairs, "n_pairs" -> count(lit(1)),
-        "sum_a" -> coalesce(sum(col("id_a")), L(0)),
-        "sum_b" -> coalesce(sum(col("id_b")), L(0)))
+      // Planted exact-duplicate vectors with a SQL-derivable answer: every
+      // embedding gets a copy at vec_id + 1e9. Identical vectors share
+      // every hyperplane sign (certain candidates in the primary probe),
+      // and the max NATURAL cosine in this corpus is ~0.6 (measured
+      // 0.51/0.60 at sf0.01/0.1), so at threshold 0.9 the true pair set
+      // is exactly the planted copies — which the oracle re-derives with
+      // an exhaustive exact-cosine join in SQL over the same augmented
+      // corpus (no pinned constants; a missed or spurious pair on EITHER
+      // side fails the gate). Recall on the hard 0.4-0.7 band keeps its
+      // own genuine harness in q_dedup_cosine_recall. 8 planes keep
+      // buckets small; maxBucket bounds the worst case.
+      val emb = table(s, d, "embeddings").select("vec_id", "embedding")
+      val aug = emb.unionByName(emb.select(
+        (col("vec_id") + 1000000000L).as("vec_id"), col("embedding")))
+      Dedup.nearDupCosine(aug, "vec_id", "embedding",
+        threshold = 0.9, planes = 8, probes = 16, maxBucket = 500)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ------------------------------------------- similarity (genuine)
@@ -759,11 +785,40 @@ object LlmQueries {
         "n_fp" -> countDistinct(TextAnalysis.fingerprint(col("text"))),
         "n_subwords" -> sum(TextAnalysis.subwordCount(col("text"))).cast("long"))),
 
-    "q_text_langid" -> ((s, d) =>
+    // Planted known-language corpus with a SQL-derivable answer: each
+    // doc_id class (mod 11) carries a fixed text built from that
+    // language's own stopword list (words chosen UNIQUE to the language,
+    // so the argmax has no ties) or its script range (Han/Kana/Hangul/
+    // Cyrillic/Arabic ratios), or garbage for 'und'. The kernel must
+    // classify every planted doc correctly or the gate fails; the oracle
+    // derives the expected diagonal (lang_pred == lang) and the class
+    // sizes purely from the doc_id arithmetic. The old natural-corpus
+    // grouping was synthetic gibberish with a lang label — its
+    // predictions certified only "hash output didn't change".
+    "q_text_langid" -> ((s, d) => {
+      val cases = Seq(
+        "ar" -> "مرحبا بالعالم هذا نص عربي مرحبا بالعالم",
+        "de" -> "der die das und nicht mit auf für der die das und",
+        "en" -> "the and of to was with that this the and of to",
+        "es" -> "los las y es por para su al lo como los las",
+        "fr" -> "les et est pas dans qui sur avec elle ne du pour",
+        "it" -> "è di che della si sono come più del da è di",
+        "ja" -> "これはテストですこれはテストです",
+        "ko" -> "한국어 텍스트 문서 한국어 텍스트 문서",
+        "ru" -> "привет мир это русский текст привет мир",
+        "und" -> "zzz qqq xxx www zzz qqq",
+        "zh" -> "中文文档内容测试中文文档内容测试")
+      val idx = pmod(col("doc_id"), lit(11))
+      def pick(f: ((String, String)) => String): Column =
+        cases.zipWithIndex.foldRight(lit(null).cast("string"): Column) {
+          case ((c, i), rest) => when(idx === i, lit(f(c))).otherwise(rest)
+        }
       table(s, d, "documents")
+        .select(pick(_._1).as("lang"), pick(_._2).as("text"))
         .groupBy(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred")),
+        .orderBy("lang", "lang_pred")
+    }),
 
     // ------------------------------------------------- multimodal
     "q_multimodal_meta" -> ((s, d) => {
@@ -809,7 +864,28 @@ object LlmQueries {
           col("target.height") === col("decoded.height"), 1L).otherwise(0L)))
     }))
 
-  /** Genuine DuckDB oracles; the LSH/sketch queries get generated constants. */
+  /** Shared DuckDB replay of the exhaustive inverted-index 3-gram jaccard
+    * pipeline on shingle STRINGS, ending in a `pairs(id_a, id_b, j)` CTE —
+    * the exact reference for the whole minhash family's oracles. */
+  private val NgramPairsCte: String =
+    """WITH tk AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(lt) - 2, 1)),
+      |    i -> array_to_string(lt[i:i+2], ' '))) AS s FROM tk),
+      |inv AS (SELECT doc_id, unnest(s) AS w FROM sh),
+      |keep AS (SELECT w FROM inv GROUP BY w HAVING count(*) <= 1000),
+      |invf AS (SELECT doc_id, w FROM inv WHERE w IN (SELECT w FROM keep)),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh_n
+      |  FROM invf a JOIN invf b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (SELECT id_a, id_b, sh_n::DOUBLE / (sa.n + sb.n - sh_n) AS j
+      |  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** Genuine DuckDB oracles (every former pinned-constant oracle in this
+    * family is now a replay — see GeneratedOracles for the residue). */
   val oracles: Map[String, String] = Map(
     // GENUINE replay of the temperature-weight arithmetic: per-source
     // sizes from the table, w_i = budget * (n_i^alpha / Z) / n_i at
@@ -874,29 +950,72 @@ object LlmQueries {
     // the family's collision-negligible assumption): windows with the
     // whole-short-doc convention, per-doc distinct, the stop-shingle
     // doc-frequency cap (inactive at gate scale but replayed anyway), and
-    // jaccard from UNFILTERED set sizes. Overrides the pinned generated
-    // constant by oracle-map merge order — scale-invariant where the
-    // constant was sf0.01-specific.
+    // jaccard from UNFILTERED set sizes. Scale-invariant.
     "q_dedup_ngram_jaccard" ->
-      """WITH tk AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(lt) - 2, 1)),
-        |    i -> array_to_string(lt[i:i+2], ' '))) AS s FROM tk),
-        |inv AS (SELECT doc_id, unnest(s) AS w FROM sh),
-        |keep AS (SELECT w FROM inv GROUP BY w HAVING count(*) <= 1000),
-        |invf AS (SELECT doc_id, w FROM inv WHERE w IN (SELECT w FROM keep)),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh_n
-        |  FROM invf a JOIN invf b ON a.w = b.w AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (SELECT id_a, id_b, sh_n::DOUBLE / (sa.n + sb.n - sh_n) AS j
-        |  FROM shared JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b)
+      s"""$NgramPairsCte
         |SELECT count(*) AS n_pairs,
         |  CAST(coalesce(sum(id_a), 0) AS BIGINT) AS sum_a,
         |  CAST(coalesce(sum(id_b), 0) AS BIGINT) AS sum_b
         |FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    // GENUINE replay, same CTE as q_dedup_ngram_jaccard: at threshold 0.5
+    // with 64 bands x 2 rows, a qualifying pair misses the candidate
+    // filter with probability (1 - j^2)^64 <= 1e-8, and every candidate is
+    // EXACT-verified on the full shingle sets — so the minhash output
+    // equals the exhaustive inverted-index pair set (measured identical at
+    // sf0.001/0.01/0.1; q_dedup_minhash_recall pins the equality as its
+    // own query). The former pinned constant certified only "output
+    // didn't change"; this recomputes the right answer at any scale.
+    "q_dedup_minhash" ->
+      s"""$NgramPairsCte
+        |SELECT count(*) AS n_pairs,
+        |  CAST(coalesce(sum(id_a), 0) AS BIGINT) AS sum_a,
+        |  CAST(coalesce(sum(id_b), 0) AS BIGINT) AS sum_b
+        |FROM pairs WHERE j >= 0.5""".stripMargin,
+
+    // GENUINE replay: survivors = all documents minus the distinct
+    // larger-ids of the exhaustive jaccard pair set (the greedy id_b drop
+    // of dropNearDupsMinHash), with the same recall-1 equivalence argument
+    // as q_dedup_minhash.
+    "q_dedup_minhash_drop" ->
+      s"""$NgramPairsCte
+        |SELECT (SELECT count(*) FROM documents)
+        |  - (SELECT count(DISTINCT id_b) FROM pairs WHERE j >= 0.5)
+        |  AS n_survivors""".stripMargin,
+
+    // GENUINE replay of the planted-family construction: the pair list is
+    // exactly (even doc_id, doc_id+1) where both exist, at hamming 0 —
+    // derived from the doc_id arithmetic, not pinned.
+    "q_dedup_simhash" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 ORDER BY id_a""".stripMargin,
+
+    // GENUINE replay via exhaustive exact cosine over the same augmented
+    // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB
+    // recomputes every qualifying pair itself. Max natural cosine ~0.6,
+    // planted duplicates at exactly 1.0 — threshold 0.9 sits in the gap,
+    // so no FP-boundary risk on either engine.
+    "q_dedup_cosine_lsh" ->
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000000, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // GENUINE replay of the planted-wordlist construction: expected
+    // classification is the diagonal (lang_pred == lang) with class sizes
+    // from the doc_id % 11 arithmetic. A kernel regression on any of the
+    // 11 planted inputs (stopword argmax or script ratios) fails the gate.
+    "q_text_langid" ->
+      """WITH m AS (SELECT CASE CAST(doc_id % 11 AS INTEGER)
+        |    WHEN 0 THEN 'ar' WHEN 1 THEN 'de' WHEN 2 THEN 'en' WHEN 3 THEN 'es'
+        |    WHEN 4 THEN 'fr' WHEN 5 THEN 'it' WHEN 6 THEN 'ja' WHEN 7 THEN 'ko'
+        |    WHEN 8 THEN 'ru' WHEN 9 THEN 'und' ELSE 'zh' END AS lang
+        |  FROM documents)
+        |SELECT lang, lang AS lang_pred, count(*) AS n FROM m
+        |GROUP BY lang ORDER BY lang, lang_pred""".stripMargin,
 
     // n_exact is a genuine recomputation (same exhaustive pair count the
     // cosine-recall oracle uses); the booleans pin the semantic-dedup

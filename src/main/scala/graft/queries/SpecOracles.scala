@@ -22,6 +22,17 @@ package graft.queries
 object SpecOracles {
   val map: Map[String, String] = Map(
 
+    // Rate-micro-batch stream: one AvailableNow batch of seeds [0, 2000)
+    // at startTimestampMs=0; pk = Sequence(0,1) = seed, v/tag are pure
+    // Expression arithmetic over pk, the timestamp is the epoch. The
+    // WHOLE row set replays from generate_series — nothing pinned.
+    "q_gen_stream_rate" ->
+      """SELECT g.range AS pk,
+        |  CAST(g.range % 100 + 1 AS INTEGER) AS v,
+        |  CASE WHEN g.range % 2 = 0 THEN 'a' ELSE 'b' END AS tag,
+        |  '1970-01-01 00:00:00' AS ts
+        |FROM range(0, 2000) g ORDER BY pk""".stripMargin,
+
     // spark.range(0, 12345) identity ids: n = distinct = 12345, ids 0..12344.
     "q_gen_source_batch" ->
       """SELECT CAST(12345 AS BIGINT) AS n,

@@ -46,10 +46,12 @@ object OracleGen {
     val file =
       s"""package graft.queries
          |
-         |/** Pinned-constant oracles for the deterministic generator/sketch queries
-         |  * (generation is a pure function of seed+rowId, so their outputs are
-         |  * compile-time constants; the meaningful regression guards are the
-         |  * invariant BOOLEAN columns inside each query).
+         |/** Pinned-constant fallback oracles — the safety net for any query that
+         |  * ships without a handwritten genuine/spec-derived oracle. EMPTY as of
+         |  * round 9: every query has a genuine DuckDB replay (LlmQueries/
+         |  * TableQueries.oracles) or a hand-derived spec oracle (SpecOracles);
+         |  * an entry reappearing here means a new query was registered without
+         |  * one and should be upgraded.
          |  *
          |  * REGENERATE with `sbt "runMain graft.tools.OracleGen"` after any change
          |  * to engine semantics — do not edit by hand. */
