@@ -738,9 +738,16 @@ object Dedup {
     * SemDeDup paper (Abbas et al. 2023): versus [[nearDupCosine]]'s random
     * hyperplanes, learned cells adapt to the corpus shape, and the
     * by-construction miss is exactly the paper's — a near-dup pair split
-    * across cells is not compared (raise `refineIterations` or lower
+    * across cells is not compared. `probeCells` is the multi-probe dial
+    * against that miss: each vector joins its `probeCells` nearest cells
+    * (top-2 is the usual sweet spot — a boundary pair's second-nearest
+    * cells coincide far more often than their nearest), so a pair is
+    * compared when ANY probed cell is shared. Assignment stays one fused
+    * argmax pass; the cost is ~probeCells x the (id, cell) shuffle rows
+    * and the candidate union — still cell-bounded and linear, never
+    * all-pairs. Raise `refineIterations`/`probeCells` or lower
     * `nCentroids` to trade cost for recall; precision is 1 regardless,
-    * every emitted pair is exact-verified).
+    * every emitted pair is exact-verified.
     *
     * Scale shape: assignment is a fused driver-literal argmax (narrow,
     * zero shuffle); the cell shuffle carries only (id, cell); vectors are
@@ -751,11 +758,13 @@ object Dedup {
     * @param maxCell cap on comparable cell size (duplicate-blob corpora
     *   would otherwise go quadratic inside one cell) — capped cells are
     *   dropped whole, like the LSH `maxBucket`.
+    * @param probeCells how many nearest cells each vector joins (>= 1)
     * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
-      maxCell: Int = 10000): DataFrame = {
+      maxCell: Int = 10000, probeCells: Int = 1): DataFrame = {
+    require(probeCells >= 1, s"probeCells must be >= 1, got $probeCells")
     import graft.functions.{CentroidKernels, VectorKernels}
     // Lazy localCheckpoint: the projection feeds the auto-size count, the
     // centroid sample, every Lloyd iteration, the cell assignment, AND
@@ -768,8 +777,12 @@ object Dedup {
     val k = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(vecs0.count())
     val mat = Similarity.refineCentroids(vecs0, "vec",
       Similarity.sampleCentroids(vecs0, "id", "vec", k), refineIterations)
-    val celled = vecs0.select(col("id"),
-      CentroidKernels.nearestIndex(col("vec"), mat).as("cell"))
+    val celled =
+      if (probeCells == 1)
+        vecs0.select(col("id"), CentroidKernels.nearestIndex(col("vec"), mat).as("cell"))
+      else
+        vecs0.select(col("id"),
+          explode(CentroidKernels.nearestIndices(col("vec"), mat, probeCells)).as("cell"))
     val capped = capBuckets(celled, "cell", maxCell)
     val candidates = capped.select(col("cell"), col("id").as("id_a"))
       .join(capped.select(col("cell"), col("id").as("id_b")), Seq("cell"))
@@ -806,8 +819,8 @@ object Dedup {
     * larger-id drop within each cell, like [[dropNearDupsCosine]]. */
   def dropSemanticDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
-      maxCell: Int = 10000): DataFrame =
+      maxCell: Int = 10000, probeCells: Int = 1): DataFrame =
     dropPairLosers(df, idCol,
       semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
-        refineIterations, maxCell))
+        refineIterations, maxCell, probeCells))
 }

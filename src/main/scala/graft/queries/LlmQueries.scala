@@ -200,8 +200,15 @@ object LlmQueries {
       val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
         .localCheckpoint()
+      // probeCells=3 multi-probe: every qualifying pair in this corpus
+      // sits in the hard 0.4-0.7 cosine band (max natural cosine ~0.6),
+      // where single-probe recall was 0.19-0.39 by construction (boundary
+      // pairs split across cells). Top-3 cell assignment measures
+      // 0.85/0.65 recall at sf0.01/0.1 (DriveSemRecall) at no wall-clock
+      // cost — still linear, still cell-capped — so the pin holds at 0.5.
       val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.4, nCentroids = 0, refineIterations = 2, maxCell = 10000)
+        threshold = 0.4, nCentroids = 0, refineIterations = 2, maxCell = 10000,
+        probeCells = 3)
         .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
         .localCheckpoint()
       val nE = exact.count(); val nS = sem.count()
@@ -216,7 +223,7 @@ object LlmQueries {
       val kept = Dedup.dropPairLosers(emb, "vec_id", sem).count()
       one(exact, "n_exact" -> count(lit(1)),
         "precision_one" -> lit(nHit == nS),
-        "recall_ok" -> lit(nS.toDouble >= 0.10 * nE),
+        "recall_ok" -> lit(nS.toDouble >= 0.5 * nE),
         "drop_consistent" -> lit(kept == emb.count() - nLosers))
     }),
 

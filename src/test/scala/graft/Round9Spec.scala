@@ -108,6 +108,33 @@ class Round9Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("semantic dedup multi-probe only widens candidates, never loses pairs") {
+    import graft.llm.Dedup
+    // Deterministic blobby corpus: 30 clusters x 6 near-identical vectors
+    // plus per-vector jitter — boundary pairs exist between neighboring
+    // cluster centers. Same centroids both runs (hash-sampled + Lloyd are
+    // deterministic for a fixed frame), and the top-1 cell is contained in
+    // the top-2 set, so probeCells=2's pair set must be a superset of
+    // probeCells=1's; both must be exact-verified (precision 1).
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 180).map { i =>
+      val c = i / 6
+      val base = Array.tabulate(8)(d => math.sin(c * 131 + d * 17).toFloat)
+      (i.toLong, base.zipWithIndex.map { case (v, d) =>
+        v + 0.05f * math.sin(i * 37 + d * 7).toFloat })
+    }
+    val df = rows.toDF("id", "vec")
+    def pairs(p: Int) = Dedup.semanticNearDupPairs(df, "id", "vec",
+      threshold = 0.9, nCentroids = 16, refineIterations = 1, probeCells = p)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1); val p2 = pairs(2)
+    assert(p1.nonEmpty, "planted clusters must produce near-dup pairs")
+    assert(p1.subsetOf(p2), s"multi-probe lost pairs: ${(p1 -- p2).take(5)}")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupPairs(df, "id", "vec", probeCells = 0)
+    }
+  }
+
   test("mixCorpora rejects weights above maxEpochs with the knob named") {
     import graft.llm.Sampling
     val tiny = (0L until 3L).map(i => (i, "x")).toDF("id", "payload")
