@@ -295,8 +295,18 @@ object Bench {
       .map(k => "\"" + k + f"\":${results(k)}%.3f").mkString("{", ",", "}")
     def tot(m: scala.collection.Map[String, Double]): Double =
       m.values.filter(_ >= 0).sum
+    // Sentinel over the ~110 NON-headline queries: their sum, their max and
+    // its name, and any failures. The tail window can't fit all 137 queries
+    // (measured: ~3.2KB compressed vs the 2000-char capture), but with the
+    // worst non-headline line named, a silent regression outside the curated
+    // set can't hide — it either moves rest_max_sec or rest_sum_sec.
+    val restKeys = results.keySet -- headline
+    val rest = restKeys.toSeq.map(k => k -> results(k)).filter(_._2 >= 0)
+    val restMax = if (rest.isEmpty) ("", 0.0) else rest.maxBy(_._2)
+    val restSum = rest.map(_._2).sum
+    val nFailed = results.valuesIterator.count(_ < 0)
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"steal_sec_total":${tot(steal)}%.2f,"neighbor_cpu_sec_total":${tot(other)}%.2f,"gc_sec_total":${tot(gc)}%.2f,"detail":"$outPath"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"rest_sum_sec":$restSum%.2f,"rest_max_sec":${restMax._2}%.2f,"rest_max_q":"${restMax._1}","steal_sec_total":${tot(steal)}%.2f,"neighbor_cpu_sec_total":${tot(other)}%.2f,"gc_sec_total":${tot(gc)}%.2f,"detail":"$outPath"}"""
     if (compact.length > 1800) // belt-and-braces: never regress the contract
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","detail":"$outPath"}""")
     else println(compact)

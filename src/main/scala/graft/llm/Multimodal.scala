@@ -170,6 +170,105 @@ object Multimodal {
     }
   }
 
+  /** Decoded-audio metadata: the WAV/PCM header fields plus two derived
+    * values a pipeline filters on (clip length, loudness). */
+  val DecodedAudioType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("mean_amplitude", DoubleType)))
+
+  /** Batched per-partition WAV/PCM decode — the audio sibling of
+    * `decodeImages`, same `mapPartitions` + batch shape. Parsing is the
+    * JDK's own `javax.sound.sampled` (RIFF/WAVE header + PCM frames, no
+    * external codec); bytes that aren't a parseable WAV — or that throw
+    * mid-read — decode to a null struct rather than failing the task.
+    * Compressed containers (MP3/OGG/AAC) have no JDK reader and correctly
+    * yield null; they would slot in behind the same (binary -> struct)
+    * signature. */
+  def decodeAudio(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("decoded_audio", DecodedAudioType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ decodeAudioOne(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode one WAV clip: header fields via `AudioSystem`'s format probe,
+    * duration from the frame count, and — for 16-bit PCM — the mean
+    * absolute sample amplitude normalized to [0,1] by one pass over the
+    * frames. Returns null when no JDK reader accepts the bytes. */
+  private[graft] def decodeAudioOne(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val nFrames = in.getFrameLength
+          val sr = fmt.getSampleRate.toInt
+          val ch = fmt.getChannels
+          val bits = fmt.getSampleSizeInBits
+          if (sr <= 0 || ch <= 0 || nFrames < 0) null
+          else {
+            val dur = nFrames.toDouble / sr
+            val mean =
+              if (bits != 16 || nFrames == 0L) 0.0
+              else {
+                val data = in.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(data).order(
+                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sum = 0L
+                var n = 0L
+                while (bb.remaining() >= 2) {
+                  sum += math.abs(bb.getShort.toLong); n += 1
+                }
+                if (n == 0) 0.0 else sum.toDouble / n / 32768.0
+              }
+            Row(sr, ch, bits, nFrames, dur, mean)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Encode a constant-amplitude 16-bit PCM WAV clip — the synthetic
+    * generator for audio-typed columns. Every sample holds `amplitude`, so
+    * the decoded statistics are exactly predictable (mean_amplitude =
+    * |amplitude|/32768, duration = nFrames/sampleRate) and generated
+    * corpora stay oracle-checkable, mirroring `encodeSolidImage`. */
+  def encodePcmWav(sampleRate: Int, channels: Int, nFrames: Int, amplitude: Short): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nFrames >= 0,
+      s"bad WAV spec: rate=$sampleRate ch=$channels frames=$nFrames")
+    val dataSize = nFrames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    val total = nFrames * channels
+    while (i < total) { bb.putShort(amplitude); i += 1 }
+    bb.array()
+  }
+
   /** Encode a solid-color RGB image of the given dimensions — the synthetic
     * generator for image-typed columns (PNG/BMP/GIF via `javax.imageio`).
     * Solid fills keep the pixel statistics exactly predictable (mean

@@ -869,6 +869,44 @@ object LlmQueries {
         "n_frames" -> sum(size(Multimodal.sampleFrames(col("payload"), 4, 16))).cast("long"),
         "n_resized_id" -> sum(when(col("target.width") === col("decoded.width") &&
           col("target.height") === col("decoded.height"), 1L).otherwise(0L)))
+    }),
+
+    "q_multimodal_audio" -> ((s, d) => {
+      import s.implicits._
+      // Plant WAV clips with KNOWN headers and constant-amplitude 16-bit
+      // PCM frames, all derived from doc_id; every 13th payload is garbage
+      // bytes that must decode to null. Real `javax.sound` parsing has to
+      // recover the exact rate/channels/frames, the duration, and the
+      // normalized mean amplitude — and the magic-byte sniffer must call
+      // the genuine clips audio/wav and the garbage octet-stream.
+      val media = table(s, d, "documents")
+        .where(col("doc_id") < 2000).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 13 == 0) s"not-audio-$id".getBytes("UTF-8")
+            else Multimodal.encodePcmWav(
+              sampleRate = (8000 + (id % 3) * 4000).toInt,
+              channels = (1 + id % 2).toInt,
+              nFrames = (100 + (id % 50) * 10).toInt,
+              amplitude = ((id % 1000) + 1).toShort)
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val decoded = Multimodal.decodeAudio(media, "payload", batchSize = 32)
+      val a = col("decoded_audio")
+      one(decoded.withColumn("media_meta", Multimodal.mediaMeta(col("payload"))),
+        "n" -> count(lit(1)),
+        "n_null" -> sum(when(a.isNull, 1L).otherwise(0L)),
+        "sum_rate" -> sum(a("sample_rate")).cast("long"),
+        "sum_channels" -> sum(a("channels")).cast("long"),
+        "sum_bits" -> sum(a("bits_per_sample")).cast("long"),
+        "sum_frames" -> sum(a("n_frames")).cast("long"),
+        "n_duration_exact" -> sum(when(
+          a("duration_sec") === (lit(100L) + (col("doc_id") % 50) * 10).cast("double")
+            / (lit(8000L) + (col("doc_id") % 3) * 4000).cast("double"), 1L).otherwise(0L)),
+        "n_mean_exact" -> sum(when(
+          a("mean_amplitude") === ((col("doc_id") % 1000) + 1).cast("double") / lit(32768.0),
+          1L).otherwise(0L)),
+        "n_wav" -> sum(when(col("media_meta.media_type") === "audio/wav", 1L).otherwise(0L)))
     }))
 
   /** Shared DuckDB replay of the exhaustive inverted-index 3-gram jaccard
@@ -1098,6 +1136,23 @@ object LlmQueries {
         |CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact,
         |CAST(4 * count(*) AS BIGINT) AS n_frames,
         |CAST(sum(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resized_id
+        |FROM documents WHERE doc_id < 2000""".stripMargin,
+
+    // Genuine recomputation: every planted WAV header field is a pure
+    // function of doc_id, so DuckDB re-derives all the sums, the exact
+    // garbage-row count, and — because duration and mean amplitude are
+    // double divisions of the same planted integers on both sides — the
+    // two exactness counts equal the decodable-row count.
+    "q_multimodal_audio" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 8000 + (doc_id % 3) * 4000 END) AS BIGINT) AS sum_rate,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 + doc_id % 2 END) AS BIGINT) AS sum_channels,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 16 END) AS BIGINT) AS sum_bits,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 100 + (doc_id % 50) * 10 END) AS BIGINT) AS sum_frames,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav
         |FROM documents WHERE doc_id < 2000""".stripMargin,
 
     "q_dedup_exact" ->

@@ -135,6 +135,32 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("WAV encode/decode roundtrip recovers exact header fields and amplitude") {
+    import graft.llm.Multimodal
+    val bytes = Multimodal.encodePcmWav(12000, 2, 250, 123)
+    val row = Multimodal.decodeAudioOne(bytes)
+    assert(row != null, "a canonical 44-byte-header WAV must decode")
+    assert(row.getInt(0) === 12000)
+    assert(row.getInt(1) === 2)
+    assert(row.getInt(2) === 16)
+    assert(row.getLong(3) === 250L)
+    assert(row.getDouble(4) === 250.0 / 12000)
+    assert(row.getDouble(5) === 123.0 / 32768)
+    // Mean amplitude is over |sample|: a negative DC level reports its magnitude.
+    val neg = Multimodal.decodeAudioOne(Multimodal.encodePcmWav(8000, 1, 10, -100))
+    assert(neg.getDouble(5) === 100.0 / 32768)
+    assert(Multimodal.decodeAudioOne("not a wav".getBytes("UTF-8")) == null)
+    assert(Multimodal.decodeAudioOne(Array.emptyByteArray) == null)
+    assert(Multimodal.decodeAudioOne(null) == null)
+    // The DataFrame path carries the typed struct and nulls the garbage row.
+    val df = Seq((1L, bytes), (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.decodeAudio(df, "payload")
+      .select(col("id"), col("decoded_audio.sample_rate"), col("decoded_audio").isNull.as("bad"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 12000 && !out(0).getBoolean(2))
+    assert(out(1).getBoolean(2))
+  }
+
   test("mixCorpora rejects weights above maxEpochs with the knob named") {
     import graft.llm.Sampling
     val tiny = (0L until 3L).map(i => (i, "x")).toDF("id", "payload")
