@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query's result to `outDir/name` as parquet. A failing query
+    * must still land a result dir: a 1-row frame whose only column is
+    * `err`. The downstream compare then records a loud schema/hash mismatch
+    * for this key instead of silently shrinking the denominator (r9:
+    * q_range_join vanished from the artifact entirely — 135 recorded vs 136
+    * declared, no red row anywhere). */
+  def dumpOne(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Unit = {
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        import spark.implicits._
+        Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          .toDF("err").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name err-marker write failed: ${e2.getMessage}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,11 +57,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      dumpOne(spark, name, fn, sfDir, outDir)
       // Dead localCheckpoint blocks from the dedup pipelines otherwise
       // accumulate across the 100+ dumps (same memory-pressure tax the
       // bench loop drops eagerly).
@@ -58,6 +78,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared-query roster, so the gate can assert recorded == declared
+    // (a key absent from BOTH the parquet dumps and this list is impossible).
+    Files.writeString(Paths.get(s"$outDir/declared.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -221,8 +221,11 @@ object Multimodal {
           if (sr <= 0 || ch <= 0 || nFrames < 0) null
           else {
             val dur = nFrames.toDouble / sr
-            val mean =
-              if (bits != 16 || nFrames == 0L) 0.0
+            // Non-16-bit PCM is probed but not sample-scanned: null keeps
+            // "not computed" distinguishable from genuine silence (0.0).
+            val mean: java.lang.Double =
+              if (bits != 16) null
+              else if (nFrames == 0L) 0.0
               else {
                 val data = in.readAllBytes()
                 val bb = java.nio.ByteBuffer.wrap(data).order(
@@ -250,7 +253,13 @@ object Multimodal {
   def encodePcmWav(sampleRate: Int, channels: Int, nFrames: Int, amplitude: Short): Array[Byte] = {
     require(sampleRate > 0 && channels > 0 && nFrames >= 0,
       s"bad WAV spec: rate=$sampleRate ch=$channels frames=$nFrames")
-    val dataSize = nFrames * channels * 2
+    // Sizes in Long first: nFrames*channels*2 in Int arithmetic could wrap
+    // past the require and emit a corrupt RIFF header / negative alloc.
+    val dataSizeL = nFrames.toLong * channels * 2L
+    require(dataSizeL <= Int.MaxValue - 44L,
+      s"WAV spec overflows a single RIFF chunk: $dataSizeL data bytes " +
+        s"(rate=$sampleRate ch=$channels frames=$nFrames); cap is ${Int.MaxValue - 44}")
+    val dataSize = dataSizeL.toInt
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)

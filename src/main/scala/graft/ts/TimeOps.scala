@@ -204,7 +204,11 @@ object TimeOps {
       s"rangeJoinPoint column collision: ${collisions.mkString(", ")} — rename first")
 
     val binMicros = binSeconds * 1000000L
-    def binOf(t: Column): Column = floor(unix_micros(t) / binMicros)
+    // Cast normalizes TIMESTAMP_NTZ inputs (parquet with isAdjustedToUTC=
+    // false reads as NTZ, which unix_micros rejects); applied uniformly to
+    // both sides and the fan-out guard, so binning stays self-consistent.
+    def binOf(t: Column): Column =
+      floor(unix_micros(t.cast(org.apache.spark.sql.types.TimestampType)) / binMicros)
 
     val nBins = binOf(col(endCol)) - binOf(col(startCol)) + 1
     val i = intervals

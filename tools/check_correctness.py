@@ -79,7 +79,10 @@ def main():
 
     results = {}
     produced = {os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)}
-    names = set(list(oracles) + list(produced))
+    declared = set()
+    if os.path.exists(f"{OUT}/declared.json"):
+        declared = set(json.load(open(f"{OUT}/declared.json")))
+    names = set(list(oracles) + list(produced)) | declared
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         names &= {q.strip() for q in only.split(",")}
@@ -117,8 +120,19 @@ def main():
     for name, v in results.items():
         mark = "PASS" if v == "PASS" else ("INFO" if v.startswith("rows-only") else "FAIL")
         print(f"[{mark}] {name}: {v}")
-    print(f"\n[check] {npass} PASS / {nrows} rows-only / "
-          f"{len(results) - npass - nrows} FAIL of {len(results)}")
+    # Declared-vs-recorded set check: every SparkEntry.queries key must have
+    # a row above. With the err-marker parquet in Verify this can only trip
+    # if the dump itself died mid-run — but it makes a silent shrink of the
+    # denominator (r9's q_range_join) structurally impossible to miss.
+    want = declared if not only else declared & {q.strip() for q in only.split(",")}
+    missing = sorted(want - set(results))
+    for name in missing:
+        print(f"[FAIL] {name}: DECLARED-BUT-NOT-RECORDED")
+    nfail = len(results) - npass - nrows + len(missing)
+    print(f"\n[check] {len(results)}/{len(want) or len(results)} declared queries recorded; "
+          f"{npass} PASS / {nrows} rows-only / {nfail} FAIL of {len(results) + len(missing)}")
+    if missing or nfail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
