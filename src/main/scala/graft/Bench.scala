@@ -207,27 +207,48 @@ object Bench {
         else math.max(0.0, (m1._2 - m0._2) / 100.0)
     }
 
-    def timed(name: String)(body: => Unit): Unit = {
-      val m0 = cpuMarkers()
-      val g0 = gcMillis()
-      results(name) = time(body)
-      recordMarkers(name, m0, cpuMarkers())
-      gc(name) = (gcMillis() - g0) / 1000.0
+    // Timed runs with a contamination retry (r9: a hammered box put 323.6s
+    // of hypervisor steal inside a 159.9s bench and made the total
+    // unreadable). Each run captures its OWN markers; the minimum wall is
+    // kept along with the markers of that run, so a recorded line is either
+    // clean or flagged by noise that genuinely belongs to it. After the
+    // mandatory `minRuns`, a query re-runs (up to `maxRuns`) while the best
+    // run so far carried interval steal above 20% of its wall. Sub-0.3s
+    // walls skip the retry: tick-resolution steal (10ms granularity) trips
+    // the ratio spuriously.
+    def timedRetry(name: String, minRuns: Int, maxRuns: Int)(body: => Unit): Unit = {
+      var tries = 0
+      var walls = List.empty[Double]
+      var bestSteal = Double.MaxValue
+      var done = false
+      while (!done) {
+        val m0 = cpuMarkers()
+        val g0 = gcMillis()
+        val w = time(body)
+        val m1 = cpuMarkers()
+        val stealSec = if (m0._1 < 0 || m1._1 < 0) 0.0 else (m1._1 - m0._1) / 100.0
+        walls :+= w
+        if (results.get(name).forall(prev => prev < 0 || (w >= 0 && w < prev))) {
+          results(name) = w
+          recordMarkers(name, m0, m1)
+          gc(name) = (gcMillis() - g0) / 1000.0
+          bestSteal = stealSec
+        }
+        tries += 1
+        val best = results(name)
+        done = best < 0 || tries >= maxRuns ||
+          (tries >= minRuns && (best <= 0.3 || bestSteal <= 0.2 * best))
+      }
+      if (walls.size > 1) spread(name) = walls
     }
 
-    // The box shares a host with noisy neighbors: identical gen runs have
-    // measured 1.8s to 48s from contention alone. Best-of-two reports
-    // steady-state capability instead of scheduler luck for the two
-    // headline benches (registry queries stay single-shot — 110+ of them
-    // amortize the noise, and each carries its markers).
-    def timeMin2(name: String)(body: => Unit): Unit = {
-      val m0 = cpuMarkers()
-      val a = time(body)
-      val b = time(body)
-      recordMarkers(name, m0, cpuMarkers())
-      results(name) = if (a < 0) b else if (b < 0) a else math.min(a, b)
-      spread(name) = Seq(a, b)
-    }
+    // Registry queries: single shot unless contaminated — 110+ of them
+    // amortize residual noise, and each line carries its markers.
+    def timed(name: String)(body: => Unit): Unit = timedRetry(name, 1, 3)(body)
+    // Headline generation benches: identical runs have measured 1.8s to
+    // 48s apart from contention alone; best-of-two minimum reports
+    // steady-state capability instead of scheduler luck.
+    def timeMin2(name: String)(body: => Unit): Unit = timedRetry(name, 2, 4)(body)
 
     // Headline generation throughput (BASELINE.md: ~86k rows/s/core).
     timeMin2("bench_gen_iot_10m") {

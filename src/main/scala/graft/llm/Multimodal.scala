@@ -311,4 +311,225 @@ object Multimodal {
       round(w * scale).cast(IntegerType).as("width"),
       round(h * scale).cast(IntegerType).as("height"))
   }
+
+  // ------------------------------------------------------- image resize
+
+  /** Batched per-partition image RESIZE — the execution half of
+    * [[resizePlan]], riding the same `mapPartitions` + batch shape as
+    * `decodeImages`. Each image is decoded with `javax.imageio`, resampled
+    * to `targetW x targetH` through a `Graphics2D` bilinear draw, and
+    * re-encoded (`format`, default PNG — lossless, so solid-color inputs
+    * have closed-form output pixels and stay oracle-checkable). Bytes no
+    * reader accepts — or that throw mid-resample — yield a null `resized`
+    * column rather than failing the task. */
+  def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
+      format: String = "png", batchSize: Int = 64,
+      resizedCol: String = "resized"): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target dims ${targetW}x$targetH")
+    val outSchema = StructType(df.schema.fields :+ StructField(resizedCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ resizeOne(bytes, targetW, targetH, format))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  private[graft] def resizeOne(bytes: Array[Byte], targetW: Int, targetH: Int,
+      format: String): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      imageIoNoDiskCache
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          if (!javax.imageio.ImageIO.write(dst, format, out)) null
+          else out.toByteArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  // ---------------------------------------------------- video containers
+
+  /** Container-level video metadata: MP4 (ISO BMFF) header fields parsed
+    * box-by-box, no frame decode. */
+  val DecodedVideoType: StructType = StructType(Seq(
+    StructField("major_brand", StringType),
+    StructField("timescale", LongType),
+    StructField("duration_units", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("n_tracks", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Batched per-partition MP4 container parse — the video sibling of
+    * `decodeImages`/`decodeAudio`, same `mapPartitions` + batch shape.
+    * Walks the ISO BMFF box tree (size+fourcc framing; `moov` → `mvhd`
+    * timescale/duration, `trak` → `tkhd` 16.16 fixed-point dims from the
+    * first visually-sized track); pure JVM, no codec. Bytes that are not a
+    * parseable MP4 yield a null struct. Frame decode stays out of scope —
+    * an ffmpeg-class demuxer would slot in behind the same
+    * (binary -> struct) signature. */
+  def decodeVideoMeta(df: DataFrame, binCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("decoded_video", DecodedVideoType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ parseMp4Meta(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Parse one MP4: top-level `ftyp` (major brand) and `moov`, inside it
+    * `mvhd` (v0/v1 timescale + duration) and each `trak`'s `tkhd` (track
+    * dims, 16.16 fixed point). Returns null unless both `ftyp` and a
+    * `moov`/`mvhd` with a positive timescale are present — RIFF, garbage,
+    * and truncated headers all fall out naturally. */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 16) null
+    else try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      // Walk sibling boxes in [lo, hi); returns (type, payloadStart,
+      // payloadEnd) triples. size==1 → 64-bit largesize; size==0 → to end.
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var pos = lo
+          def hasNext: Boolean = pos + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size32 = bb.getInt(pos).toLong & 0xFFFFFFFFL
+            val typ = fourcc(pos + 4)
+            val (payload, end) =
+              if (size32 == 1L && pos + 16 <= hi) {
+                val size64 = bb.getLong(pos + 8)
+                (pos + 16, pos + math.min(size64, (hi - pos).toLong).toInt)
+              } else if (size32 == 0L) (pos + 8, hi)
+              else (pos + 8, pos + math.min(size32, (hi - pos).toLong).toInt)
+            val safeEnd = math.max(payload, math.min(end, hi))
+            pos = if (safeEnd > pos) safeEnd else hi // corrupt size: stop
+            (typ, payload, safeEnd)
+          }
+        }
+
+      var brand: String = null
+      var timescale = -1L
+      var durationUnits = -1L
+      var nTracks = 0
+      var width = 0
+      var height = 0
+      boxes(0, bytes.length).foreach {
+        case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(p)
+        case ("moov", mp, me) =>
+          boxes(mp, me).foreach {
+            case ("mvhd", p, e) if e - p >= 4 =>
+              val version = bytes(p) & 0xFF
+              if (version == 1 && e - p >= 4 + 8 + 8 + 4 + 8) {
+                timescale = bb.getInt(p + 4 + 16).toLong & 0xFFFFFFFFL
+                durationUnits = bb.getLong(p + 4 + 16 + 4)
+              } else if (version == 0 && e - p >= 4 + 4 + 4 + 4 + 4) {
+                timescale = bb.getInt(p + 4 + 8).toLong & 0xFFFFFFFFL
+                durationUnits = bb.getInt(p + 4 + 8 + 4).toLong & 0xFFFFFFFFL
+              }
+            case ("trak", tp, te) =>
+              nTracks += 1
+              boxes(tp, te).foreach {
+                case ("tkhd", p, e) =>
+                  val version = bytes(p) & 0xFF
+                  // width/height are the LAST 8 payload bytes (16.16 fixed)
+                  // in both tkhd versions — offset from the end dodges the
+                  // v0/v1 time-field width difference.
+                  if (e - p >= (if (version == 1) 4 + 32 + 60 else 4 + 20 + 60)) {
+                    val w = bb.getInt(e - 8) >>> 16
+                    val h = bb.getInt(e - 4) >>> 16
+                    // First visually-sized track wins (audio tracks carry 0x0).
+                    if (width == 0 && height == 0 && (w > 0 || h > 0)) {
+                      width = w; height = h
+                    }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (brand == null || timescale <= 0 || durationUnits < 0) null
+      else Row(brand, timescale, durationUnits,
+        durationUnits.toDouble / timescale, nTracks, width, height)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Encode a minimal valid MP4 container (`ftyp` + `moov`(`mvhd` +
+    * `trak`(`tkhd`)...)) — the synthetic generator for video-typed columns,
+    * mirroring `encodePcmWav`/`encodeSolidImage`: every header field is
+    * spec-derived, so parsed metadata is exactly predictable and generated
+    * corpora stay oracle-checkable. No media data (`mdat`) — this is a
+    * container-metadata stub by design; the boxes are structurally valid
+    * ISO BMFF v0. */
+  def encodeMp4Stub(timescale: Int, durationUnits: Long,
+      tracks: Seq[(Int, Int)]): Array[Byte] = {
+    require(timescale > 0 && durationUnits >= 0 && durationUnits <= Int.MaxValue,
+      s"bad MP4 spec: timescale=$timescale duration=$durationUnits (v0 caps at 2^31-1)")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      b.array()
+    })
+    val mvhd = box("mvhd", {
+      // v0: ver/flags, ctime, mtime, timescale, duration, rate, volume,
+      // reserved(10), matrix(36), predefined(24), next_track_id.
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durationUnits.toInt)
+      b.putInt(0x00010000).putShort(0x0100.toShort).position(b.position() + 10)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      b.position(b.position() + 24)
+      b.putInt(tracks.size + 1)
+      b.array()
+    })
+    val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+      require(w >= 0 && w < 65536 && h >= 0 && h < 65536,
+        s"tkhd dims are 16.16 fixed point: ${w}x$h out of range")
+      box("trak", box("tkhd", {
+        // v0: ver/flags, ctime, mtime, track_id, reserved, duration,
+        // reserved(8), layer, alternate, volume, reserved, matrix(36),
+        // width, height (16.16).
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0).putInt(0).putInt(0).putInt(i + 1).putInt(0)
+          .putInt(durationUnits.toInt)
+        b.position(b.position() + 8)
+        b.putShort(0).putShort(0).putShort(0).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+        b.putInt(w << 16).putInt(h << 16)
+        b.array()
+      }))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    ftyp ++ moov
+  }
 }

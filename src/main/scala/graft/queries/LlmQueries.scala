@@ -907,6 +907,80 @@ object LlmQueries {
           a("mean_amplitude") === ((col("doc_id") % 1000) + 1).cast("double") / lit(32768.0),
           1L).otherwise(0L)),
         "n_wav" -> sum(when(col("media_meta.media_type") === "audio/wav", 1L).otherwise(0L)))
+    }),
+
+    "q_multimodal_video" -> ((s, d) => {
+      import s.implicits._
+      // Plant minimal ISO BMFF containers with KNOWN mvhd/tkhd headers, all
+      // derived from doc_id; every 13th payload is garbage that must parse
+      // to null. The box walker has to recover the exact timescale,
+      // duration, track count, and the first track's 16.16 fixed-point
+      // dims — and the magic-byte sniffer must call the genuine
+      // containers video/mp4. Track 1 carries the visual size; extra
+      // tracks are audio-shaped (0x0) and must not override it.
+      val media = table(s, d, "documents")
+        .where(col("doc_id") < 2000).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 13 == 0) s"not-a-video-$id".getBytes("UTF-8")
+            else {
+              val nt = (1 + id % 3).toInt
+              Multimodal.encodeMp4Stub(
+                timescale = (1000 + (id % 4) * 500).toInt,
+                durationUnits = 3000 + (id % 100) * 25,
+                tracks = ((160 * (1 + id % 6)).toInt, (90 * (1 + id % 4)).toInt) +:
+                  Seq.fill(nt - 1)((0, 0)))
+            }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val decoded = Multimodal.decodeVideoMeta(media, "payload", batchSize = 32)
+      val v = col("decoded_video")
+      one(decoded.withColumn("media_meta", Multimodal.mediaMeta(col("payload"))),
+        "n" -> count(lit(1)),
+        "n_null" -> sum(when(v.isNull, 1L).otherwise(0L)),
+        "sum_timescale" -> sum(v("timescale")).cast("long"),
+        "sum_duration_units" -> sum(v("duration_units")).cast("long"),
+        "sum_tracks" -> sum(v("n_tracks")).cast("long"),
+        "sum_width" -> sum(v("width")).cast("long"),
+        "sum_height" -> sum(v("height")).cast("long"),
+        "n_duration_exact" -> sum(when(
+          v("duration_sec") === (lit(3000L) + (col("doc_id") % 100) * 25).cast("double")
+            / (lit(1000L) + (col("doc_id") % 4) * 500).cast("double"), 1L).otherwise(0L)),
+        "n_mp4" -> sum(when(col("media_meta.media_type") === "video/mp4", 1L).otherwise(0L)))
+    }),
+
+    "q_multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      // Resize EXECUTION with a closed-form answer: solid-gray PNGs
+      // (gray = doc_id % 256, varying source dims) bilinear-downsampled to
+      // a fixed 6x4 — any convex combination of equal samples is the
+      // sample, and PNG is lossless, so every resized pixel must still be
+      // exactly gray. The re-decode then has to report 6x4x3 and
+      // mean_intensity == gray/255; garbage payloads (every 13th) must
+      // ride through as null, not crash the resample.
+      val media = table(s, d, "documents")
+        .where(col("doc_id") < 1000).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 13 == 0) s"not-an-image-$id".getBytes("UTF-8")
+            else Multimodal.encodeSolidImage(
+              width = (8 + id % 16).toInt, height = (8 + id % 8).toInt,
+              gray = (id % 256).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val resized = Multimodal.resizeImages(media, "payload",
+        targetW = 6, targetH = 4, batchSize = 32)
+      val decoded = Multimodal.decodeImages(resized, "resized", batchSize = 32)
+      val r = col("decoded")
+      one(decoded.withColumn("out_meta", Multimodal.mediaMeta(col("resized"))),
+        "n" -> count(lit(1)),
+        "n_null" -> sum(when(col("resized").isNull, 1L).otherwise(0L)),
+        "n_dims_exact" -> sum(when(r("width") === 6 && r("height") === 4 &&
+          r("channels") === 3, 1L).otherwise(0L)),
+        "n_mean_exact" -> sum(when(
+          r("mean_intensity") === (col("doc_id") % 256).cast("double") / lit(255.0),
+          1L).otherwise(0L)),
+        "n_png" -> sum(when(col("out_meta.media_type") === "image/png", 1L).otherwise(0L)))
     }))
 
   /** Shared DuckDB replay of the exhaustive inverted-index 3-gram jaccard
@@ -1154,6 +1228,32 @@ object LlmQueries {
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wav
         |FROM documents WHERE doc_id < 2000""".stripMargin,
+
+    // Replay of the planted MP4 header arithmetic (see q_multimodal_video
+    // in `queries`): garbage every 13th doc, otherwise mvhd timescale
+    // 1000+(id%4)*500, duration 3000+(id%100)*25, 1+(id%3) tracks with the
+    // first carrying 160(1+id%6) x 90(1+id%4).
+    "q_multimodal_video" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1000 + (doc_id % 4) * 500 END) AS BIGINT) AS sum_timescale,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 3000 + (doc_id % 100) * 25 END) AS BIGINT) AS sum_duration_units,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 + doc_id % 3 END) AS BIGINT) AS sum_tracks,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 160 * (1 + doc_id % 6) END) AS BIGINT) AS sum_width,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 90 * (1 + doc_id % 4) END) AS BIGINT) AS sum_height,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4
+        |FROM documents WHERE doc_id < 2000""".stripMargin,
+
+    // Replay of the solid-gray resize closed form (see q_multimodal_resize):
+    // every non-garbage doc must downsample to an exactly-gray 6x4x3 PNG.
+    "q_multimodal_resize" ->
+      """SELECT count(*) AS n,
+        |CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT count(*) AS n, count(DISTINCT text) AS n_after_dedup,

@@ -175,6 +175,55 @@ class Round10Spec extends AnyFunSuite {
     assert(empty != null && empty.getDouble(5) === 0.0)
   }
 
+  test("video: MP4 stub encode/parse roundtrip recovers exact header fields") {
+    import graft.llm.Multimodal
+    val bytes = Multimodal.encodeMp4Stub(timescale = 1500, durationUnits = 4500L,
+      tracks = Seq((640, 360), (0, 0)))
+    val row = Multimodal.parseMp4Meta(bytes)
+    assert(row != null, "structurally valid stub must parse")
+    assert(row.getString(0) === "isom")
+    assert(row.getLong(1) === 1500L)
+    assert(row.getLong(2) === 4500L)
+    assert(row.getDouble(3) === 3.0)
+    assert(row.getInt(4) === 2, "both tracks counted")
+    assert((row.getInt(5), row.getInt(6)) === ((640, 360)),
+      "first visually-sized track wins; the 0x0 audio track must not override")
+
+    // Garbage, truncated, and audio bytes must all yield null.
+    assert(Multimodal.parseMp4Meta("garbage".getBytes("UTF-8")) == null)
+    assert(Multimodal.parseMp4Meta(bytes.take(20)) == null)
+    assert(Multimodal.parseMp4Meta(
+      Multimodal.encodePcmWav(8000, 1, 10, 5)) == null)
+    assert(Multimodal.parseMp4Meta(null) == null)
+
+    // The magic-byte sniffer must classify the stub as video/mp4.
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+      .select(graft.llm.Multimodal.mediaType(col("payload")).as("t"))
+    assert(df.collect().head.getString(0) === "video/mp4")
+  }
+
+  test("resize: solid-color downsample keeps exact gray; garbage stays null") {
+    import graft.llm.Multimodal
+    val gray = 137
+    val src = Multimodal.encodeSolidImage(17, 11, gray)
+    val out = Multimodal.resizeOne(src, 6, 4, "png")
+    assert(out != null)
+    val dec = Multimodal.decodeOne(out)
+    assert((dec.getInt(0), dec.getInt(1), dec.getInt(2)) === ((6, 4, 3)))
+    assert(dec.getDouble(3) === gray / 255.0,
+      s"solid input must stay exactly gray after bilinear resample: $dec")
+    assert(Multimodal.resizeOne("nope".getBytes("UTF-8"), 6, 4, "png") == null)
+
+    // DataFrame plumbing: resize + re-decode via the batched mapPartitions.
+    val media = Seq((1L, src), (2L, "bad".getBytes("UTF-8"))).toDF("id", "payload")
+    val resized = Multimodal.resizeImages(media, "payload", 6, 4)
+    val decoded = Multimodal.decodeImages(resized, "resized")
+    val rows = decoded.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("decoded").getInt(0) === 6)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("resized")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("decoded")))
+  }
+
   test("Verify.dumpOne writes an err-marker parquet for a failing query") {
     val out = java.nio.file.Files.createTempDirectory("r10_verify").toString
     // Failing query: must land a 1-row frame with a single `err` column.
