@@ -95,6 +95,18 @@ object DriveBillion {
     val (noopWall, noopSteal) = timed("iot-1b-noop") {
       gen(rows).write.mode("overwrite").format("noop").save()
     }
+    // SPARK_GRAFT_1B_NOOP_ONLY=1 re-measures just the generation leg (the
+    // parquet leg takes ~6 min/try at 1e9 and the shared host's quiet
+    // windows are short); the artifact then keeps parquet fields at -1.
+    if (sys.env.get("SPARK_GRAFT_1B_NOOP_ONLY").contains("1")) {
+      val json =
+        f"""{"bench":"gen_iot_1b_noop","rows":$rows,"noop_sec":$noopWall%.1f,"noop_rows_per_sec":${rows / noopWall}%.0f,"noop_steal_sec":$noopSteal%.1f,"cores":$cpus}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_1b_noop.json"),
+        (json + "\n").getBytes("UTF-8"))
+      println(json)
+      spark.stop()
+      return
+    }
     val (pqWall, pqSteal) = timed("iot-1b-parquet") {
       gen(rows).write.mode("overwrite").parquet(dir)
     }
