@@ -981,7 +981,17 @@ object LlmQueries {
           r("mean_intensity") === (col("doc_id") % 256).cast("double") / lit(255.0),
           1L).otherwise(0L)),
         "n_png" -> sum(when(col("out_meta.media_type") === "image/png", 1L).otherwise(0L)))
-    }))
+    }),
+
+    // ------------------------------------------------ chunking (RAG prep)
+    // Full-output replay: every chunk row (layout integers + the rejoined
+    // chunk STRING) hash-compares against DuckDB re-deriving the identical
+    // integer stride arithmetic and list slicing. Zero-shuffle operator —
+    // the orderBy here is presentation for the gate, not part of the op.
+    "q_chunk_rag" -> ((s, d) =>
+      graft.llm.Chunking.chunkByTokens(table(s, d, "documents"),
+          "doc_id", "text", chunkTokens = 16, overlapTokens = 4)
+        .orderBy("doc_id", "chunk_id")))
 
   /** Shared DuckDB replay of the exhaustive inverted-index 3-gram jaccard
     * pipeline on shingle STRINGS, ending in a `pairs(id_a, id_b, j)` CTE —
@@ -1482,5 +1492,26 @@ object LlmQueries {
     "q_multimodal_meta" ->
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
-        |count(*) AS n_octet FROM documents""".stripMargin)
+        |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Full replay of the overlapping-window chunk layout at C=16, S=12:
+    // identical tokenization (trim + \s+ split), the same integer chunk
+    // count (greatest(n-16,0)+11) // 12 + 1, and the same 1-based
+    // inclusive list slice rejoined single-space — every chunk row
+    // hash-compares including its text.
+    "q_chunk_rag" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE (greatest(len(toks) - 16, 0) + 11) // 12 + 1 END AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, n, nc, unnest(range(nc)) AS cid FROM c)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(least(16, n - cid * 12) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[cid * 12 + 1 : cid * 12 + 16], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
 }

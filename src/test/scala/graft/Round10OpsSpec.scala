@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Chunking
+
+/** Round-10 operator tests: the new LLM-pipeline operators added this
+  * round (chunking, weighted sampling, salient terms, quantization,
+  * bloom decontamination, corpus overlap). */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunkByTokens: layout invariants, edges, zero-shuffle plan") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words),                         // 40 tokens
+      (2L, "a b c"),                       // shorter than one chunk
+      (3L, (1 to 16).map("t" + _).mkString(" ")), // exactly one chunk
+      (4L, (1 to 17).map("u" + _).mkString(" ")), // one token past: 2 chunks
+      (5L, ""),                            // empty: zero chunks
+      (6L, null.asInstanceOf[String])      // null: dropped
+    ).toDF("doc_id", "text")
+    val c = Chunking.chunkByTokens(docs, "doc_id", "text",
+      chunkTokens = 16, overlapTokens = 4)
+    val rows = c.orderBy("doc_id", "chunk_id").collect()
+
+    // Doc 1: 40 tokens, stride 12 -> chunks start at 0,12,24 and the count
+    // formula gives (40-16+11)//12+1 = 3; last chunk covers [24,40) = 16.
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(d1.forall(_.getLong(2) == 3L))
+    assert(d1.map(_.getLong(3)).toSeq === Seq(16L, 16L, 16L))
+    // Overlap: last 4 tokens of chunk i == first 4 of chunk i+1.
+    val texts = d1.map(_.getString(4).split(" ").toSeq)
+    assert(texts(0).takeRight(4) === texts(1).take(4))
+    assert(texts(1).takeRight(4) === texts(2).take(4))
+    // Every token covered, in order: chunk 0 ++ tails of later chunks.
+    val reconstructed = texts(0) ++ texts.drop(1).flatMap(_.drop(4))
+    assert(reconstructed === words.split(" ").toSeq)
+
+    assert(rows.filter(_.getLong(0) == 2L).map(r => (r.getLong(2), r.getLong(3),
+      r.getString(4))).toSeq === Seq((1L, 3L, "a b c")))
+    assert(rows.filter(_.getLong(0) == 3L).map(_.getLong(2)).toSeq === Seq(1L))
+    val d4 = rows.filter(_.getLong(0) == 4L)
+    assert(d4.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    // Second chunk starts at token 12: covers [12,17) = 5 tokens.
+    assert(d4.map(_.getLong(3)).toSeq === Seq(16L, 5L))
+    assert(rows.count(r => r.getLong(0) == 5L || r.getLong(0) == 6L) === 0)
+
+    // Narrow operator: no Exchange anywhere in the executed plan.
+    val plan = c.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(docs, "doc_id", "text", 8, 8)
+    }
+  }
+}
