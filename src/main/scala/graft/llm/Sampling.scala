@@ -63,6 +63,31 @@ object Sampling {
       .where(col("__graft_rk") <= n).drop("__graft_rk")
   }
 
+  /** Deterministic weighted sample without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row draws its reproducible
+    * uniform `u = hashFraction(keys, seed)` and scores `u^(1/w)`; the `n`
+    * largest scores are the sample. Higher weight pulls the score toward
+    * 1, so inclusion odds grow with weight — quality-weighted or
+    * recency-weighted corpus selection with the same determinism story as
+    * [[sampleN]] (rerun-stable, partition-independent, and monotone in n:
+    * scores are fixed per row, so the top-100 contains the top-50).
+    *
+    * Scale shape: plans as TakeOrderedAndProject — one narrow pass keeping
+    * n rows per partition, one n-row merge; never a full sort. Weights
+    * must be strictly positive: a non-positive weight fails the job
+    * loudly (raise_error) instead of silently skewing the sample. */
+  def sampleWeightedN(df: DataFrame, keyCols: Seq[String], weightCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    val w = col(weightCol).cast("double")
+    val u = hashFraction(keyCols.map(col), seed)
+    val score = when(w > 0.0, pow(u, lit(1.0) / w))
+      .otherwise(raise_error(concat(
+        lit(s"sampleWeightedN: weight column '$weightCol' must be > 0, got "),
+        w.cast("string"))))
+    df.orderBy(score.desc +: keyCols.map(col(_).asc): _*).limit(n)
+  }
+
   /** Leakage-safe split assignment: appends `splitCol` with the split name
     * chosen by where the key-hash fraction lands among the cumulative
     * weights (normalized). All rows sharing the key columns land in the

@@ -983,6 +983,38 @@ object LlmQueries {
         "n_png" -> sum(when(col("out_meta.media_type") === "image/png", 1L).otherwise(0L)))
     }),
 
+    // -------------------------------------- weighted sampling (A-ES)
+    // Hash-frozen weighted sample without replacement: exact size and the
+    // class-bias/determinism/monotonicity guarantees fold into booleans
+    // (the xxhash64 draw is not SQL-replayable; the facts it must satisfy
+    // are). Planted weights: every 10th doc weighs 9, the rest 1 — the
+    // heavy class's inclusion RATE must beat the light class's by > 3x
+    // (w=9 gives ~8x at sf0.01; cross-multiplied so an empty light draw
+    // can't divide by zero).
+    "q_sample_weighted" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .withColumn("w", when(pmod(col("doc_id"), lit(10)) === 0, 9.0).otherwise(1.0))
+      val heavy = pmod(col("doc_id"), lit(10)) === 0
+      val s100 = Sampling.sampleWeightedN(docs, Seq("doc_id"), "w", 100, seed = 7)
+        .select("doc_id")
+      val s50 = Sampling.sampleWeightedN(docs, Seq("doc_id"), "w", 50, seed = 7)
+        .select("doc_id")
+      val again = Sampling.sampleWeightedN(docs, Seq("doc_id"), "w", 100, seed = 7)
+        .select("doc_id")
+      val n100 = s100.count()
+      val heavyHits = s100.where(heavy).count()
+      val lightHits = n100 - heavyHits
+      val nHeavy = docs.where(heavy).count()
+      val nLight = docs.count() - nHeavy
+      val nStable = s100.join(again, Seq("doc_id"), "left_semi").count()
+      val nMono = s50.join(s100, Seq("doc_id"), "left_semi").count()
+      one(docs.limit(1),
+        "n" -> L(n100),
+        "bias_ok" -> lit(heavyHits * nLight > 3L * lightHits * nHeavy),
+        "deterministic_ok" -> lit(nStable == n100),
+        "monotone_ok" -> lit(nMono == 50L))
+    }),
+
     // ------------------------------------------------ chunking (RAG prep)
     // Full-output replay: every chunk row (layout integers + the rejoined
     // chunk STRING) hash-compares against DuckDB re-deriving the identical
@@ -1493,6 +1525,14 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // The sample size is a table fact; the bias/determinism/monotonicity
+    // booleans are hash-frozen guarantees the Spark side must re-derive
+    // (see q_sample_weighted in `queries`).
+    "q_sample_weighted" ->
+      """SELECT least(100, count(*)) AS n, TRUE AS bias_ok,
+        |TRUE AS deterministic_ok, TRUE AS monotone_ok
+        |FROM documents""".stripMargin,
 
     // Full replay of the overlapping-window chunk layout at C=16, S=12:
     // identical tokenization (trim + \s+ split), the same integer chunk

@@ -57,4 +57,41 @@ class Round10OpsSpec extends AnyFunSuite {
       Chunking.chunkByTokens(docs, "doc_id", "text", 8, 8)
     }
   }
+
+  test("sampleWeightedN: size, determinism, partition independence, weight bias, top-k plan") {
+    import graft.llm.Sampling
+    val rows = (1L to 1000L).map(id => (id, if (id % 10 == 0) 9.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val sel = Sampling.sampleWeightedN(df, Seq("id"), "w", 200, seed = 11)
+    val ids = sel.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 200)
+
+    // Rerun and repartitioned rerun select the identical set (hash-frozen).
+    val again = Sampling.sampleWeightedN(df.repartition(13), Seq("id"), "w", 200, seed = 11)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+
+    // Monotone: scores are fixed per row, so top-100 is inside top-200.
+    val s100 = Sampling.sampleWeightedN(df, Seq("id"), "w", 100, seed = 11)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s100.subsetOf(ids))
+
+    // Weight bias: 100 heavy rows at w=9 vs 900 light at w=1 — the heavy
+    // inclusion rate must far exceed the light rate (cross-multiplied).
+    val heavyHits = ids.count(_ % 10 == 0)
+    val lightHits = ids.size - heavyHits
+    assert(heavyHits.toLong * 900L > 3L * lightHits.toLong * 100L,
+      s"heavy=$heavyHits light=$lightHits")
+
+    // Never a full sort: top-k plans as TakeOrderedAndProject.
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+
+    // Non-positive weights fail loudly, not silently.
+    val bad = df.withColumn("w", when(col("id") === 500L, 0.0).otherwise(col("w")))
+    val e = intercept[Exception] {
+      Sampling.sampleWeightedN(bad, Seq("id"), "w", 10, seed = 11).collect()
+    }
+    assert(e.getMessage.contains("must be > 0"), e.getMessage)
+  }
 }
