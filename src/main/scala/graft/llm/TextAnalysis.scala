@@ -327,6 +327,50 @@ object TextAnalysis {
   def windowFingerprints(text: Column, width: Int = 8): Column =
     transform(Dedup.shingles(text, width), s => xxhash64(s))
 
+  // ------------------------------------------------------------ tf-idf
+
+  /** Per-document top-k salient terms by smoothed TF-IDF
+    * (`score = tf * (ln((N+1)/(df+1)) + 1)`, the sklearn-style smooth
+    * idf): keyword extraction / topic tagging over a corpus. Terms are
+    * whitespace tokens of `trim(lower(text))` — the same normalization as
+    * the shingle family. Ties rank deterministically (score desc, term
+    * asc).
+    *
+    * Scale shape: explode → two map-side-combined aggregations (term
+    * frequency per (doc, term); document frequency per term — the second
+    * reuses the first's output, never rescanning the corpus) → one
+    * equi-join on term → per-doc top-k via `row_number` ≤ k, which Spark
+    * executes as WindowGroupLimit (per-partition running top-k, no
+    * per-doc buffering). `maxDfRatio` drops stopword-grade terms (df >
+    * ratio·N) BEFORE the join fans tf rows back out — at corpus scale the
+    * head of the vocabulary is most of the join volume and carries the
+    * least signal.
+    *
+    * @param totalDocs corpus size for the idf; pass it when known (e.g.
+    *   from an earlier aggregate) to avoid the extra count job. */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      maxDfRatio: Double = 1.0, totalDocs: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfRatio > 0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0,1], got $maxDfRatio")
+    val n = totalDocs.getOrElse(df.count())
+    val tf = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+      .where(col("df_docs") <= (lit(maxDfRatio) * n).cast("long"))
+    val scored = tf.join(dfx, Seq("term"))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (log(lit((n + 1).toDouble) / (col("df_docs") + 1L).cast("double")) + 1.0))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("df_docs"), col("tfidf"))
+  }
+
   // ------------------------------------------------------------ frame API
 
   /** Annotate a document frame with the standard analysis columns. */

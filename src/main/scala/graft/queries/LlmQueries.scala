@@ -1015,6 +1015,19 @@ object LlmQueries {
         "monotone_ok" -> lit(nMono == 50L))
     }),
 
+    // -------------------------------------------- tf-idf salient terms
+    // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
+    // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
+    // both aggregations, ln((N+1)/(df+1))+1, the rank ordering). Rank ties
+    // carry the term-asc tiebreak on both sides; distinct (tf, df) pairs
+    // yield score gaps far above double rounding.
+    "q_text_salient" -> ((s, d) =>
+      TextAnalysis.salientTerms(table(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+          col("tf"), col("df_docs"),
+          round(col("tfidf") * 1e6).cast("long").as("score_fp"))
+        .orderBy("doc_id", "rank")),
+
     // ------------------------------------------------ chunking (RAG prep)
     // Full-output replay: every chunk row (layout integers + the rejoined
     // chunk STRING) hash-compares against DuckDB re-deriving the identical
@@ -1525,6 +1538,29 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Full replay of the TF-IDF pipeline: identical tokenization, the two
+    // aggregations, the smooth idf ln((N+1)/(df+1))+1 over the same
+    // doubles, and the (score desc, term asc) rank — every output row
+    // hash-compares including the 1e-6 fixed-point score.
+    "q_text_salient" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df_docs,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (ln(CAST(n.n + 1 AS DOUBLE) / CAST(dfx.df_docs + 1 AS DOUBLE)) + 1.0)
+        |      AS tfidf
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df_docs,
+        |  CAST(round(tfidf * 1e6) AS BIGINT) AS score_fp
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // The sample size is a table fact; the bias/determinism/monotonicity
     // booleans are hash-frozen guarantees the Spark side must re-derive

@@ -94,4 +94,39 @@ class Round10OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must be > 0"), e.getMessage)
   }
+
+  test("salientTerms: hand-computed tf-idf ranks, tie-break, maxDfRatio, group-limit plan") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date"),
+      (4L, "date elderberry")).toDF("doc_id", "text")
+    val top = TextAnalysis.salientTerms(docs, "doc_id", "text", k = 2)
+    val byDoc = top.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    // N=4; df: apple 1, banana 2, cherry 2, date 2, elderberry 1.
+    // idf(df=1)=ln(2.5)+1, idf(df=2)=ln(5/3)+1.
+    assert(byDoc(1L) === Seq("apple", "banana"))
+    // Doc 2: banana and cherry tie exactly (tf=1, df=2) -> term asc.
+    assert(byDoc(2L) === Seq("banana", "cherry"))
+    assert(byDoc(3L) === Seq("cherry", "date"))
+    assert(byDoc(4L) === Seq("elderberry", "date"))
+
+    // Scores: doc 3 cherry = 3*(ln(5/3)+1).
+    val cherry3 = top.where(col("doc_id") === 3L && col("term") === "cherry")
+      .select("tfidf").head().getDouble(0)
+    assert(math.abs(cherry3 - 3.0 * (math.log(5.0 / 3.0) + 1.0)) < 1e-12)
+
+    // maxDfRatio 0.25 keeps only df=1 terms (stopword-grade df dropped
+    // before the join).
+    val rare = TextAnalysis.salientTerms(docs, "doc_id", "text", k = 3,
+      maxDfRatio = 0.25)
+    assert(rare.select("term").collect().map(_.getString(0)).toSet ===
+      Set("apple", "elderberry"))
+
+    // Top-k per doc runs as a group-limit, not a full per-doc sort buffer.
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
