@@ -220,6 +220,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column: per
+    * vector, `scale = max(|x_i|)/127` and `q_i = round(x_i/scale)` — every
+    * element lands in [-127, 127] with reconstruction error ≤ scale/2.
+    * The point at corpus scale: embeddings dominate storage and scan I/O,
+    * and int8 cuts both 4× vs float32 (8× vs double) at a recall cost
+    * that [[quantizedTopK]]'s harness measures instead of assumes. The
+    * all-zero vector quantizes to zeros with scale 0.
+    *
+    * Scale shape: one narrow projection — per-row lambdas only (tolerable
+    * once per row, per this object's performance note; pair-side scoring
+    * happens on the DEQUANTIZED doubles through the native kernels).
+    * Every arithmetic step is plain double division/rounding, so the
+    * quantized values replay exactly in SQL.
+    *
+    * @return input plus `qCol` (array<bigint> in [-127,127]) and
+    *   `scaleCol` (double); null vectors yield null q/scale. */
+  def quantizeInt8(df: DataFrame, vecCol: String, qCol: String = "q_vec",
+      scaleCol: String = "q_scale"): DataFrame = {
+    val xs = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(xs, x => abs(x))) / 127.0
+    df.withColumn(scaleCol, scale)
+      .withColumn(qCol,
+        when(col(vecCol).isNull, lit(null))
+          .otherwise(when(col(scaleCol) === 0.0, transform(xs, _ => lit(0L)))
+            .otherwise(transform(xs, x => round(x / col(scaleCol)).cast("long")))))
+  }
+
+  /** Dequantized double vector from (q, scale) — feeds the native
+    * VectorKernels exactly like a raw embedding. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Brute-force cosine top-k over the QUANTIZED corpus — the accuracy
+    * harness for [[quantizeInt8]]: same shape as [[bruteForceTopK]]
+    * (broadcast queries, corpus never shuffles for scoring) but scoring
+    * the dequantized int8 vectors, so recall@k against the exact top-k
+    * measures precisely what quantization costs on this corpus. Queries
+    * stay full-precision (the standard asymmetric-distance setup). */
+  def quantizedTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
+      qCol: String = "q_vec", scaleCol: String = "q_scale"): DataFrame = {
+    val quant = quantizeInt8(corpus, corpusVec, qCol, scaleCol)
+      .select(col(corpusId), dequantize(col(qCol), col(scaleCol)).as("__deq"))
+    bruteForceTopK(quant, corpusId, "__deq", queries, queryId, queryVec, k)
+  }
+
   /** Deterministic IVF centroid seed: the `nCentroids` corpus vectors with
     * the smallest xxhash64(id) — stable, independent of data layout. One
     * tiny TakeOrdered job; the matrix (nCentroids × dim doubles) lives on

@@ -1015,6 +1015,46 @@ object LlmQueries {
         "monotone_ok" -> lit(nMono == 50L))
     }),
 
+    // ----------------------------------------- int8 quantization (ANN)
+    // Full per-vector replay: scale, quantized checksums and the
+    // reconstruction-error bound (|q*scale - x| <= scale/2) are identical
+    // double arithmetic on both sides — no summation-order hazard (max is
+    // order-free, the q_sum is integer).
+    "q_embed_quantize" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(table(s, d, "embeddings"), "embedding")
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      q.select(col("vec_id"), col("q_scale"),
+        aggregate(col("q_vec"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q_vec")).as("q_min"),
+        array_max(col("q_vec")).as("q_max"),
+        forall(zip_with(col("q_vec"), xs,
+          (qi, xi) => abs(qi.cast("double") * col("q_scale") - xi) <=
+            col("q_scale") / 2.0), b => b).as("recon_ok"))
+        .orderBy("vec_id")
+    }),
+
+    // Recall of brute-force top-10 on DEQUANTIZED int8 vectors vs the
+    // exact top-10 (both arms Spark-computed through the same native
+    // kernels, so overlap is deterministic). n_exact is the SQL-replayable
+    // fact; the recall pin (>= 0.95 at 64-dim) is the hash-frozen
+    // guarantee. Int8 keeps ~7 significant bits per component — at this
+    // dimensionality the cosine ordering is essentially preserved.
+    "q_ann_quantized_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val overlap = exact.join(quant, Seq("query_id", "neighbor_id"), "left_semi").count()
+      one(emb.limit(1),
+        "n_exact" -> L(nExact),
+        "recall_ok" -> lit(overlap.toDouble >= 0.95 * nExact))
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -1538,6 +1578,34 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Full replay of the int8 quantization arithmetic: per-vector scale
+    // (max|x|/127 over the same float->double casts), quantized-value
+    // checksums, and the reconstruction bound — all identical double ops.
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+        |s AS (SELECT vec_id, xs,
+        |    list_max(list_transform(xs, x -> abs(x))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, scale, xs,
+        |    CASE WHEN scale = 0 THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(xs, x -> CAST(round(x/scale) AS BIGINT)) END AS qs
+        |  FROM s)
+        |SELECT vec_id, scale AS q_scale,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qs) AS BIGINT) AS q_min,
+        |  CAST(list_max(qs) AS BIGINT) AS q_max,
+        |  len(list_filter(generate_series(1, len(qs)),
+        |    i -> abs(qs[i]*scale - xs[i]) > scale/2)) = 0 AS recon_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // n_exact is replayable (5 queries x 10 neighbors over >= 20 corpus
+    // rows); the recall band is the hash-frozen pin (see
+    // q_ann_quantized_recall in `queries`).
+    "q_ann_quantized_recall" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
+        |  AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM (SELECT 1)""".stripMargin,
 
     // Full replay of the TF-IDF pipeline: identical tokenization, the two
     // aggregations, the smooth idf ln((N+1)/(df+1))+1 over the same

@@ -129,4 +129,50 @@ class Round10OpsSpec extends AnyFunSuite {
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("quantizeInt8: hand values, bounds, zero/null vectors, quantized recall") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "embedding").orderBy("vec_id").collect()
+
+    // scale = 2/127; q = round(x*127/2): 63.5 -> 64 (half-up), -127, 32.
+    assert(math.abs(q(0).getDouble(q(0).fieldIndex("q_scale")) - 2.0 / 127.0) < 1e-15)
+    assert(q(0).getSeq[Long](q(0).fieldIndex("q_vec")) === Seq(64L, -127L, 32L))
+    // All-zero vector: scale 0, all-zero codes (not NaN/div-zero).
+    assert(q(1).getDouble(q(1).fieldIndex("q_scale")) === 0.0)
+    assert(q(1).getSeq[Long](q(1).fieldIndex("q_vec")) === Seq(0L, 0L, 0L))
+    // Null vector rides through as null.
+    assert(q(2).isNullAt(q(2).fieldIndex("q_vec")))
+
+    // Codes always within [-127, 127]; reconstruction within scale/2.
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val qc = Similarity.quantizeInt8(corpus, "embedding")
+    val viol = qc.select(
+      forall(col("q_vec"), x => abs(x) <= 127L).as("in_range"),
+      forall(zip_with(col("q_vec"), transform(col("embedding"), _.cast("double")),
+        (qi, xi) => abs(qi.cast("double") * col("q_scale") - xi) <=
+          col("q_scale") / 2.0), b => b).as("recon"))
+      .where(!col("in_range") || !col("recon")).count()
+    assert(viol === 0L)
+
+    // Asymmetric quantized top-k keeps high recall on random gaussians.
+    val queries = corpus.where(col("vec_id") <= 3L)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall too low: $recall")
+  }
 }
