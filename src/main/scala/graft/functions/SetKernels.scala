@@ -129,4 +129,119 @@ object SetKernels {
   def countInSet(arr: Column, values: Array[Long]): Column =
     GraftSql.column(ArrayCountInSet(GraftSql.expression(arr),
       new LongSortedSet(values.clone().sorted)))
+
+  /** Bloom-filter form of the long set: `bitsPerKey` bits per element
+    * instead of 64, at the price of a tunable false-POSITIVE rate
+    * (~0.6185^bitsPerKey with the optimal probe count; never false
+    * negatives). The sorted array stops being driver/executor-friendly
+    * somewhere around 10^8 grams (~800 MB); the bloom pushes that
+    * ceiling ~3-6x further for membership-style guards whose consumers
+    * tolerate "maybe" (decontamination drops a few extra clean docs, it
+    * never ships a contaminated one).
+    *
+    * Hashing: two independent splitmix64 finalizer mixes drive
+    * double-hashing (`h1 + i*h2` over k probes) — the standard
+    * Kirsch–Mitzenmacher construction. Content-based equality via the
+    * precomputed hash, like [[LongSortedSet]]. */
+  final class LongBloomSet(val words: Array[Long], val k: Int) extends Serializable {
+    require(words.nonEmpty && k >= 1, "empty bloom filter")
+    private val nBits: Long = words.length.toLong * 64L
+    override val hashCode: Int = 31 * java.util.Arrays.hashCode(words) + k
+    override def equals(other: Any): Boolean = other match {
+      case o: LongBloomSet =>
+        (this eq o) || (hashCode == o.hashCode && k == o.k &&
+          java.util.Arrays.equals(words, o.words))
+      case _ => false
+    }
+    override def toString: String =
+      s"LongBloomSet(bits=$nBits, k=$k, hash=$hashCode)"
+
+    def mightContain(v: Long): Boolean = {
+      val h1 = LongBloomSet.mix(v, 0x9E3779B97F4A7C15L)
+      val h2 = LongBloomSet.mix(v, 0xC2B2AE3D27D4EB4FL) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+        if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+
+    /** Same three-valued semantics as [[LongSortedSet.containsAny]]. */
+    def containsAny(arr: ArrayData): Any = {
+      val n = arr.numElements()
+      var sawNull = false
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) sawNull = true
+        else if (mightContain(arr.getLong(i))) return true
+        i += 1
+      }
+      if (sawNull) null else false
+    }
+  }
+
+  object LongBloomSet {
+    /** splitmix64 finalizer seeded by `salt` — full-avalanche 64-bit mix. */
+    private[SetKernels] def mix(v: Long, salt: Long): Long = {
+      var z = v + salt
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    /** Build from distinct values at `bitsPerKey` bits each (k probes =
+      * bitsPerKey * ln 2 rounded, the optimum). bitsPerKey = 20 gives a
+      * per-element false-positive rate of ~6e-5. */
+    def build(values: Array[Long], bitsPerKey: Int): LongBloomSet = {
+      require(bitsPerKey >= 4 && bitsPerKey <= 64,
+        s"bitsPerKey must be in [4, 64], got $bitsPerKey")
+      val nBits = math.max(64L, values.length.toLong * bitsPerKey)
+      val words = new Array[Long](((nBits + 63) / 64).toInt)
+      val total = words.length.toLong * 64L
+      val k = math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
+      values.foreach { v =>
+        val h1 = mix(v, 0x9E3779B97F4A7C15L)
+        val h2 = mix(v, 0xC2B2AE3D27D4EB4FL) | 1L
+        var i = 0
+        while (i < k) {
+          val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, total)
+          words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+          i += 1
+        }
+      }
+      new LongBloomSet(words, k)
+    }
+  }
+
+  /** TRUE iff any element MIGHT be in the bloom set (no false negatives;
+    * per-element false-positive rate set by the filter's sizing). Null
+    * semantics mirror [[ArrayAnyInSet]]. */
+  case class ArrayAnyInBloom(child: Expression, set: LongBloomSet)
+      extends UnaryExpression {
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${other.simpleString}")
+    }
+    override def prettyName: String = "graft_any_in_bloom"
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      set.containsAny(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomSet", set,
+        "graft.functions.SetKernels.LongBloomSet")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        Object r = $ref.containsAny($arr);
+        ${ev.isNull} = (r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Boolean) r).booleanValue();""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def anyInBloom(arr: Column, values: Array[Long], bitsPerKey: Int = 20): Column =
+    GraftSql.column(ArrayAnyInBloom(GraftSql.expression(arr),
+      LongBloomSet.build(values, bitsPerKey)))
 }

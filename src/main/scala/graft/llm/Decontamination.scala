@@ -101,4 +101,33 @@ object Decontamination {
     val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)
     stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
   }
+
+  /** [[streamDecontaminate]] with a BLOOM-FILTER gram set: `bitsPerKey`
+    * bits per eval gram instead of 64, pushing the driver/broadcast
+    * ceiling ~3-6x higher before the join-based batch path becomes
+    * mandatory. The tradeoff is one-directional by construction: a bloom
+    * has NO false negatives, so every genuinely contaminated document is
+    * still dropped; a per-gram false-positive rate of ~0.6185^bitsPerKey
+    * (~6e-5 at the default 20) additionally drops that fraction of clean
+    * GRAMS' documents — acceptable where the guard's job is "never ship
+    * eval material", lossy-intolerable callers use [[streamDecontaminate]]
+    * or the batch join. Stateless and stream-safe like its exact twin. */
+  def bloomStreamDecontaminate(stream: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, bitsPerKey: Int = 20,
+      maxEvalGrams: Long = 200000000L): DataFrame = {
+    require(!eval.isStreaming, "eval corpus must be a static frame")
+    val grams = Dedup.shingleSets(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val nGrams = grams.count()
+    require(nGrams <= maxEvalGrams,
+      s"bloomStreamDecontaminate would build a bloom over $nGrams distinct eval " +
+        s"grams (cap maxEvalGrams=$maxEvalGrams, ~$bitsPerKey bits each). An eval " +
+        "corpus this large is usually a swapped argument; if intended, raise " +
+        "maxEvalGrams, or use the join-based Decontamination.decontaminate.")
+    val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
+    val contaminated = graft.functions.SetKernels.anyInBloom(sh, evalGrams, bitsPerKey)
+    stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
+  }
 }

@@ -262,6 +262,43 @@ object LlmQueries {
       a.crossJoin(b)
     }),
 
+    // Bloom-filter decontamination guard over the same planted eval
+    // corpus as q_decontaminate: the bloom may only err in ONE direction.
+    // Exactly checked: no contaminated doc survives the bloom (false
+    // negatives are impossible by construction); banded: the extra clean
+    // docs it drops stay under 5% (expected ~0.5% at 20 bits/key over
+    // ~90-gram docs).
+    "q_decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val evalSlices = docs.where(pmod(col("doc_id"), lit(100)) === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(toks, 6, 21), " ").as("text"))
+      val probes = Seq(
+        (9000001L, (0 until 20).map(i => s"qa$i").mkString(" ")),
+        (9000002L, (0 until 20).map(i => s"qb$i").mkString(" ")),
+        (9000003L, (0 until 20).map(i => s"qc$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val evalDf = evalSlices.unionByName(probes)
+      val contaminatedIds = graft.llm.Decontamination.contaminationReport(
+          docs, evalDf, "doc_id", "text", n = 13)
+        .where(col("contaminated")).select(col("id").as("doc_id"))
+      val keptBloom = graft.llm.Decontamination.bloomStreamDecontaminate(
+        docs, evalDf, "doc_id", "text", n = 13, bitsPerKey = 20)
+      val nDocs = docs.count()
+      val nContaminated = contaminatedIds.count()
+      val nKeptBloom = keptBloom.count()
+      val nFalseNeg = keptBloom.select("doc_id")
+        .join(contaminatedIds, Seq("doc_id"), "left_semi").count()
+      val nKeptExact = nDocs - nContaminated
+      one(docs.limit(1),
+        "n_docs" -> L(nDocs),
+        "n_contaminated" -> L(nContaminated),
+        "no_false_neg_ok" -> lit(nFalseNeg == 0L),
+        "fp_band_ok" -> lit(nKeptExact - nKeptBloom <= 0.05 * nKeptExact))
+    }),
+
     // ---------------------------------------- incremental (batch-vs-corpus)
     // Planted construction, hand-derivable like q_dedup_minhash_cc: 5 base
     // docs of 100 hash-namespace tokens join the corpus; the batch holds 5
@@ -1578,6 +1615,32 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Replays q_decontaminate's planted construction for the table facts
+    // (n_docs, n_contaminated); the bloom's one-directional error
+    // guarantees fold into pinned booleans (the filter's bit pattern is
+    // not SQL-replayable; the properties it must satisfy are).
+    "q_decontaminate_bloom" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt FROM documents),
+        |evsrc AS (
+        |  SELECT array_to_string(lt[6:26], ' ') AS text FROM tk WHERE doc_id % 100 = 1
+        |  UNION ALL SELECT 'qa0 qa1 qa2 qa3 qa4 qa5 qa6 qa7 qa8 qa9 qa10 qa11 qa12 qa13 qa14 qa15 qa16 qa17 qa18 qa19'
+        |  UNION ALL SELECT 'qb0 qb1 qb2 qb3 qb4 qb5 qb6 qb7 qb8 qb9 qb10 qb11 qb12 qb13 qb14 qb15 qb16 qb17 qb18 qb19'
+        |  UNION ALL SELECT 'qc0 qc1 qc2 qc3 qc4 qc5 qc6 qc7 qc8 qc9 qc10 qc11 qc12 qc13 qc14 qc15 qc16 qc17 qc18 qc19'),
+        |evtk AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS lt FROM evsrc),
+        |evg AS (SELECT DISTINCT w FROM (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(lt) - 12, 1)),
+        |    i -> array_to_string(lt[i:i+12], ' '))) AS w FROM evtk)),
+        |tg AS (SELECT DISTINCT doc_id, w FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(lt) - 12, 1)),
+        |    i -> array_to_string(lt[i:i+12], ' '))) AS w FROM tk)),
+        |per AS (SELECT doc_id, sum(CASE WHEN w IN (SELECT w FROM evg) THEN 1 ELSE 0 END) AS n_hits
+        |  FROM tg GROUP BY doc_id)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  TRUE AS no_false_neg_ok, TRUE AS fp_band_ok
+        |FROM per""".stripMargin,
 
     // Full replay of the int8 quantization arithmetic: per-vector scale
     // (max|x|/127 over the same float->double casts), quantized-value

@@ -175,4 +175,53 @@ class Round10OpsSpec extends AnyFunSuite {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall too low: $recall")
   }
+
+  test("LongBloomSet: no false negatives, FP near theory, null semantics, stream-safe guard") {
+    import graft.functions.SetKernels
+    val rnd = new scala.util.Random(3)
+    val members = Array.fill(10000)(rnd.nextLong())
+    val bloom = SetKernels.LongBloomSet.build(members.distinct, bitsPerKey = 20)
+    // Exhaustive: every member must probe true (false negatives impossible).
+    assert(members.forall(bloom.mightContain), "bloom false negative")
+    // FP rate near the ~6e-5 theory at 20 bits/key: 100k non-members.
+    val nonMembers = Array.fill(100000)(rnd.nextLong()).filterNot(members.contains)
+    val fps = nonMembers.count(bloom.mightContain)
+    assert(fps <= 30, s"false-positive rate off theory: $fps / ${nonMembers.length}")
+
+    // Column probe with three-valued null semantics (mirrors anyInSet).
+    val df = Seq(
+      (1L, Seq[java.lang.Long](members(0), 12345L)),          // hit
+      (2L, Seq[java.lang.Long](null, members(1))),            // hit beats null
+      (3L, Seq[java.lang.Long](null)),                        // unknown
+      (4L, Seq[java.lang.Long]())                             // empty: false
+    ).toDF("id", "arr")
+    val probed = df.select(col("id"),
+      SetKernels.anyInBloom(col("arr"), members, 20).as("hit"))
+      .orderBy("id").collect()
+    assert(probed(0).getBoolean(1) === true)
+    assert(probed(1).getBoolean(1) === true)
+    assert(probed(2).isNullAt(1))
+    // id 4 may rarely be a bloom FP-free false: empty array is plain false.
+    assert(probed(3).getBoolean(1) === false)
+
+    // bloomStreamDecontaminate composes with a real stream (stateless).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evalDf = Seq((1L, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val guarded = graft.llm.Decontamination.bloomStreamDecontaminate(
+      input.toDS().toDF("doc_id", "text"), evalDf, "doc_id", "text", n = 13)
+    val query = guarded.writeStream.format("memory")
+      .queryName("r10_bloom_guard").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12 e13 tail"), // contaminated
+        (11L, "clean words only nothing shared with the eval corpus at all"))
+      query.processAllAvailable()
+      val kept = spark.table("r10_bloom_guard").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(11L), s"guard must drop the contaminated doc: $kept")
+    } finally query.stop()
+  }
 }
