@@ -1052,6 +1052,26 @@ object LlmQueries {
         "monotone_ok" -> lit(nMono == 50L))
     }),
 
+    // ------------------------------------- corpus overlap (KMV sketch)
+    // Two overlapping document slices (doc_id%3 != 2 vs != 0): the exact
+    // distinct-3-gram Jaccard facts replay in SQL on shingle STRINGS
+    // (Spark computes them on xxhash64 fingerprints — the family's
+    // collision-negligible regime); the bottom-1024 KMV estimate must
+    // land within 0.1 of exact (~6 sigma at k=1024).
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val a = docs.where(pmod(col("doc_id"), lit(3)) =!= 2)
+      val b = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val (na, nb, inter) = graft.llm.CorpusStats.exactJaccard(a, b, "text", width = 3)
+      val exactJ = inter.toDouble / (na + nb - inter)
+      val est = graft.llm.CorpusStats.overlapEstimate(a, b, "text", width = 3, k = 1024)
+      one(docs.limit(1),
+        "n_grams_a" -> L(na),
+        "n_grams_b" -> L(nb),
+        "n_inter" -> L(inter),
+        "estimate_band_ok" -> lit(math.abs(est - exactJ) <= 0.1))
+    }),
+
     // ----------------------------------------- int8 quantization (ANN)
     // Full per-vector replay: scale, quantized checksums and the
     // reconstruction-error bound (|q*scale - x| <= scale/2) are identical
@@ -1615,6 +1635,22 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Exact recomputation of the distinct-3-gram Jaccard facts on shingle
+    // strings (identical tokenization and the short-doc whole-text window
+    // convention); the KMV-estimate band is the pinned guarantee.
+    "q_corpus_overlap" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(lt) - 2, 1)),
+        |    i -> array_to_string(lt[i:i+2], ' '))) AS w FROM tk),
+        |ga AS (SELECT DISTINCT w FROM g WHERE doc_id % 3 <> 2),
+        |gb AS (SELECT DISTINCT w FROM g WHERE doc_id % 3 <> 0)
+        |SELECT (SELECT count(*) FROM ga) AS n_grams_a,
+        |  (SELECT count(*) FROM gb) AS n_grams_b,
+        |  (SELECT count(*) FROM ga JOIN gb USING (w)) AS n_inter,
+        |  TRUE AS estimate_band_ok""".stripMargin,
 
     // Replays q_decontaminate's planted construction for the table facts
     // (n_docs, n_contaminated); the bloom's one-directional error

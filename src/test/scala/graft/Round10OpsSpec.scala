@@ -224,4 +224,38 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(kept === Set(11L), s"guard must drop the contaminated doc: $kept")
     } finally query.stop()
   }
+
+  test("CorpusStats: KMV sketch exact in-range, estimator accuracy, harness guard") {
+    import graft.llm.CorpusStats
+    def corpus(ids: Range, ns: String) = ids.map(i =>
+      (i.toLong, (0 until 30).map(j => s"$ns-w${i % 7}-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    // Identical corpora: J = 1; disjoint namespaces: J = 0. Small gram
+    // sets (< k) make the sketch THE set, so both are exact.
+    val a = corpus(1 to 50, "x")
+    assert(CorpusStats.overlapEstimate(a, corpus(1 to 50, "x"), "text") === 1.0)
+    assert(CorpusStats.overlapEstimate(a, corpus(1 to 50, "y"), "text") === 0.0)
+
+    // Estimator against planted hash sets: |A|=|B|=20000, |A∩B|=10000 ->
+    // J = 1/3; k=1024 gives sigma ~ 0.015, assert within 6 sigma.
+    val rnd = new scala.util.Random(5)
+    val shared = Array.fill(10000)(rnd.nextLong())
+    val onlyA = Array.fill(10000)(rnd.nextLong())
+    val onlyB = Array.fill(10000)(rnd.nextLong())
+    val k = 1024
+    val skA = (shared ++ onlyA).distinct.sorted.take(k)
+    val skB = (shared ++ onlyB).distinct.sorted.take(k)
+    val est = CorpusStats.jaccardFromSketches(skA, skB, k)
+    assert(math.abs(est - 1.0 / 3.0) < 0.09, s"KMV estimate off: $est")
+
+    // Exact harness agrees with a hand count and refuses corpus scale.
+    val half = corpus(1 to 50, "x").where(col("doc_id") <= 25)
+    val (na, nb, inter) = CorpusStats.exactJaccard(a, half, "text")
+    assert(inter === nb && na >= nb, s"subset must intersect fully: $na $nb $inter")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.exactJaccard(a, half, "text", maxGrams = 10L)
+    }
+    assert(e.getMessage.contains("maxGrams"), e.getMessage)
+  }
 }
