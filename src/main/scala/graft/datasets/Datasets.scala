@@ -1,6 +1,7 @@
 package graft.datasets
 
 import scala.collection.immutable.ListMap
+import scala.language.dynamics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.api.DataGenerator
 import graft.engine.Generator
@@ -83,6 +84,48 @@ object Datasets {
   }
 
   def list: Seq[String] = reg.keys.toSeq
+
+  /** Dotted navigation over the catalog — the reference's NavigatorNode
+    * sugar (datasets_object.py:345-489, `X.grouping.dataset.table`)
+    * re-expressed with `scala.Dynamic`:
+    * {{{
+    *   Datasets.navigator(spark).basic.user.get(rows = 1000)
+    *   Datasets.navigator(spark).multi_table.sales_order.orders.get()
+    * }}}
+    * Segments accumulate lazily; `get` resolves the longest registered
+    * provider prefix (segments joined with '/'), with at most one trailing
+    * segment naming a table of that provider. Unknown paths fail with the
+    * full path and the registered names, like the reference. */
+  def navigator(spark: SparkSession): Navigator = Navigator(spark, Vector.empty)
+
+  final case class Navigator(spark: SparkSession, segments: Vector[String])
+      extends scala.Dynamic {
+    def selectDynamic(segment: String): Navigator =
+      copy(segments = segments :+ segment)
+
+    /** Resolve the accumulated path and build: the provider's primary
+      * table, or the named table for a `provider.table` path. */
+    def get(rows: Long = 100000L, partitions: Option[Int] = None,
+        options: Options = Map.empty): DataFrame = {
+      val hit = segments.indices.reverse.map { i =>
+        (segments.take(i + 1).mkString("/"), segments.drop(i + 1))
+      }.collectFirst {
+        case (name, rest) if reg.contains(name) && rest.size <= 1 =>
+          (reg(name), rest.headOption)
+      }
+      hit match {
+        case Some((p, None)) => p.get(spark, rows, partitions, options)
+        case Some((p, Some(t))) =>
+          val tabs = p.getTables(spark, rows, partitions, options)
+          tabs.getOrElse(t, throw SpecError(
+            s"provider '${p.meta.name}' has no table '$t'; tables: " +
+              tabs.keys.mkString(", ")))
+        case None => throw SpecError(
+          s"could not find registered provider for path: ${segments.mkString("/")}" +
+            s"; registered: ${reg.keys.mkString(", ")}")
+      }
+    }
+  }
 
   /** Auto partition heuristic (ref: dataset_provider.py:291). */
   def autoPartitions(rows: Long, columns: Int): Int =

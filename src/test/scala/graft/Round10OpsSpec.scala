@@ -258,4 +258,27 @@ class Round10OpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxGrams"), e.getMessage)
   }
+
+  test("Datasets navigator: dotted provider and table paths resolve; bad paths name the path") {
+    import graft.datasets.Datasets
+    val nav = Datasets.navigator(spark)
+
+    // Provider path -> primary table, identical to the string registry.
+    val viaNav = nav.basic.user.get(rows = 200L)
+    val viaReg = Datasets.get(spark, "basic/user", rows = 200L)
+    assert(viaNav.schema === viaReg.schema)
+    assert(viaNav.count() === 200L)
+
+    // Provider.table path on a multi-table provider.
+    val invoices = nav.multi_table.sales_order.invoices.get(rows = 500L)
+    assert(Datasets.getTables(spark, "multi_table/sales_order", rows = 500L)
+      .contains("invoices"))
+    assert(invoices.columns.nonEmpty && invoices.count() > 0L)
+
+    // Unknown path and unknown table both fail with the path named.
+    val e1 = intercept[Exception] { nav.basic.nonsense.get() }
+    assert(e1.getMessage.contains("basic/nonsense"), e1.getMessage)
+    val e2 = intercept[Exception] { nav.multi_table.sales_order.nope.get() }
+    assert(e2.getMessage.contains("no table 'nope'"), e2.getMessage)
+  }
 }
