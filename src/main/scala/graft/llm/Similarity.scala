@@ -238,6 +238,19 @@ object Similarity {
     *   `scaleCol` (double); null vectors yield null q/scale. */
   def quantizeInt8(df: DataFrame, vecCol: String, qCol: String = "q_vec",
       scaleCol: String = "q_scale"): DataFrame = {
+    val st = graft.functions.QuantizeKernel.quantize(col(vecCol))
+    df.withColumn("__graft_qs", st)
+      .withColumn(scaleCol, col("__graft_qs.scale"))
+      .withColumn(qCol, col("__graft_qs.q"))
+      .drop("__graft_qs")
+  }
+
+  /** Higher-order-function spelling of [[quantizeInt8]] — kept as the
+    * parity reference for the fused kernel (bit-equality pinned in
+    * Round10OpsSpec), the [[TextAnalysis.repetitionSignalsExploded]]
+    * convention. Interpreted per element; never the hot path. */
+  def quantizeInt8Columns(df: DataFrame, vecCol: String, qCol: String = "q_vec",
+      scaleCol: String = "q_scale"): DataFrame = {
     val xs = transform(col(vecCol), x => x.cast("double"))
     val scale = array_max(transform(xs, x => abs(x))) / 127.0
     df.withColumn(scaleCol, scale)

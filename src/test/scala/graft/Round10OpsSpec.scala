@@ -174,6 +174,20 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall too low: $recall")
+
+    // Fused-kernel parity: bit-identical to the higher-order-function
+    // spelling on random vectors (incl. the zero and null vectors above,
+    // re-keyed clear of the corpus ids so the join stays 1:1).
+    val edge = vecs.withColumn("vec_id", col("vec_id") + 1000L)
+    val all = corpus.unionByName(edge)
+    val both = Similarity.quantizeInt8(all, "embedding")
+      .select(col("vec_id"), col("q_scale").as("ks"), col("q_vec").as("kq"))
+      .join(Similarity.quantizeInt8Columns(all, "embedding")
+        .select(col("vec_id"), col("q_scale").as("ls"), col("q_vec").as("lq")),
+        Seq("vec_id"))
+    val mismatches = both.where(
+      !(col("ks") <=> col("ls")) || !(col("kq") <=> col("lq"))).count()
+    assert(mismatches === 0L, "kernel/lambda quantization parity")
   }
 
   test("LongBloomSet: no false negatives, FP near theory, null semantics, stream-safe guard") {
