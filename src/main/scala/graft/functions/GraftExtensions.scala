@@ -77,6 +77,13 @@ object GraftExtensions {
         HyperplaneSketch.Keys(children.head,
           literalInt(children(1), "planes"), literalInt(children(2), "probes"))
       }),
+    (FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeKernel.Quantize].getName, "graft_quantize_i8"),
+      { children =>
+        require(children.length == 1,
+          s"graft_quantize_i8 expects exactly 1 argument, got ${children.length}")
+        QuantizeKernel.Quantize(children.head)
+      }),
     (FunctionIdentifier("graft_langid"),
       new ExpressionInfo(classOf[LangIdKernel.LanguageId].getName, "graft_langid"),
       { children =>

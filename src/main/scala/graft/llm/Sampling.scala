@@ -88,6 +88,30 @@ object Sampling {
     df.orderBy(score.desc +: keyCols.map(col(_).asc): _*).limit(n)
   }
 
+  /** Per-group weighted sample without replacement: [[sampleWeightedN]]'s
+    * A-ES score ranked within each `groupCols` value — "the n
+    * highest-quality documents per source/language" selection. Same
+    * determinism story (rerun-stable, partition-independent, monotone in
+    * n); one shuffle (the group window) with a streaming rank, like
+    * [[sampleNPerGroup]]. Groups smaller than n keep all rows. */
+  def sampleWeightedNPerGroup(df: DataFrame, keyCols: Seq[String],
+      groupCols: Seq[String], weightCol: String, n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(groupCols.nonEmpty, "sampleWeightedNPerGroup needs at least one group column")
+    val w = col(weightCol).cast("double")
+    val u = hashFraction(keyCols.map(col), seed)
+    val score = when(w > 0.0, pow(u, lit(1.0) / w))
+      .otherwise(raise_error(concat(
+        lit(s"sampleWeightedNPerGroup: weight column '$weightCol' must be > 0, got "),
+        w.cast("string"))))
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(score.desc +: keyCols.map(col(_).asc): _*)
+    df.withColumn("__graft_rk", row_number().over(win))
+      .where(col("__graft_rk") <= n).drop("__graft_rk")
+  }
+
   /** Leakage-safe split assignment: appends `splitCol` with the split name
     * chosen by where the key-hash fraction lands among the cumulative
     * weights (normalized). All rows sharing the key columns land in the

@@ -1052,6 +1052,39 @@ object LlmQueries {
         "monotone_ok" -> lit(nMono == 50L))
     }),
 
+    // Stratified weighted sampling: per-source group sizes are table
+    // facts (least(5, group size) each, summed; 5 of ~25 per group keeps the selection sparse enough for the weight bias to show), determinism and the
+    // within-group weight bias are hash-frozen booleans.
+    "q_sample_weighted_group" -> ((s, d) => {
+      // Heavy rows must vary WITHIN each source group (source is doc_id
+      // mod 20 in the testdata, so any mod-10 flag would be constant per
+      // group and stratification would erase the bias by construction):
+      // every 5th row of each group weighs 9.
+      val heavy = pmod(expr("doc_id div 20"), lit(5)) === 0
+      val docs = table(s, d, "documents")
+        .withColumn("w", when(heavy, 9.0).otherwise(1.0))
+      val s20 = Sampling.sampleWeightedNPerGroup(docs, Seq("doc_id"),
+        Seq("source"), "w", 5, seed = 3)
+      val again = Sampling.sampleWeightedNPerGroup(docs, Seq("doc_id"),
+        Seq("source"), "w", 5, seed = 3)
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("gsz"))
+      val perGroup = s20.groupBy("source").agg(count(lit(1)).as("n"))
+        .join(sizes, Seq("source"))
+      val nTotal = s20.count()
+      val nStable = s20.select("doc_id")
+        .join(again.select("doc_id"), Seq("doc_id"), "left_semi").count()
+      val heavyHits = s20.where(heavy).count()
+      val nHeavy = docs.where(heavy).count()
+      val nDocs = docs.count()
+      one(perGroup,
+        "n_total" -> sum(col("n")).cast("long"),
+        "n_groups" -> count(lit(1)),
+        "per_group_ok" -> all(col("n") === least(lit(5L), col("gsz"))),
+        "deterministic_ok" -> lit(nStable == nTotal),
+        "bias_ok" -> lit(heavyHits * (nDocs - nHeavy) >
+          3L * (nTotal - heavyHits) * nHeavy))
+    }),
+
     // ------------------------------------- corpus overlap (KMV sketch)
     // Two overlapping document slices (doc_id%3 != 2 vs != 0): the exact
     // distinct-3-gram Jaccard facts replay in SQL on shingle STRINGS
@@ -1635,6 +1668,16 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // Group sizes are table facts; the stratified-weighted-sample
+    // guarantees fold into pinned booleans (see q_sample_weighted_group).
+    "q_sample_weighted_group" ->
+      """WITH g AS (SELECT source, least(5, count(*)) AS take
+        |  FROM documents GROUP BY source)
+        |SELECT CAST(sum(take) AS BIGINT) AS n_total,
+        |  count(*) AS n_groups, TRUE AS per_group_ok,
+        |  TRUE AS deterministic_ok, TRUE AS bias_ok
+        |FROM g""".stripMargin,
 
     // Exact recomputation of the distinct-3-gram Jaccard facts on shingle
     // strings (identical tokenization and the short-doc whole-text window

@@ -273,6 +273,48 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxGrams"), e.getMessage)
   }
 
+  test("sampleWeightedNPerGroup: per-group sizes, bias, determinism, group-limit plan") {
+    import graft.llm.Sampling
+    val df = (1L to 900L).map { id =>
+      (id, s"g${id % 3}", if (id % 10 == 0) 9.0 else 1.0)
+    }.toDF("id", "grp", "w")
+    val sel = Sampling.sampleWeightedNPerGroup(df, Seq("id"), Seq("grp"), "w", 50, seed = 3)
+    val byGroup = sel.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup === Map("g0" -> 50L, "g1" -> 50L, "g2" -> 50L))
+
+    // Small group keeps everything.
+    val tiny = Sampling.sampleWeightedNPerGroup(
+      df.where(col("id") <= 10L), Seq("id"), Seq("grp"), "w", 50, seed = 3)
+    assert(tiny.count() === 10L)
+
+    // Heavy rows overrepresented within each group; rerun identical.
+    val ids = sel.select("id").collect().map(_.getLong(0)).toSet
+    val heavyHits = ids.count(_ % 10 == 0)
+    assert(heavyHits * (900 - 90) > 3 * (ids.size - heavyHits) * 90,
+      s"heavy=$heavyHits of ${ids.size}")
+    val again = Sampling.sampleWeightedNPerGroup(
+      df.repartition(7), Seq("id"), Seq("grp"), "w", 50, seed = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("graft_quantize_i8 is registered on the SQL surface") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_quantize_i8(array(CAST(1.0 AS DOUBLE), -2.0D, 0.5D)) AS s")
+      .select(col("s.q"), col("s.scale")).head()
+    assert(row.getSeq[Long](0) === Seq(64L, -127L, 32L))
+    assert(math.abs(row.getDouble(1) - 2.0 / 127.0) < 1e-15)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_quantize_i8(array(1.0D), 2)").collect()
+    }
+    assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
+  }
+
   test("Datasets navigator: dotted provider and table paths resolve; bad paths name the path") {
     import graft.datasets.Datasets
     val nav = Datasets.navigator(spark)
