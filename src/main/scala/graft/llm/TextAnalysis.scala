@@ -371,6 +371,51 @@ object TextAnalysis {
         col("df_docs"), col("tfidf"))
   }
 
+  // ----------------------------------------------------------- lm quality
+
+  /** Bigram language-model quality proxy (the CCNet-style perplexity
+    * filter): trains add-alpha bigram counts on the corpus itself and
+    * scores each document's average negative log-likelihood
+    * `-mean ln((c(w1,w2) + α) / (c(w1) + α·V))` — low = fluent/common
+    * constructions, high = rare sequences or noise. Tokenization matches
+    * the shingle family (trim + lower + `\s+`).
+    *
+    * Scale shape: two map-side-combined count aggregations (bigrams,
+    * unigrams) over one explode pass each; scoring joins each document
+    * bigram to its two counts (equi-joins on the bigram / first-word
+    * keys) and aggregates per doc. The vocabulary size rides in as a
+    * broadcast 1-row frame, so the whole operator stays lazy — no driver
+    * action. At corpus scale the count frames ARE big (the model is the
+    * vocabulary); a production variant prunes to top-K n-grams and
+    * broadcasts — here the join path keeps the semantics exact and the
+    * shuffles are on count keys, never all-pairs.
+    *
+    * @return (id, n_bigrams, avg_nll) for documents with >= 2 tokens
+    *   (shorter docs carry no bigram evidence and are omitted). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("t"))
+    val pairFrame = docs.where(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(t)-2), " +
+          "i -> struct(element_at(t, i+1) as w1, element_at(t, i+2) as w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = pairFrame.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val vFrame = uni.agg(count(lit(1)).as("v"))
+    pairFrame.join(bi, Seq("w1", "w2"))
+      .join(uni, pairFrame("w1") === uni("w"))
+      .crossJoin(broadcast(vFrame))
+      .withColumn("nll", -log((col("cb") + alpha) /
+        (col("cu") + lit(alpha) * col("v"))))
+      .groupBy("id").agg(count(lit(1)).as("n_bigrams"), avg("nll").as("avg_nll"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+
   // ------------------------------------------------------------ frame API
 
   /** Annotate a document frame with the standard analysis columns. */

@@ -1145,6 +1145,17 @@ object LlmQueries {
         "recall_ok" -> lit(overlap.toDouble >= 0.95 * nExact))
     }),
 
+    // ------------------------------------- bigram LM quality (perplexity)
+    // Full replay: per-doc bigram counts and the 1e-6 fixed-point average
+    // NLL under the corpus-trained add-1 bigram model — DuckDB re-derives
+    // the whole pipeline (tokenization, both count tables, V, the
+    // smoothed log arithmetic over the same doubles).
+    "q_text_perplexity" -> ((s, d) =>
+      TextAnalysis.bigramNll(table(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll") * 1e6).cast("long").as("nll_fp"))
+        .orderBy("doc_id")),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -1748,6 +1759,30 @@ object LlmQueries {
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
         |  AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM (SELECT 1)""".stripMargin,
+
+    // Full replay of the bigram-LM scoring: identical tokenization, the
+    // corpus bigram/unigram counts, V, and -ln((cb+1)/(cu+V)) averaged
+    // per doc at 1e-6 fixed point (summation-order FP drift ~1e-14 sits
+    // far inside the rounding step, the temperature-mixing precedent).
+    "q_text_perplexity" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, lt FROM tk WHERE len(lt) >= 2),
+        |pairs AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(lt) - 1),
+        |    i -> {'w1': lt[i], 'w2': lt[i+1]})) AS b FROM base),
+        |pf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM pairs),
+        |uni AS (SELECT w, count(*) AS cu FROM (SELECT unnest(lt) AS w FROM tk)
+        |  GROUP BY w),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM pf GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |sc AS (SELECT doc_id,
+        |    -ln((cb + 1.0) / (cu + 1.0 * v)) AS nll
+        |  FROM pf JOIN bi USING (w1, w2) JOIN uni ON pf.w1 = uni.w CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(avg(nll) * 1e6) AS BIGINT) AS nll_fp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Full replay of the TF-IDF pipeline: identical tokenization, the two
     // aggregations, the smooth idf ln((N+1)/(df+1))+1 over the same

@@ -315,6 +315,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 1 argument"), e.getMessage)
   }
 
+  test("bigramNll: hand-computed smoothed NLL; short docs feed the model but get no row") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+      (4L, "z"),                       // 1 token: no bigrams, still in model
+      (5L, null.asInstanceOf[String])  // null: fully ignored
+    ).toDF("doc_id", "text")
+    val nll = TextAnalysis.bigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(nll.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(nll.forall(_.getLong(1) == 1L))
+    // unigrams a:3 b:2 c:1 z:1, V=4; bigrams (a,b):2 (a,c):1.
+    // doc1/2: -ln((2+1)/(3+4)) = ln(7/3); doc3: -ln((1+1)/(3+4)) = ln(7/2).
+    assert(math.abs(nll(0).getDouble(2) - math.log(7.0 / 3.0)) < 1e-12)
+    assert(math.abs(nll(1).getDouble(2) - math.log(7.0 / 3.0)) < 1e-12)
+    assert(math.abs(nll(2).getDouble(2) - math.log(7.0 / 2.0)) < 1e-12)
+    // Fluent (repeated) text scores lower than the rare construction.
+    assert(nll(0).getDouble(2) < nll(2).getDouble(2))
+  }
+
   test("Datasets navigator: dotted provider and table paths resolve; bad paths name the path") {
     import graft.datasets.Datasets
     val nav = Datasets.navigator(spark)
