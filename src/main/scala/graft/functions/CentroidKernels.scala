@@ -86,6 +86,36 @@ object CentroidKernels {
       while (m2 < k) { if (bestIdx(m2) < 0) return null; m2 += 1 }
       new GenericArrayData(bestIdx)
     }
+
+    /** Maximum cosine against the matrix (java.lang.Double), with the same
+      * null/NaN contract as [[topIndices]]: null on null-element or ragged
+      * input, an all-NaN row yields null, zero norms score 0.0. Empty
+      * matrix → null (no reference to compare against). */
+    def maxCosine(vec: ArrayData): Any = {
+      if (mat.isEmpty) return null
+      val dim = vec.numElements()
+      var i = 0
+      var vn = 0.0
+      while (i < dim) {
+        if (vec.isNullAt(i)) return null
+        val x = vec.getDouble(i); vn += x * x
+        i += 1
+      }
+      val vnorm = math.sqrt(vn)
+      var best = Double.NegativeInfinity
+      var c = 0
+      while (c < mat.length) {
+        val cv = mat(c)
+        if (cv.length != dim) return null
+        var s = 0.0; var j = 0
+        while (j < dim) { s += vec.getDouble(j) * cv(j); j += 1 }
+        val denom = vnorm * norms(c)
+        val score = if (denom == 0.0) 0.0 else s / denom
+        if (score > best) best = score
+        c += 1
+      }
+      if (best == Double.NegativeInfinity) null else java.lang.Double.valueOf(best)
+    }
   }
 
   /** `topIndices` as a Catalyst expression. Holds the matrix as Seq-of-Seq
@@ -128,4 +158,47 @@ object CentroidKernels {
   /** The single nearest centroid index (argmax cosine). */
   def nearestIndex(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.functions.element_at(nearestIndices(vec, centroids, 1), 1)
+
+  // ---------------------------------------------------------- max cosine
+
+  /** `maxCosine` as a Catalyst expression: the maximum cosine of the row
+    * vector against the embedded matrix, in one compiled pass — the
+    * membership-probe twin of the argmax (semantic decontamination asks
+    * "is anything in the reference set closer than θ", not "which one").
+    * Same scoring and null contract as [[NearestCentroids]] (zero norms
+    * score 0.0, NaN never wins, null/ragged input → null). */
+  case class MaxCosineAgainst(child: Expression, matrix: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_max_cosine"
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    @transient private lazy val set = new CentroidSet(matrix.map(_.toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      set.maxCosine(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidSet", set,
+        "graft.functions.CentroidKernels.CentroidSet")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        Object r = $ref.maxCosine($arr);
+        ${ev.isNull} = (r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Double) r).doubleValue();""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: max cosine of an `array<double>` vector column against a
+    * driver-known matrix. */
+  def maxCosine(vec: Column, matrix: Array[Array[Double]]): Column =
+    GraftSql.column(MaxCosineAgainst(
+      GraftSql.expression(vec.cast("array<double>")), matrix.map(_.toSeq).toSeq))
 }

@@ -130,4 +130,37 @@ object Decontamination {
     val contaminated = graft.functions.SetKernels.anyInBloom(sh, evalGrams, bitsPerKey)
     stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
   }
+
+  /** SEMANTIC decontamination: drop training rows whose embedding sits
+    * within cosine `threshold` of ANY evaluation embedding — the
+    * paraphrase-robust complement of the n-gram guards (a reworded
+    * benchmark item shares no 13-gram but keeps its embedding
+    * neighborhood). The eval matrix is driver-collected (benchmark-sized
+    * by contract, capped like the gram collect) and probed per row by the
+    * fused [[graft.functions.CentroidKernels]] max-cosine kernel — a pure
+    * projection+filter, zero shuffle, zero join, stream-safe at any plan
+    * position. Rows with null or unscoreable (null-element/ragged)
+    * embeddings are KEPT, mirroring the null-text convention of the gram
+    * guards.
+    *
+    * `maxEvalVectors` bounds driver/executor memory: the matrix costs
+    * 8·dim bytes per vector (~50 MB at the default cap with dim 64;
+    * size the cap to the dimension at hand). */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame, vecCol: String,
+      threshold: Double = 0.9, maxEvalVectors: Long = 100000L): DataFrame = {
+    require(!eval.isStreaming, "eval corpus must be a static frame")
+    require(threshold > 0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val vecs = eval.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val n = vecs.count()
+    require(n <= maxEvalVectors,
+      s"semanticDecontaminate would collect $n eval embeddings to the driver " +
+        s"(cap maxEvalVectors=$maxEvalVectors, 8*dim bytes each). An eval corpus " +
+        "this large is usually a swapped argument; if intended, raise " +
+        "maxEvalVectors, or bucket with Dedup.nearDupCosineAgainst-style joins.")
+    val matrix = vecs.collect().map(_.getSeq[Double](0).toArray)
+    val mc = graft.functions.CentroidKernels.maxCosine(col(vecCol), matrix)
+    train.where(col(vecCol).isNull || coalesce(mc < threshold, lit(true)))
+  }
 }

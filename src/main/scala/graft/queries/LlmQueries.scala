@@ -1085,6 +1085,22 @@ object LlmQueries {
           3L * (nTotal - heavyHits) * nHeavy))
     }),
 
+    // Semantic decontamination: every 50th embedding doubles as the eval
+    // set, so those rows are their own cosine-1 matches and MUST drop;
+    // the surviving count is a genuine exhaustive-cosine replay (DuckDB
+    // recomputes every train-x-eval cosine — margins are wide: planted
+    // matches sit at 1.0, random 64-dim pairs far below 0.9).
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val eval = emb.where(pmod(col("vec_id"), lit(50)) === 0)
+      val kept = graft.llm.Decontamination.semanticDecontaminate(
+        emb, eval, "embedding", threshold = 0.9)
+      one(emb.limit(1),
+        "n_train" -> L(emb.count()),
+        "n_eval" -> L(eval.count()),
+        "n_kept" -> L(kept.count()))
+    }),
+
     // ------------------------------------- corpus overlap (KMV sketch)
     // Two overlapping document slices (doc_id%3 != 2 vs != 0): the exact
     // distinct-3-gram Jaccard facts replay in SQL on shingle STRINGS
@@ -1679,6 +1695,18 @@ object LlmQueries {
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,
         |count(DISTINCT text) AS n_checksums,
         |count(*) AS n_octet FROM documents""".stripMargin,
+
+    // GENUINE exhaustive replay: DuckDB recomputes every train-x-eval
+    // cosine and counts the survivors below the 0.9 threshold.
+    "q_decontaminate_semantic" ->
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |flag AS (SELECT t.vec_id FROM embeddings t
+        |  WHERE EXISTS (SELECT 1 FROM ev
+        |    WHERE list_cosine_similarity(t.embedding, ev.embedding) >= 0.9))
+        |SELECT (SELECT count(*) FROM embeddings) AS n_train,
+        |  (SELECT count(*) FROM ev) AS n_eval,
+        |  CAST((SELECT count(*) FROM embeddings)
+        |    - (SELECT count(*) FROM flag) AS BIGINT) AS n_kept""".stripMargin,
 
     // Group sizes are table facts; the stratified-weighted-sample
     // guarantees fold into pinned booleans (see q_sample_weighted_group).

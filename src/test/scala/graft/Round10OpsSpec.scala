@@ -335,6 +335,51 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(nll(0).getDouble(2) < nll(2).getDouble(2))
   }
 
+  test("semanticDecontaminate: threshold semantics, unscoreable kept, guard, stream-safe") {
+    import graft.llm.Decontamination
+    val eval = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f))).toDF("embedding")
+    val train = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),    // parallel: cos 1.0 -> drop
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal: keep
+      (3L, Array(0.95f, 0.312f, 0.0f)), // cos ~0.95 -> drop at 0.9
+      (4L, Array(-1.0f, 0.0f, 0.0f)),   // opposite: keep
+      (5L, null.asInstanceOf[Array[Float]]) // null: keep
+    ).toDF("vec_id", "embedding")
+    val kept = Decontamination.semanticDecontaminate(train, eval, "embedding",
+      threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+
+    // Ragged (wrong-dimension) rows are unscoreable and kept.
+    val ragged = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Decontamination.semanticDecontaminate(ragged, eval, "embedding")
+      .count() === 1L)
+
+    // The driver-collect cap fails fast with the knob named.
+    val e = intercept[IllegalArgumentException] {
+      Decontamination.semanticDecontaminate(train,
+        train.where(col("embedding").isNotNull), "embedding",
+        maxEvalVectors = 2L)
+    }
+    assert(e.getMessage.contains("maxEvalVectors"), e.getMessage)
+
+    // Stateless guard composes with a real stream.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Seq[Float])]
+    val guarded = Decontamination.semanticDecontaminate(
+      input.toDS().toDF("vec_id", "embedding"), eval, "embedding", threshold = 0.9)
+    val query = guarded.writeStream.format("memory")
+      .queryName("r10_sem_guard").outputMode("append").start()
+    try {
+      input.addData((10L, Seq(1.0f, 0.0f, 0.0f)), (11L, Seq(0.0f, 0.0f, 1.0f)))
+      query.processAllAvailable()
+      val got = spark.table("r10_sem_guard").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got === Set(11L), s"stream guard must drop the match: $got")
+    } finally query.stop()
+  }
+
   test("Datasets navigator: dotted provider and table paths resolve; bad paths name the path") {
     import graft.datasets.Datasets
     val nav = Datasets.navigator(spark)
