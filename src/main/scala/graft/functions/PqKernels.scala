@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftSql
+import org.apache.spark.sql.types._
+
+/** Fused product-quantization (PQ) encode/decode kernels.
+  *
+  * PQ splits a d-dimensional vector into `m` contiguous subspaces of
+  * d/m dimensions each and replaces every subvector with the index of its
+  * nearest codeword (L2) from a per-subspace codebook of `ksub` entries.
+  * Storage per vector drops from d floats to m small integers — at
+  * d=64, m=8 that is 32× vs float32 — which at 100 TB is the difference
+  * between an embedding column that fits in cluster memory and one that
+  * doesn't. The codebook is tiny and driver-known (trained by
+  * [[graft.llm.Similarity.pqTrain]]), so both encode and decode are pure
+  * per-row functions: embedded reference object, one compiled pass, zero
+  * shuffle, corpus stays narrow — the same design as
+  * [[CentroidKernels]]' IVF assignment.
+  *
+  * Metric contract: assignment is argmin SQUARED L2 DISTANCE per
+  * subspace (the PQ standard — reconstruction must preserve magnitude,
+  * which cosine assignment would discard). Ties and NaNs resolve to the
+  * LOWEST codeword index (strict `<` replacement scanning in index
+  * order; NaN distances never beat a real one). A null vector, a vector
+  * with null elements, or a length not equal to m×subdim yields null —
+  * the [[VectorKernels]] null contract.
+  *
+  * Reference behaviors this generalizes: the reference's data
+  * distribution machinery has no ANN surface; PQ here serves the
+  * beyond-reference similarity pipeline (SURVEY §2 extension list).
+  */
+object PqKernels {
+
+  /** Immutable m × ksub × subdim codebook, shipped to executors once per
+    * plan as a codegen reference object. */
+  final class Codebook(val books: Array[Array[Array[Double]]]) extends Serializable {
+    val m: Int = books.length
+    val subdim: Int = if (m == 0 || books(0).isEmpty) 0 else books(0)(0).length
+    val dim: Int = m * subdim
+
+    /** PQ codes (argmin L2 per subspace) for a full vector. */
+    def encode(vec: ArrayData): ArrayData = {
+      if (vec.numElements() != dim || dim == 0) return null
+      var i = 0
+      while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+      val codes = new Array[Any](m)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        val base = s * subdim
+        var best = Double.PositiveInfinity
+        var bestIdx = -1
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < subdim) {
+            val diff = vec.getDouble(base + j) - cw(j)
+            d2 += diff * diff
+            j += 1
+          }
+          // Strict < keeps the first (lowest-index) among equals; NaN
+          // (NaN < x is false) never displaces a real distance.
+          if (d2 < best) { best = d2; bestIdx = c }
+          c += 1
+        }
+        if (bestIdx < 0) return null // all-NaN distances: unassignable row
+        codes(s) = bestIdx
+        s += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    /** Reconstructed vector (concatenated codewords) from PQ codes. */
+    def decode(codes: ArrayData): ArrayData = {
+      if (codes.numElements() != m || dim == 0) return null
+      val out = new Array[Any](dim)
+      var s = 0
+      while (s < m) {
+        if (codes.isNullAt(s)) return null
+        val c = codes.getInt(s)
+        if (c < 0 || c >= books(s).length) return null
+        val cw = books(s)(c)
+        var j = 0
+        while (j < subdim) { out(s * subdim + j) = cw(j); j += 1 }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** `encode` as a Catalyst expression. Codebook held as Seq-of-Seq-of-Seq
+    * so plan canonicalization compares values, not array references. */
+  case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_pq_encode"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val book =
+      new Codebook(codebook.map(_.map(_.toArray).toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      book.encode(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", book, "graft.functions.PqKernels.Codebook")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        ${ev.value} = $ref.encode($arr);
+        ${ev.isNull} = (${ev.value} == null);""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `decode` as a Catalyst expression. */
+  case class PqDecode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_pq_decode"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val book =
+      new Codebook(codebook.map(_.map(_.toArray).toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<int>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      book.decode(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", book, "graft.functions.PqKernels.Codebook")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        ${ev.value} = $ref.decode($arr);
+        ${ev.isNull} = (${ev.value} == null);""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private def asSeq(books: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+    books.map(_.map(_.toSeq).toSeq).toSeq
+
+  /** Column API: PQ codes (array<int>, length m) for an `array<double>`
+    * vector column against a driver-known codebook. */
+  def encode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqEncode(GraftSql.expression(vec.cast("array<double>")), asSeq(books)))
+
+  /** Column API: reconstructed `array<double>` vector from PQ codes. */
+  def decode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqDecode(GraftSql.expression(codes.cast("array<int>")), asSeq(books)))
+}

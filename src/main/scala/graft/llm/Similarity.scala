@@ -413,4 +413,125 @@ object Similarity {
           .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Train an m-subspace product-quantization codebook over an embedding
+    * column: split each vector into `m` contiguous subvectors of dim/m
+    * elements, and per subspace run L2 k-means with `ksub` codewords.
+    *
+    * Scale shape: the seed is one deterministic hash-sample job
+    * ([[sampleCentroids]] — ksub full vectors, sliced driver-side into the
+    * m seed books), and every Lloyd iteration is ONE fused encode pass
+    * (narrow, zero shuffle — [[graft.functions.PqKernels]] assigns all m
+    * subspaces in one compiled call) plus ONE hash aggregate whose map-side
+    * partials carry m×ksub×subdim sums per task, not data. All m subspaces
+    * train together; cost does not multiply by m.
+    *
+    * Codewords whose cell captures no rows keep their previous value
+    * (the [[refineCentroids]] empty-cell contract). Deterministic up to
+    * floating-point summation order.
+    *
+    * @return m × ksub × (dim/m) codebook for [[graft.functions.PqKernels]].
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2): Array[Array[Array[Double]]] = {
+    import graft.functions.PqKernels
+    require(m > 0 && ksub > 0, s"pqTrain needs m > 0 and ksub > 0, got m=$m ksub=$ksub")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+      .where(col("cv").isNotNull)
+    val dim = dimOf(c, "cv")
+    require(dim % m == 0,
+      s"pqTrain requires the vector dimension ($dim) to be divisible by m=$m subspaces")
+    val subdim = dim / m
+    val seedVecs = sampleCentroids(c, "id", "cv", ksub)
+    require(seedVecs.nonEmpty, "pqTrain: corpus has no non-null vectors to seed from")
+    var book: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * subdim, (s + 1) * subdim)))
+    for (_ <- 0 until refineIterations) {
+      val codes = PqKernels.encode(col("cv"), book)
+      val means = c
+        .select(col("cv"), posexplode(codes)).toDF("cv", "sub", "code")
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("cv"), col("sub") * subdim + 1, lit(subdim))))
+        .toDF("sub", "code", "pos", "x")
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mu"))
+        .collect()
+      val next = book.map(_.map(_.clone()))
+      val seen = Array.ofDim[Boolean](m, ksub)
+      means.foreach { r =>
+        val s = r.getInt(0); val cI = r.getInt(1); val p = r.getInt(2)
+        if (s >= 0 && s < m && cI >= 0 && cI < next(s).length && p < subdim) {
+          next(s)(cI)(p) = r.getDouble(3); seen(s)(cI) = true
+        }
+      }
+      book = Array.tabulate(m)(s =>
+        next(s).indices.map(cI => if (seen(s)(cI)) next(s)(cI) else book(s)(cI)).toArray)
+    }
+    book
+  }
+
+  /** Attach PQ codes (`array<int>`, length m) to a frame — one narrow
+    * fused-kernel projection, the compressed representation to persist
+    * instead of the raw floats (m bytes-worth of codes vs dim floats). */
+  def pqEncode(df: DataFrame, vecCol: String, books: Array[Array[Array[Double]]],
+      codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol, graft.functions.PqKernels.encode(col(vecCol), books))
+
+  /** Reconstructed `array<double>` vector column from PQ codes. */
+  def pqDecode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqKernels.decode(codes, books)
+
+  /** PQ top-k with exact re-ranking — the standard two-stage ANN shape:
+    *
+    * 1. CANDIDATES: score every corpus row against each query on its
+    *    PQ-reconstructed vector (asymmetric distance — queries stay full
+    *    precision). `dot(q, decode(codes))` equals the classic ADC sum of
+    *    per-subspace codeword dots; the LUT formulation changes where the
+    *    arithmetic happens, not what is computed. This pass reads only the
+    *    m-int code column — at 100 TB that is the whole point: the
+    *    candidate scan touches ~1/32 of the embedding bytes.
+    * 2. RE-RANK: the top k×`rerank` candidates per query (a tiny set) are
+    *    broadcast back against the corpus to fetch their RAW vectors —
+    *    narrow semi-fetch, the full-precision column is read only for
+    *    candidates — and exact cosine decides the final top-k.
+    *
+    * `rerank = 1` is pure ADC (no second stage). Recall@k against
+    * [[bruteForceTopK]] measures what compression costs on this corpus
+    * instead of assuming it ([[quantizedTopK]]'s harness contract). */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
+      rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorKernels
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val books = pqTrain(corpus, corpusId, corpusVec, m, ksub, refineIterations)
+    val encoded = pqEncode(
+      corpus.select(col(corpusId), col(corpusVec)), corpusVec, books, "__pq")
+      .select(col(corpusId), pqDecode(col("__pq"), books).as("__deq"))
+    val adc = bruteForceTopK(encoded, corpusId, "__deq",
+      queries, queryId, queryVec, k * rerank)
+    if (rerank == 1) adc
+    else {
+      val cand = adc.select(col("query_id"), col("neighbor_id"))
+      val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).cast("array<double>").as("qv"))
+        .withColumn("qn", VectorKernels.norm(col("qv"))))
+      // Raw-vector fetch: candidate list broadcast into the corpus scan —
+      // the big side stays narrow, full-precision bytes read only for hits.
+      val fetched = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("cv")))
+        .join(broadcast(cand), Seq("neighbor_id"))
+        .withColumn("cn", VectorKernels.norm(col("cv")))
+      val denom = col("qn") * col("cn")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      fetched.join(q, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          when(denom === 0, lit(0.0))
+            .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+  }
 }

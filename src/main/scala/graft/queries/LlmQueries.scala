@@ -1161,6 +1161,60 @@ object LlmQueries {
         "recall_ok" -> lit(overlap.toDouble >= 0.95 * nExact))
     }),
 
+    // ------------------------------------------- product quantization
+    // The codebook is k-means output (DuckDB can't replay the training),
+    // so this is a spec oracle in the q_ann_quantized_recall mold: n is
+    // the replayable fact; code bounds, reconstruction dimensionality and
+    // Lloyd monotonicity (refined codebook never reconstructs worse than
+    // its seed, the refineCentroids contract) are hash-frozen booleans.
+    "q_embed_pq" -> ((s, d) => {
+      import graft.functions.{PqKernels, VectorKernels}
+      val emb = table(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def meanErr(b: Array[Array[Array[Double]]]): Double = {
+        val diff = zip_with(col("v"), PqKernels.decode(col("pq_codes"), b),
+          (a, c) => a - c)
+        Similarity.pqEncode(emb, "v", b)
+          .agg(avg(VectorKernels.dot(diff, diff))).head.getDouble(0)
+      }
+      val seed = Similarity.pqTrain(emb, "vec_id", "v", m = 16, ksub = 32,
+        refineIterations = 0)
+      val refined = Similarity.pqTrain(emb, "vec_id", "v", m = 16, ksub = 32,
+        refineIterations = 2)
+      val refineImproves = meanErr(refined) <= meanErr(seed)
+      val enc = Similarity.pqEncode(emb, "v", refined)
+      one(enc,
+        "n" -> count(lit(1)),
+        "codes_len_ok" -> all(size(col("pq_codes")) === 16),
+        "codes_in_range" -> all(array_min(col("pq_codes")) >= 0 &&
+          array_max(col("pq_codes")) < 32),
+        "dim_ok" -> all(size(PqKernels.decode(col("pq_codes"), refined)) === size(col("v"))),
+        "refine_improves" -> lit(refineImproves))
+    }),
+
+    // Recall of two-stage PQ search (ADC candidates over the 16-byte codes,
+    // exact re-rank of top-8k) vs the exact top-10 — both arms
+    // Spark-computed, overlap deterministic. n_exact is the SQL-replayable
+    // fact; the recall pin (>= 0.7 at the m=16/ksub=64/rerank=8 operating
+    // point, measured 0.94 at sf0.1 — sweep in PqSpec/PLANS.md) is the
+    // hash-frozen guarantee.
+    "q_ann_pq_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, m = 16, ksub = 64,
+        refineIterations = 2, rerank = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val overlap = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+      one(emb.limit(1),
+        "n_exact" -> L(nExact),
+        "recall_ok" -> lit(overlap.toDouble >= 0.7 * nExact))
+    }),
+
     // ------------------------------------- bigram LM quality (perplexity)
     // Full replay: per-doc bigram counts and the 1e-6 fixed-point average
     // NLL under the corpus-trained add-1 bigram model — DuckDB re-derives
@@ -1784,6 +1838,20 @@ object LlmQueries {
     // rows); the recall band is the hash-frozen pin (see
     // q_ann_quantized_recall in `queries`).
     "q_ann_quantized_recall" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
+        |  AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM (SELECT 1)""".stripMargin,
+
+    // n is replayable; code bounds / dimensionality / Lloyd monotonicity
+    // are the hash-frozen spec booleans (codebook is k-means output).
+    "q_embed_pq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS codes_len_ok,
+        |  TRUE AS codes_in_range, TRUE AS dim_ok, TRUE AS refine_improves
+        |FROM embeddings""".stripMargin,
+
+    // Same shape as q_ann_quantized_recall: replayable exact-arm size,
+    // hash-frozen recall pin.
+    "q_ann_pq_recall" ->
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
         |  AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM (SELECT 1)""".stripMargin,
