@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftSql
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused BPE merge application / text encoding.
+  *
+  * A learned merge table is tiny and driver-known (the output of
+  * [[graft.llm.Bpe.train]]), so applying it is a pure per-row function —
+  * the [[CentroidKernels]] design: embed the table as a codegen reference
+  * object and fold the merges in rank order in one compiled pass. The
+  * relational spelling (an `aggregate` lambda per merge per word) is
+  * interpreted per ELEMENT and would pay numMerges interpreted folds per
+  * word — ruinous on a corpus-scale encode pass.
+  *
+  * Merge contract (deterministic, train/encode consistent): merges apply
+  * in rank order; each merge rewrites the symbol sequence left-to-right,
+  * non-overlapping (after "a"+"a" fuses, the fused "aa" does not
+  * immediately re-fuse with the next "a"). Concatenating a word's tokens
+  * always reproduces the word — merging never drops characters, which is
+  * the roundtrip invariant the oracle pins.
+  */
+object BpeKernels {
+
+  /** Rank-ordered merge table. */
+  final class MergeTable(val merges: Array[(String, String)]) extends Serializable {
+
+    /** Fold all merges, in rank order, over one word's symbol list. */
+    def applyAll(syms: scala.collection.mutable.ArrayBuffer[String])
+        : scala.collection.mutable.ArrayBuffer[String] = {
+      var cur = syms
+      var m = 0
+      while (m < merges.length && cur.length > 1) {
+        val (l, r) = merges(m)
+        var i = 0
+        var changed = false
+        // Scan once to avoid allocating when the merge doesn't apply.
+        while (i < cur.length - 1 && !changed) {
+          if (cur(i) == l && cur(i + 1) == r) changed = true else i += 1
+        }
+        if (changed) {
+          val next = new scala.collection.mutable.ArrayBuffer[String](cur.length)
+          var j = 0
+          while (j < cur.length) {
+            if (j < cur.length - 1 && cur(j) == l && cur(j + 1) == r) {
+              next += l + r; j += 2
+            } else { next += cur(j); j += 1 }
+          }
+          cur = next
+        }
+        m += 1
+      }
+      cur
+    }
+
+    private def chars(word: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        // Surrogate-pair aware: one symbol per code point.
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf += word.substring(i, i + n)
+        i += n
+      }
+      buf
+    }
+
+    /** Encode full text: lowercase+trim, split on whitespace, per word
+      * char-split then fold the merges; tokens concatenate across words in
+      * order. Null-safe at the expression layer. */
+    def encode(text: UTF8String): ArrayData = {
+      val s = text.toString.trim.toLowerCase
+      if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+      val words = s.split("\\s+")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var w = 0
+      while (w < words.length) {
+        if (words(w).nonEmpty) {
+          val toks = applyAll(chars(words(w)))
+          var t = 0
+          while (t < toks.length) { out += UTF8String.fromString(toks(t)); t += 1 }
+        }
+        w += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    /** Fold the merges over an existing symbol array (training's
+      * incremental apply: the table holds just the newest merge). Null
+      * elements yield null (the [[VectorKernels]] contract). */
+    def applyToSyms(syms: ArrayData): ArrayData = {
+      val n = syms.numElements()
+      val buf = new scala.collection.mutable.ArrayBuffer[String](n)
+      var i = 0
+      while (i < n) {
+        if (syms.isNullAt(i)) return null
+        buf += syms.getUTF8String(i).toString
+        i += 1
+      }
+      val out = applyAll(buf)
+      new GenericArrayData(out.map(s => UTF8String.fromString(s): Any).toArray)
+    }
+  }
+
+  /** Whole-text BPE encode as a Catalyst expression. */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_bpe_encode"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val table = new MergeTable(merges.toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      table.encode(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", table, "graft.functions.BpeKernels.MergeTable")
+      nullSafeCodeGen(ctx, ev, s => s"""
+        ${ev.value} = $ref.encode($s);
+        ${ev.isNull} = (${ev.value} == null);""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Merge-fold over a symbol array as a Catalyst expression (training's
+    * incremental apply). */
+  case class BpeApply(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_bpe_apply"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val table = new MergeTable(merges.toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      table.applyToSyms(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeMerges", table, "graft.functions.BpeKernels.MergeTable")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        ${ev.value} = $ref.applyToSyms($arr);
+        ${ev.isNull} = (${ev.value} == null);""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column API: BPE token array for a string column. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSql.column(BpeEncode(GraftSql.expression(text), merges))
+
+  /** Column API: fold `merges` (in order) over an array<string> symbol column. */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    GraftSql.column(BpeApply(GraftSql.expression(syms), merges))
+}

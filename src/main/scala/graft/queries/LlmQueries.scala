@@ -1226,6 +1226,44 @@ object LlmQueries {
           round(col("avg_nll") * 1e6).cast("long").as("nll_fp"))
         .orderBy("doc_id")),
 
+    // ------------------------------------------------- BPE tokenizer
+    // The rank-0 merge is a genuine SQL replay (weighted adjacent-char
+    // bigram argmax with the same (count desc, left asc, right asc)
+    // tie-break); the merge-sequence invariants (contiguous ranks,
+    // non-increasing winner counts — a pair created by a merge occurs at
+    // most as often as the pair it replaced) are hash-frozen booleans.
+    "q_bpe_train" -> ((s, d) => {
+      val merges = graft.llm.Bpe.train(table(s, d, "documents"), "text",
+        numMerges = 20)
+      val m0 = merges.head
+      one(table(s, d, "documents"),
+        "first_left" -> lit(m0.left),
+        "first_right" -> lit(m0.right),
+        "first_count" -> L(m0.count),
+        "ranks_contiguous" -> lit(merges.map(_.rank) == merges.indices),
+        "counts_nonincreasing" -> lit(merges.sliding(2).forall {
+          case Seq(a, b) => b.count <= a.count
+          case _ => true
+        }))
+    }),
+
+    // Corpus-wide encode through the fused kernel: n_docs is replayable;
+    // the roundtrip identity (token concat reproduces the
+    // whitespace-stripped text — merging never drops characters), the
+    // per-doc token<=char bound, and actual compression are frozen.
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 20)
+      val enc = graft.llm.Bpe.encode(docs, "text", merges)
+        .withColumn("stripped",
+          concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+      one(enc,
+        "n_docs" -> count(lit(1)),
+        "all_roundtrip" -> all(concat_ws("", col("bpe_tokens")) === col("stripped")),
+        "tokens_le_chars" -> all(size(col("bpe_tokens")) <= length(col("stripped"))),
+        "compressed" -> (sum(size(col("bpe_tokens"))) < sum(length(col("stripped")))))
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -1855,6 +1893,29 @@ object LlmQueries {
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
         |  AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM (SELECT 1)""".stripMargin,
+
+    // Genuine replay of the rank-0 BPE merge: the same lowercased
+    // whitespace tokenization, adjacent-char pair counts over all word
+    // occurrences, and the (count desc, left asc, right asc) tie-break.
+    // The sequence invariants are the hash-frozen booleans.
+    "q_bpe_train" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wf AS (SELECT w FROM w WHERE w <> '' AND length(w) >= 2),
+        |wi AS (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM wf),
+        |p AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r FROM wi)
+        |SELECT l AS first_left, r AS first_right,
+        |  CAST(count(*) AS BIGINT) AS first_count,
+        |  TRUE AS ranks_contiguous, TRUE AS counts_nonincreasing
+        |FROM p GROUP BY l, r
+        |ORDER BY count(*) DESC, l, r LIMIT 1""".stripMargin,
+
+    // n_docs is replayable; roundtrip identity / token bound / compression
+    // are frozen (the merge table is the trainer's output).
+    "q_bpe_encode" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS all_roundtrip,
+        |  TRUE AS tokens_le_chars, TRUE AS compressed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // Full replay of the bigram-LM scoring: identical tokenization, the
     // corpus bigram/unigram counts, V, and -ln((cb+1)/(cu+V)) averaged
