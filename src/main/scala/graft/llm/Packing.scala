@@ -143,4 +143,91 @@ object Packing {
     }(Encoders.row(outSchema))
     packed.drop("__tok", "__h")
   }
+
+  /** Best-fit-decreasing bin packing without document splitting — the
+    * quality upgrade over [[binPack]]'s next-fit: documents are processed
+    * LARGEST FIRST within each shard and each lands in the open pack with
+    * the least remaining room that still fits it (tightest fit), opening a
+    * new pack only when none fits. Guarantees (11/9)·OPT + 6/9 packs per
+    * shard vs next-fit's 2·OPT; on natural document-length distributions
+    * the fill-ratio gap is what [[q_pack_bestfit]]'s harness measures.
+    *
+    * Same determinism and shard contract as [[binPack]]: hash-sharded
+    * streams, state resets on shard change, output independent of the
+    * shard->partition mapping. Within a shard, ties break to the
+    * longest-lived (lowest-id) pack, and equal-length documents order by
+    * their hash (then key) — a pure function of the data.
+    *
+    * Plan: repartition by shard + in-partition sort by (shard, tokens
+    * DESC, hash), one sequential pass. The open-pack index is a TreeMap
+    * (remaining capacity -> pack ids), so each placement is O(log packs);
+    * per-shard state is one entry per pack — bounded by the shard's row
+    * count (the auto-sizer caps shards at ~1M rows).
+    *
+    * Adds `pack_shard`, `pack_id`, `pack_pos` (position in DESCENDING
+    * token order within the pack). Oversized docs (> maxTokens) get a
+    * pack of their own, like [[binPack]]. */
+  def binPackBestFit(df: DataFrame, keyCols: Seq[String], tokenCol: String,
+      maxTokens: Long, shards: Int = 0, seed: Long = 42L): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
+    require(shards >= 0, s"shards must be >= 0 (0 = auto), got $shards")
+    val nShards = resolveShards(df, shards)
+    val prepared = df
+      .withColumn("pack_shard", shardCol(keyCols, nShards, seed))
+      .withColumn("__tok", greatest(coalesce(col(tokenCol).cast("long"), lit(0L)), lit(0L)))
+      .withColumn("__h", Sampling.hashFraction(keyCols.map(col), seed))
+      .repartition(nShards, col("pack_shard"))
+      .sortWithinPartitions(col("pack_shard").asc +: col("__tok").desc +:
+        col("__h").asc +: keyCols.map(col(_).asc): _*)
+    val shardIdx = prepared.schema.fieldIndex("pack_shard")
+    val tokIdx = prepared.schema.fieldIndex("__tok")
+    val outSchema = StructType(prepared.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("pack_id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pack_pos", LongType, nullable = false)))
+    val packed = prepared.mapPartitions { it =>
+      // remaining capacity -> pack ids at that capacity (lowest id first).
+      var open: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      var remaining: scala.collection.mutable.LongMap[Long] = null
+      var posInPack: scala.collection.mutable.LongMap[Long] = null
+      var curShard = Long.MinValue
+      var nextPack = 0L
+      def reset(): Unit = {
+        open = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        remaining = scala.collection.mutable.LongMap.empty[Long]
+        posInPack = scala.collection.mutable.LongMap.empty[Long]
+        nextPack = 0L
+      }
+      reset()
+      it.map { row =>
+        val sh = row.getLong(shardIdx)
+        val tok = row.getLong(tokIdx)
+        if (sh != curShard) { curShard = sh; reset() }
+        // Tightest open pack that fits; ties to the lowest pack id.
+        val entry = open.ceilingEntry(tok)
+        val packId =
+          if (entry == null) {
+            val id = nextPack; nextPack += 1
+            remaining(id) = maxTokens; posInPack(id) = -1L
+            open.computeIfAbsent(maxTokens, _ => new java.util.TreeSet[Long]()).add(id)
+            id
+          } else entry.getValue.first()
+        // Move the pack to its new capacity bucket.
+        val before = remaining(packId)
+        val bucket = open.get(before)
+        bucket.remove(packId)
+        if (bucket.isEmpty) open.remove(before)
+        val after = before - tok
+        remaining(packId) = after
+        // A full pack (after == 0, or an oversized singleton gone negative
+        // — clamp to 0) never re-enters the index at capacity >= 1 token,
+        // but capacity-0 entries are harmless: ceilingEntry(tok>=1) skips
+        // them, and tok==0 rows attaching to a full pack cost nothing.
+        open.computeIfAbsent(math.max(after, 0L), _ => new java.util.TreeSet[Long]()).add(packId)
+        val pos = posInPack(packId) + 1L
+        posInPack(packId) = pos
+        Row.fromSeq(row.toSeq ++ Seq(packId, pos))
+      }
+    }(Encoders.row(outSchema))
+    packed.drop("__tok", "__h")
+  }
 }

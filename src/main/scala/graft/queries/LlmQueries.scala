@@ -633,6 +633,32 @@ object LlmQueries {
         "monotone_ok" -> lit(nMono == n10))
     }),
 
+    "q_pack_bestfit" -> ((s, d) => {
+      // Best-fit-decreasing vs next-fit at the same 512-token budget over
+      // the same 8 shards: n_docs replays in DuckDB; the structural
+      // guarantees (every doc assigned, no overflow except oversized
+      // singletons) and the quality claim (BFD opens no more packs than
+      // next-fit on this corpus — the reason to sort+tighten at all) are
+      // frozen booleans measured per run.
+      val budget = 512L
+      val docs = table(s, d, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val bfd = Packing.binPackBestFit(docs, Seq("doc_id"), "n_tok", budget, shards = 8)
+        .localCheckpoint() // feeds 3 actions; run the shard pass once
+      val bfdAgg = bfd.groupBy("pack_shard", "pack_id")
+        .agg(sum("n_tok").as("tok"), count(lit(1)).as("ndocs"))
+      val nDocs = docs.count()
+      val nAssigned = bfd.count()
+      val nPacksBfd = bfdAgg.count()
+      val nPacksNf = Packing.binPack(docs, Seq("doc_id"), "n_tok", budget, shards = 8)
+        .select("pack_shard", "pack_id").distinct().count()
+      one(bfdAgg,
+        "n_docs" -> L(nDocs),
+        "all_assigned" -> lit(nAssigned == nDocs),
+        "no_overflow" -> all(col("tok") <= budget || col("ndocs") === 1),
+        "packs_le_nextfit" -> lit(nPacksBfd <= nPacksNf))
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // Sequence packing at a 512-token budget over 8 shards. Totals are
       // genuine DuckDB recomputations (identical tokenization); the pack
@@ -1665,6 +1691,13 @@ object LlmQueries {
 
     // Totals recomputed with the engine's exact tokenization ('' -> 0
     // tokens); the pack-structure guarantees are Spark-evaluated booleans.
+    // n_docs replays; assignment/overflow/pack-count-quality are frozen
+    // (pack structure is hash-order-dependent).
+    "q_pack_bestfit" ->
+      """SELECT count(*) AS n_docs, TRUE AS all_assigned,
+        |  TRUE AS no_overflow, TRUE AS packs_le_nextfit
+        |FROM documents""".stripMargin,
+
     "q_pack_sequences" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
