@@ -807,6 +807,39 @@ object LlmQueries {
         "n_hi_quality" -> sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)))
     }),
 
+    // Streaming corpus-intake monitor: file-stream the documents parquet,
+    // score every row with the fused quality kernel (stateless, narrow —
+    // composes at any stream position), and keep per-source intake
+    // counters in complete mode under AvailableNow. The final table equals
+    // the batch computation, so the oracle is a genuine DuckDB replay of
+    // the same integer-threshold arithmetic GROUPed BY source.
+    "q_stream_quality" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/documents.parquet"),
+        dir.resolve("part-0.parquet"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(dir.toString)
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val score = TextAnalysis.qualityScore(col("text"))
+      val finished = withShufflePartitions(s, 8) {
+        val q = raw.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)).as("n_hi"),
+            sum(f.getField("n_tokens")).cast("long").as("sum_tokens"))
+          .writeStream.format("memory").queryName("graft_stream_quality")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      require(finished,
+        "documents AvailableNow stream did not finish in 60s — refusing a partial sink")
+      try java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => () }
+      s.table("graft_stream_quality").orderBy("source")
+    }),
+
     // Gopher-style repetition signals. Integer counts throughout so the
     // DuckDB replay is bit-exact (no float-sum ordering hazards); the
     // high-repetition predicate is integer arithmetic too:
@@ -1815,6 +1848,43 @@ object LlmQueries {
         |    (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
         |    (CASE WHEN rep <= 0.5 THEN 1 ELSE 0 END) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
         |FROM g""".stripMargin,
+
+    // Same quality arithmetic as q_text_quality, grouped by source — the
+    // streaming sink's final table must equal this batch replay.
+    "q_stream_quality" ->
+      """WITH f AS (
+        |  SELECT source, text,
+        |    CAST(length(trim(text)) AS DOUBLE) AS chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS ndis,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |        x -> list_contains(['the','and','of','to','in','is','that','it','was','for',
+        |          'with','as','his','on','be','at','by','this','had','not'], x))) END AS hits,
+        |    length(trim(text)) - length(regexp_replace(trim(text), '[A-Za-z]', '', 'g')) AS n_alpha,
+        |    length(trim(text)) - length(regexp_replace(trim(text), '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS no_ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, ntok,
+        |    CASE WHEN chars = 0 THEN 0.0 ELSE n_alpha / chars END AS alpha_ratio,
+        |    CASE WHEN chars = 0 THEN 0.0 ELSE n_punct / chars END AS punct_ratio,
+        |    CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(no_ws AS DOUBLE) / ntok END AS meanlen,
+        |    CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(hits AS DOUBLE) / ntok END AS stop_ratio,
+        |    CASE WHEN ntok = 0 THEN 0.0 ELSE 1.0 - CAST(ndis AS DOUBLE) / ntok END AS rep
+        |  FROM f)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN
+        |    (CASE WHEN ntok >= 5 THEN 1 ELSE 0 END) + (CASE WHEN ntok <= 100000 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN meanlen >= 2 AND meanlen <= 12 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN alpha_ratio >= 0.6 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN punct_ratio <= 0.25 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN rep <= 0.5 THEN 1 ELSE 0 END) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(ntok) AS BIGINT) AS sum_tokens
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS sum_bytes,

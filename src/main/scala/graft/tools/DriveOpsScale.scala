@@ -37,18 +37,46 @@ object DriveOpsScale {
     def vec(dim: Int): Column = transform(sequence(lit(0), lit(dim - 1)),
       i => pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double") / 1e6 - 0.5)
 
+    /** Steal + neighbor-CPU ticks from /proc/stat (whole box). */
+    def boxTicks(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().trim
+        .split("\\s+").drop(1).map(_.toLong)
+      // user+nice+system are OUR ticks too; steal(7) is unambiguous.
+      (l(7), l.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+    // Optional bench-name filter (args): re-measure a subset, keeping the
+    // other lines of an existing bench_ops_scale.json untouched.
+    val only: Set[String] = args.toSet
     val out = new StringBuilder
     def bench(name: String, rows: Long, synth: => DataFrame,
-        op: DataFrame => DataFrame): Unit = {
+        op: DataFrame => DataFrame): Unit = if (only.isEmpty || only(name)) {
       // Warm at 1/10 scale (codegen + JIT), then measure synthesis alone
       // and synthesis+operator; the difference is the operator's marginal
-      // cost on a warm pipeline.
+      // cost on a warm pipeline. The box is multi-tenant and contention
+      // comes in bursts (measured 25x swings on identical code), so apply
+      // the bench artifact's own policy: re-measure while the line carries
+      // steal or looks contaminated, keep the minimum.
       mat(op(synth.limit((rows / 10).toInt)))
-      val base = secs(mat(synth))
-      val full = secs(mat(op(synth)))
-      val marginal = math.max(0.0, full - base)
+      val hz = 100.0 // USER_HZ ticks/sec
+      // Contention is bursty and can hit EITHER measurement — a
+      // contaminated base would fake a zero marginal under pairwise min —
+      // so base and full take independent minima over the attempts.
+      var minBase = Double.MaxValue
+      var minFull = Double.MaxValue
+      var minSteal = Double.MaxValue
+      for (_ <- 0 until 3) {
+        val (st0, _) = boxTicks()
+        val base = secs(mat(synth))
+        val full = secs(mat(op(synth)))
+        val (st1, _) = boxTicks()
+        minBase = math.min(minBase, base)
+        minFull = math.min(minFull, full)
+        minSteal = math.min(minSteal, (st1 - st0) / hz)
+      }
+      val marginal = math.max(0.0, minFull - minBase)
       val rps = rows / math.max(1e-9, marginal) / 1e6
-      val line = f"""{"bench":"$name","rows":$rows,"base_sec":$base%.2f,"full_sec":$full%.2f,"marginal_sec":$marginal%.2f,"marginal_mrows_per_sec":$rps%.1f}"""
+      val line = f"""{"bench":"$name","rows":$rows,"base_sec":$minBase%.2f,"marginal_sec":$marginal%.2f,"marginal_mrows_per_sec":$rps%.1f,"min_steal_sec":$minSteal%.2f}"""
       println(s"CHECK $line")
       out.append(line).append('\n')
     }
@@ -82,8 +110,32 @@ object DriveOpsScale {
         graft.functions.SetKernels.anyInBloom(sh, evalGrams, 20), lit(false)))
     })
 
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_ops_scale.json"),
-      out.toString.getBytes("UTF-8"))
+    // PQ encode: codebook trained once on a 2000-row sample (training cost
+    // is amortized over the corpus in any real deployment), then the fused
+    // per-row encode over 10M vectors.
+    val pqBook = graft.llm.Similarity.pqTrain(
+      emb10m.limit(2000), "id", "embedding", m = 16, ksub = 64, refineIterations = 2)
+    bench("pq_encode_10m_vecs", 10000000L, emb10m,
+      df => df.select(graft.functions.PqKernels.encode(col("embedding"), pqBook).as("c")))
+
+    // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
+    // fused whole-text encode over 10M 32-token docs.
+    val bpeMerges = graft.llm.Bpe.train(docs10m.limit(5000), "text", numMerges = 50)
+    bench("bpe_encode_10m_docs", 10000000L, docs10m,
+      df => graft.llm.Bpe.encode(df, "text", bpeMerges)
+        .select(size(col("bpe_tokens")).as("n")))
+
+    val path = java.nio.file.Paths.get("bench_ops_scale.json")
+    val merged =
+      if (only.isEmpty || !java.nio.file.Files.exists(path)) out.toString
+      else {
+        val fresh = out.toString.linesIterator.toSeq
+        val freshNames = fresh.map(l => l.split("\"")(3)).toSet
+        val kept = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .linesIterator.filter(l => l.nonEmpty && !freshNames(l.split("\"")(3)))
+        (kept ++ fresh).mkString("", "\n", "\n")
+      }
+    java.nio.file.Files.write(path, merged.getBytes("UTF-8"))
     println("CHECK wrote bench_ops_scale.json")
     spark.stop()
   }
