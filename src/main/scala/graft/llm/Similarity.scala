@@ -534,4 +534,63 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     }
   }
+
+  /** IVF+PQ hybrid top-k — the composition a corpus-scale index actually
+    * ships: the corpus is assigned once to IVF cells AND product-quantized
+    * (one narrow pass attaches `centroid_idx` + the m-int codes — this is
+    * the persisted index table: ~m+4 bytes per row instead of dim floats),
+    * each query probes its `nProbe` nearest cells, candidates are
+    * ADC-scored from the CODES of the probed cells only, and the top
+    * k×`rerank` fetch their raw vectors for the exact decision.
+    *
+    * Cost model at 100 TB: the candidate scan touches
+    * (nProbe/nCentroids) of the corpus and reads codes, not embeddings —
+    * the two savings multiply; the full-precision column is read only for
+    * the broadcast candidate list. Recall is measured, not assumed
+    * ([[bruteForceTopK]] is the harness baseline). */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
+      nCentroids: Int = 0, nProbe: Int = 4, m: Int = 16, ksub: Int = 64,
+      refineIterations: Int = 2, rerank: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{CentroidKernels, PqKernels, VectorKernels}
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("cv")))
+    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    val mat = refineCentroids(c, "cv",
+      sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations)
+    val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations)
+    // The index table: cell + codes, one fused narrow pass.
+    val indexed = c.select(col("neighbor_id"),
+      CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"),
+      PqKernels.encode(col("cv"), books).as("__pq"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", VectorKernels.norm(col("qv")))
+    val probed = q.withColumn("centroid_idx",
+      explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = indexed.join(broadcast(probed), Seq("centroid_idx"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__deq", PqKernels.decode(col("__pq"), books))
+      .withColumn("__dn", VectorKernels.norm(col("__deq")))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") * col("__dn") === 0, lit(0.0))
+          .otherwise(VectorKernels.dot(col("qv"), col("__deq")) /
+            (col("qn") * col("__dn"))).as("adc"))
+      .withColumn("rank", row_number().over(wAdc)).where(col("rank") <= k * rerank)
+      .select("query_id", "neighbor_id")
+    val fetched = c.join(broadcast(cand), Seq("neighbor_id"))
+      .withColumn("cn", VectorKernels.norm(col("cv")))
+    val denom = col("qn") * col("cn")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    fetched.join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(denom === 0, lit(0.0))
+          .otherwise(VectorKernels.dot(col("qv"), col("cv")) / denom).as("cosine"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -1274,6 +1274,28 @@ object LlmQueries {
         "recall_ok" -> lit(overlap.toDouble >= 0.7 * nExact))
     }),
 
+    // IVF+PQ hybrid (the shipping index shape: probe nProbe of nCells,
+    // ADC-score the probed cells' CODES only, exact re-rank of broadcast
+    // candidates). Half the cells probed -> the recall pin is the
+    // cell-miss + quantization budget TOGETHER (measured 0.72-0.9 at
+    // nProbe=4/8 cells; full probe recalls 1.0 — PqSpec sweep).
+    "q_ann_ivfpq_recall" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hybrid = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4,
+        m = 16, ksub = 64, refineIterations = 2, rerank = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val nExact = exact.count()
+      val overlap = exact.join(hybrid, Seq("query_id", "neighbor_id"), "left_semi").count()
+      one(emb.limit(1),
+        "n_exact" -> L(nExact),
+        "recall_ok" -> lit(overlap.toDouble >= 0.5 * nExact))
+    }),
+
     // ------------------------------------- bigram LM quality (perplexity)
     // Full replay: per-doc bigram counts and the 1e-6 fixed-point average
     // NLL under the corpus-trained add-1 bigram model — DuckDB re-derives
@@ -1993,6 +2015,13 @@ object LlmQueries {
     // Same shape as q_ann_quantized_recall: replayable exact-arm size,
     // hash-frozen recall pin.
     "q_ann_pq_recall" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
+        |  AS BIGINT) AS n_exact, TRUE AS recall_ok
+        |FROM (SELECT 1)""".stripMargin,
+
+    // Hybrid-index recall: replayable exact-arm size, hash-frozen pin
+    // (cell-miss + quantization budget at nProbe=4 of 8 cells).
+    "q_ann_ivfpq_recall" ->
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings WHERE vec_id < 5)) * 10
         |  AS BIGINT) AS n_exact, TRUE AS recall_ok
         |FROM (SELECT 1)""".stripMargin,

@@ -100,4 +100,24 @@ class PqSpec extends AnyFunSuite {
     val recall = overlap.toDouble / nExact
     assert(recall >= 0.7, s"PQ recall collapsed at the pinned operating point: $recall")
   }
+
+  test("ivfPqTopK: hybrid index recall, probe sweep") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    for (nProbe <- Seq(2, 4, 8)) {
+      val hybrid = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = nProbe,
+        m = 16, ksub = 64, refineIterations = 2, rerank = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = exact.join(hybrid, Seq("query_id", "neighbor_id"), "left_semi").count()
+      info(s"IVF+PQ recall@10 nCells=8 nProbe=$nProbe: ${overlap.toDouble / nExact}")
+      if (nProbe == 8)
+        assert(overlap.toDouble >= 0.7 * nExact,
+          s"full-probe hybrid recall collapsed: $overlap/$nExact")
+    }
+  }
 }
