@@ -188,6 +188,41 @@ object Bench {
         .map(b => math.max(0L, b.getCollectionTime)).sum
     }
 
+    // Box-speed calibration: host-level interference (SMT siblings of our
+    // vCPUs, host memory-bandwidth pressure) appears in NEITHER guest
+    // steal NOR neighbor-CPU, yet has produced uniform 2-3x slowdowns of
+    // identical workloads with steal ~= 0. A fixed synthetic probe pins
+    // the box's effective single-core arithmetic rate (Mops of the
+    // splitmix64 finalizer) and copy bandwidth (GB/s over a 256 MB
+    // arraycopy) at run start and end — artifacts become comparable
+    // across windows by their recorded box speed, not by faith.
+    def calibrate(): (Double, Double) = {
+      var x = 0x9E3779B97F4A7C15L
+      var n = 0L
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 200000000L) {
+        var i = 0
+        while (i < 1000000) {
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          i += 1
+        }
+        n += 1000000
+      }
+      if (x == 42L) println(x) // defeat dead-code elimination
+      val mops = n / ((System.nanoTime() - t0) / 1e9) / 1e6
+      val words = 32 << 20 // 256 MB of longs
+      val src = new Array[Long](words)
+      val dst = new Array[Long](words)
+      val t1 = System.nanoTime()
+      var r = 0
+      while (r < 3) { System.arraycopy(src, 0, dst, 0, words); r += 1 }
+      // 3 copies x (0.25 GB read + 0.25 GB written)
+      val gbps = 3 * 0.5 / ((System.nanoTime() - t1) / 1e9)
+      (mops, gbps)
+    }
+    val (cpuMops0, memGbps0) = calibrate()
+
     val nCpus = cpus.toInt
     val genRows = 10000000L
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -290,8 +325,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcJ = gc.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val (cpuMops1, memGbps1) = calibrate()
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f]}"""
     // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -327,7 +363,7 @@ object Bench {
     val restSum = rest.map(_._2).sum
     val nFailed = results.valuesIterator.count(_ < 0)
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"rest_sum_sec":$restSum%.2f,"rest_max_sec":${restMax._2}%.2f,"rest_max_q":"${restMax._1}","steal_sec_total":${tot(steal)}%.2f,"neighbor_cpu_sec_total":${tot(other)}%.2f,"gc_sec_total":${tot(gc)}%.2f,"detail":"$outPath"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,"rest_sum_sec":$restSum%.2f,"rest_max_sec":${restMax._2}%.2f,"rest_max_q":"${restMax._1}","steal_sec_total":${tot(steal)}%.2f,"neighbor_cpu_sec_total":${tot(other)}%.2f,"gc_sec_total":${tot(gc)}%.2f,"box_cpu_mops":$cpuMops1%.0f,"box_mem_gbps":$memGbps1%.1f,"detail":"$outPath"}"""
     if (compact.length > 1800) // belt-and-braces: never regress the contract
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","detail":"$outPath"}""")
     else println(compact)
