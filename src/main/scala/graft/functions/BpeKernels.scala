@@ -76,7 +76,9 @@ object BpeKernels {
       * char-split then fold the merges; tokens concatenate across words in
       * order. Null-safe at the expression layer. */
     def encode(text: UTF8String): ArrayData = {
-      val s = text.toString.trim.toLowerCase
+      // Locale.ROOT: the trainer lowercases via Spark's locale-independent
+      // lower(); a default-locale toLowerCase would diverge on tr/az JVMs.
+      val s = text.toString.trim.toLowerCase(java.util.Locale.ROOT)
       if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
       val words = s.split("\\s+")
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
