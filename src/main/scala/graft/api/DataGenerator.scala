@@ -151,10 +151,17 @@ final case class DataGenerator(
     df
   }
 
-  /** Build and write per the output config (reference `saveAsDataset`). */
+  /** Build and write per the output config (reference `saveAsDataset`).
+    * Parquet writes get spec-informed encoding hints (zstd, per-column
+    * dictionary-off for high-entropy generators — [[Writer
+    * .parquetEncodingHints]]); explicit `out.options` win. */
   def saveAsDataset(out: OutputDataset): Unit = {
     val df = if (out.triggerProcessingTime.isDefined) buildStream() else build()
-    Writer.saveAsDataset(df, out)
+    val hinted =
+      if (out.format == "parquet")
+        out.copy(options = Writer.parquetEncodingHints(tableSpec) ++ out.options)
+      else out
+    Writer.saveAsDataset(df, hinted)
     ()
   }
 

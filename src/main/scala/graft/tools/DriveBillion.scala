@@ -108,7 +108,13 @@ object DriveBillion {
       return
     }
     val (pqWall, pqSteal) = timed("iot-1b-parquet") {
-      gen(rows).write.mode("overwrite").parquet(dir)
+      // Spec-informed sink hints (zstd + per-column dictionary-off for the
+      // high-entropy columns): the write is disk-bound, so the smaller
+      // bytes ARE the speedup (DriveWriteTune: 1.5x faster, 1.7x smaller
+      // than the snappy default at 100M rows).
+      gen(rows).write.mode("overwrite")
+        .options(graft.io.Writer.parquetEncodingHints(iot(rows, cpus * 3)))
+        .parquet(dir)
     }
     // Sanity: the parquet really holds the full row count.
     val readBack = spark.read.parquet(dir).count()
