@@ -37,6 +37,23 @@ class PackBestFitSpec extends AnyFunSuite {
     assert(byId(1L) != byId(2L) && byId(2L) != byId(3L) && byId(1L) != byId(3L))
   }
 
+  test("degenerate tokens: zeros, nulls and negatives attach without opening packs") {
+    // 0/null/negative counts normalize to 0 tokens; they must neither
+    // overflow a pack nor open one of their own when any pack exists.
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(0L)),
+      (3L, null.asInstanceOf[java.lang.Long]), (4L, java.lang.Long.valueOf(-3L)),
+      (5L, java.lang.Long.valueOf(7L))).toDF("id", "tok")
+    val packed = Packing.binPackBestFit(df, Seq("id"), "tok", maxTokens = 7, shards = 1)
+    val nPacks = packed.select("pack_id").distinct().count()
+    assert(nPacks === 2, "only the 5- and 7-token docs may open packs")
+    assert(packed.count() === 5)
+    // An all-degenerate shard still packs every row (one pack, zero load).
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "tok")
+    val zp = Packing.binPackBestFit(zeros, Seq("id"), "tok", 7, shards = 1)
+    assert(zp.count() === 2)
+    assert(zp.select("pack_id").distinct().count() === 1)
+  }
+
   test("determinism, partition independence, shard reset") {
     val df = (1L to 500L).map(i => (i, (i * 37 % 97) + 1)).toDF("id", "tok")
     val a = Packing.binPackBestFit(df, Seq("id"), "tok", 128, shards = 4)
