@@ -75,10 +75,34 @@ object BpeKernels {
     /** Encode full text: lowercase+trim, split on whitespace, per word
       * char-split then fold the merges; tokens concatenate across words in
       * order. Null-safe at the expression layer. */
+    /** Bit-compatible with Spark's `lower()` (UTF8String.toLowerCase):
+      * pure-ASCII strings take a locale-free ASCII path; anything else
+      * falls back to `String.toLowerCase()` under the DEFAULT locale,
+      * exactly like UTF8String.toLowerCaseSlow. Neither branch may be
+      * replaced with a fixed-locale toLowerCase: Locale.ROOT on the slow
+      * path diverges from Spark on tr/az JVMs, and default-locale on the
+      * ASCII path would turn ASCII 'I' into 'ı' where Spark keeps 'i'. */
+    private def sparkLower(s: String): String = {
+      var i = 0
+      var ascii = true
+      while (i < s.length && ascii) {
+        if (s.charAt(i) >= 0x80) ascii = false
+        i += 1
+      }
+      if (ascii) {
+        val arr = s.toCharArray
+        var j = 0
+        while (j < arr.length) {
+          val c = arr(j)
+          if (c >= 'A' && c <= 'Z') arr(j) = (c + 32).toChar
+          j += 1
+        }
+        new String(arr)
+      } else s.toLowerCase
+    }
+
     def encode(text: UTF8String): ArrayData = {
-      // Locale.ROOT: the trainer lowercases via Spark's locale-independent
-      // lower(); a default-locale toLowerCase would diverge on tr/az JVMs.
-      val s = text.toString.trim.toLowerCase(java.util.Locale.ROOT)
+      val s = sparkLower(text.toString.trim)
       if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
       val words = s.split("\\s+")
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]

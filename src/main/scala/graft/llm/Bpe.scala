@@ -54,11 +54,28 @@ object Bpe {
     // word into single-character symbols (codepoint boundaries — Java
     // regex match positions never fall inside a surrogate pair); Spark's
     // split keeps trailing empties (limit=-1), so strip them.
+    // Eager checkpoints pin vocabulary-sized RDD blocks; release each
+    // iteration's blocks once its successor has materialized — without
+    // this, numMerges copies of the symbol table sit in the block manager
+    // until session end. The persisted RDD is internal to the Dataset
+    // (df.rdd would be a fresh unrelated RDD), so generations are tracked
+    // by diffing the context's persistent-RDD registry.
+    val sc = df.sparkSession.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet.toSet
+    var seen = preexisting
+    var live: Set[Int] = Set.empty
+    def rotateBlocks(): Unit = {
+      val fresh = sc.getPersistentRDDs.keySet.toSet -- seen
+      seen ++= fresh
+      live.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      live = fresh
+    }
     var words = df.select(explode(wordsOf(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(filter(split(col("w"), "(?!^)"), s => s =!= "").as("syms"), col("cnt"))
       .localCheckpoint(true)
+    rotateBlocks()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -78,8 +95,10 @@ object Bpe {
         words = words.select(
           BpeKernels.applyMerges(col("syms"), Seq((m.left, m.right))).as("syms"),
           col("cnt")).localCheckpoint(true)
+        rotateBlocks()
       }
     }
+    live.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     merges.toSeq
   }
 

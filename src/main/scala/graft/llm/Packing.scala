@@ -216,13 +216,16 @@ object Packing {
         val bucket = open.get(before)
         bucket.remove(packId)
         if (bucket.isEmpty) open.remove(before)
-        val after = before - tok
+        // Clamp at 0 BEFORE storing: an oversized singleton's raw negative
+        // remainder would desynchronize `remaining` from its bucket key
+        // (stored under max(after,0)=0), and the next zero-token row
+        // selecting that pack would look up bucket -n and NPE.
+        val after = math.max(before - tok, 0L)
         remaining(packId) = after
-        // A full pack (after == 0, or an oversized singleton gone negative
-        // — clamp to 0) never re-enters the index at capacity >= 1 token,
-        // but capacity-0 entries are harmless: ceilingEntry(tok>=1) skips
-        // them, and tok==0 rows attaching to a full pack cost nothing.
-        open.computeIfAbsent(math.max(after, 0L), _ => new java.util.TreeSet[Long]()).add(packId)
+        // A full pack (after == 0) never re-enters the index at capacity
+        // >= 1 token, but capacity-0 entries are harmless: ceilingEntry(
+        // tok>=1) skips them, and tok==0 rows attaching cost nothing.
+        open.computeIfAbsent(after, _ => new java.util.TreeSet[Long]()).add(packId)
         val pos = posInPack(packId) + 1L
         posInPack(packId) = pos
         Row.fromSeq(row.toSeq ++ Seq(packId, pos))

@@ -821,22 +821,28 @@ object LlmQueries {
       val raw = s.readStream.schema(schema).parquet(dir.toString)
       val f = TextAnalysis.qualityFeatures(col("text"))
       val score = TextAnalysis.qualityScore(col("text"))
-      val finished = withShufflePartitions(s, 8) {
-        val q = raw.groupBy(col("source"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)).as("n_hi"),
-            sum(f.getField("n_tokens")).cast("long").as("sum_tokens"))
-          .writeStream.format("memory").queryName("graft_stream_quality")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(60000)
-      }
+      val finished =
+        try withShufflePartitions(s, 8) {
+          val q = raw.groupBy(col("source"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)).as("n_hi"),
+              sum(f.getField("n_tokens")).cast("long").as("sum_tokens"))
+            .writeStream.format("memory").queryName("graft_stream_quality")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          // Stop a timed-out stream before failing: a live query would pin
+          // the sink name (any retry dies on "already active") and keep
+          // reading the about-to-be-deleted temp dir.
+          try q.awaitTermination(60000)
+          finally if (q.isActive) q.stop()
+        } finally {
+          try java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case _: java.io.IOException => () }
+        }
       require(finished,
         "documents AvailableNow stream did not finish in 60s — refusing a partial sink")
-      try java.nio.file.Files.walk(dir)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => () }
       s.table("graft_stream_quality").orderBy("source")
     }),
 
@@ -1314,18 +1320,23 @@ object LlmQueries {
     // non-increasing winner counts — a pair created by a merge occurs at
     // most as often as the pair it replaced) are hash-frozen booleans.
     "q_bpe_train" -> ((s, d) => {
+      // minPairCount = 1 mirrors the oracle's unconditional argmax (its
+      // LIMIT 1 has no count floor); a corpus with no adjacent pair AT ALL
+      // (every word single-char) yields zero merges — and the oracle's
+      // empty pair set yields zero rows — so the frames match empty-for-
+      // empty instead of crashing on merges.head.
       val merges = graft.llm.Bpe.train(table(s, d, "documents"), "text",
-        numMerges = 20)
-      val m0 = merges.head
-      one(table(s, d, "documents"),
-        "first_left" -> lit(m0.left),
-        "first_right" -> lit(m0.right),
-        "first_count" -> L(m0.count),
+        numMerges = 20, minPairCount = 1)
+      val out = one(table(s, d, "documents"),
+        "first_left" -> lit(merges.headOption.map(_.left).orNull).cast("string"),
+        "first_right" -> lit(merges.headOption.map(_.right).orNull).cast("string"),
+        "first_count" -> L(merges.headOption.map(_.count).getOrElse(0L)),
         "ranks_contiguous" -> lit(merges.map(_.rank) == merges.indices),
         "counts_nonincreasing" -> lit(merges.sliding(2).forall {
           case Seq(a, b) => b.count <= a.count
           case _ => true
         }))
+      if (merges.isEmpty) out.limit(0) else out
     }),
 
     // Corpus-wide encode through the fused kernel: n_docs is replayable;

@@ -133,23 +133,29 @@ object TableQueries {
         else col("ts")
       // Reduce-side keys are hour windows (a handful); 8 state partitions
       // right-size the store without limiting the parallel file scan.
-      val finished = withShufflePartitions(s, 8) {
-        val q = raw.withColumn("__ts", ts)
-          .groupBy(window(col("__ts"), "1 hour"))
-          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-            col("n"), col("value_c"))
-          .writeStream.format("memory").queryName("graft_events_window_stream")
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination(60000)
-      }
+      val finished =
+        try withShufflePartitions(s, 8) {
+          val q = raw.withColumn("__ts", ts)
+            .groupBy(window(col("__ts"), "1 hour"))
+            .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+            .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+              col("n"), col("value_c"))
+            .writeStream.format("memory").queryName("graft_events_window_stream")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          // Stop a timed-out stream before failing: a live query would pin
+          // the sink name (retries die on "already active") and keep
+          // reading the about-to-be-deleted temp dir.
+          try q.awaitTermination(60000)
+          finally if (q.isActive) q.stop()
+        } finally {
+          // The copied source dir is only needed while the stream runs.
+          try java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case _: java.io.IOException => () }
+        }
       require(finished,
         "events AvailableNow stream did not finish in 60s — refusing to read a partial sink")
-      // The copied source dir is only needed while the stream runs.
-      try java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => () }
       s.table("graft_events_window_stream").orderBy("hour_start")
     }),
 

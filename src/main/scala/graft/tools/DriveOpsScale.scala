@@ -112,18 +112,23 @@ object DriveOpsScale {
 
     // PQ encode: codebook trained once on a 2000-row sample (training cost
     // is amortized over the corpus in any real deployment), then the fused
-    // per-row encode over 10M vectors.
-    val pqBook = graft.llm.Similarity.pqTrain(
-      emb10m.limit(2000), "id", "embedding", m = 16, ksub = 64, refineIterations = 2)
-    bench("pq_encode_10m_vecs", 10000000L, emb10m,
-      df => df.select(graft.functions.PqKernels.encode(col("embedding"), pqBook).as("c")))
+    // per-row encode over 10M vectors. Training stays inside the filter
+    // guard — a subset re-measure must not pay for excluded benches.
+    if (only.isEmpty || only("pq_encode_10m_vecs")) {
+      val pqBook = graft.llm.Similarity.pqTrain(
+        emb10m.limit(2000), "id", "embedding", m = 16, ksub = 64, refineIterations = 2)
+      bench("pq_encode_10m_vecs", 10000000L, emb10m,
+        df => df.select(graft.functions.PqKernels.encode(col("embedding"), pqBook).as("c")))
+    }
 
     // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
     // fused whole-text encode over 10M 32-token docs.
-    val bpeMerges = graft.llm.Bpe.train(docs10m.limit(5000), "text", numMerges = 50)
-    bench("bpe_encode_10m_docs", 10000000L, docs10m,
-      df => graft.llm.Bpe.encode(df, "text", bpeMerges)
-        .select(size(col("bpe_tokens")).as("n")))
+    if (only.isEmpty || only("bpe_encode_10m_docs")) {
+      val bpeMerges = graft.llm.Bpe.train(docs10m.limit(5000), "text", numMerges = 50)
+      bench("bpe_encode_10m_docs", 10000000L, docs10m,
+        df => graft.llm.Bpe.encode(df, "text", bpeMerges)
+          .select(size(col("bpe_tokens")).as("n")))
+    }
 
     val path = java.nio.file.Paths.get("bench_ops_scale.json")
     val merged =

@@ -52,6 +52,14 @@ class PackBestFitSpec extends AnyFunSuite {
     val zp = Packing.binPackBestFit(zeros, Seq("id"), "tok", 7, shards = 1)
     assert(zp.count() === 2)
     assert(zp.select("pack_id").distinct().count() === 1)
+
+    // Regression: a zero-token row after an OVERSIZED doc selects the
+    // oversized pack's capacity-0 bucket — the stored remainder must be
+    // the clamped 0, not the raw negative (which NPE'd the bucket lookup).
+    val over = Seq((1L, 10L), (2L, 0L)).toDF("id", "tok")
+    val op = Packing.binPackBestFit(over, Seq("id"), "tok", 7, shards = 1)
+    assert(op.count() === 2)
+    assert(op.select("pack_id").distinct().count() === 1)
   }
 
   test("determinism, partition independence, shard reset") {
