@@ -1488,6 +1488,16 @@ object LlmQueries {
         |  CAST(coalesce(sum(id_b), 0) AS BIGINT) AS sum_b
         |FROM pairs WHERE j >= 0.5""".stripMargin,
 
+    // GENUINE replay of the exact arm (the same inverted-index jaccard
+    // CTE); sets_equal stays the hash-frozen cross-validation pin. This
+    // replaced the last scale-pinned constant (n_exact was hardcoded to
+    // sf0.01's 25 and failed the sf0.1 gate, where the true count is 256
+    // — verified identical between both engines' pair sets).
+    "q_dedup_minhash_recall" ->
+      s"""$NgramPairsCte
+        |SELECT count(*) AS n_exact, TRUE AS sets_equal
+        |FROM pairs WHERE j >= 0.5""".stripMargin,
+
     // GENUINE replay: survivors = all documents minus the distinct
     // larger-ids of the exhaustive jaccard pair set (the greedy id_b drop
     // of dropNearDupsMinHash), with the same recall-1 equivalence argument

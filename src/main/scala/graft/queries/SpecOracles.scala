@@ -593,14 +593,9 @@ object SpecOracles {
         |  ('2024-01-01 00:10:00', CAST(1003 AS BIGINT), false)
         |) t(w, id, kept) ORDER BY id""".stripMargin,
 
-    // Two independent near-dup algorithms (banded minhash LSH with
-    // hashed-shingle verification vs exhaustive inverted-index jaccard on
-    // exact string shingles) must produce IDENTICAL pair sets at
-    // threshold 0.5 (candidate miss probability ~1e-8 per pair at 64x2
-    // bands) — each implementation certifies the other, so the pinned
-    // count is double-derived, not self-certified. 25 pairs at sf0.01.
-    "q_dedup_minhash_recall" ->
-      """SELECT CAST(25 AS BIGINT) AS n_exact, TRUE AS sets_equal""".stripMargin,
+    // (q_dedup_minhash_recall's oracle moved to LlmQueries.oracles as a
+    // genuine inverted-index replay — its former n_exact pin was
+    // sf0.01-only and failed the sf0.1 gate.)
 
     // Hash split 80/10/10 by doc_id: the total and split-name coverage are
     // exact (every row gets exactly one of the three names); per-split
