@@ -28,8 +28,38 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernels {
 
-  /** Rank-ordered merge table. */
-  final class MergeTable(val merges: Array[(String, String)]) extends Serializable {
+  /** GPT-2-style byte<->unicode bijection (public: openai/gpt-2
+    * encoder.py `bytes_to_unicode`): printable bytes '!'..'~', '¡'..'¬',
+    * '®'..'ÿ' map to themselves; the remaining 68 bytes map to U+0100.. in
+    * byte order. Every UTF-8 byte becomes exactly ONE visible BMP char,
+    * so byte-level symbols stay printable strings and the mapping inverts
+    * losslessly. */
+  val byteToChar: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (direct(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+  private val charToByte: Array[Int] = {
+    val arr = Array.fill(512)(-1) // byteToChar range is < U+0200
+    var b = 0
+    while (b < 256) { arr(byteToChar(b).toInt) = b; b += 1 }
+    arr
+  }
+
+  /** Rank-ordered merge table. `byteLevel = true` initializes words as
+    * their UTF-8 bytes mapped through [[byteToChar]] (256-symbol base
+    * alphabet, GPT-2 style) instead of code points — encode is then total
+    * on arbitrary text: an unseen character still decomposes into known
+    * byte symbols. */
+  final class MergeTable(val merges: Array[(String, String)],
+      val byteLevel: Boolean = false) extends Serializable {
 
     /** Fold all merges, in rank order, over one word's symbol list. */
     def applyAll(syms: scala.collection.mutable.ArrayBuffer[String])
@@ -59,17 +89,51 @@ object BpeKernels {
       cur
     }
 
-    private def chars(word: String): scala.collection.mutable.ArrayBuffer[String] = {
-      val buf = new scala.collection.mutable.ArrayBuffer[String](word.length)
-      var i = 0
-      while (i < word.length) {
-        // Surrogate-pair aware: one symbol per code point.
-        val cp = word.codePointAt(i)
-        val n = Character.charCount(cp)
-        buf += word.substring(i, i + n)
-        i += n
+    private def chars(word: String): scala.collection.mutable.ArrayBuffer[String] =
+      if (byteLevel) {
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val buf = new scala.collection.mutable.ArrayBuffer[String](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          buf += String.valueOf(byteToChar(bytes(i) & 0xFF))
+          i += 1
+        }
+        buf
+      } else {
+        val buf = new scala.collection.mutable.ArrayBuffer[String](word.length)
+        var i = 0
+        while (i < word.length) {
+          // Surrogate-pair aware: one symbol per code point.
+          val cp = word.codePointAt(i)
+          val n = Character.charCount(cp)
+          buf += word.substring(i, i + n)
+          i += n
+        }
+        buf
       }
-      buf
+
+    /** Initial (pre-merge) symbol array for ONE word — the trainer's
+      * vocabulary-table init, mode-consistent with [[encode]]. */
+    def initSyms(word: UTF8String): ArrayData = {
+      val buf = chars(word.toString)
+      new GenericArrayData(buf.map(s => UTF8String.fromString(s): Any).toArray)
+    }
+
+    /** Invert [[byteToChar]] over a token/concat string back to text.
+      * Chars outside the mapping (never produced by a byte-level encode)
+      * pass through as their own UTF-8 bytes. */
+    def byteDecode(s: UTF8String): UTF8String = {
+      val str = s.toString
+      val out = new java.io.ByteArrayOutputStream(str.length)
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        val b = if (c < 512) charToByte(c.toInt) else -1
+        if (b >= 0) out.write(b)
+        else out.write(String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+      UTF8String.fromBytes(out.toByteArray)
     }
 
     /** Encode full text: lowercase+trim, split on whitespace, per word
@@ -136,13 +200,13 @@ object BpeKernels {
   }
 
   /** Whole-text BPE encode as a Catalyst expression. */
-  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression {
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false) extends UnaryExpression {
     override def prettyName: String = "graft_bpe_encode"
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
-    @transient private lazy val table = new MergeTable(merges.toArray)
+    @transient private lazy val table = new MergeTable(merges.toArray, byteLevel)
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -192,11 +256,74 @@ object BpeKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-word initial symbol array (the trainer's vocabulary init) as a
+    * Catalyst expression — code-point split, or byte-level GPT-2 symbols. */
+  case class BpeInit(child: Expression, byteLevel: Boolean)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_bpe_init"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val table = new MergeTable(Array.empty, byteLevel)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      table.initSyms(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeInit", table, "graft.functions.BpeKernels.MergeTable")
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.initSyms($s);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Invert the byte-level symbol mapping over a string (token concat ->
+    * original text) as a Catalyst expression — the roundtrip oracle's
+    * decode side. */
+  case class BpeByteDecode(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_bpe_byte_decode"
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+
+    @transient private lazy val table = new MergeTable(Array.empty, byteLevel = true)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      table.byteDecode(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeDecode", table, "graft.functions.BpeKernels.MergeTable")
+      nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.byteDecode($s);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Column API: BPE token array for a string column. */
-  def encode(text: Column, merges: Seq[(String, String)]): Column =
-    GraftSql.column(BpeEncode(GraftSql.expression(text), merges))
+  def encode(text: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    GraftSql.column(BpeEncode(GraftSql.expression(text), merges, byteLevel))
 
   /** Column API: fold `merges` (in order) over an array<string> symbol column. */
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     GraftSql.column(BpeApply(GraftSql.expression(syms), merges))
+
+  /** Column API: initial per-word symbol array. */
+  def initSyms(word: Column, byteLevel: Boolean): Column =
+    GraftSql.column(BpeInit(GraftSql.expression(word), byteLevel))
+
+  /** Column API: byte-level symbol decode (inverse of the byte mapping). */
+  def byteDecode(s: Column): Column =
+    GraftSql.column(BpeByteDecode(GraftSql.expression(s)))
 }

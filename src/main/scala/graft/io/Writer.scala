@@ -24,9 +24,9 @@ object Writer {
     *
     * Also selects zstd over the snappy default: the 100M-row IOT write
     * harness (`DriveWriteTune`, bench_write_tune.json) measured the sink
-    * DISK-BOUND — zstd wrote 1.5x faster AND 1.7x smaller than snappy
-    * (25.8s/2.3GB vs 38.4s/3.9GB), and uncompressed was 3x slower than
-    * either; at 100 TB the size cut is also the read-side scan cut.
+    * DISK-BOUND — zstd+no-dict wrote 1.31x faster AND 1.7x smaller than
+    * snappy+dict (94.0s/2.3GB vs 123.4s/3.9GB at 100M rows); at 100 TB
+    * the size cut is also the read-side scan cut.
     * Every hint is a default — explicit user options win. */
   def parquetEncodingHints(table: TableSpec): Map[String, String] = {
     def highEntropy(c: ColumnSpec): Boolean = c.strategy match {

@@ -14,11 +14,13 @@ import graft.functions.BpeKernels
   * with occurrence counts — one shuffle keyed on word, after which every
   * merge iteration runs over the vocabulary (orders of magnitude smaller
   * than a 100 TB corpus; the standard map-reduce BPE formulation). Each
-  * iteration is: adjacent-pair counts (map-side-combined aggregate,
-  * weighted by word count), a TakeOrdered(1) for the winner, and one
-  * fused-kernel pass ([[BpeKernels]]) applying the new merge to the
-  * symbol arrays. `localCheckpoint` after each apply keeps the lineage
-  * flat (without it iteration r would recompute all r prior merges). On a
+  * sweep is: adjacent-pair counts (map-side-combined aggregate, weighted
+  * by word count), a TakeOrdered for the winner(s), and one fused-kernel
+  * pass ([[BpeKernels]]) applying the accepted merges to the symbol
+  * arrays. `localCheckpoint` after each apply keeps the lineage flat
+  * (without it sweep r would recompute all prior merges). `sweepSize > 1`
+  * accepts several symbol-disjoint merges per sweep, bounding driver
+  * round-trips at ~2·V/sweepSize jobs for a V-merge vocabulary. On a
   * real corpus one typically trains on a deterministic sample
   * ([[Sampling.sampleN]] composes directly) and encodes the full corpus
   * with the fused [[encode]] pass.
@@ -36,8 +38,12 @@ import graft.functions.BpeKernels
 object Bpe {
 
   /** One learned merge: `left`+`right` fuse at `rank`, with the corpus
-    * pair count at selection time. */
-  case class Merge(rank: Int, left: String, right: String, count: Long)
+    * pair count at selection time. `sweep` is the batch the merge was
+    * selected in (always 0 at `sweepSize = 1`); counts are exact as of the
+    * START of their sweep — non-increasing within a sweep, re-counted
+    * between sweeps. */
+  case class Merge(rank: Int, left: String, right: String, count: Long,
+      sweep: Int = 0)
 
   /** Whitespace word stream, lowercased — the tokenization both the
     * trainer and [[BpeKernels.MergeTable.encode]] share. */
@@ -45,40 +51,70 @@ object Bpe {
     split(lower(trim(textCol)), "\\s+")
 
   /** Learn `numMerges` merges over a text column. Stops early when the
-    * best remaining pair occurs fewer than `minPairCount` times. */
+    * best remaining pair occurs fewer than `minPairCount` times.
+    *
+    * `byteLevel = true` initializes words as GPT-2-style byte symbols
+    * (256-symbol base alphabet, [[BpeKernels.byteToChar]]) instead of code
+    * points, making a trained encoder TOTAL on arbitrary text — unseen
+    * characters still decompose into known byte symbols.
+    *
+    * `sweepSize > 1` batches merge selection: each sweep ranks all pair
+    * candidates once and greedily accepts up to `sweepSize` of them in
+    * (count desc, left asc, right asc) order, skipping any candidate that
+    * shares a symbol — left, right, or fused string — with one already
+    * accepted in the sweep (symbol-disjoint merges cannot change each
+    * other's occurrence counts, so applying them in one fused pass is
+    * order-independent within the sweep). This is the standard batched-BPE
+    * approximation: the sequence stays a pure deterministic function of
+    * the corpus, but can differ from strict sequential selection when a
+    * merge would have created a pair outranking a later batch member, and
+    * recorded counts are the sweep-time (pre-batch) counts, so counts are
+    * non-increasing only WITHIN a sweep. The default `sweepSize = 1` is
+    * exact sequential BPE (the oracle's pinned behavior).
+    *
+    * Job bound: each sweep costs 2 Spark jobs (candidate TakeOrdered +
+    * checkpoint materialize), so a vocabulary of V merges runs in about
+    * `2*ceil(V/sweepSize)` driver round-trips — at sweepSize=64 a
+    * 32k-merge vocab is ~1000 jobs instead of ~64k. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L): Seq[Merge] = {
+      minPairCount: Long = 2L, byteLevel: Boolean = false,
+      sweepSize: Int = 1): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    // Corpus -> vocabulary: the one corpus-wide shuffle. "(?!^)" splits a
-    // word into single-character symbols (codepoint boundaries — Java
-    // regex match positions never fall inside a surrogate pair); Spark's
-    // split keeps trailing empties (limit=-1), so strip them.
-    // Eager checkpoints pin vocabulary-sized RDD blocks; release each
-    // iteration's blocks once its successor has materialized — without
-    // this, numMerges copies of the symbol table sit in the block manager
-    // until session end. The persisted RDD is internal to the Dataset
-    // (df.rdd would be a fresh unrelated RDD), so generations are tracked
-    // by diffing the context's persistent-RDD registry.
-    val sc = df.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet.toSet
-    var seen = preexisting
-    var live: Set[Int] = Set.empty
-    def rotateBlocks(): Unit = {
-      val fresh = sc.getPersistentRDDs.keySet.toSet -- seen
-      seen ++= fresh
-      live.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      live = fresh
+    require(sweepSize >= 1, s"sweepSize must be >= 1, got $sweepSize")
+    // Corpus -> vocabulary: the one corpus-wide shuffle. Eager checkpoints
+    // pin vocabulary-sized RDD blocks; each iteration's blocks are
+    // released once its successor has materialized — without this,
+    // numMerges copies of the symbol table sit in the block manager until
+    // session end. The checkpointed Dataset is tracked DIRECTLY (its
+    // LogicalRDD leaf, via GraftSql.checkpointedRdd) so only this
+    // trainer's blocks are ever unpersisted — diffing the context-wide
+    // persistent-RDD registry misclassified RDDs persisted concurrently
+    // by other code on the same session (ADVICE r10).
+    var prevCkpt: DataFrame = null
+    def ckpt(d: DataFrame): DataFrame = {
+      val c = d.localCheckpoint(true)
+      if (prevCkpt != null)
+        org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prevCkpt)
+          .foreach(_.unpersist(blocking = false))
+      prevCkpt = c
+      c
     }
-    var words = df.select(explode(wordsOf(col(textCol))).as("w"))
+    var words = ckpt(df.select(explode(wordsOf(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(filter(split(col("w"), "(?!^)"), s => s =!= "").as("syms"), col("cnt"))
-      .localCheckpoint(true)
-    rotateBlocks()
+      .select(BpeKernels.initSyms(col("w"), byteLevel).as("syms"), col("cnt")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var sweep = 0
     var done = false
     while (merges.length < numMerges && !done) {
+      val want = math.min(sweepSize, numMerges - merges.length)
+      // Slack over the sweep size: conflicting candidates are skipped, not
+      // queued. The window depends ONLY on sweepSize (never on the
+      // remaining merge budget) so a (corpus, sweepSize) pair always
+      // yields the same merge sequence — train(numMerges = 64) is a
+      // prefix of train(numMerges = 256).
+      val fetch = if (sweepSize == 1) 1 else math.max(sweepSize * 2, sweepSize + 8)
       val n = size(col("syms"))
       val top = words.where(n >= 2)
         .select(col("cnt"), explode(zip_with(
@@ -86,31 +122,46 @@ object Bpe {
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+        .limit(fetch).collect()
+        .filter(_.getLong(2) >= minPairCount)
+      if (top.isEmpty) done = true
       else {
-        val m = Merge(merges.length, top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += m
-        words = words.select(
-          BpeKernels.applyMerges(col("syms"), Seq((m.left, m.right))).as("syms"),
-          col("cnt")).localCheckpoint(true)
-        rotateBlocks()
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        var i = 0
+        while (i < top.length && accepted.length < want) {
+          val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          val fused = l + r
+          if (!used(l) && !used(r) && !used(fused)) {
+            accepted += Merge(merges.length + accepted.length, l, r, c, sweep)
+            used += l; used += r; used += fused
+          }
+          i += 1
+        }
+        merges ++= accepted
+        sweep += 1
+        words = ckpt(words.select(
+          BpeKernels.applyMerges(col("syms"),
+            accepted.map(m => (m.left, m.right)).toSeq).as("syms"),
+          col("cnt")))
       }
     }
-    live.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    if (prevCkpt != null)
+      org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prevCkpt)
+        .foreach(_.unpersist(blocking = false))
     merges.toSeq
   }
 
   /** Attach the BPE token array (`array<string>`) for a text column — one
     * fused-kernel pass per row, zero shuffle; the merge table rides as a
-    * codegen reference object. */
+    * codegen reference object. `byteLevel` must match training. */
   def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
-      outCol: String = "bpe_tokens"): DataFrame =
+      outCol: String = "bpe_tokens", byteLevel: Boolean = false): DataFrame =
     df.withColumn(outCol,
-      BpeKernels.encode(col(textCol), merges.map(m => (m.left, m.right))))
+      BpeKernels.encode(col(textCol), merges.map(m => (m.left, m.right)), byteLevel))
 
   /** BPE token count column for a text column. */
-  def tokenCount(text: Column, merges: Seq[Merge]): Column =
-    size(BpeKernels.encode(text, merges.map(m => (m.left, m.right))))
+  def tokenCount(text: Column, merges: Seq[Merge],
+      byteLevel: Boolean = false): Column =
+    size(BpeKernels.encode(text, merges.map(m => (m.left, m.right)), byteLevel))
 }

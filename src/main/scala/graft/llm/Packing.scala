@@ -222,10 +222,15 @@ object Packing {
         // selecting that pack would look up bucket -n and NPE.
         val after = math.max(before - tok, 0L)
         remaining(packId) = after
-        // A full pack (after == 0) never re-enters the index at capacity
-        // >= 1 token, but capacity-0 entries are harmless: ceilingEntry(
-        // tok>=1) skips them, and tok==0 rows attaching cost nothing.
-        open.computeIfAbsent(after, _ => new java.util.TreeSet[Long]()).add(packId)
+        // A full or oversized pack (after == 0) is retired, never
+        // re-inserted: a capacity-0 entry would be ceilingEntry(0)'s first
+        // hit, attaching zero-token rows to oversized singletons and
+        // breaking the "oversized docs get a pack of their own" contract.
+        // tok==0 rows instead join the tightest open non-full pack (or
+        // open a fresh one when none is open).
+        if (after > 0L) {
+          open.computeIfAbsent(after, _ => new java.util.TreeSet[Long]()).add(packId)
+        }
         val pos = posInPack(packId) + 1L
         posInPack(packId) = pos
         Row.fromSeq(row.toSeq ++ Seq(packId, pos))

@@ -1356,6 +1356,35 @@ object LlmQueries {
         "compressed" -> (sum(size(col("bpe_tokens"))) < sum(length(col("stripped")))))
     }),
 
+    // Byte-level BPE (GPT-2-style 256-symbol base alphabet) + batched
+    // sweep selection: trains on documents UNION a handful of literal
+    // non-ASCII rows (umlauts, CJK, astral-plane emoji), encodes, and
+    // pins the lossless roundtrip decode(concat(tokens)) == stripped text
+    // — byte init makes encode TOTAL on characters absent from training.
+    // n_docs is replayable (count + 5 literals); booleans frozen.
+    "q_bpe_bytes" -> ((s, d) => {
+      import s.implicits._
+      val extra = Seq(
+        "Süße Grüße aus München", "naïve café déjà-vu fiancée",
+        "日本語のテスト 中文测试", "emoji 🙂🚀 works 🎉🧪",
+        "mixed ASCII und ümlaut 🙂 zusammen").toDF("text")
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+        .select("text").unionByName(extra)
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 24,
+        byteLevel = true, sweepSize = 8)
+      val enc = graft.llm.Bpe.encode(docs, "text", merges, byteLevel = true)
+        .withColumn("stripped",
+          concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+      one(enc,
+        "n_docs" -> count(lit(1)),
+        "all_roundtrip" -> all(
+          graft.functions.BpeKernels.byteDecode(concat_ws("", col("bpe_tokens")))
+            === col("stripped")),
+        "all_encodable" -> all(size(col("bpe_tokens")) > 0 ||
+          length(col("stripped")) === 0),
+        "merged_something" -> lit(merges.nonEmpty))
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -2068,6 +2097,13 @@ object LlmQueries {
     "q_bpe_encode" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS all_roundtrip,
         |  TRUE AS tokens_le_chars, TRUE AS compressed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // Byte-level roundtrip: n_docs replays count + the 5 non-ASCII
+    // literals; the lossless decode identity and totality are frozen.
+    "q_bpe_bytes" ->
+      """SELECT CAST(count(*) + 5 AS BIGINT) AS n_docs, TRUE AS all_roundtrip,
+        |  TRUE AS all_encodable, TRUE AS merged_something
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // Full replay of the bigram-LM scoring: identical tokenization, the

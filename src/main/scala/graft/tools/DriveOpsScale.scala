@@ -59,24 +59,23 @@ object DriveOpsScale {
       // steal or looks contaminated, keep the minimum.
       mat(op(synth.limit((rows / 10).toInt)))
       val hz = 100.0 // USER_HZ ticks/sec
-      // Contention is bursty and can hit EITHER measurement — a
-      // contaminated base would fake a zero marginal under pairwise min —
-      // so base and full take independent minima over the attempts.
-      var minBase = Double.MaxValue
-      var minFull = Double.MaxValue
-      var minSteal = Double.MaxValue
+      // Contention is bursty, so take several attempts — but publish the
+      // (base, full) PAIR from the single attempt with the lowest full:
+      // independent minima across attempts could manufacture a marginal no
+      // run exhibited (ADVICE r10). The lowest-full attempt is the
+      // cleanest observed window, and its pair is a real measurement.
+      var best: (Double, Double, Double) = (Double.MaxValue, Double.MaxValue, 0.0)
       for (_ <- 0 until 3) {
         val (st0, _) = boxTicks()
         val base = secs(mat(synth))
         val full = secs(mat(op(synth)))
         val (st1, _) = boxTicks()
-        minBase = math.min(minBase, base)
-        minFull = math.min(minFull, full)
-        minSteal = math.min(minSteal, (st1 - st0) / hz)
+        if (full < best._2) best = (base, full, (st1 - st0) / hz)
       }
-      val marginal = math.max(0.0, minFull - minBase)
+      val (bBase, bFull, bSteal) = best
+      val marginal = math.max(0.0, bFull - bBase)
       val rps = rows / math.max(1e-9, marginal) / 1e6
-      val line = f"""{"bench":"$name","rows":$rows,"base_sec":$minBase%.2f,"marginal_sec":$marginal%.2f,"marginal_mrows_per_sec":$rps%.1f,"min_steal_sec":$minSteal%.2f}"""
+      val line = f"""{"bench":"$name","rows":$rows,"base_sec":$bBase%.2f,"full_sec":$bFull%.2f,"marginal_sec":$marginal%.2f,"marginal_mrows_per_sec":$rps%.1f,"steal_sec":$bSteal%.2f}"""
       println(s"CHECK $line")
       out.append(line).append('\n')
     }

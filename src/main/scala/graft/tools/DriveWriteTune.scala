@@ -61,7 +61,12 @@ object DriveWriteTune {
     val configs: Seq[(String, Map[String, String])] = Seq(
       "snappy_dict" -> Map("compression" -> "snappy"),
       "zstd_dict" -> Map("compression" -> "zstd"),
-      "zstd_nodict" -> Map("compression" -> "zstd", "parquet.enable.dictionary" -> "false"))
+      "zstd_nodict" -> Map("compression" -> "zstd", "parquet.enable.dictionary" -> "false"),
+      // The SHIPPED default: zstd + spec-informed per-column dictionary-off
+      // (dictionaries stay ON for low-cardinality columns). Measured
+      // directly so Writer.parquetEncodingHints cites its own config, not
+      // a proxy (ADVICE r10).
+      "zstd_colhints" -> graft.io.Writer.parquetEncodingHints(iot(0L)))
 
     val out = new StringBuilder
     // Two interleaved rounds: every config sees both halves of the window,

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The RDD a `localCheckpoint(eager = true)` pinned for this Dataset, if
+    * any: the checkpointed plan is a `LogicalRDD` leaf wrapping the
+    * persisted internal-row RDD. Lets callers unpersist exactly their own
+    * checkpoint blocks instead of diffing the context-wide persistent-RDD
+    * registry (which misclassifies RDDs persisted concurrently by anyone
+    * else on the session). */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -77,4 +77,92 @@ class BpeSpec extends AnyFunSuite {
     val learned = merges.map(m => m.left + m.right).toSet
     assert(vocab.subsetOf(learned), s"multi-char tokens beyond learned merges: ${vocab -- learned}")
   }
+
+  test("byte mapping: bijective over all 256 bytes") {
+    val chars = BpeKernels.byteToChar
+    assert(chars.length === 256)
+    assert(chars.distinct.length === 256, "byte->char map must be injective")
+    // Printable bytes map to themselves (GPT-2 contract).
+    assert(chars('A'.toInt) === 'A' && chars('z'.toInt) === 'z' && chars('!'.toInt) === '!')
+    // Control bytes and space leave the byte range.
+    assert(chars(' '.toInt) >= 256.toChar && chars(0) >= 256.toChar)
+  }
+
+  test("byte-level: roundtrip on non-ASCII + emoji, totality on unseen chars") {
+    val docs = Seq(
+      "Süße Grüße aus München", "naïve café déjà-vu",
+      "日本語のテスト", "emoji 🙂🚀 and 🎉", "plain ascii words here"
+    ).toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 30, minPairCount = 1,
+      byteLevel = true)
+    assert(merges.nonEmpty)
+    val enc = Bpe.encode(docs, "text", merges, byteLevel = true)
+      .withColumn("stripped", concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+      .withColumn("back", BpeKernels.byteDecode(concat_ws("", col("bpe_tokens"))))
+    val bad = enc.where(col("back") =!= col("stripped")).collect()
+    assert(bad.isEmpty, s"byte-level roundtrip failed: ${bad.mkString(";")}")
+
+    // Totality: an encoder trained on THIS corpus still encodes text made
+    // entirely of characters it never saw — byte symbols always exist.
+    val unseen = Seq("Ωμέγα ΑΒΓ", "🥨🦑🛸").toDF("text")
+    val u = Bpe.encode(unseen, "text", merges, byteLevel = true)
+      .withColumn("stripped", concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+      .withColumn("back", BpeKernels.byteDecode(concat_ws("", col("bpe_tokens"))))
+    val ubad = u.where(col("back") =!= col("stripped") ||
+      size(col("bpe_tokens")) === 0).collect()
+    assert(ubad.isEmpty, "byte-level encode must be total and lossless on unseen text")
+  }
+
+  test("batched sweeps: 256 merges at sf0.01 in bounded wall, deterministic, disjoint") {
+    // The raw sf0.01 text has only 31 distinct words — exact-BPE saturates
+    // below 100 merges (every word fully fused). Collapsing each doc to one
+    // long word keeps the corpus real but gives the pair lattice enough
+    // depth for a 256-merge vocabulary, which is what the sweep-batching
+    // job bound is about.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(translate(col("text"), " ", "").as("text"))
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(docs, "text", numMerges = 256, minPairCount = 1,
+      byteLevel = true, sweepSize = 32)
+    val wall = (System.nanoTime() - t0) / 1e9
+    info(f"256 byte-level merges in $wall%.1fs (8 sweeps of 32)")
+    assert(merges.length === 256)
+    assert(merges.map(_.rank) === merges.indices)
+    assert(wall < 300.0, f"batched training took $wall%.1fs — driver-bound regression?")
+    // The job bound's premise: few sweeps, many merges per sweep.
+    val nSweeps = merges.map(_.sweep).distinct.length
+    info(s"$nSweeps sweeps for ${merges.length} merges")
+    // Conflict rejections mean sweeps rarely fill to 32; what matters is
+    // the job-count cut vs one-merge-per-job (measured: 20 sweeps = 12.8
+    // merges/sweep on this corpus).
+    assert(nSweeps <= 64, s"sweep batching degenerated: $nSweeps sweeps for 256 merges")
+    // Within each sweep, accepted merges are pairwise symbol-disjoint
+    // (no merge touches a symbol any EARLIER sweep-mate introduced or
+    // consumed — l == r within one merge is fine) and counts are
+    // non-increasing (the documented batched contract).
+    merges.groupBy(_.sweep).values.foreach { sw =>
+      val sweep = sw.sortBy(_.rank)
+      var seen = Set.empty[String]
+      sweep.foreach { m =>
+        val mine = Set(m.left, m.right, m.left + m.right)
+        assert(mine.intersect(seen).isEmpty, "sweep members must be symbol-disjoint")
+        seen ++= mine
+      }
+      assert(sweep.sliding(2).forall {
+        case Seq(a, b) => b.count <= a.count
+        case _ => true
+      })
+    }
+    // Deterministic: a re-run reproduces the sequence exactly.
+    val merges2 = Bpe.train(docs.repartition(7), "text", numMerges = 64,
+      minPairCount = 1, byteLevel = true, sweepSize = 32)
+    assert(merges2 === merges.take(64),
+      "batched selection must be a pure function of the corpus")
+    // Roundtrip still holds corpus-wide under the batched table.
+    val enc = Bpe.encode(docs, "text", merges, byteLevel = true)
+      .withColumn("stripped", concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+    val bad = enc.where(
+      BpeKernels.byteDecode(concat_ws("", col("bpe_tokens"))) =!= col("stripped")).count()
+    assert(bad === 0L)
+  }
 }

@@ -53,13 +53,23 @@ class PackBestFitSpec extends AnyFunSuite {
     assert(zp.count() === 2)
     assert(zp.select("pack_id").distinct().count() === 1)
 
-    // Regression: a zero-token row after an OVERSIZED doc selects the
-    // oversized pack's capacity-0 bucket — the stored remainder must be
-    // the clamped 0, not the raw negative (which NPE'd the bucket lookup).
+    // Regression: full/oversized packs (remaining 0) are retired from the
+    // capacity index, so a zero-token row after an OVERSIZED doc does NOT
+    // attach to the oversized singleton — it opens its own (empty) pack.
+    // (Historically the capacity-0 bucket both NPE'd on the raw negative
+    // remainder and, once clamped, violated the singleton contract.)
     val over = Seq((1L, 10L), (2L, 0L)).toDF("id", "tok")
     val op = Packing.binPackBestFit(over, Seq("id"), "tok", 7, shards = 1)
     assert(op.count() === 2)
-    assert(op.select("pack_id").distinct().count() === 1)
+    assert(op.select("pack_id").distinct().count() === 2)
+    // The oversized doc remains alone in its pack.
+    val byId2 = op.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId2(1L) !== byId2(2L))
+    // And a doc that exactly fills its pack also retires it: the next
+    // zero-token row opens a new pack instead of joining the full one.
+    val full = Seq((1L, 7L), (2L, 0L)).toDF("id", "tok")
+    val fp = Packing.binPackBestFit(full, Seq("id"), "tok", 7, shards = 1)
+    assert(fp.select("pack_id").distinct().count() === 2)
   }
 
   test("determinism, partition independence, shard reset") {
