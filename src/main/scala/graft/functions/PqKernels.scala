@@ -42,6 +42,75 @@ object PqKernels {
     val m: Int = books.length
     val subdim: Int = if (m == 0 || books(0).isEmpty) 0 else books(0)(0).length
     val dim: Int = m * subdim
+    /** Flattened-LUT offset of subspace s (per-subspace ksub may differ). */
+    private val off: Array[Int] = {
+      val o = new Array[Int](m + 1)
+      var s = 0
+      while (s < m) { o(s + 1) = o(s) + books(s).length; s += 1 }
+      o
+    }
+    /** ||codeword||^2 per (subspace, code) — query-INDEPENDENT, so the
+      * reconstructed-vector norm side of ADC costs m table lookups and
+      * never ships with the query. */
+    private val cwNorm2: Array[Array[Double]] = books.map(_.map { cw =>
+      var n2 = 0.0
+      var j = 0
+      while (j < cw.length) { n2 += cw(j) * cw(j); j += 1 }
+      n2
+    })
+
+    /** Per-query ADC lookup table: flattened sum(off) x 1 array where
+      * entry off(s)+c = dot(query_subvector(s), codeword(s,c)). O(dim *
+      * ksub) once per QUERY; scoring a candidate then costs O(m) lookups
+      * instead of an O(dim) decode+dot (classic asymmetric-distance
+      * computation, Jégou et al., IEEE TPAMI 2011). */
+    def lut(q: ArrayData): ArrayData = {
+      if (q.numElements() != dim || dim == 0) return null
+      var i = 0
+      while (i < dim) { if (q.isNullAt(i)) return null; i += 1 }
+      val out = new Array[Any](off(m))
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        val base = s * subdim
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d = 0.0
+          var j = 0
+          while (j < subdim) { d += q.getDouble(base + j) * cw(j); j += 1 }
+          out(off(s) + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    /** ADC score of one candidate: sum of m LUT entries over the
+      * candidate's codes, normalized by the reconstructed norm —
+      * `dot(q, decode(codes)) / ||decode(codes)||`. Dividing by the query
+      * norm outside yields exactly the decode-path cosine (up to FP
+      * grouping of the per-subspace partial sums). Returns 0.0 for a
+      * zero-norm reconstruction (the cosine kernels' contract), null for
+      * malformed codes or a mismatched LUT. */
+    def adcScore(codes: ArrayData, lutArr: ArrayData): java.lang.Double = {
+      if (codes.numElements() != m || lutArr.numElements() != off(m) || dim == 0)
+        return null
+      var dotSum = 0.0
+      var n2 = 0.0
+      var s = 0
+      while (s < m) {
+        if (codes.isNullAt(s)) return null
+        val c = codes.getInt(s)
+        if (c < 0 || c >= books(s).length) return null
+        dotSum += lutArr.getDouble(off(s) + c)
+        n2 += cwNorm2(s)(c)
+        s += 1
+      }
+      if (n2 == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dotSum / math.sqrt(n2))
+    }
 
     /** PQ codes (argmin L2 per subspace) for a full vector. */
     def encode(vec: ArrayData): ArrayData = {
@@ -154,6 +223,73 @@ object PqKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-query ADC LUT as a Catalyst expression — computed ONCE per query
+    * row (the small, broadcast side), never per candidate. */
+  case class PqLut(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_pq_lut"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val book =
+      new Codebook(codebook.map(_.map(_.toArray).toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      book.lut(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", book, "graft.functions.PqKernels.Codebook")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        ${ev.value} = $ref.lut($arr);
+        ${ev.isNull} = (${ev.value} == null);""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** O(m) ADC candidate scoring against a per-query LUT — the hot loop of
+    * a PQ index probe: m table lookups + adds, no decode, no allocation. */
+  case class PqAdc(left: Expression, right: Expression,
+      codebook: Seq[Seq[Seq[Double]]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "graft_pq_adc"
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+
+    @transient private lazy val book =
+      new Codebook(codebook.map(_.map(_.toArray).toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<int> codes, array<double> lut), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+      }
+
+    override def nullSafeEval(codes: Any, lutArr: Any): Any =
+      book.adcScore(codes.asInstanceOf[ArrayData], lutArr.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebook", book, "graft.functions.PqKernels.Codebook")
+      val tmp = ctx.freshName("adc")
+      nullSafeCodeGen(ctx, ev, (codes, lutArr) => s"""
+        java.lang.Double $tmp = $ref.adcScore($codes, $lutArr);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }""")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   private def asSeq(books: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
     books.map(_.map(_.toSeq).toSeq).toSeq
 
@@ -165,4 +301,17 @@ object PqKernels {
   /** Column API: reconstructed `array<double>` vector from PQ codes. */
   def decode(codes: Column, books: Array[Array[Array[Double]]]): Column =
     GraftSql.column(PqDecode(GraftSql.expression(codes.cast("array<int>")), asSeq(books)))
+
+  /** Column API: per-query flattened ADC lookup table (length sum of
+    * per-subspace ksub) for an `array<double>` query vector. */
+  def lut(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqLut(GraftSql.expression(vec.cast("array<double>")), asSeq(books)))
+
+  /** Column API: ADC score `dot(q, decode(codes)) / ||decode(codes)||` of
+    * a candidate's codes against a per-query LUT — divide by the query
+    * norm for the full cosine. */
+  def adcScore(codes: Column, lutCol: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqAdc(GraftSql.expression(codes.cast("array<int>")),
+      GraftSql.expression(lutCol.cast("array<double>")), asSeq(books)))
 }

@@ -484,13 +484,16 @@ object Similarity {
 
   /** PQ top-k with exact re-ranking — the standard two-stage ANN shape:
     *
-    * 1. CANDIDATES: score every corpus row against each query on its
-    *    PQ-reconstructed vector (asymmetric distance — queries stay full
-    *    precision). `dot(q, decode(codes))` equals the classic ADC sum of
-    *    per-subspace codeword dots; the LUT formulation changes where the
-    *    arithmetic happens, not what is computed. This pass reads only the
-    *    m-int code column — at 100 TB that is the whole point: the
-    *    candidate scan touches ~1/32 of the embedding bytes.
+    * 1. CANDIDATES: classic table-lookup ADC (Jégou et al.) — each query
+    *    precomputes ONE m×ksub partial-dot table (`graft_pq_lut`, on the
+    *    tiny broadcast side); scoring a candidate is then m lookups + adds
+    *    (`graft_pq_adc`): O(m) per candidate, no decode, no per-candidate
+    *    allocation, with the codeword-norm side folded into the codebook
+    *    reference object (query-independent). Numerically identical to
+    *    `dot(q, decode(codes)) / norms` up to FP grouping of per-subspace
+    *    partials. This pass reads only the m-int code column — at 100 TB
+    *    that is the whole point: the candidate scan touches ~1/32 of the
+    *    embedding bytes and spends O(m), not O(dim), per row.
     * 2. RE-RANK: the top k×`rerank` candidates per query (a tiny set) are
     *    broadcast back against the corpus to fetch their RAW vectors —
     *    narrow semi-fetch, the full-precision column is read only for
@@ -507,11 +510,22 @@ object Similarity {
     import graft.functions.VectorKernels
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
     val books = pqTrain(corpus, corpusId, corpusVec, m, ksub, refineIterations)
-    val encoded = pqEncode(
-      corpus.select(col(corpusId), col(corpusVec)), corpusVec, books, "__pq")
-      .select(col(corpusId), pqDecode(col("__pq"), books).as("__deq"))
-    val adc = bruteForceTopK(encoded, corpusId, "__deq",
-      queries, queryId, queryVec, k * rerank)
+    val encoded = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
+      graft.functions.PqKernels.encode(col(corpusVec), books).as("__pq")))
+    val qlut = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("qn", VectorKernels.norm(col("qv")))
+      .withColumn("__lut", graft.functions.PqKernels.lut(col("qv"), books))
+      .select("query_id", "qn", "__lut"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val adc = encoded.crossJoin(qlut)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") === 0, lit(0.0))
+          .otherwise(graft.functions.PqKernels.adcScore(col("__pq"), col("__lut"), books)
+            / col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(wAdc)).where(col("rank") <= k * rerank)
     if (rerank == 1) adc
     else {
       val cand = adc.select(col("query_id"), col("neighbor_id"))
@@ -568,18 +582,24 @@ object Similarity {
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
       .withColumn("qn", VectorKernels.norm(col("qv")))
-    val probed = q.withColumn("centroid_idx",
-      explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
+    // Each probe row ships the per-query ADC lookup table (m×ksub partial
+    // dots) instead of the query vector: candidate scoring is then O(m)
+    // lookups per code row — no decode, no per-candidate allocation. The
+    // LUT is nProbe-deduplicated only by rows (one copy per probe row);
+    // at nProbe×|queries| broadcast rows of 8·m·ksub bytes it stays tiny.
+    val probed = q
+      .withColumn("__lut", PqKernels.lut(col("qv"), books))
+      .withColumn("centroid_idx",
+        explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
+      .select("query_id", "qn", "__lut", "centroid_idx")
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val cand = indexed.join(broadcast(probed), Seq("centroid_idx"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("__deq", PqKernels.decode(col("__pq"), books))
-      .withColumn("__dn", VectorKernels.norm(col("__deq")))
       .select(col("query_id"), col("neighbor_id"),
-        when(col("qn") * col("__dn") === 0, lit(0.0))
-          .otherwise(VectorKernels.dot(col("qv"), col("__deq")) /
-            (col("qn") * col("__dn"))).as("adc"))
+        when(col("qn") === 0, lit(0.0))
+          .otherwise(PqKernels.adcScore(col("__pq"), col("__lut"), books)
+            / col("qn")).as("adc"))
       .withColumn("rank", row_number().over(wAdc)).where(col("rank") <= k * rerank)
       .select("query_id", "neighbor_id")
     val fetched = c.join(broadcast(cand), Seq("neighbor_id"))

@@ -120,6 +120,21 @@ object DriveOpsScale {
         df => df.select(graft.functions.PqKernels.encode(col("embedding"), pqBook).as("c")))
     }
 
+    // LUT-ADC scoring: codebook trained once, corpus pre-encoded to codes
+    // in the BASE (so the marginal isolates the O(m) per-candidate scoring
+    // kernel — the hot loop of a PQ index probe), one fixed query whose
+    // LUT constant-folds into the plan.
+    if (only.isEmpty || only("pq_adc_10m_codes")) {
+      val adcBook = graft.llm.Similarity.pqTrain(
+        emb10m.limit(2000), "id", "embedding", m = 16, ksub = 64, refineIterations = 2)
+      val codes10m = emb10m.select(col("id"),
+        graft.functions.PqKernels.encode(col("embedding"), adcBook).as("codes"))
+      val qv = Array.tabulate(64)(i => i / 64.0 - 0.5)
+      bench("pq_adc_10m_codes", 10000000L, codes10m,
+        df => df.select(graft.functions.PqKernels.adcScore(col("codes"),
+          graft.functions.PqKernels.lut(lit(qv), adcBook), adcBook).as("s")))
+    }
+
     // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
     // fused whole-text encode over 10M 32-token docs.
     if (only.isEmpty || only("bpe_encode_10m_docs")) {

@@ -72,6 +72,45 @@ class PqSpec extends AnyFunSuite {
     assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < 16)
   }
 
+  test("ADC LUT: O(m) score matches decode+dot cosine, null contract, plan shape") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 16, ksub = 64,
+      refineIterations = 1)
+    import graft.functions.VectorKernels
+    val v = col("embedding").cast("array<double>")
+    val q = emb.where(col("vec_id") === 3).select(v.as("qv")).head.getSeq[Double](0)
+    val qlit = lit(q.toArray)
+    val scored = emb.select(
+      col("vec_id"),
+      PqKernels.adcScore(PqKernels.encode(v, books), PqKernels.lut(qlit, books), books)
+        .as("viaLut"),
+      (VectorKernels.dot(qlit, PqKernels.decode(PqKernels.encode(v, books), books)) /
+        VectorKernels.norm(PqKernels.decode(PqKernels.encode(v, books), books)))
+        .as("viaDecode"))
+    val worst = scored.select(max(abs(col("viaLut") - col("viaDecode")))).head.getDouble(0)
+    assert(worst < 1e-9, s"LUT ADC diverged from decode+dot by $worst")
+
+    // Null contract: malformed codes and mismatched LUT yield null.
+    val badCodes = Seq(Tuple1(Seq(0, 99))).toDF("c")
+    assert(badCodes.select(PqKernels.adcScore(col("c"),
+      PqKernels.lut(qlit, book), book)).head.isNullAt(0))
+
+    // The scoring side of pqTopK carries the fused ADC kernel and NO
+    // full-dim decode — the decode path must not be in the hot loop.
+    val queries = emb.where(col("vec_id") < 2)
+    val plan = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, m = 16, ksub = 64,
+      refineIterations = 0, rerank = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_pq_adc"), "pqTopK must score via the ADC LUT kernel")
+    assert(!plan.contains("graft_pq_decode"),
+      s"pqTopK scoring must not decode candidates to full dim:\n$plan")
+    val hybridPlan = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 2,
+      m = 16, ksub = 64, refineIterations = 0, rerank = 2)
+      .queryExecution.executedPlan.toString
+    assert(hybridPlan.contains("graft_pq_adc") && !hybridPlan.contains("graft_pq_decode"))
+  }
+
   test("pqTopK: recall against exact top-k on the clustered corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 5)
