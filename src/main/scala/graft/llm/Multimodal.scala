@@ -375,7 +375,13 @@ object Multimodal {
     StructField("duration_sec", DoubleType),
     StructField("n_tracks", IntegerType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    // Frame-level metadata from the first track carrying an stbl/stsz
+    // sample-size table: null when the container has no sample tables
+    // (header-only stubs, fragmented MP4).
+    StructField("frame_count", LongType),
+    StructField("keyframe_count", LongType),
+    StructField("mean_frame_size", DoubleType)))
 
   /** Batched per-partition MP4 container parse — the video sibling of
     * `decodeImages`/`decodeAudio`, same `mapPartitions` + batch shape.
@@ -437,6 +443,12 @@ object Multimodal {
       var nTracks = 0
       var width = 0
       var height = 0
+      // Frame stats from the FIRST track with an stsz table (in our stubs
+      // and most real files, the video track). stss absent => every sample
+      // is a sync sample (ISO 14496-12 §8.6.2 contract).
+      var frameCount = -1L
+      var keyframeCount = -1L
+      var sumFrameBytes = 0.0
       boxes(0, bytes.length).foreach {
         case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(p)
         case ("moov", mp, me) =>
@@ -452,6 +464,9 @@ object Multimodal {
               }
             case ("trak", tp, te) =>
               nTracks += 1
+              var trakFrames = -1L
+              var trakSync = -1L
+              var trakSum = 0.0
               boxes(tp, te).foreach {
                 case ("tkhd", p, e) =>
                   val version = bytes(p) & 0xFF
@@ -466,7 +481,41 @@ object Multimodal {
                       width = w; height = h
                     }
                   }
+                case ("mdia", dp, de) => boxes(dp, de).foreach {
+                  case ("minf", ip, ie) => boxes(ip, ie).foreach {
+                    case ("stbl", sp, se) => boxes(sp, se).foreach {
+                      case ("stsz", p, e) if e - p >= 12 =>
+                        // ver/flags(4), sample_size(4), sample_count(4)
+                        // [, per-sample sizes when sample_size == 0].
+                        val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+                        if (uniform != 0L) {
+                          trakFrames = cnt
+                          trakSum = uniform.toDouble * cnt
+                        } else if (cnt <= (e - p - 12L) / 4L) {
+                          trakFrames = cnt
+                          var j = 0
+                          var sum = 0.0
+                          while (j < cnt.toInt) {
+                            sum += (bb.getInt(p + 12 + 4 * j).toLong & 0xFFFFFFFFL).toDouble
+                            j += 1
+                          }
+                          trakSum = sum
+                        }
+                      case ("stss", p, e) if e - p >= 8 =>
+                        trakSync = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
                 case _ => ()
+              }
+              if (frameCount < 0 && trakFrames >= 0) {
+                frameCount = trakFrames
+                sumFrameBytes = trakSum
+                keyframeCount = if (trakSync >= 0) trakSync else trakFrames
               }
             case _ => ()
           }
@@ -474,7 +523,11 @@ object Multimodal {
       }
       if (brand == null || timescale <= 0 || durationUnits < 0) null
       else Row(brand, timescale, durationUnits,
-        durationUnits.toDouble / timescale, nTracks, width, height)
+        durationUnits.toDouble / timescale, nTracks, width, height,
+        if (frameCount >= 0) frameCount else null,
+        if (frameCount >= 0) keyframeCount else null,
+        if (frameCount > 0) sumFrameBytes / frameCount
+        else if (frameCount == 0) 0.0 else null)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -486,15 +539,44 @@ object Multimodal {
     * container-metadata stub by design; the boxes are structurally valid
     * ISO BMFF v0. */
   def encodeMp4Stub(timescale: Int, durationUnits: Long,
-      tracks: Seq[(Int, Int)]): Array[Byte] = {
+      tracks: Seq[(Int, Int)], frameSizes: Seq[Int] = Nil,
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(timescale > 0 && durationUnits >= 0 && durationUnits <= Int.MaxValue,
       s"bad MP4 spec: timescale=$timescale duration=$durationUnits (v0 caps at 2^31-1)")
+    require(syncSamples.isEmpty || frameSizes.nonEmpty,
+      "syncSamples (stss) without frameSizes (stsz) is not representable")
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
       bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
       bb.array()
     }
+    // Sample tables for the FIRST track: stsz (compact form when all
+    // frames share a size, per-entry form otherwise) and, when
+    // `syncSamples` names 1-based keyframe positions, an stss — its
+    // ABSENCE means every sample is sync, which the parser must honor.
+    val stbl: Array[Byte] =
+      if (frameSizes.isEmpty) Array.empty
+      else {
+        val uniform = frameSizes.distinct.length == 1
+        val stsz = box("stsz", {
+          val b = java.nio.ByteBuffer.allocate(
+            12 + (if (uniform) 0 else 4 * frameSizes.length))
+          b.putInt(0).putInt(if (uniform) frameSizes.head else 0)
+            .putInt(frameSizes.length)
+          if (!uniform) frameSizes.foreach(b.putInt)
+          b.array()
+        })
+        val stss =
+          if (syncSamples.isEmpty) Array.empty[Byte]
+          else box("stss", {
+            val b = java.nio.ByteBuffer.allocate(8 + 4 * syncSamples.length)
+            b.putInt(0).putInt(syncSamples.length)
+            syncSamples.foreach(b.putInt)
+            b.array()
+          })
+        box("mdia", box("minf", box("stbl", stsz ++ stss)))
+      }
     val ftyp = box("ftyp", {
       val b = java.nio.ByteBuffer.allocate(16)
       b.put("isom".getBytes("US-ASCII")).putInt(512)
@@ -515,7 +597,7 @@ object Multimodal {
     val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
       require(w >= 0 && w < 65536 && h >= 0 && h < 65536,
         s"tkhd dims are 16.16 fixed point: ${w}x$h out of range")
-      box("trak", box("tkhd", {
+      box("trak", (if (i == 0) stbl else Array.empty[Byte]) ++ box("tkhd", {
         // v0: ver/flags, ctime, mtime, track_id, reserved, duration,
         // reserved(8), layer, alternate, volume, reserved, matrix(36),
         // width, height (16.16).

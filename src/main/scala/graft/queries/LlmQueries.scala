@@ -1020,6 +1020,11 @@ object LlmQueries {
       // dims — and the magic-byte sniffer must call the genuine
       // containers video/mp4. Track 1 carries the visual size; extra
       // tracks are audio-shaped (0x0) and must not override it.
+      // Frame-level planting (r11): every genuine container except the
+      // 17th carries an stbl in track 1 — 3+id%5 frames, sizes either
+      // uniform (id%7==0: the compact stsz form) or base+j (the per-entry
+      // form), keyframes either omitted-stss (id%5==0: all frames sync)
+      // or every other frame.
       val media = table(s, d, "documents")
         .where(col("doc_id") < 2000).select(col("doc_id").cast("long")).as[Long]
         .map { id =>
@@ -1027,16 +1032,30 @@ object LlmQueries {
             if (id % 13 == 0) s"not-a-video-$id".getBytes("UTF-8")
             else {
               val nt = (1 + id % 3).toInt
+              val nFrames = (3 + id % 5).toInt
+              val base = (500 + (id % 11) * 16).toInt
+              val sizes =
+                if (id % 17 == 0) Nil
+                else if (id % 7 == 0) Seq.fill(nFrames)(base)
+                else (0 until nFrames).map(base + _)
+              val sync =
+                if (sizes.isEmpty || id % 5 == 0) Nil
+                else (1 to nFrames by 2).toSeq
               Multimodal.encodeMp4Stub(
                 timescale = (1000 + (id % 4) * 500).toInt,
                 durationUnits = 3000 + (id % 100) * 25,
                 tracks = ((160 * (1 + id % 6)).toInt, (90 * (1 + id % 4)).toInt) +:
-                  Seq.fill(nt - 1)((0, 0)))
+                  Seq.fill(nt - 1)((0, 0)),
+                frameSizes = sizes, syncSamples = sync)
             }
           (id, bytes)
         }.toDF("doc_id", "payload")
       val decoded = Multimodal.decodeVideoMeta(media, "payload", batchSize = 32)
       val v = col("decoded_video")
+      val plantedFrames = lit(3L) + col("doc_id") % 5
+      val plantedMean = (lit(500L) + (col("doc_id") % 11) * 16).cast("double") +
+        when(col("doc_id") % 7 === 0, lit(0.0))
+          .otherwise((plantedFrames - 1).cast("double") / 2.0)
       one(decoded.withColumn("media_meta", Multimodal.mediaMeta(col("payload"))),
         "n" -> count(lit(1)),
         "n_null" -> sum(when(v.isNull, 1L).otherwise(0L)),
@@ -1048,6 +1067,12 @@ object LlmQueries {
         "n_duration_exact" -> sum(when(
           v("duration_sec") === (lit(3000L) + (col("doc_id") % 100) * 25).cast("double")
             / (lit(1000L) + (col("doc_id") % 4) * 500).cast("double"), 1L).otherwise(0L)),
+        "sum_frames" -> sum(v("frame_count")).cast("long"),
+        "sum_keyframes" -> sum(v("keyframe_count")).cast("long"),
+        "n_mean_exact_frames" -> sum(when(
+          v("mean_frame_size") === plantedMean, 1L).otherwise(0L)),
+        "n_no_stbl" -> sum(when(
+          v.isNotNull && v("frame_count").isNull, 1L).otherwise(0L)),
         "n_mp4" -> sum(when(col("media_meta.media_type") === "video/mp4", 1L).otherwise(0L)))
     }),
 
@@ -1667,7 +1692,11 @@ object LlmQueries {
     // Replay of the planted MP4 header arithmetic (see q_multimodal_video
     // in `queries`): garbage every 13th doc, otherwise mvhd timescale
     // 1000+(id%4)*500, duration 3000+(id%100)*25, 1+(id%3) tracks with the
-    // first carrying 160(1+id%6) x 90(1+id%4).
+    // first carrying 160(1+id%6) x 90(1+id%4). Frame tables (r11): every
+    // genuine doc except id%17==0 plants 3+id%5 frames; keyframes are all
+    // frames when id%5==0 (stss omitted) else ceil(frames/2); the mean
+    // frame size is a Spark-side exact compare, replayed as the count of
+    // stbl-carrying docs.
     "q_multimodal_video" ->
       """SELECT count(*) AS n,
         |CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
@@ -1677,6 +1706,12 @@ object LlmQueries {
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 160 * (1 + doc_id % 6) END) AS BIGINT) AS sum_width,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 90 * (1 + doc_id % 4) END) AS BIGINT) AS sum_height,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN 3 + doc_id % 5 END) AS BIGINT) AS sum_frames,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN
+        |  CASE WHEN doc_id % 5 = 0 THEN 3 + doc_id % 5 ELSE (4 + doc_id % 5) // 2 END
+        |END) AS BIGINT) AS sum_keyframes,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact_frames,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stbl,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4
         |FROM documents WHERE doc_id < 2000""".stripMargin,
 
