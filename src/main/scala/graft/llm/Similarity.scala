@@ -304,7 +304,8 @@ object Similarity {
     * floating-point summation order (assignment flips from that are
     * confined to points essentially equidistant between cells). */
   def refineCentroids(corpus: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]], iterations: Int): Array[Array[Double]] = {
+      centroids: Array[Array[Double]], iterations: Int): Array[Array[Double]] =
+    graft.tools.StageLog.timed("ivf_refine_centroids") {
     var mat = centroids
     for (_ <- 0 until iterations if mat.nonEmpty) {
       val cell = graft.functions.CentroidKernels.nearestIndex(col(vecCol), mat)
@@ -325,7 +326,7 @@ object Similarity {
       mat = next.indices.map(i => if (seen(i)) next(i) else mat(i)).toArray
     }
     mat
-  }
+    }
 
   /** Auto centroid count: ~sqrt(N), the standard IVF balance point — each
     * probe scans ~N/nc rows while the per-query probe ranking costs ~nc, so
@@ -435,7 +436,8 @@ object Similarity {
     * @return m × ksub × (dim/m) codebook for [[graft.functions.PqKernels]].
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2): Array[Array[Array[Double]]] = {
+      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2): Array[Array[Array[Double]]] =
+    graft.tools.StageLog.timed("pq_train") {
     import graft.functions.PqKernels
     require(m > 0 && ksub > 0, s"pqTrain needs m > 0 and ksub > 0, got m=$m ksub=$ksub")
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))

@@ -764,14 +764,16 @@ object LlmQueries {
       val emb = table(s, d, "embeddings")
       val q = emb.where(col("vec_id") < 20)
       // Eager localCheckpoint: both scoring pipelines feed 2-3 actions.
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
-        .localCheckpoint()
-      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
-        refineIterations = 2)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+      val exact = graft.tools.StageLog.timed("exact_baseline")(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+          .localCheckpoint())
+      val ivf = graft.tools.StageLog.timed("probe")(
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
+          refineIterations = 2)
+          .select("query_id", "neighbor_id")
+          .localCheckpoint())
       val nExact = exact.count()
       val nHit = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
       one(exact, "n_exact" -> count(lit(1)),
@@ -1289,17 +1291,25 @@ object LlmQueries {
     // point, measured 0.94 at sf0.1 — sweep in PqSpec/PLANS.md) is the
     // hash-frozen guarantee.
     "q_ann_pq_recall" -> ((s, d) => {
+      // Phase markers (StageLog -> bench_out "stages"): the harness trains
+      // + exact-baselines inside one query, so without the split a slow
+      // total is unattributable between the OPERATOR (train + probe) and
+      // the ORACLE (brute-force baseline) — VERDICT r10 #6.
+      import graft.tools.StageLog
       val emb = table(s, d, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10)
         .select(col("query_id"), col("neighbor_id"))
+      // pqTopK runs pq_train's jobs eagerly (its own marker) and returns
+      // the lazy probe plan.
       val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10, m = 16, ksub = 64,
         refineIterations = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"))
-      val nExact = exact.count()
-      val overlap = exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nExact = StageLog.timed("exact_baseline")(exact.count())
+      val overlap = StageLog.timed("probe_overlap")(
+        exact.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count())
       one(emb.limit(1),
         "n_exact" -> L(nExact),
         "recall_ok" -> lit(overlap.toDouble >= 0.7 * nExact))
@@ -1311,6 +1321,10 @@ object LlmQueries {
     // cell-miss + quantization budget TOGETHER (measured 0.72-0.9 at
     // nProbe=4/8 cells; full probe recalls 1.0 — PqSpec sweep).
     "q_ann_ivfpq_recall" -> ((s, d) => {
+      // Same phase split as q_ann_pq_recall: ivfPqTopK's eager training
+      // emits ivf_refine_centroids + pq_train markers; the exact
+      // brute-force arm and the probe materialization get their own.
+      import graft.tools.StageLog
       val emb = table(s, d, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -1320,8 +1334,9 @@ object LlmQueries {
         queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4,
         m = 16, ksub = 64, refineIterations = 2, rerank = 8)
         .select(col("query_id"), col("neighbor_id"))
-      val nExact = exact.count()
-      val overlap = exact.join(hybrid, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nExact = StageLog.timed("exact_baseline")(exact.count())
+      val overlap = StageLog.timed("probe_overlap")(
+        exact.join(hybrid, Seq("query_id", "neighbor_id"), "left_semi").count())
       one(emb.limit(1),
         "n_exact" -> L(nExact),
         "recall_ok" -> lit(overlap.toDouble >= 0.5 * nExact))
