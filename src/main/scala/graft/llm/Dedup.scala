@@ -420,6 +420,68 @@ object Dedup {
     batch.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Distinct banded-LSH keys of a static corpus, collected to a
+    * driver-known array — the index side of [[streamMinHashGuard]].
+    * One narrow sketch pass + a distinct shuffle; the result is
+    * `min(|corpus| * bands, distinct)` longs. The guard knob bounds the
+    * driver collect the way `maxEvalGrams`/`maxEvalVectors` bound the
+    * decontamination guards: at 8 bytes/key the default caps the index at
+    * ~400 MB — past that, build the [[graft.functions.SetKernels.LongBloomSet]]
+    * form instead (same probe expression family, tunable false-positive
+    * rate, never false negatives). */
+  def minHashBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3,
+      maxCorpusKeys: Long = 50000000L): Array[Long] = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val keys = minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
+      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
+      .distinct()
+    val n = keys.count()
+    require(n <= maxCorpusKeys,
+      s"corpus band index has $n distinct keys > maxCorpusKeys=$maxCorpusKeys — " +
+        "raise the knob explicitly or switch to the bloom-backed guard")
+    keys.collect().map(_.getLong(0))
+  }
+
+  /** STATELESS streaming near-dup guard against a static corpus: each
+    * document's banded-LSH keys are probed against the driver-known corpus
+    * band index ([[minHashBandIndex]]) in one fused per-row expression —
+    * a pure projection + filter, so it composes with any Structured
+    * Streaming source/sink in append mode with NO state store, no
+    * watermark, and no shuffle (the [[Decontamination]] guard shape).
+    *
+    * Verdict semantics are the LSH candidate test (a band collision, not
+    * an exact-jaccard verification — the [[streamNearDupVerdicts]]
+    * tradeoff): `nd_bands_hit` counts matching bands, `nd_candidate` is
+    * the >= 1 flag. Identical text always flags (every band matches);
+    * documents sharing no shingles with the corpus flag only on a 64-bit
+    * band-hash coincidence. Batch-replayable: the same expression over the
+    * same frame as a batch gives bit-identical verdicts. */
+  def streamMinHashGuard(stream: DataFrame, bandIndex: Array[Long],
+      textCol: String, numHashes: Int = 128, bands: Int = 64,
+      shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
+      .getField("sig")
+    val hits = graft.functions.SetKernels.countInSet(
+      lshBandKeys(sig, bands, rowsPerBand), bandIndex)
+    stream
+      .withColumn("nd_bands_hit", coalesce(hits, lit(0L)))
+      .withColumn("nd_candidate", col("nd_bands_hit") >= 1L)
+  }
+
+  /** Keep-side of [[streamMinHashGuard]]: stream rows that are NOT LSH
+    * candidates against the corpus — what an ingest stream appends. */
+  def streamDropNearDupsMinHash(stream: DataFrame, bandIndex: Array[Long],
+      textCol: String, numHashes: Int = 128, bands: Int = 64,
+      shingleWidth: Int = 3): DataFrame =
+    streamMinHashGuard(stream, bandIndex, textCol, numHashes, bands, shingleWidth)
+      .where(!col("nd_candidate"))
+      .drop("nd_bands_hit", "nd_candidate")
+
   /** Streaming near-dup WITHOUT foreachBatch: pure Structured Streaming
     * operators end to end. Every document's banded-LSH keys are claimed
     * through `dropDuplicatesWithinWatermark` (state = one row per band key,

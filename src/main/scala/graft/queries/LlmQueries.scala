@@ -402,6 +402,67 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Stateless streaming near-dup guard vs a STATIC corpus: band keys of
+    // the corpus collected once into a driver-known index, each streamed
+    // doc probed in one fused per-row expression (no state store, no
+    // watermark, no shuffle). Planted construction with an id-derivable
+    // answer (the q_dedup_simhash precedent): every doc's text is a
+    // 24-token family vocabulary disjoint from every other family's; the
+    // corpus holds the id%3==0 families (under offset ids), so a streamed
+    // doc is a candidate iff id%3==0 (identical text -> every band
+    // matches; cross-family sketches share no shingles, so a flag would
+    // need a 64-bit band-hash coincidence — deterministic for the fixed
+    // corpus, and absent). The batch_equal boolean pins that replaying
+    // the guard as a batch projection gives bit-identical verdicts.
+    "q_dedup_stream_minhash" -> ((s, d) => {
+      import s.implicits._
+      val toksOf = (idCol: Column) => array_join(
+        transform(sequence(lit(0), lit(23)),
+          i => concat(lit("w"), idCol, lit("x"), i.cast("string"))), " ")
+      val base = table(s, d, "documents").where(col("doc_id") < 600)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val planted = base.select(col("doc_id"), toksOf(col("doc_id")).as("text"))
+      val corpus = planted.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+        numHashes = 128, bands = 64)
+
+      // Stream the planted docs from parquet under AvailableNow.
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_mh").toString
+      planted.coalesce(1).write.mode("overwrite").parquet(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val sdf = s.readStream.schema(schema).parquet(dir)
+      val guarded = Dedup.streamMinHashGuard(sdf, index, "text",
+        numHashes = 128, bands = 64)
+      val qname = "graft_q_dedup_stream_minhash"
+      val q = guarded.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(120000), "minhash guard stream did not finish in 120s")
+      val streamed = s.table(qname)
+
+      // Batch replay of the same stateless expression: verdicts must be
+      // bit-identical (the whole point of a stateless guard).
+      val batch = Dedup.streamMinHashGuard(planted, index, "text",
+        numHashes = 128, bands = 64)
+      val mismatches = streamed.select(col("doc_id"), col("nd_candidate"))
+        .join(batch.select(col("doc_id"), col("nd_candidate").as("b")), Seq("doc_id"))
+        .where(col("nd_candidate") =!= col("b")).count()
+
+      one(streamed,
+        "n_stream" -> count(lit(1)),
+        "n_flagged" -> sum(when(col("nd_candidate"), 1L).otherwise(0L)),
+        "sum_flagged" -> coalesce(
+          sum(when(col("nd_candidate"), col("doc_id"))), lit(0L)),
+        "all_full_band_hits" -> all(!col("nd_candidate") ||
+          col("nd_bands_hit") === 64L),
+        "batch_equal" -> lit(mismatches == 0L))
+    }),
+
     "q_dedup_cosine_lsh" -> ((s, d) => {
       // Planted exact-duplicate vectors with a SQL-derivable answer: every
       // embedding gets a copy at vec_id + 1e9. Identical vectors share
@@ -1746,6 +1807,17 @@ object LlmQueries {
 
     "q_dedup_keepfirst" ->
       "SELECT source, min(doc_id) AS doc_id FROM documents GROUP BY source ORDER BY source, doc_id",
+
+    // Streaming minhash guard, planted: disjoint 24-token family vocab per
+    // doc; the corpus carries the id%3==0 families, so the flagged set is
+    // exactly {id < 600 : id%3==0} (identical text -> all 64 bands hit);
+    // the stateless-replay and full-band booleans are frozen.
+    "q_dedup_stream_minhash" ->
+      """SELECT count(*) AS n_stream,
+        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |CAST(sum(CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_flagged,
+        |TRUE AS all_full_band_hits, TRUE AS batch_equal
+        |FROM documents WHERE doc_id < 600""".stripMargin,
 
     // n_exact recomputed (5 neighbors per query over >= 20 corpus rows);
     // recall band pinned (deterministic centroid draw).

@@ -44,4 +44,58 @@ class Round11Spec extends AnyFunSuite {
     assert(dec(0).getLong(1) === 5L && dec(0).getLong(2) === 3L)
     assert(dec(1).isNullAt(1) && dec(1).isNullAt(2))
   }
+
+  test("streaming minhash guard: stateless, batch-identical, index bound enforced") {
+    import graft.llm.Dedup
+    def fam(id: Long): String = (0 until 24).map(i => s"w${id}x$i").mkString(" ")
+    val corpus = Seq((100L, fam(0)), (101L, fam(3))).toDF("doc_id", "text")
+    val index = Dedup.minHashBandIndex(corpus, "doc_id", "text",
+      numHashes = 128, bands = 64)
+    assert(index.nonEmpty && index.length <= 2 * 64)
+
+    val docs = Seq((0L, fam(0)), (1L, fam(1)), (3L, fam(3)), (7L, fam(7)))
+      .toDF("doc_id", "text")
+    // Batch-mode verdicts: identical text hits every band; disjoint
+    // families hit none.
+    val got = Dedup.streamMinHashGuard(docs, index, "text",
+      numHashes = 128, bands = 64)
+      .select("doc_id", "nd_bands_hit", "nd_candidate")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq((0L, 64L, true), (1L, 0L, false),
+      (3L, 64L, true), (7L, 0L, false)))
+    val kept = Dedup.streamDropNearDupsMinHash(docs, index, "text",
+      numHashes = 128, bands = 64).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 7L))
+
+    // Streaming execution: genuinely stateless — zero state-store
+    // operators in the executed streaming query.
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_mh").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val sdf = spark.readStream.schema(schema).parquet(dir)
+    val guarded = Dedup.streamMinHashGuard(sdf, index, "text",
+      numHashes = 128, bands = 64)
+    assert(guarded.isStreaming)
+    val q = guarded.writeStream.format("memory").queryName("r11_mh_guard")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the guard must not instantiate any stateful operator")
+    val streamed = spark.table("r11_mh_guard")
+      .select("doc_id", "nd_candidate").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(streamed.toSeq === Seq((0L, true), (1L, false), (3L, true), (7L, false)))
+
+    // The driver-collect guard knob refuses unbounded indexes.
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minHashBandIndex(corpus, "doc_id", "text", maxCorpusKeys = 3L)
+    }
+    assert(err.getMessage.contains("maxCorpusKeys"))
+  }
 }
