@@ -226,13 +226,18 @@ object Bench {
       val gbps = 24 * 2.0 / 32.0 / ((System.nanoTime() - t1) / 1e9)
       (mops, gbps)
     }
-    // Opt-in pre-flight gate for certification runs: wait (bounded) for a
-    // window where the box probe clears the clean-window bar before timing
-    // anything. `SPARK_GRAFT_CLEAN_GATE=mops,gbps[,maxWaitSec]`.
-    sys.env.get("SPARK_GRAFT_CLEAN_GATE").foreach { spec =>
-      val parts = spec.split(",").map(_.trim.toDouble)
+    // Pre-flight clean gate — DEFAULT ON: wait (bounded) for a window
+    // where the box probe clears the clean-window bar before timing
+    // anything; a five-minute wait is cheaper than a contaminated
+    // artifact that misgrades every query. Override the bar with
+    // `SPARK_GRAFT_CLEAN_GATE=mops,gbps[,maxWaitSec]`, disable with
+    // `SPARK_GRAFT_CLEAN_GATE=off`. On timeout the run proceeds (and the
+    // recorded start probe shows what it ran on).
+    val gateSpec = sys.env.getOrElse("SPARK_GRAFT_CLEAN_GATE", "270,9,300")
+    if (gateSpec != "off") {
+      val parts = gateSpec.split(",").map(_.trim.toDouble)
       val (needMops, needGbps) = (parts(0), parts(1))
-      val maxWait = if (parts.length > 2) parts(2).toLong else 600L
+      val maxWait = if (parts.length > 2) parts(2).toLong else 300L
       val deadline = System.nanoTime() + maxWait * 1000000000L
       var ok = false
       while (!ok && System.nanoTime() < deadline) {
@@ -349,6 +354,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcJ = gc.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // End probe AFTER spark.stop(): the probe certifies the BOX, and a
+    // live SparkContext biases it — ContextCleaner + 32 executor-pool
+    // threads draining 159 queries of blocks read as ~1.1 GB/s of
+    // phantom degradation (measured 8.7-8.8 in-JVM vs 9.9-10.4 from a
+    // fresh JVM seconds later on the same clean box, twice). Runtime
+    // interference DURING queries is already captured per-query by
+    // steal/other/gc.
+    spark.stop()
+    System.gc()
     val (cpuMops1, memGbps1) = calibrate()
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f]}"""
@@ -392,6 +406,5 @@ object Bench {
       println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","detail":"$outPath"}""")
     else println(compact)
     System.out.flush()
-    spark.stop()
   }
 }

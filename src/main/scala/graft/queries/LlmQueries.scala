@@ -439,10 +439,15 @@ object LlmQueries {
       val guarded = Dedup.streamMinHashGuard(sdf, index, "text",
         numHashes = 128, bands = 64)
       val qname = "graft_q_dedup_stream_minhash"
-      val q = guarded.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      require(q.awaitTermination(120000), "minhash guard stream did not finish in 120s")
+      // The guard itself is shuffle-free; 32 shuffle partitions only tax
+      // the micro-batch bookkeeping (the q_dedup_stream precedent).
+      val finished = Q.withShufflePartitions(s, 4) {
+        val q = guarded.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+      require(finished, "minhash guard stream did not finish in 120s")
       val streamed = s.table(qname)
 
       // Batch replay of the same stateless expression: verdicts must be
