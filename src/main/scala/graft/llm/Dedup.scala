@@ -482,6 +482,34 @@ object Dedup {
       .where(!col("nd_candidate"))
       .drop("nd_bands_hit", "nd_candidate")
 
+  /** Bloom form of [[streamMinHashGuard]]: the probe structure shrinks
+    * from 8 bytes/key (exact sorted set) to `bitsPerKey` bits (~2.5
+    * bytes/key at 20 bits, ~6e-5 false-positive rate per band probe) —
+    * per [[graft.functions.SetKernels.LongBloomSet]]'s sizing note this
+    * pushes the guard's corpus ceiling ~3-6x past the exact form's
+    * ~10^8 keys (the build still runs one distinct+collect, which is
+    * what ultimately bounds it; past that, shard the corpus into several
+    * guards). False positives only over-flag (a clean doc gets an
+    * unnecessary exact-verify or a conservative drop); genuine band
+    * collisions are NEVER missed — the decontamination-guard tradeoff.
+    * Same stateless zero-shuffle contract as the exact form; verdict is
+    * the boolean flag only (a bloom cannot count distinct hits). */
+  def streamMinHashGuardBloom(stream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 64,
+      shingleWidth: Int = 3, bitsPerKey: Int = 20): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val keys = minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
+      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
+      .distinct().collect().map(_.getLong(0))
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
+      .getField("sig")
+    val hit = graft.functions.SetKernels.anyInBloom(
+      lshBandKeys(sig, bands, rowsPerBand), keys, bitsPerKey)
+    stream.withColumn("nd_candidate", coalesce(hit, lit(false)))
+  }
+
   /** Streaming near-dup WITHOUT foreachBatch: pure Structured Streaming
     * operators end to end. Every document's banded-LSH keys are claimed
     * through `dropDuplicatesWithinWatermark` (state = one row per band key,

@@ -568,43 +568,140 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
       nCentroids: Int = 0, nProbe: Int = 4, m: Int = 16, ksub: Int = 64,
       refineIterations: Int = 2, rerank: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.{CentroidKernels, PqKernels, VectorKernels}
-    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).cast("array<double>").as("cv")))
+    val (indexed, meta) = buildIvfPqIndex(corpus, corpusId, corpusVec,
+      nCentroids, m, ksub, refineIterations)
+    probeIvfPqIndex(indexed, meta, c, queries, queryId, queryVec,
+      k, nProbe, rerank)
+  }
+
+  // ------------------------------------------------ persisted ANN index
+
+  /** Driver-known IVF+PQ index metadata — the centroid matrix and PQ
+    * codebooks a probe job needs alongside the (id, cell, codes) table.
+    * JSON round-trip so an index built once is probed by later jobs:
+    * `buildIvfPqIndex` → [[writeIvfPqIndex]] today, [[readIvfPqIndex]] →
+    * [[probeIvfPqIndex]] tomorrow — training never reruns per query
+    * batch. */
+  final case class IvfPqMeta(centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]) {
+    def toJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.createObjectNode()
+      val cs = root.putArray("centroids")
+      centroids.foreach { row =>
+        val r = cs.addArray(); row.foreach(r.add)
+      }
+      val bs = root.putArray("books")
+      books.foreach { sub =>
+        val s = bs.addArray()
+        sub.foreach { cw => val w = s.addArray(); cw.foreach(w.add) }
+      }
+      m.writeValueAsString(root)
+    }
+  }
+
+  object IvfPqMeta {
+    def fromJson(text: String): IvfPqMeta = {
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      def arr1(n: com.fasterxml.jackson.databind.JsonNode): Array[Double] =
+        n.elements().asScala.map(_.asDouble).toArray
+      val cs = root.get("centroids").elements().asScala.map(arr1).toArray
+      val bs = root.get("books").elements().asScala
+        .map(sub => sub.elements().asScala.map(arr1).toArray).toArray
+      IvfPqMeta(cs, bs)
+    }
+  }
+
+  /** Build the IVF+PQ index ONCE: `(neighbor_id, centroid_idx, pq_codes)`
+    * in one fused narrow pass, plus the driver-known [[IvfPqMeta]]. The
+    * table is ~m+4 bytes per row instead of dim floats — the persisted
+    * form of the corpus for similarity serving. */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCentroids: Int = 0, m: Int = 16, ksub: Int = 64,
+      refineIterations: Int = 2): (DataFrame, IvfPqMeta) = {
+    import graft.functions.{CentroidKernels, PqKernels}
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv")))
     val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
     val mat = refineCentroids(c, "cv",
       sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations)
     val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations)
-    // The index table: cell + codes, one fused narrow pass.
     val indexed = c.select(col("neighbor_id"),
       CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"),
-      PqKernels.encode(col("cv"), books).as("__pq"))
+      PqKernels.encode(col("cv"), books).as("pq_codes"))
+    (indexed, IvfPqMeta(mat, books))
+  }
+
+  /** Persist an index: parquet PARTITIONED BY the cell — a probe then
+    * reads only its nProbe cell directories off disk (static partition
+    * pruning via the probe's `isin` filter), which at 100 TB is the
+    * difference between scanning the index and scanning nProbe/nCells of
+    * it. The metadata rides alongside as `_graft_ivfpq_meta.json`
+    * (underscore-prefixed: invisible to parquet directory listings). */
+  def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String): Unit = {
+    indexed.write.mode("overwrite").partitionBy("centroid_idx").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_ivfpq_meta.json"),
+      meta.toJson.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Reload a persisted index: the `(neighbor_id, centroid_idx, pq_codes)`
+    * table (cell as partition column) + metadata. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, IvfPqMeta) = {
+    val meta = IvfPqMeta.fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_ivfpq_meta.json")), "UTF-8"))
+    (spark.read.parquet(dir), meta)
+  }
+
+  /** Probe a (possibly reloaded) IVF+PQ index: LUT-ADC candidate scoring
+    * over the probed cells' codes, exact re-rank against `rawCorpus`'s
+    * full-precision vectors. The probed cell list is computed driver-side
+    * (≤ |queries|·nProbe ints) and applied as an `isin` FILTER before the
+    * band join, so a parquet-backed index scans only those cell
+    * partitions. `rawCorpus` must carry columns `(neighbor_id, cv)` (the
+    * [[buildIvfPqIndex]] normalization). */
+  def probeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, rawCorpus: DataFrame,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nProbe: Int = 4, rerank: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{CentroidKernels, PqKernels, VectorKernels}
+    require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
+    val mat = meta.centroids
+    val books = meta.books
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("qv"))
       .withColumn("qn", VectorKernels.norm(col("qv")))
     // Each probe row ships the per-query ADC lookup table (m×ksub partial
     // dots) instead of the query vector: candidate scoring is then O(m)
     // lookups per code row — no decode, no per-candidate allocation. The
-    // LUT is nProbe-deduplicated only by rows (one copy per probe row);
-    // at nProbe×|queries| broadcast rows of 8·m·ksub bytes it stays tiny.
+    // LUT is nProbe-duplicated only by rows (one copy per probe row); at
+    // nProbe×|queries| broadcast rows of 8·m·ksub bytes it stays tiny.
     val probed = q
       .withColumn("__lut", PqKernels.lut(col("qv"), books))
       .withColumn("centroid_idx",
         explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
       .select("query_id", "qn", "__lut", "centroid_idx")
+    // Static cell pruning: the probed cells as literals reach the parquet
+    // scan as PartitionFilters on a partitioned index table.
+    val cells = probed.select("centroid_idx").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val pruned = indexed.where(col("centroid_idx").isin(cells: _*))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val cand = indexed.join(broadcast(probed), Seq("centroid_idx"))
+    val cand = pruned.join(broadcast(probed), Seq("centroid_idx"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(col("qn") === 0, lit(0.0))
-          .otherwise(PqKernels.adcScore(col("__pq"), col("__lut"), books)
+          .otherwise(PqKernels.adcScore(col("pq_codes"), col("__lut"), books)
             / col("qn")).as("adc"))
       .withColumn("rank", row_number().over(wAdc)).where(col("rank") <= k * rerank)
       .select("query_id", "neighbor_id")
-    val fetched = c.join(broadcast(cand), Seq("neighbor_id"))
+    val fetched = rawCorpus.join(broadcast(cand), Seq("neighbor_id"))
       .withColumn("cn", VectorKernels.norm(col("cv")))
     val denom = col("qn") * col("cn")
     val w = Window.partitionBy("query_id")

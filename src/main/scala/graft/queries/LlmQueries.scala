@@ -1408,6 +1408,49 @@ object LlmQueries {
         "recall_ok" -> lit(overlap.toDouble >= 0.5 * nExact))
     }),
 
+    // Persisted-index lifecycle: build ONCE -> write partitioned by cell
+    // (+ metadata JSON) -> reload in a fresh frame -> probe. The probe of
+    // the reloaded index must return the IDENTICAL top-k to the in-memory
+    // ivfPqTopK at the same operating point (training is deterministic,
+    // so this pins the whole save/load path: codes, cells, codebook JSON
+    // roundtrip). partition_pruned pins that the probe's isin filter
+    // reaches the parquet scan as PartitionFilters — the scan reads
+    // nProbe cell DIRECTORIES, not the index.
+    "q_ann_index_persist" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val (indexed, meta) = Similarity.buildIvfPqIndex(
+        emb, "vec_id", "embedding", nCentroids = 8, m = 16, ksub = 64,
+        refineIterations = 2)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      Similarity.writeIvfPqIndex(indexed, meta, dir)
+      val (reloaded, meta2) = Similarity.readIvfPqIndex(s, dir)
+      val raw = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val probe = Similarity.probeIvfPqIndex(reloaded, meta2, raw,
+        queries, "vec_id", "embedding", k = 10, nProbe = 4, rerank = 8)
+        .select("query_id", "neighbor_id")
+      val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4,
+        m = 16, ksub = 64, refineIterations = 2, rerank = 8)
+        .select("query_id", "neighbor_id")
+      val nProbeRows = probe.count()
+      val nDiff = probe.unionByName(direct)
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2).count()
+      val plan = probe.queryExecution.executedPlan.toString
+      // ANY scan with non-empty PartitionFilters (the probe plan also
+      // scans the unpartitioned raw/query frames, whose filter lists are
+      // empty).
+      val prunedScan = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).exists(_.group(1).trim.nonEmpty)
+      one(emb.limit(1),
+        "n_queries" -> L(5L),
+        "rows_ok" -> lit(nProbeRows == 50L),
+        "identical_topk" -> lit(nDiff == 0L),
+        "partition_pruned" -> lit(prunedScan))
+    }),
+
     // ------------------------------------- bigram LM quality (perplexity)
     // Full replay: per-doc bigram counts and the 1e-6 fixed-point average
     // NLL under the corpus-trained add-1 bigram model — DuckDB re-derives
@@ -2188,6 +2231,13 @@ object LlmQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS codes_len_ok,
         |  TRUE AS codes_in_range, TRUE AS dim_ok, TRUE AS refine_improves
         |FROM embeddings""".stripMargin,
+
+    // Persisted-index roundtrip: n_queries replays; the save/load
+    // identity, row count, and partition-pruned scan are frozen booleans.
+    "q_ann_index_persist" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_queries,
+        |  TRUE AS rows_ok, TRUE AS identical_topk, TRUE AS partition_pruned
+        |FROM (SELECT 1)""".stripMargin,
 
     // Same shape as q_ann_quantized_recall: replayable exact-arm size,
     // hash-frozen recall pin.

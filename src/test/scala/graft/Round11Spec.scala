@@ -97,5 +97,53 @@ class Round11Spec extends AnyFunSuite {
       Dedup.minHashBandIndex(corpus, "doc_id", "text", maxCorpusKeys = 3L)
     }
     assert(err.getMessage.contains("maxCorpusKeys"))
+
+    // (bloom form asserted below)
+    // Bloom form: never misses a genuine band collision (the planted
+    // copies stay flagged), and flags are a superset of the exact guard's.
+    val bloomed = Dedup.streamMinHashGuardBloom(docs, corpus, "doc_id", "text",
+      numHashes = 128, bands = 64)
+      .select("doc_id", "nd_candidate").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(bloomed(0L) && bloomed(3L), "bloom guard must never false-negative")
+    val exactFlags = got.map(t => t._1 -> t._3).toMap
+    exactFlags.foreach { case (id, ex) =>
+      assert(!ex || bloomed(id), s"bloom must contain every exact flag (doc $id)")
+    }
+  }
+
+  test("persisted IVF+PQ index: meta JSON roundtrip, cell layout, pruned probe scan") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (indexed, meta) = Similarity.buildIvfPqIndex(
+      emb, "vec_id", "embedding", nCentroids = 8, m = 16, ksub = 64,
+      refineIterations = 1)
+    // Metadata JSON roundtrip is the identity on every double.
+    val back = Similarity.IvfPqMeta.fromJson(meta.toJson)
+    assert(back.centroids.map(_.toSeq).toSeq === meta.centroids.map(_.toSeq).toSeq)
+    assert(back.books.map(_.map(_.toSeq).toSeq).toSeq ===
+      meta.books.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // Write: one directory per cell + the underscore-metadata file.
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11_idx").toString
+    Similarity.writeIvfPqIndex(indexed, meta, dir)
+    val entries = new java.io.File(dir).listFiles().map(_.getName)
+    assert(entries.count(_.startsWith("centroid_idx=")) >= 2,
+      s"expected cell directories, got ${entries.mkString(",")}")
+    assert(entries.contains("_graft_ivfpq_meta.json"))
+
+    // Probe of the reloaded index: the parquet scan carries non-empty
+    // PartitionFilters (only the probed cell directories are read).
+    val (reloaded, meta2) = Similarity.readIvfPqIndex(spark, dir)
+    val raw = emb.select(org.apache.spark.sql.functions.col("vec_id").as("neighbor_id"),
+      org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("cv"))
+    val probe = Similarity.probeIvfPqIndex(reloaded, meta2, raw,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nProbe = 2, rerank = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).exists(_.group(1).trim.nonEmpty)
+    assert(pruned, s"probe scan must prune cell partitions:\n$plan")
+    assert(probe.count() > 0)
   }
 }
