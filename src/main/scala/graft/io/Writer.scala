@@ -23,10 +23,13 @@ object Writer {
     * Spark forwards into the write's Hadoop conf.
     *
     * Also selects zstd over the snappy default: the 100M-row IOT write
-    * harness (`DriveWriteTune`, bench_write_tune.json) measured the sink
-    * DISK-BOUND — zstd+no-dict wrote 1.31x faster AND 1.7x smaller than
-    * snappy+dict (94.0s/2.3GB vs 123.4s/3.9GB at 100M rows); at 100 TB
-    * the size cut is also the read-side scan cut.
+    * harness (`DriveWriteTune`, bench_write_tune.json) now measures THIS
+    * config directly — zstd + per-column hints is the best on BOTH axes
+    * (17.7s / 2.0 GB vs snappy+dict's 121.6s / 3.9 GB in the same
+    * interleaved window; global dictionary-off trades 15% size for the
+    * same wall). Absolute walls move with disk state — the ordering has
+    * been stable across windows; at 100 TB the size cut is also the
+    * read-side scan cut.
     * Every hint is a default — explicit user options win. */
   def parquetEncodingHints(table: TableSpec): Map[String, String] = {
     def highEntropy(c: ColumnSpec): Boolean = c.strategy match {

@@ -110,8 +110,9 @@ object DriveBillion {
     val (pqWall, pqSteal) = timed("iot-1b-parquet") {
       // Spec-informed sink hints (zstd + per-column dictionary-off for the
       // high-entropy columns): the write is disk-bound, so the smaller
-      // bytes ARE the speedup (DriveWriteTune: 1.31x faster, 1.7x smaller
-      // than the snappy default at 100M rows — bench_write_tune.json).
+      // bytes ARE the speedup (DriveWriteTune measures this exact config:
+      // best wall AND best size of the four candidates at 100M rows —
+      // bench_write_tune.json).
       gen(rows).write.mode("overwrite")
         .options(graft.io.Writer.parquetEncodingHints(iot(rows, cpus * 3)))
         .parquet(dir)
