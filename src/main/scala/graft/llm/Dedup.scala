@@ -434,14 +434,18 @@ object Dedup {
       maxCorpusKeys: Long = 50000000L): Array[Long] = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
+    // ONE job: limit(max+1) bounds the driver collect itself (a violating
+    // corpus ships max+1 rows, never the whole key set) and the extra row
+    // is the overflow detector — no separate count() pass.
     val keys = minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
       .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
       .distinct()
-    val n = keys.count()
-    require(n <= maxCorpusKeys,
-      s"corpus band index has $n distinct keys > maxCorpusKeys=$maxCorpusKeys — " +
+      .limit(math.min(maxCorpusKeys, Int.MaxValue - 1L).toInt + 1)
+      .collect().map(_.getLong(0))
+    require(keys.length <= maxCorpusKeys,
+      s"corpus band index exceeds maxCorpusKeys=$maxCorpusKeys distinct keys — " +
         "raise the knob explicitly or switch to the bloom-backed guard")
-    keys.collect().map(_.getLong(0))
+    keys
   }
 
   /** STATELESS streaming near-dup guard against a static corpus: each
