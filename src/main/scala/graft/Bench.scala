@@ -328,7 +328,34 @@ object Bench {
       graft.engine.Generator.generate(spark, scaled).values.foreach(materialize)
     }
 
+    // Mid-run contamination trace: host-level interference has inflated
+    // whole segments 3-12x while BOTH endpoint probes read clean and
+    // steal/neighbor-CPU/GC stayed ~0 (one 160-query run: 533s total,
+    // 3.3s steal, endpoints 300 Mops / 10.1 GB/s). A 100ms arithmetic
+    // probe before every 10th query (~1.6s/run, outside the timed
+    // regions) makes the artifact segment-attributable: a slow query
+    // next to a collapsed trace reading is the box, not the plan.
+    val mopsTrace = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def quickMops(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var n = 0L
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 100000000L) {
+        var i = 0
+        while (i < 1000000) {
+          x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+          x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+          i += 1
+        }
+        n += 1000000
+      }
+      if (x == 42L) println(x)
+      n / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    var qIdx = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (qIdx % 10 == 0) mopsTrace(name) = quickMops()
+      qIdx += 1
       timed(name)(materialize(fn(spark, sfDir)))
       // Multi-action pipelines (dedup CC) record per-stage wall times so a
       // slow total is attributable to a stage, not a guess (VERDICT r6 #2).
@@ -353,6 +380,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val gcJ = gc.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    val trace = mopsTrace.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // End probe AFTER spark.stop(): the probe certifies the BOX, and a
     // live SparkContext biases it — ContextCleaner + 32 executor-pool
@@ -365,7 +393,7 @@ object Bench {
     System.gc()
     val (cpuMops1, memGbps1) = calibrate()
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f]}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_mops_trace":$trace}"""
     // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
