@@ -234,9 +234,14 @@ object Bench {
     // `SPARK_GRAFT_CLEAN_GATE=off`. On timeout the run proceeds (and the
     // recorded start probe shows what it ran on).
     val gateSpec = sys.env.getOrElse("SPARK_GRAFT_CLEAN_GATE", "270,9,300")
-    if (gateSpec != "off") {
-      val parts = gateSpec.split(",").map(_.trim.toDouble)
-      val (needMops, needGbps) = (parts(0), parts(1))
+    if (!gateSpec.trim.equalsIgnoreCase("off")) {
+      // A malformed spec must not abort the bench before any query runs —
+      // fall back to the defaults and say so.
+      val parts = gateSpec.split(",").flatMap(p => scala.util.Try(p.trim.toDouble).toOption)
+      if (parts.length < 2)
+        System.err.println(s"[bench] unparseable SPARK_GRAFT_CLEAN_GATE='$gateSpec' — using 270,9,300")
+      val needMops = if (parts.length >= 1) parts(0) else 270.0
+      val needGbps = if (parts.length >= 2) parts(1) else 9.0
       val maxWait = if (parts.length > 2) parts(2).toLong else 300L
       val deadline = System.nanoTime() + maxWait * 1000000000L
       var ok = false

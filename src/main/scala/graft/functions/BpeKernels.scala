@@ -129,9 +129,17 @@ object BpeKernels {
       while (i < str.length) {
         val c = str.charAt(i)
         val b = if (c < 512) charToByte(c.toInt) else -1
-        if (b >= 0) out.write(b)
-        else out.write(String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        i += 1
+        if (b >= 0) { out.write(b); i += 1 }
+        else {
+          // Passthrough by CODE POINT: a surrogate pair must travel as one
+          // character, not two lone surrogates (each of which would UTF-8
+          // encode to '?').
+          val cp = str.codePointAt(i)
+          val n = Character.charCount(cp)
+          out.write(str.substring(i, i + n)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += n
+        }
       }
       UTF8String.fromBytes(out.toByteArray)
     }
@@ -165,8 +173,20 @@ object BpeKernels {
       } else s.toLowerCase
     }
 
+    /** Spark-exact trim: SQL `trim()` strips SPACES (0x20) only, while
+      * Java's String.trim strips every char <= U+0020 — a leading control
+      * char would tokenize differently here than in the trainer's SQL
+      * pipeline (and flip the frozen roundtrip oracle). */
+    private def sparkTrim(s: String): String = {
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      s.substring(lo, hi)
+    }
+
     def encode(text: UTF8String): ArrayData = {
-      val s = sparkLower(text.toString.trim)
+      val s = sparkLower(sparkTrim(text.toString))
       if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
       val words = s.split("\\s+")
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]

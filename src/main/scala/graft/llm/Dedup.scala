@@ -500,12 +500,15 @@ object Dedup {
     * the boolean flag only (a bloom cannot count distinct hits). */
   def streamMinHashGuardBloom(stream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 64,
-      shingleWidth: Int = 3, bitsPerKey: Int = 20): DataFrame = {
+      shingleWidth: Int = 3, bitsPerKey: Int = 20,
+      maxCorpusKeys: Long = 300000000L): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val keys = minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
-      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
-      .distinct().collect().map(_.getLong(0))
+    // Reuse the exact index build — same bounded single-job collect, with
+    // a bloom-sized default ceiling (~3-6x the exact form's, per the
+    // LongBloomSet sizing note).
+    val keys = minHashBandIndex(corpus, idCol, textCol, numHashes, bands,
+      shingleWidth, maxCorpusKeys)
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")

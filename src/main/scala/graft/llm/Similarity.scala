@@ -643,19 +643,26 @@ object Similarity {
     * (underscore-prefixed: invisible to parquet directory listings). */
   def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String): Unit = {
     indexed.write.mode("overwrite").partitionBy("centroid_idx").parquet(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_graft_ivfpq_meta.json"),
-      meta.toJson.getBytes("UTF-8"))
-    ()
+    // Sidecar through the SAME filesystem as the parquet — an
+    // hdfs://-or-s3a:// index directory must carry its metadata too, not
+    // strand it on the driver's local disk.
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
+    val fs = p.getFileSystem(indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
   }
 
   /** Reload a persisted index: the `(neighbor_id, centroid_idx, pq_codes)`
     * table (cell as partition column) + metadata. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfPqMeta) = {
-    val meta = IvfPqMeta.fromJson(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_graft_ivfpq_meta.json")), "UTF-8"))
-    (spark.read.parquet(dir), meta)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    (spark.read.parquet(dir), IvfPqMeta.fromJson(text))
   }
 
   /** Probe a (possibly reloaded) IVF+PQ index: LUT-ADC candidate scoring

@@ -78,6 +78,23 @@ class BpeSpec extends AnyFunSuite {
     assert(vocab.subsetOf(learned), s"multi-char tokens beyond learned merges: ${vocab -- learned}")
   }
 
+  test("spark-exact trim and astral passthrough in byteDecode") {
+    // U+0001 is NOT SQL-trim whitespace (trim strips 0x20 only) and not
+    // regex \s — the kernel must keep it exactly like the SQL pipeline
+    // does, or the frozen roundtrip oracle flips on such corpora.
+    val df = Seq(Tuple1("abc\u0001"), Tuple1(" padded ")).toDF("text")
+    val enc = Bpe.encode(df, "text", Nil)
+      .withColumn("stripped", concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+    val bad = enc.where(concat_ws("", col("bpe_tokens")) =!= col("stripped")).count()
+    assert(bad === 0L, "kernel tokenization must match the SQL trim/split exactly")
+
+    // byteDecode passes unmapped astral chars through as WHOLE code
+    // points, never as lone surrogates.
+    val d = Seq(Tuple1("x🙂y")).toDF("s")
+      .select(BpeKernels.byteDecode(col("s"))).head.getString(0)
+    assert(d === "x🙂y")
+  }
+
   test("byte mapping: bijective over all 256 bytes") {
     val chars = BpeKernels.byteToChar
     assert(chars.length === 256)

@@ -90,10 +90,17 @@ class PqSpec extends AnyFunSuite {
     val worst = scored.select(max(abs(col("viaLut") - col("viaDecode")))).head.getDouble(0)
     assert(worst < 1e-9, s"LUT ADC diverged from decode+dot by $worst")
 
-    // Null contract: malformed codes and mismatched LUT yield null.
-    val badCodes = Seq(Tuple1(Seq(0, 99))).toDF("c")
+    // Null contract: out-of-range codes against a VALID (dim-matched) LUT
+    // yield null — this exercises adcScore's range validation, not the
+    // null-LUT shortcut. A dim-mismatched query also nulls the LUT itself.
+    val q4 = lit(Array(1.0, 2.0, 3.0, 4.0))
+    val badCodes = Seq(Tuple1(Seq(0, 7))).toDF("c")
+    assert(badCodes.select(PqKernels.lut(q4, book).as("l")).head.getSeq[Double](0).length === 4)
     assert(badCodes.select(PqKernels.adcScore(col("c"),
-      PqKernels.lut(qlit, book), book)).head.isNullAt(0))
+      PqKernels.lut(q4, book), book)).head.isNullAt(0),
+      "code 7 >= ksub=2 must score null")
+    assert(badCodes.select(PqKernels.lut(qlit, book)).head.isNullAt(0),
+      "a 64-dim query against the dim-4 fixture must null the LUT")
 
     // The scoring side of pqTopK carries the fused ADC kernel and NO
     // full-dim decode — the decode path must not be in the hot loop.
