@@ -236,10 +236,12 @@ object Bench {
     val gateSpec = sys.env.getOrElse("SPARK_GRAFT_CLEAN_GATE", "270,9,300")
     if (!gateSpec.trim.equalsIgnoreCase("off")) {
       // A malformed spec must not abort the bench before any query runs —
-      // fall back to the defaults and say so.
-      val parts = gateSpec.split(",").flatMap(p => scala.util.Try(p.trim.toDouble).toOption)
-      if (parts.length < 2)
-        System.err.println(s"[bench] unparseable SPARK_GRAFT_CLEAN_GATE='$gateSpec' — using 270,9,300")
+      // fall back to the FULL defaults (a partially-parseable spec like
+      // '300' must not silently mix a parsed mops with a default gbps).
+      val raw = gateSpec.split(",").flatMap(p => scala.util.Try(p.trim.toDouble).toOption)
+      val parts = if (raw.length >= 2) raw else Array.empty[Double]
+      if (raw.length < 2)
+        System.err.println(s"[bench] unparseable SPARK_GRAFT_CLEAN_GATE='$gateSpec' — using defaults 270,9,300")
       val needMops = if (parts.length >= 1) parts(0) else 270.0
       val needGbps = if (parts.length >= 2) parts(1) else 9.0
       val maxWait = if (parts.length > 2) parts(2).toLong else 300L

@@ -195,13 +195,28 @@ object SetKernels {
       * bitsPerKey * ln 2 rounded, the optimum). bitsPerKey = 20 gives a
       * per-element false-positive rate of ~6e-5. */
     def build(values: Array[Long], bitsPerKey: Int): LongBloomSet = {
+      val b = builder(values.length.toLong, bitsPerKey)
+      values.foreach(b.add)
+      b.result()
+    }
+
+    /** Incremental form of [[build]] for key streams that never
+      * materialize as one array (e.g. `toLocalIterator` over a distinct
+      * frame): sized ONCE from `expectedKeys` — callers must know the
+      * count up front (FP rate degrades if the stream overshoots it). */
+    def builder(expectedKeys: Long, bitsPerKey: Int): Builder = {
       require(bitsPerKey >= 4 && bitsPerKey <= 64,
         s"bitsPerKey must be in [4, 64], got $bitsPerKey")
-      val nBits = math.max(64L, values.length.toLong * bitsPerKey)
-      val words = new Array[Long](((nBits + 63) / 64).toInt)
-      val total = words.length.toLong * 64L
-      val k = math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
-      values.foreach { v =>
+      require(expectedKeys >= 0 && expectedKeys <= (Int.MaxValue.toLong * 64L) / bitsPerKey,
+        s"bloom for $expectedKeys keys at $bitsPerKey bits/key exceeds a single word array")
+      val nBits = math.max(64L, expectedKeys * bitsPerKey)
+      new Builder(new Array[Long](((nBits + 63) / 64).toInt),
+        math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt))
+    }
+
+    final class Builder private[LongBloomSet] (words: Array[Long], k: Int) {
+      private val total = words.length.toLong * 64L
+      def add(v: Long): Unit = {
         val h1 = mix(v, 0x9E3779B97F4A7C15L)
         val h2 = mix(v, 0xC2B2AE3D27D4EB4FL) | 1L
         var i = 0
@@ -211,7 +226,7 @@ object SetKernels {
           i += 1
         }
       }
-      new LongBloomSet(words, k)
+      def result(): LongBloomSet = new LongBloomSet(words, k)
     }
   }
 
@@ -244,4 +259,9 @@ object SetKernels {
   def anyInBloom(arr: Column, values: Array[Long], bitsPerKey: Int = 20): Column =
     GraftSql.column(ArrayAnyInBloom(GraftSql.expression(arr),
       LongBloomSet.build(values, bitsPerKey)))
+
+  /** [[anyInBloom]] over a PREBUILT filter — for callers that construct
+    * the bloom without ever holding the key array (streamed builds). */
+  def anyInBloomSet(arr: Column, set: LongBloomSet): Column =
+    GraftSql.column(ArrayAnyInBloom(GraftSql.expression(arr), set))
 }

@@ -432,20 +432,59 @@ object Dedup {
   def minHashBandIndex(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3,
       maxCorpusKeys: Long = 50000000L): Array[Long] = {
-    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val rowsPerBand = numHashes / bands
     // ONE job: limit(max+1) bounds the driver collect itself (a violating
     // corpus ships max+1 rows, never the whole key set) and the extra row
     // is the overflow detector — no separate count() pass.
-    val keys = minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
-      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
-      .distinct()
+    val keys = distinctBandKeys(corpus, idCol, textCol, numHashes, bands, shingleWidth)
       .limit(math.min(maxCorpusKeys, Int.MaxValue - 1L).toInt + 1)
       .collect().map(_.getLong(0))
     require(keys.length <= maxCorpusKeys,
       s"corpus band index exceeds maxCorpusKeys=$maxCorpusKeys distinct keys — " +
         "raise the knob explicitly or switch to the bloom-backed guard")
     keys
+  }
+
+  /** Distinct banded-LSH keys of a corpus as a frame — the shared build
+    * of [[minHashBandIndex]] (exact collect) and [[minHashBandBloom]]
+    * (streamed bloom). One narrow sketch pass + a distinct shuffle. */
+  private def distinctBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleWidth: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
+      .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
+      .distinct()
+  }
+
+  /** Bloom-backed corpus band index: the driver never holds the key set —
+    * the distinct keys are counted (the bounded-ceiling check), then
+    * STREAMED through `toLocalIterator` one partition at a time into a
+    * [[graft.functions.SetKernels.LongBloomSet.Builder]] sized from the
+    * count. Driver memory is the bloom's bit array (`bitsPerKey`/8 bytes
+    * per key — ~750 MB at the default 300M-key ceiling and 20 bits) plus
+    * one partition of rows in flight, NOT 300M boxed Rows (the exact
+    * index's `collect` would need ~10x the 8 bytes/key its array
+    * ultimately stores — that Row overhead is what this path removes).
+    * Cost: the distinct frame is persisted and evaluated twice (count +
+    * stream); past the ceiling, shard the corpus into several guards or
+    * use the incremental band-key equi-join ([[nearDupMinHashAgainst]]). */
+  def minHashBandBloom(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3,
+      bitsPerKey: Int = 20, maxCorpusKeys: Long = 300000000L)
+      : graft.functions.SetKernels.LongBloomSet = {
+    val keysDf = distinctBandKeys(corpus, idCol, textCol, numHashes, bands, shingleWidth)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = keysDf.count()
+      require(n <= maxCorpusKeys,
+        s"corpus band index has $n distinct keys > maxCorpusKeys=$maxCorpusKeys — " +
+          "raise the knob explicitly, shard the corpus into several guards, " +
+          "or use the incremental batch-vs-corpus join instead")
+      val b = graft.functions.SetKernels.LongBloomSet.builder(n, bitsPerKey)
+      val it = keysDf.toLocalIterator()
+      while (it.hasNext) b.add(it.next().getLong(0))
+      b.result()
+    } finally keysDf.unpersist()
   }
 
   /** STATELESS streaming near-dup guard against a static corpus: each
@@ -504,16 +543,16 @@ object Dedup {
       maxCorpusKeys: Long = 300000000L): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
-    // Reuse the exact index build — same bounded single-job collect, with
-    // a bloom-sized default ceiling (~3-6x the exact form's, per the
-    // LongBloomSet sizing note).
-    val keys = minHashBandIndex(corpus, idCol, textCol, numHashes, bands,
-      shingleWidth, maxCorpusKeys)
+    // Streamed bloom build ([[minHashBandBloom]]): the default 300M-key
+    // ceiling costs the driver the bloom's bit array (~750 MB), never a
+    // 300M-Row collect.
+    val bloom = minHashBandBloom(corpus, idCol, textCol, numHashes, bands,
+      shingleWidth, bitsPerKey, maxCorpusKeys)
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")
-    val hit = graft.functions.SetKernels.anyInBloom(
-      lshBandKeys(sig, bands, rowsPerBand), keys, bitsPerKey)
+    val hit = graft.functions.SetKernels.anyInBloomSet(
+      lshBandKeys(sig, bands, rowsPerBand), bloom)
     stream.withColumn("nd_candidate", coalesce(hit, lit(false)))
   }
 

@@ -503,7 +503,12 @@ object Multimodal {
                           trakSum = sum
                         }
                       case ("stss", p, e) if e - p >= 8 =>
-                        trakSync = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        // Mirror the stsz bound check: entry_count must fit
+                        // the box payload (4 bytes/entry after ver/flags +
+                        // count), else a truncated/crafted stss would claim
+                        // an arbitrary keyframe count with no entries.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt <= (e - p - 8L) / 4L) trakSync = cnt
                       case _ => ()
                     }
                     case _ => ()

@@ -688,16 +688,42 @@ object Similarity {
     // lookups per code row — no decode, no per-candidate allocation. The
     // LUT is nProbe-duplicated only by rows (one copy per probe row); at
     // nProbe×|queries| broadcast rows of 8·m·ksub bytes it stays tiny.
+    // ONE driver job computes every query's probe cells; the collected
+    // rows feed BOTH the probe frame (as a broadcast local relation — no
+    // second nearestIndices evaluation) and the pruning cell list (a
+    // driver-side distinct, no extra job).
+    val idType = q.schema("query_id").dataType
+    val qCells = q.select(col("query_id"),
+      CentroidKernels.nearestIndices(col("qv"), mat, nProbe).as("cells")).collect()
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", idType),
+      org.apache.spark.sql.types.StructField("centroid_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val jpairs = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qCells.foreach { r =>
+      r.getSeq[Int](1).distinct.foreach(c =>
+        jpairs.add(org.apache.spark.sql.Row(r.get(0), c)))
+    }
+    val cellOf = queries.sparkSession.createDataFrame(jpairs, pairSchema)
     val probed = q
       .withColumn("__lut", PqKernels.lut(col("qv"), books))
-      .withColumn("centroid_idx",
-        explode(CentroidKernels.nearestIndices(col("qv"), mat, nProbe)))
+      .join(broadcast(cellOf), Seq("query_id"))
       .select("query_id", "qn", "__lut", "centroid_idx")
     // Static cell pruning: the probed cells as literals reach the parquet
-    // scan as PartitionFilters on a partitioned index table.
-    val cells = probed.select("centroid_idx").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val pruned = indexed.where(col("centroid_idx").isin(cells: _*))
+    // scan as PartitionFilters on a partitioned index table. Skip the
+    // filter when the distinct-cell list covers (nearly) every cell or
+    // would make an absurd In-literal — a large query batch probes the
+    // whole index anyway, and a 10^5-literal In costs more to plan than
+    // the pruning saves.
+    val cells = {
+      val distinctCells = new java.util.LinkedHashSet[Int]()
+      qCells.foreach(_.getSeq[Int](1).foreach(c => distinctCells.add(c)))
+      import scala.jdk.CollectionConverters._
+      distinctCells.asScala.toSeq
+    }
+    val pruned =
+      if (cells.size >= mat.length || cells.size > 32768) indexed
+      else indexed.where(col("centroid_idx").isin(cells: _*))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val cand = pruned.join(broadcast(probed), Seq("centroid_idx"))

@@ -439,7 +439,7 @@ object LlmQueries {
       val guarded = Dedup.streamMinHashGuard(sdf, index, "text",
         numHashes = 128, bands = 64)
       val qname = "graft_q_dedup_stream_minhash"
-      // The guard itself is shuffle-free; 32 shuffle partitions only tax
+      // The guard itself is shuffle-free; 4 shuffle partitions right-size
       // the micro-batch bookkeeping (the q_dedup_stream precedent).
       val finished = Q.withShufflePartitions(s, 4) {
         val q = guarded.writeStream.format("memory").queryName(qname)
@@ -458,7 +458,9 @@ object LlmQueries {
         .join(batch.select(col("doc_id"), col("nd_candidate").as("b")), Seq("doc_id"))
         .where(col("nd_candidate") =!= col("b")).count()
 
-      one(streamed,
+      // Materialize the one-row verdict BEFORE tearing down the memory
+      // table + temp parquet dir it reads from ([[Q.one]] is lazy).
+      val result = one(streamed,
         "n_stream" -> count(lit(1)),
         "n_flagged" -> sum(when(col("nd_candidate"), 1L).otherwise(0L)),
         "sum_flagged" -> coalesce(
@@ -466,6 +468,11 @@ object LlmQueries {
         "all_full_band_hits" -> all(!col("nd_candidate") ||
           col("nd_bands_hit") === 64L),
         "batch_equal" -> lit(mismatches == 0L))
+      val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      result.collect().foreach(jrows.add)
+      s.catalog.dropTempView(qname)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      s.createDataFrame(jrows, result.schema)
     }),
 
     "q_dedup_cosine_lsh" -> ((s, d) => {
