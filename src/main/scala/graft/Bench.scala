@@ -343,6 +343,22 @@ object Bench {
     // regions) makes the artifact segment-attributable: a slow query
     // next to a collapsed trace reading is the box, not the plan.
     val mopsTrace = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // SECOND trace axis (r12): copy bandwidth. The r11 board was graded in
+    // a window whose contention was memory-bandwidth-ONLY — pre-gate
+    // probes read 295 Mops with 8.2 GB/s, bandwidth-bound ANN queries
+    // inflated 5-30x, and the CPU-only mops trace read clean throughout.
+    // A ~25ms sweep over the same reused 32 MB calibration buffers before
+    // every 10th query closes that blind spot. Readings are comparable to
+    // the START probe (both run inside the live JVM; the live-context
+    // bias is ~1.1 GB/s vs a fresh JVM — compare trace values to each
+    // other and to the start probe, not to the post-stop end probe).
+    val gbpsTrace = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def quickGbps(): Double = {
+      val t1 = System.nanoTime()
+      var r = 0
+      while (r < 4) { System.arraycopy(calSrc, 0, calDst, 0, calWords); r += 1 }
+      4 * 2.0 / 32.0 / ((System.nanoTime() - t1) / 1e9)
+    }
     def quickMops(): Double = {
       var x = 0x9E3779B97F4A7C15L
       var n = 0L
@@ -361,7 +377,7 @@ object Bench {
     }
     var qIdx = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (qIdx % 10 == 0) mopsTrace(name) = quickMops()
+      if (qIdx % 10 == 0) { mopsTrace(name) = quickMops(); gbpsTrace(name) = quickGbps() }
       qIdx += 1
       timed(name)(materialize(fn(spark, sfDir)))
       // Multi-action pipelines (dedup CC) record per-stage wall times so a
@@ -388,6 +404,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val gcJ = gc.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val trace = mopsTrace.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
+    val gtrace = gbpsTrace.map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // End probe AFTER spark.stop(): the probe certifies the BOX, and a
     // live SparkContext biases it — ContextCleaner + 32 executor-pool
@@ -400,7 +417,7 @@ object Bench {
     System.gc()
     val (cpuMops1, memGbps1) = calibrate()
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_mops_trace":$trace}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace}"""
     // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

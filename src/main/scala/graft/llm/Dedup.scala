@@ -467,7 +467,15 @@ object Dedup {
     * ultimately stores — that Row overhead is what this path removes).
     * Cost: the distinct frame is persisted and evaluated twice (count +
     * stream); past the ceiling, shard the corpus into several guards or
-    * use the incremental band-key equi-join ([[nearDupMinHashAgainst]]). */
+    * use the incremental band-key equi-join ([[nearDupMinHashAgainst]]).
+    *
+    * Measured at scale (`bench_ops_scale.json`, local[32], r12): a
+    * 10M-doc corpus at numHashes=128/bands=16 (~160M distinct band keys)
+    * builds a 400 MB bloom in ~10 min (615.8s wall incl. 126.6s steal —
+    * sketch + distinct dominate, the driver stream is a minor tail); the
+    * stateless probe then scores a 1M-doc stream at ~73k docs/s/box
+    * (13.7s marginal — the per-doc 128-hash sketch, not the bloom lookup,
+    * is the cost). Build once, probe many ([[streamMinHashGuardWith]]). */
   def minHashBandBloom(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3,
       bitsPerKey: Int = 20, maxCorpusKeys: Long = 300000000L)
@@ -548,6 +556,18 @@ object Dedup {
     // 300M-Row collect.
     val bloom = minHashBandBloom(corpus, idCol, textCol, numHashes, bands,
       shingleWidth, bitsPerKey, maxCorpusKeys)
+    streamMinHashGuardWith(stream, bloom, textCol, numHashes, bands, shingleWidth)
+  }
+
+  /** Probe side of the bloom guard over a PREBUILT index
+    * ([[minHashBandBloom]]) — build once, probe many streams/batches
+    * without re-scanning the corpus. Same stateless zero-shuffle contract
+    * as [[streamMinHashGuardBloom]]. */
+  def streamMinHashGuardWith(stream: DataFrame,
+      bloom: graft.functions.SetKernels.LongBloomSet, textCol: String,
+      numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")

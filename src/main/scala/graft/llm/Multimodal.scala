@@ -381,7 +381,24 @@ object Multimodal {
     // (header-only stubs, fragmented MP4).
     StructField("frame_count", LongType),
     StructField("keyframe_count", LongType),
-    StructField("mean_frame_size", DoubleType)))
+    StructField("mean_frame_size", DoubleType),
+    // Codec + timing (r12): stsd's first sample-entry fourcc (and its
+    // video/audio/other classification) from the first stsd-bearing
+    // track; fps and total sample duration derived from stts deltas in
+    // the track's OWN mdhd timescale (stts units are media-timescale,
+    // not movie-timescale). Null when the boxes are absent.
+    StructField("codec", StringType),
+    StructField("codec_class", StringType),
+    StructField("fps", DoubleType),
+    StructField("stts_duration_sec", DoubleType)))
+
+  /** Sample-entry fourcc → coarse media class (ISO 14496-15 / common
+    * registrations). Unknown fourccs are "other", never an error. */
+  private def codecClassOf(fourcc: String): String = fourcc match {
+    case "avc1" | "avc3" | "hev1" | "hvc1" | "vp08" | "vp09" | "av01" | "mp4v" => "video"
+    case "mp4a" | "opus" | "ac-3" | "ec-3" | "alac" | "fLaC" | "samr" => "audio"
+    case _ => "other"
+  }
 
   /** Batched per-partition MP4 container parse — the video sibling of
     * `decodeImages`/`decodeAudio`, same `mapPartitions` + batch shape.
@@ -449,6 +466,9 @@ object Multimodal {
       var frameCount = -1L
       var keyframeCount = -1L
       var sumFrameBytes = 0.0
+      var codec: String = null
+      var fps = Double.NaN
+      var sttsDurSec = Double.NaN
       boxes(0, bytes.length).foreach {
         case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(p)
         case ("moov", mp, me) =>
@@ -467,6 +487,10 @@ object Multimodal {
               var trakFrames = -1L
               var trakSync = -1L
               var trakSum = 0.0
+              var trakMdhdTs = -1L
+              var trakCodec: String = null
+              var trakSamples = -1L
+              var trakUnits = 0L
               boxes(tp, te).foreach {
                 case ("tkhd", p, e) =>
                   val version = bytes(p) & 0xFF
@@ -482,6 +506,14 @@ object Multimodal {
                     }
                   }
                 case ("mdia", dp, de) => boxes(dp, de).foreach {
+                  case ("mdhd", p, e) =>
+                    // Media timescale: v0 ver/flags, ctime(4), mtime(4),
+                    // timescale; v1 widens the times to 8 bytes.
+                    val version = bytes(p) & 0xFF
+                    if (version == 1 && e - p >= 4 + 8 + 8 + 4)
+                      trakMdhdTs = bb.getInt(p + 4 + 16).toLong & 0xFFFFFFFFL
+                    else if (version == 0 && e - p >= 4 + 4 + 4 + 4)
+                      trakMdhdTs = bb.getInt(p + 4 + 8).toLong & 0xFFFFFFFFL
                   case ("minf", ip, ie) => boxes(ip, ie).foreach {
                     case ("stbl", sp, se) => boxes(sp, se).foreach {
                       case ("stsz", p, e) if e - p >= 12 =>
@@ -509,6 +541,32 @@ object Multimodal {
                         // an arbitrary keyframe count with no entries.
                         val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
                         if (cnt <= (e - p - 8L) / 4L) trakSync = cnt
+                      case ("stsd", p, e) if e - p >= 16 =>
+                        // ver/flags(4), entry_count(4), then sample
+                        // entries (size(4) + format fourcc(4) + ...).
+                        // Only the FIRST entry's fourcc is read; the
+                        // 16-byte guard covers it.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt >= 1L) trakCodec = fourcc(p + 12)
+                      case ("stts", p, e) if e - p >= 8 =>
+                        // (sample_count, sample_delta) runs, 8 bytes each —
+                        // same payload-bound rule as stsz/stss. Durations
+                        // are MEDIA-timescale units (mdhd), summed exactly.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt <= (e - p - 8L) / 8L) {
+                          var samples = 0L
+                          var units = 0L
+                          var j = 0
+                          while (j < cnt.toInt) {
+                            val sc = bb.getInt(p + 8 + 8 * j).toLong & 0xFFFFFFFFL
+                            val sd = bb.getInt(p + 12 + 8 * j).toLong & 0xFFFFFFFFL
+                            samples += sc
+                            units += sc * sd
+                            j += 1
+                          }
+                          trakSamples = samples
+                          trakUnits = units
+                        }
                       case _ => ()
                     }
                     case _ => ()
@@ -522,6 +580,15 @@ object Multimodal {
                 sumFrameBytes = trakSum
                 keyframeCount = if (trakSync >= 0) trakSync else trakFrames
               }
+              // First stsd-bearing track names the codec; first track with
+              // stts + a positive mdhd timescale yields timing (the two
+              // adoptions are independent — real files can split them).
+              if (codec == null && trakCodec != null) codec = trakCodec
+              if (sttsDurSec.isNaN && trakSamples > 0 && trakUnits > 0 &&
+                  trakMdhdTs > 0) {
+                sttsDurSec = trakUnits.toDouble / trakMdhdTs
+                fps = trakSamples / sttsDurSec
+              }
             case _ => ()
           }
         case _ => ()
@@ -532,7 +599,11 @@ object Multimodal {
         if (frameCount >= 0) frameCount else null,
         if (frameCount >= 0) keyframeCount else null,
         if (frameCount > 0) sumFrameBytes / frameCount
-        else if (frameCount == 0) 0.0 else null)
+        else if (frameCount == 0) 0.0 else null,
+        codec,
+        if (codec != null) codecClassOf(codec) else null,
+        if (fps.isNaN) null else fps,
+        if (sttsDurSec.isNaN) null else sttsDurSec)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -545,11 +616,16 @@ object Multimodal {
     * ISO BMFF v0. */
   def encodeMp4Stub(timescale: Int, durationUnits: Long,
       tracks: Seq[(Int, Int)], frameSizes: Seq[Int] = Nil,
-      syncSamples: Seq[Int] = Nil): Array[Byte] = {
+      syncSamples: Seq[Int] = Nil, codec: String = null,
+      sampleDeltas: Seq[Int] = Nil, mediaTimescale: Int = 0): Array[Byte] = {
     require(timescale > 0 && durationUnits >= 0 && durationUnits <= Int.MaxValue,
       s"bad MP4 spec: timescale=$timescale duration=$durationUnits (v0 caps at 2^31-1)")
     require(syncSamples.isEmpty || frameSizes.nonEmpty,
       "syncSamples (stss) without frameSizes (stsz) is not representable")
+    require(codec == null || codec.length == 4,
+      s"stsd sample-entry format must be a fourcc, got '$codec'")
+    require(sampleDeltas.isEmpty || mediaTimescale > 0,
+      "sampleDeltas (stts) need a positive mediaTimescale (mdhd)")
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -561,17 +637,21 @@ object Multimodal {
     // `syncSamples` names 1-based keyframe positions, an stss — its
     // ABSENCE means every sample is sync, which the parser must honor.
     val stbl: Array[Byte] =
-      if (frameSizes.isEmpty) Array.empty
+      if (frameSizes.isEmpty && codec == null && sampleDeltas.isEmpty) Array.empty
       else {
-        val uniform = frameSizes.distinct.length == 1
-        val stsz = box("stsz", {
-          val b = java.nio.ByteBuffer.allocate(
-            12 + (if (uniform) 0 else 4 * frameSizes.length))
-          b.putInt(0).putInt(if (uniform) frameSizes.head else 0)
-            .putInt(frameSizes.length)
-          if (!uniform) frameSizes.foreach(b.putInt)
-          b.array()
-        })
+        val stsz =
+          if (frameSizes.isEmpty) Array.empty[Byte]
+          else {
+            val uniform = frameSizes.distinct.length == 1
+            box("stsz", {
+              val b = java.nio.ByteBuffer.allocate(
+                12 + (if (uniform) 0 else 4 * frameSizes.length))
+              b.putInt(0).putInt(if (uniform) frameSizes.head else 0)
+                .putInt(frameSizes.length)
+              if (!uniform) frameSizes.foreach(b.putInt)
+              b.array()
+            })
+          }
         val stss =
           if (syncSamples.isEmpty) Array.empty[Byte]
           else box("stss", {
@@ -580,7 +660,42 @@ object Multimodal {
             syncSamples.foreach(b.putInt)
             b.array()
           })
-        box("mdia", box("minf", box("stbl", stsz ++ stss)))
+        // stsd: one sample entry — size(4) + fourcc(4) + 6 reserved bytes
+        // + data_reference_index(2), the ISO 14496-12 SampleEntry minimum.
+        val stsd =
+          if (codec == null) Array.empty[Byte]
+          else box("stsd", {
+            val b = java.nio.ByteBuffer.allocate(8 + 16)
+            b.putInt(0).putInt(1).putInt(16).put(codec.getBytes("US-ASCII"))
+            b.array() // trailing 8 bytes stay zero (reserved + dref idx 1->0 stub)
+          })
+        // stts: run-length (sample_count, sample_delta) pairs over equal
+        // consecutive deltas — the spec's own compression.
+        val stts =
+          if (sampleDeltas.isEmpty) Array.empty[Byte]
+          else {
+            val runs = sampleDeltas.foldLeft(List.empty[(Int, Int)]) {
+              case ((c, d) :: tail, x) if d == x => (c + 1, d) :: tail
+              case (acc, x) => (1, x) :: acc
+            }.reverse
+            box("stts", {
+              val b = java.nio.ByteBuffer.allocate(8 + 8 * runs.length)
+              b.putInt(0).putInt(runs.length)
+              runs.foreach { case (c, d) => b.putInt(c).putInt(d) }
+              b.array()
+            })
+          }
+        // mdhd (media timescale) v0 — required for stts to be
+        // interpretable; duration = sum of the sample deltas.
+        val mdhd =
+          if (mediaTimescale <= 0) Array.empty[Byte]
+          else box("mdhd", {
+            val b = java.nio.ByteBuffer.allocate(24)
+            b.putInt(0).putInt(0).putInt(0).putInt(mediaTimescale)
+              .putInt(sampleDeltas.map(_.toLong).sum.toInt).putInt(0)
+            b.array()
+          })
+        box("mdia", mdhd ++ box("minf", box("stbl", stsd ++ stts ++ stsz ++ stss)))
       }
     val ftyp = box("ftyp", {
       val b = java.nio.ByteBuffer.allocate(16)

@@ -294,22 +294,59 @@ object Similarity {
       .select("cv").collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Deterministic bounded training frame: when the corpus exceeds
+    * `maxTrainRows`, Lloyd refinement trains on a hash-Bernoulli sample of
+    * ~`maxTrainRows` vectors (one narrow filter — no shuffle, no ordering,
+    * independent of data layout) instead of the full corpus. Centroids and
+    * codebooks are universally trained on bounded samples (10^5-10^6
+    * vectors); a full-corpus Lloyd pass only multiplies training bandwidth
+    * by N/sample for no recall gain — at 100 TB it was the board's most
+    * bandwidth-hungry work. Costs one count job when the bound is active;
+    * `maxTrainRows <= 0` disables the bound (exact full-corpus training).
+    * The sample is keyed by the vector bytes, so it is reproducible across
+    * reruns and repartitions (the [[Sampling.sample]] contract). */
+  private def boundedTrainFrame(c: DataFrame, vecCol: String,
+      maxTrainRows: Long): Option[DataFrame] = {
+    if (maxTrainRows <= 0) None
+    else {
+      val total = c.count()
+      if (total <= maxTrainRows) None
+      else Some(
+        c.where(Sampling.hashFraction(Seq(col(vecCol)), 0x9E3779B97F4A7C15L) <
+          maxTrainRows.toDouble / total))
+    }
+  }
+
   /** Lloyd (k-means) refinement of a centroid matrix: each iteration
-    * assigns every corpus row to its nearest centroid with the fused
+    * assigns every training row to its nearest centroid with the fused
     * kernel (narrow, zero shuffle) and recomputes centroids as per-cell
     * means. The mean is taken per (cell, dimension) via posexplode +
     * hash aggregate — map-side partial aggregation means the one shuffle
     * carries nCentroids × dim partial sums per task, not data. Cells that
     * capture no rows keep their previous centroid. Deterministic up to
     * floating-point summation order (assignment flips from that are
-    * confined to points essentially equidistant between cells). */
+    * confined to points essentially equidistant between cells).
+    *
+    * Training cost is bounded by `maxTrainRows` ([[boundedTrainFrame]]):
+    * past ~1M vectors each iteration reads the sample, not the corpus, so
+    * refinement wall is flat in corpus size. */
   def refineCentroids(corpus: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]], iterations: Int): Array[Array[Double]] =
+      centroids: Array[Array[Double]], iterations: Int,
+      maxTrainRows: Long = 1000000L): Array[Array[Double]] =
     graft.tools.StageLog.timed("ivf_refine_centroids") {
     var mat = centroids
+    // MATERIALIZE the sample once (memory-and-disk): without it every
+    // iteration would re-scan the whole corpus through the filter, and
+    // bounding the sample would bound arithmetic but not bandwidth.
+    val sampled =
+      if (iterations > 0 && mat.nonEmpty) boundedTrainFrame(corpus, vecCol, maxTrainRows)
+      else None
+    sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+    val train = sampled.getOrElse(corpus)
     for (_ <- 0 until iterations if mat.nonEmpty) {
       val cell = graft.functions.CentroidKernels.nearestIndex(col(vecCol), mat)
-      val means = corpus
+      val means = train
         .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
         .groupBy("__cell", "pos").agg(avg("col").as("m"))
         .collect()
@@ -326,6 +363,7 @@ object Similarity {
       mat = next.indices.map(i => if (seen(i)) next(i) else mat(i)).toArray
     }
     mat
+    } finally sampled.foreach(_.unpersist(false))
     }
 
   /** Auto centroid count: ~sqrt(N), the standard IVF balance point — each
@@ -341,7 +379,8 @@ object Similarity {
     * committing to an index layout. One narrow fused-kernel pass + one
     * count aggregate; `nCentroids = 0` auto-sizes to ~sqrt(N). */
   def ivfCellStats(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int = 0, refineIterations: Int = 0): DataFrame = {
+      nCentroids: Int = 0, refineIterations: Int = 0,
+      maxTrainRows: Long = 1000000L): DataFrame = {
     import graft.functions.CentroidKernels
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -349,7 +388,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv")))
     val n = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
     val mat = refineCentroids(c, "cv",
-      sampleCentroids(c, "id", "cv", n), refineIterations)
+      sampleCentroids(c, "id", "cv", n), refineIterations, maxTrainRows)
     val counts = c
       .select(CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"))
       .groupBy("centroid_idx").agg(count(lit(1)).as("n_rows"))
@@ -382,7 +421,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-      refineIterations: Int = 0): DataFrame = {
+      refineIterations: Int = 0, maxTrainRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{CentroidKernels, VectorKernels}
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
@@ -391,7 +430,7 @@ object Similarity {
 
     val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
     val seed = sampleCentroids(c, "neighbor_id", "cv", nCells)
-    val mat = refineCentroids(c, "cv", seed, refineIterations)
+    val mat = refineCentroids(c, "cv", seed, refineIterations, maxTrainRows)
 
     // Corpus side: one narrow projection — argmax cosine against the
     // embedded matrix, no fan-out, no shuffle.
@@ -436,7 +475,8 @@ object Similarity {
     * @return m × ksub × (dim/m) codebook for [[graft.functions.PqKernels]].
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2): Array[Array[Array[Double]]] =
+      m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
+      maxTrainRows: Long = 1000000L): Array[Array[Array[Double]]] =
     graft.tools.StageLog.timed("pq_train") {
     import graft.functions.PqKernels
     require(m > 0 && ksub > 0, s"pqTrain needs m > 0 and ksub > 0, got m=$m ksub=$ksub")
@@ -446,13 +486,22 @@ object Similarity {
     require(dim % m == 0,
       s"pqTrain requires the vector dimension ($dim) to be divisible by m=$m subspaces")
     val subdim = dim / m
+    // Seed from the FULL corpus (one top-ksub job — the seed is identical
+    // whatever the training bound); Lloyd iterations read the bounded
+    // sample ([[boundedTrainFrame]]), keeping codebook-training wall flat
+    // in corpus size.
     val seedVecs = sampleCentroids(c, "id", "cv", ksub)
     require(seedVecs.nonEmpty, "pqTrain: corpus has no non-null vectors to seed from")
+    val sampled =
+      if (refineIterations > 0) boundedTrainFrame(c, "cv", maxTrainRows) else None
+    sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+    val train = sampled.getOrElse(c)
     var book: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * subdim, (s + 1) * subdim)))
     for (_ <- 0 until refineIterations) {
       val codes = PqKernels.encode(col("cv"), book)
-      val means = c
+      val means = train
         .select(col("cv"), posexplode(codes)).toDF("cv", "sub", "code")
         .select(col("sub"), col("code"),
           posexplode(slice(col("cv"), col("sub") * subdim + 1, lit(subdim))))
@@ -471,6 +520,7 @@ object Similarity {
         next(s).indices.map(cI => if (seen(s)(cI)) next(s)(cI) else book(s)(cI)).toArray)
     }
     book
+    } finally sampled.foreach(_.unpersist(false))
   }
 
   /** Attach PQ codes (`array<int>`, length m) to a frame — one narrow
@@ -507,11 +557,12 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
       m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
-      rerank: Int = 4): DataFrame = {
+      rerank: Int = 4, maxTrainRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorKernels
     require(rerank >= 1, s"rerank factor must be >= 1, got $rerank")
-    val books = pqTrain(corpus, corpusId, corpusVec, m, ksub, refineIterations)
+    val books = pqTrain(corpus, corpusId, corpusVec, m, ksub, refineIterations,
+      maxTrainRows)
     val encoded = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       graft.functions.PqKernels.encode(col(corpusVec), books).as("__pq")))
     val qlut = broadcast(queries.select(col(queryId).as("query_id"),
@@ -567,11 +618,12 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10,
       nCentroids: Int = 0, nProbe: Int = 4, m: Int = 16, ksub: Int = 64,
-      refineIterations: Int = 2, rerank: Int = 8): DataFrame = {
+      refineIterations: Int = 2, rerank: Int = 8,
+      maxTrainRows: Long = 1000000L): DataFrame = {
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv")))
     val (indexed, meta) = buildIvfPqIndex(corpus, corpusId, corpusVec,
-      nCentroids, m, ksub, refineIterations)
+      nCentroids, m, ksub, refineIterations, maxTrainRows)
     probeIvfPqIndex(indexed, meta, c, queries, queryId, queryVec,
       k, nProbe, rerank)
   }
@@ -621,19 +673,47 @@ object Similarity {
     * form of the corpus for similarity serving. */
   def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCentroids: Int = 0, m: Int = 16, ksub: Int = 64,
-      refineIterations: Int = 2): (DataFrame, IvfPqMeta) = {
+      refineIterations: Int = 2, maxTrainRows: Long = 1000000L): (DataFrame, IvfPqMeta) = {
     import graft.functions.{CentroidKernels, PqKernels}
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv")))
     val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
     val mat = refineCentroids(c, "cv",
-      sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations)
-    val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations)
-    val indexed = c.select(col("neighbor_id"),
-      CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"),
-      PqKernels.encode(col("cv"), books).as("pq_codes"))
-    (indexed, IvfPqMeta(mat, books))
+      sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations, maxTrainRows)
+    val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations, maxTrainRows)
+    val meta = IvfPqMeta(mat, books)
+    (encodeIndexRows(c, "neighbor_id", "cv", meta), meta)
   }
+
+  /** Encode rows against EXISTING index metadata — one fused narrow pass,
+    * the shared projection of [[buildIvfPqIndex]] (initial build) and
+    * [[appendToIvfPqIndex]] (incremental batches): `(neighbor_id,
+    * centroid_idx, pq_codes)`. */
+  def encodeIndexRows(rows: DataFrame, idCol: String, vecCol: String,
+      meta: IvfPqMeta): DataFrame = {
+    import graft.functions.{CentroidKernels, PqKernels}
+    rows.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .select(col("neighbor_id"),
+        CentroidKernels.nearestIndex(col("cv"), meta.centroids).as("centroid_idx"),
+        PqKernels.encode(col("cv"), meta.books).as("pq_codes"))
+  }
+
+  /** Incrementally append a batch to a persisted IVF+PQ index: the new
+    * rows are encoded with the EXISTING centroids/codebooks (`meta` — the
+    * sidecar is NOT rewritten; a probe reloading the index sees one
+    * consistent codebook for old and new rows) and parquet-APPENDED into
+    * their cell partitions. Dynamic partition append only ADDS files under
+    * the cells the batch lands in — existing files, and every partition
+    * the batch misses, are untouched, so the write cost is O(batch), not
+    * O(index). This is the production lifecycle: build+train once, append
+    * per ingest batch, probe anytime; if the data distribution drifts far
+    * from the training sample, quantization error grows — the answer is a
+    * periodic rebuild, not per-batch retraining. */
+  def appendToIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      meta: IvfPqMeta, dir: String): Unit =
+    encodeIndexRows(newRows, idCol, vecCol, meta)
+      .write.mode("append").partitionBy("centroid_idx").parquet(dir)
 
   /** Persist an index: parquet PARTITIONED BY the cell — a probe then
     * reads only its nProbe cell directories off disk (static partition

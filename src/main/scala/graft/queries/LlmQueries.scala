@@ -1116,12 +1116,29 @@ object LlmQueries {
               val sync =
                 if (sizes.isEmpty || id % 5 == 0) Nil
                 else (1 to nFrames by 2).toSeq
+              // Codec + timing planting (r12), gated with the stbl (every
+              // genuine container except the 17th): stsd fourcc rotates
+              // video/video/audio; stts deltas give a closed-form fps
+              // (2400/delta), EXCEPT every 11th where the media clock is
+              // chosen so the stts duration exactly equals the mvhd movie
+              // duration (the consistency-planted subset).
+              val ts1 = (1000 + (id % 4) * 500).toInt
+              val units = 3000 + (id % 100) * 25
+              val fourcc =
+                if (id % 17 == 0) null
+                else Seq("avc1", "hev1", "mp4a")((id % 3).toInt)
+              val (deltas, mediaTs) =
+                if (id % 17 == 0) (Nil, 0)
+                else if (id % 11 == 0)
+                  (Seq.fill(nFrames)(units.toInt), ts1 * nFrames)
+                else (Seq.fill(nFrames)(((id % 3 + 1) * 100).toInt), 2400)
               Multimodal.encodeMp4Stub(
-                timescale = (1000 + (id % 4) * 500).toInt,
-                durationUnits = 3000 + (id % 100) * 25,
+                timescale = ts1,
+                durationUnits = units,
                 tracks = ((160 * (1 + id % 6)).toInt, (90 * (1 + id % 4)).toInt) +:
                   Seq.fill(nt - 1)((0, 0)),
-                frameSizes = sizes, syncSamples = sync)
+                frameSizes = sizes, syncSamples = sync,
+                codec = fourcc, sampleDeltas = deltas, mediaTimescale = mediaTs)
             }
           (id, bytes)
         }.toDF("doc_id", "payload")
@@ -1148,7 +1165,20 @@ object LlmQueries {
           v("mean_frame_size") === plantedMean, 1L).otherwise(0L)),
         "n_no_stbl" -> sum(when(
           v.isNotNull && v("frame_count").isNull, 1L).otherwise(0L)),
-        "n_mp4" -> sum(when(col("media_meta.media_type") === "video/mp4", 1L).otherwise(0L)))
+        "n_mp4" -> sum(when(col("media_meta.media_type") === "video/mp4", 1L).otherwise(0L)),
+        // r12: codec classification counts, the 2400/delta fps closed form
+        // (non-consistency-planted subset), and the stts-vs-mvhd duration
+        // cross-check — STRICT double equality is safe because both sides
+        // are correctly-rounded divisions of the same rational exactly when
+        // the planted integers satisfy nF*delta*ts == units*mediaClock
+        // (DuckDB replays that in integer arithmetic).
+        "n_codec_video" -> sum(when(v("codec_class") === "video", 1L).otherwise(0L)),
+        "n_codec_audio" -> sum(when(v("codec_class") === "audio", 1L).otherwise(0L)),
+        "n_fps_exact" -> sum(when(col("doc_id") % 11 =!= 0 &&
+          abs(v("fps") - lit(2400.0) /
+            ((col("doc_id") % 3 + 1) * 100).cast("double")) < 1e-6, 1L).otherwise(0L)),
+        "n_duration_consistent" -> sum(when(
+          v("stts_duration_sec") === v("duration_sec"), 1L).otherwise(0L)))
     }),
 
     "q_multimodal_resize" -> ((s, d) => {
@@ -1460,6 +1490,74 @@ object LlmQueries {
         "rows_ok" -> lit(nProbeRows == 50L),
         "identical_topk" -> lit(nDiff == 0L),
         "partition_pruned" -> lit(prunedScan))
+    }),
+
+    // Incremental index append: build+persist on the even half, APPEND the
+    // odd half encoded with the EXISTING meta (sidecar untouched), then pin
+    //  (a) probe(appended index) == probe(index rebuilt from the union at
+    //      the SAME meta) — top-k identity;
+    //  (b) the append only ADDED parquet files, all under cell directories
+    //      the batch actually lands in — pre-existing files untouched
+    //      (path+length snapshot), no file in any unaffected partition.
+    "q_ann_index_append" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val half = emb.where(col("vec_id") % 2 === 0)
+      val rest = emb.where(col("vec_id") % 2 === 1)
+      val queries = emb.where(col("vec_id") < 5)
+      val (indexed, meta) = Similarity.buildIvfPqIndex(
+        half, "vec_id", "embedding", nCentroids = 8, m = 16, ksub = 64,
+        refineIterations = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_append").toString
+      Similarity.writeIvfPqIndex(indexed, meta, dir)
+
+      def parquetFiles(): Map[String, Long] = {
+        val base = java.nio.file.Paths.get(dir)
+        val it = java.nio.file.Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet") &&
+              p.toString.contains("centroid_idx="))
+            .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+            .toMap
+        } finally it.close()
+      }
+      val before = parquetFiles()
+      Similarity.appendToIvfPqIndex(rest, "vec_id", "embedding", meta, dir)
+      val after = parquetFiles()
+      val preserved = before.forall { case (f, sz) => after.get(f).contains(sz) }
+      val batchCells = Similarity.encodeIndexRows(rest, "vec_id", "embedding", meta)
+        .select("centroid_idx").distinct().collect().map(_.getInt(0)).toSet
+      val newFiles = (after.keySet -- before.keySet).toSeq
+      val onlyBatchCells = newFiles.nonEmpty && newFiles.forall { f =>
+        "centroid_idx=(\\d+)".r.findFirstMatchIn(f)
+          .exists(m => batchCells(m.group(1).toInt))
+      }
+
+      val (reloaded, meta2) = Similarity.readIvfPqIndex(s, dir)
+      val raw = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val probeAppended = Similarity.probeIvfPqIndex(reloaded, meta2, raw,
+        queries, "vec_id", "embedding", k = 10, nProbe = 4, rerank = 8)
+        .select("query_id", "neighbor_id")
+      val rebuilt = Similarity.encodeIndexRows(emb, "vec_id", "embedding", meta)
+      val probeRebuilt = Similarity.probeIvfPqIndex(rebuilt, meta, raw,
+        queries, "vec_id", "embedding", k = 10, nProbe = 4, rerank = 8)
+        .select("query_id", "neighbor_id")
+      val nRows = probeAppended.count()
+      val nDiff = probeAppended.unionByName(probeRebuilt)
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2).count()
+      val result = one(emb.limit(1),
+        "n_queries" -> L(5L),
+        "rows_ok" -> lit(nRows == 50L),
+        "identical_topk" -> lit(nDiff == 0L),
+        "append_only_batch_cells" -> lit(onlyBatchCells),
+        "preexisting_untouched" -> lit(preserved))
+      val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      result.collect().foreach(jrows.add)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      s.createDataFrame(jrows, result.schema)
     }),
 
     // ------------------------------------- bigram LM quality (perplexity)
@@ -1847,7 +1945,14 @@ object LlmQueries {
         |END) AS BIGINT) AS sum_keyframes,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact_frames,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_stbl,
-        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mp4,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_codec_video,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_codec_audio,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fps_exact,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND
+        |  (3 + doc_id % 5) * (CASE WHEN doc_id % 11 = 0 THEN 3000 + (doc_id % 100) * 25 ELSE (doc_id % 3 + 1) * 100 END) * (1000 + (doc_id % 4) * 500)
+        |  = (3000 + (doc_id % 100) * 25) * (CASE WHEN doc_id % 11 = 0 THEN (1000 + (doc_id % 4) * 500) * (3 + doc_id % 5) ELSE 2400 END)
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_consistent
         |FROM documents WHERE doc_id < 2000""".stripMargin,
 
     // Replay of the solid-gray resize closed form (see q_multimodal_resize):
@@ -2248,6 +2353,14 @@ object LlmQueries {
     "q_ann_index_persist" ->
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_queries,
         |  TRUE AS rows_ok, TRUE AS identical_topk, TRUE AS partition_pruned
+        |FROM (SELECT 1)""".stripMargin,
+
+    // Incremental append: n_queries replays; append==rebuild top-k
+    // identity and the touched-partitions facts are frozen booleans.
+    "q_ann_index_append" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_queries,
+        |  TRUE AS rows_ok, TRUE AS identical_topk,
+        |  TRUE AS append_only_batch_cells, TRUE AS preexisting_untouched
         |FROM (SELECT 1)""".stripMargin,
 
     // Same shape as q_ann_quantized_recall: replayable exact-arm size,

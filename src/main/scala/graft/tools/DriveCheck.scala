@@ -69,6 +69,44 @@ object DriveCheck {
       k = 5, nProbe = 4)
     println(s"CHECK ivfpq_probe_rows=${top.count()} (want 200 = 40 queries x k=5)")
 
+    // 4) Bounded-sample training: bounded vs unbounded on a corpus ABOVE
+    //    the bound — same seed, sane centroids, deterministic.
+    val big = spark.range(5000).toDF("id")
+      .withColumn("vec", transform(sequence(lit(0), lit(15)),
+        i => pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 1000.0))
+    val seed = Similarity.sampleCentroids(big, "id", "vec", 8)
+    val full = Similarity.refineCentroids(big, "vec", seed, 2, maxTrainRows = 0L)
+    val bounded = Similarity.refineCentroids(big, "vec", seed, 2, maxTrainRows = 800L)
+    val drift = full.zip(bounded).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max }.max
+    println(f"CHECK bounded_training_max_centroid_drift=$drift%.4f (small but nonzero: sample active)")
+
+    // 5) Index append roundtrip: append == rebuild at the same meta.
+    val baseHalf = emb.where(col("id") % 2 === 0)
+    val appendHalf = emb.where(col("id") % 2 === 1)
+    val (idx, idxMeta) = Similarity.buildIvfPqIndex(baseHalf, "id", "vec",
+      nCentroids = 4, m = 4, ksub = 16, refineIterations = 0)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_drive_append").toString
+    Similarity.writeIvfPqIndex(idx, idxMeta, dir2)
+    Similarity.appendToIvfPqIndex(appendHalf, "id", "vec", idxMeta, dir2)
+    val (rel, m2) = Similarity.readIvfPqIndex(spark, dir2)
+    val want = baseHalf.count() + appendHalf.count()
+    println(s"CHECK appended_index_rows=${rel.count()} (want $want)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+
+    // 6) stsd/stts through the distributed decode.
+    val withCodec = Multimodal.encodeMp4Stub(1000, 2000L, Seq((320, 240)),
+      codec = "avc1", sampleDeltas = Seq.fill(8)(300), mediaTimescale = 2400)
+    val vdf = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(withCodec: Any)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.BinaryType))))
+    val meta2 = Multimodal.decodeVideoMeta(vdf, "v")
+      .select(col("decoded_video.codec"), col("decoded_video.codec_class"),
+        col("decoded_video.fps"), col("decoded_video.stts_duration_sec"))
+      .collect()(0)
+    println(s"CHECK video_codec_fields=$meta2 (want [avc1,video,8.0,1.0])")
+
     spark.stop()
   }
 }

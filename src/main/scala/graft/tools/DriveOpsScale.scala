@@ -161,6 +161,84 @@ object DriveOpsScale {
       rm(new java.io.File(codesDir))
     }
 
+    // ANN training wall (r12): Lloyd refinement with the bounded-sample
+    // knob must be FLAT from 10M -> 100M rows (per-iteration cost bound by
+    // the materialized ~1M-row sample; the only O(N) residue is the one
+    // count+sample scan), while full-corpus training pays every iteration
+    // at corpus bandwidth. The corpora are MATERIALIZED parquet (32-dim
+    // float32 — 12.8 GB at 100M), the form a real training job reads: an
+    // in-flight synthesis expression would run interpreted (higher-order
+    // `transform` is CodegenFallback) and drown the training cost it
+    // feeds. 64 centroids, 2 Lloyd iterations per measurement.
+    val trainNames = Seq("ivf_train_full_10m", "ivf_train_bounded_10m",
+      "ivf_train_bounded_100m")
+    if (only.isEmpty || trainNames.exists(only)) {
+      import org.apache.spark.sql.functions.col
+      def corpusDir(rows: Long): String = {
+        val dir = s"/tmp/graft_ops_train_$rows"
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          spark.range(rows).toDF("id")
+            .withColumn("cv", vec(32).cast("array<float>"))
+            .write.mode("overwrite").parquet(dir)
+        }
+        dir
+      }
+      def trainLine(name: String, rows: Long, maxTrain: Long): Unit =
+        if (only.isEmpty || only(name)) {
+          val c = spark.read.parquet(corpusDir(rows))
+          val seed = graft.llm.Similarity.sampleCentroids(c, "id", "cv", 64)
+          // warm (codegen/JIT) at 1/10 scale, 1 iteration — a narrow id
+          // filter, NOT limit() (GlobalLimit would run the warm pass on a
+          // single partition/core).
+          graft.llm.Similarity.refineCentroids(
+            c.where(col("id") < rows / 10), "cv", seed, 1, maxTrain)
+          var bestT = Double.MaxValue; var bestSteal = 0.0
+          for (_ <- 0 until 2) {
+            val (st0, _) = boxTicks()
+            val t = secs {
+              graft.llm.Similarity.refineCentroids(c, "cv", seed, 2, maxTrain); ()
+            }
+            val (st1, _) = boxTicks()
+            if (t < bestT) { bestT = t; bestSteal = (st1 - st0) / 100.0 }
+          }
+          val line = f"""{"bench":"$name","rows":$rows,"train_sec":$bestT%.2f,"max_train_rows":$maxTrain,"steal_sec":$bestSteal%.2f}"""
+          println(s"CHECK $line")
+          out.append(line).append('\n')
+        }
+      trainLine("ivf_train_full_10m", 10000000L, 0L)
+      trainLine("ivf_train_bounded_10m", 10000000L, 1000000L)
+      trainLine("ivf_train_bounded_100m", 100000000L, 1000000L)
+      Seq(10000000L, 100000000L).foreach(r => rm(new java.io.File(s"/tmp/graft_ops_train_$r")))
+    }
+
+    // Streaming minhash guard at realistic corpus scale (r12): 10M-doc
+    // corpus -> bloom band index (numHashes=128, bands=16 => up to 160M
+    // distinct band keys, streamed into a ~400 MB bloom — the documented
+    // ceiling path), then the stateless probe over a 1M-doc stream.
+    if (only.isEmpty || only("stream_guard_bloom_build_10m_docs")
+        || only("stream_guard_probe_1m_docs")) {
+      val corpusDocs = spark.range(10000000L).toDF("id").withColumn("text", text(16))
+      var bloom: graft.functions.SetKernels.LongBloomSet = null
+      val (st0, _) = boxTicks()
+      val buildSec = secs {
+        bloom = graft.llm.Dedup.minHashBandBloom(corpusDocs, "id", "text",
+          numHashes = 128, bands = 16, shingleWidth = 3, bitsPerKey = 20,
+          maxCorpusKeys = 400000000L)
+      }
+      val (st1, _) = boxTicks()
+      if (only.isEmpty || only("stream_guard_bloom_build_10m_docs")) {
+        val line = f"""{"bench":"stream_guard_bloom_build_10m_docs","rows":10000000,"build_sec":$buildSec%.2f,"bloom_mb":${bloom.words.length * 8 / 1e6}%.1f,"steal_sec":${(st1 - st0) / 100.0}%.2f}"""
+        println(s"CHECK $line")
+        out.append(line).append('\n')
+      }
+      if (only.isEmpty || only("stream_guard_probe_1m_docs")) {
+        val streamDocs = spark.range(1000000L).toDF("id").withColumn("text", text(16))
+        bench("stream_guard_probe_1m_docs", 1000000L, streamDocs,
+          df => graft.llm.Dedup.streamMinHashGuardWith(df, bloom, "text",
+            numHashes = 128, bands = 16))
+      }
+    }
+
     // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
     // fused whole-text encode over 10M 32-token docs.
     if (only.isEmpty || only("bpe_encode_10m_docs")) {

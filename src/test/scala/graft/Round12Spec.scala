@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 additions: bounded-sample ANN training (`maxTrainRows`). */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic 16-dim pseudo-embedding corpus with 8 planted cluster
+    * centers — clustered enough that k-means refinement matters, noisy
+    * enough that recall is not trivially 1.0. */
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).toDF("id")
+      .withColumn("cluster", pmod(col("id"), lit(8)))
+      .withColumn("vec", transform(sequence(lit(0), lit(15)), i =>
+        when(i === col("cluster").cast("int"), lit(4.0)).otherwise(lit(0.0)) +
+          pmod(xxhash64(col("id"), i), lit(1000L)).cast("double") / 1000.0 - 0.5))
+      .select(col("id"), col("vec"))
+
+  private def recallAt10(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count().toDouble
+    hit / exact.count().toDouble
+  }
+
+  test("bounded-sample IVF training: recall parity with full-corpus Lloyd") {
+    import graft.llm.Similarity
+    val c = corpus(12000).cache()
+    val q = c.limit(25).select(col("id").as("qid"), col("vec"))
+    val exact = Similarity.bruteForceTopK(c, "id", "vec", q, "qid", "vec", k = 10).cache()
+
+    val full = Similarity.ivfTopK(c, "id", "vec", q, "qid", "vec",
+      k = 10, nCentroids = 16, nProbe = 4, refineIterations = 2,
+      maxTrainRows = 0L) // disabled: exact full-corpus training
+    val bounded = Similarity.ivfTopK(c, "id", "vec", q, "qid", "vec",
+      k = 10, nCentroids = 16, nProbe = 4, refineIterations = 2,
+      maxTrainRows = 1500L) // forces the hash sample: 1.5k of 12k rows
+    val rFull = recallAt10(full, exact)
+    val rBounded = recallAt10(bounded, exact)
+    assert(rFull >= 0.6, s"full-train recall degenerate: $rFull")
+    assert(rBounded >= rFull - 0.1,
+      s"bounded-sample training lost recall: full=$rFull bounded=$rBounded")
+
+    // Below the bound the knob is a NO-OP: identical results to disabled.
+    val noop = Similarity.ivfTopK(c, "id", "vec", q, "qid", "vec",
+      k = 10, nCentroids = 16, nProbe = 4, refineIterations = 2,
+      maxTrainRows = 1000000L)
+    assert(noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty,
+      "default maxTrainRows must not change results when corpus < bound")
+    c.unpersist(); exact.unpersist()
+  }
+
+  test("bounded-sample PQ training: codebook parity below bound, recall above it") {
+    import graft.llm.Similarity
+    val c = corpus(9000).cache()
+    // Below the bound: bit-identical codebooks (the no-op contract).
+    val bFull = Similarity.pqTrain(c, "id", "vec", m = 8, ksub = 16,
+      refineIterations = 2, maxTrainRows = 0L)
+    val bNoop = Similarity.pqTrain(c, "id", "vec", m = 8, ksub = 16,
+      refineIterations = 2, maxTrainRows = 1000000L)
+    assert(bFull.flatten.flatten.toSeq == bNoop.flatten.flatten.toSeq,
+      "maxTrainRows must be a no-op when the corpus is below the bound")
+
+    // Above the bound: recall parity through the whole pqTopK path.
+    val q = c.limit(20).select(col("id").as("qid"), col("vec"))
+    val exact = Similarity.bruteForceTopK(c, "id", "vec", q, "qid", "vec", k = 10).cache()
+    val full = Similarity.pqTopK(c, "id", "vec", q, "qid", "vec", k = 10,
+      m = 8, ksub = 16, refineIterations = 2, rerank = 8, maxTrainRows = 0L)
+    val bounded = Similarity.pqTopK(c, "id", "vec", q, "qid", "vec", k = 10,
+      m = 8, ksub = 16, refineIterations = 2, rerank = 8, maxTrainRows = 1200L)
+    val rFull = recallAt10(full, exact)
+    val rBounded = recallAt10(bounded, exact)
+    assert(rFull >= 0.5, s"full-train PQ recall degenerate: $rFull")
+    assert(rBounded >= rFull - 0.1,
+      s"bounded-sample PQ training lost recall: full=$rFull bounded=$rBounded")
+    c.unpersist(); exact.unpersist()
+  }
+
+  test("video stsd/stts: codec fourcc + class, fps, duration cross-check") {
+    import graft.llm.Multimodal
+    // 6 frames at 400 media units each on a 2400 clock -> fps = 6, stts
+    // duration = 1.0s; movie clock says 2.0s (inconsistent on purpose).
+    val v = Multimodal.encodeMp4Stub(timescale = 1000, durationUnits = 2000L,
+      tracks = Seq((320, 240)), frameSizes = Seq.fill(6)(100),
+      codec = "avc1", sampleDeltas = Seq.fill(6)(400), mediaTimescale = 2400)
+    val r = Multimodal.parseMp4Meta(v)
+    assert(r.getString(10) === "avc1" && r.getString(11) === "video")
+    assert(r.getDouble(12) === 6.0, s"fps: $r")
+    assert(r.getDouble(13) === 1.0, s"stts duration: $r")
+    assert(r.getDouble(3) === 2.0) // mvhd duration differs -> detectable
+
+    // Audio fourcc classifies audio; unknown fourcc is "other".
+    val a = Multimodal.encodeMp4Stub(1000, 1000L, Seq((0, 0)), codec = "mp4a",
+      sampleDeltas = Seq(500), mediaTimescale = 500)
+    val ra = Multimodal.parseMp4Meta(a)
+    assert(ra.getString(11) === "audio" && ra.getDouble(12) === 1.0)
+    val o = Multimodal.encodeMp4Stub(1000, 1000L, Seq((0, 0)), codec = "zzzz")
+    assert(Multimodal.parseMp4Meta(o).getString(11) === "other")
+
+    // Mixed deltas exercise the run-length stts encoding: 2x100 + 1x200
+    // on a 400 clock -> duration 1.0s, fps 3.0.
+    val mixed = Multimodal.encodeMp4Stub(1000, 1000L, Seq((160, 90)),
+      codec = "hev1", sampleDeltas = Seq(100, 100, 200), mediaTimescale = 400)
+    val rm = Multimodal.parseMp4Meta(mixed)
+    assert(rm.getDouble(12) === 3.0 && rm.getDouble(13) === 1.0)
+
+    // Consistency-planted: media clock chosen so stts == mvhd exactly.
+    val cons = Multimodal.encodeMp4Stub(1000, 3000L, Seq((160, 90)),
+      codec = "avc1", sampleDeltas = Seq.fill(4)(3000), mediaTimescale = 4000)
+    val rc = Multimodal.parseMp4Meta(cons)
+    assert(rc.getDouble(13) === rc.getDouble(3),
+      s"stts duration must equal mvhd duration bit-for-bit: $rc")
+
+    // No stsd/stts: the new fields are null, old fields untouched.
+    val bare = Multimodal.encodeMp4Stub(1000, 5000L, Seq((320, 240)),
+      frameSizes = Seq(1, 2, 3))
+    val rb = Multimodal.parseMp4Meta(bare)
+    assert(rb.isNullAt(10) && rb.isNullAt(11) && rb.isNullAt(12) && rb.isNullAt(13))
+    assert(rb.getLong(7) === 3L)
+  }
+
+  test("bounded training sample is deterministic across repartition") {
+    import graft.llm.Similarity
+    val c = corpus(6000)
+    val seed = Similarity.sampleCentroids(c, "id", "vec", 8)
+    val a = Similarity.refineCentroids(c, "vec", seed, 2, maxTrainRows = 900L)
+    val b = Similarity.refineCentroids(c.repartition(7), "vec", seed, 2,
+      maxTrainRows = 900L)
+    // Same sample membership either way (hash-keyed filter); means may
+    // differ only in FP summation order — compare with a tolerance.
+    assert(a.length == b.length)
+    for (i <- a.indices; j <- a(i).indices)
+      assert(math.abs(a(i)(j) - b(i)(j)) < 1e-9,
+        s"centroid ($i,$j) moved across repartition: ${a(i)(j)} vs ${b(i)(j)}")
+  }
+}
