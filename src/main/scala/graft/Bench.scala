@@ -376,7 +376,15 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9) / 1e6
     }
     var qIdx = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_REVERSE=1 runs the board in reverse-alphabetical order —
+    // the drift-attribution experiment (VERDICT r11 #3): a fixed per-query
+    // overhead that grows with board position (heap/block-manager
+    // pressure) moves to the OTHER end of the alphabet under reversal,
+    // while a box-window effect stays put in wall-clock time.
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1")) ordered0.reverse else ordered0
+    ordered.foreach { case (name, fn) =>
       if (qIdx % 10 == 0) { mopsTrace(name) = quickMops(); gbpsTrace(name) = quickGbps() }
       qIdx += 1
       timed(name)(materialize(fn(spark, sfDir)))
