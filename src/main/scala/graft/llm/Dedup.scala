@@ -549,11 +549,9 @@ object Dedup {
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 64,
       shingleWidth: Int = 3, bitsPerKey: Int = 20,
       maxCorpusKeys: Long = 300000000L): DataFrame = {
-    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val rowsPerBand = numHashes / bands
     // Streamed bloom build ([[minHashBandBloom]]): the default 300M-key
     // ceiling costs the driver the bloom's bit array (~750 MB), never a
-    // 300M-Row collect.
+    // 300M-Row collect. Validation lives in the delegates.
     val bloom = minHashBandBloom(corpus, idCol, textCol, numHashes, bands,
       shingleWidth, bitsPerKey, maxCorpusKeys)
     streamMinHashGuardWith(stream, bloom, textCol, numHashes, bands, shingleWidth)
@@ -919,7 +917,8 @@ object Dedup {
     */
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCentroids: Int = 0, refineIterations: Int = 2,
-      maxCell: Int = 10000, probeCells: Int = 1): DataFrame = {
+      maxCell: Int = 10000, probeCells: Int = 1,
+      maxTrainRows: Long = 1000000L): DataFrame = {
     require(probeCells >= 1, s"probeCells must be >= 1, got $probeCells")
     import graft.functions.{CentroidKernels, VectorKernels}
     // Lazy localCheckpoint: the projection feeds the auto-size count, the
@@ -932,7 +931,8 @@ object Dedup {
       .localCheckpoint(false)
     val k = if (nCentroids > 0) nCentroids else Similarity.autoCentroids(vecs0.count())
     val mat = Similarity.refineCentroids(vecs0, "vec",
-      Similarity.sampleCentroids(vecs0, "id", "vec", k), refineIterations)
+      Similarity.sampleCentroids(vecs0, "id", "vec", k), refineIterations,
+      maxTrainRows)
     val celled =
       if (probeCells == 1)
         vecs0.select(col("id"), CentroidKernels.nearestIndex(col("vec"), mat).as("cell"))

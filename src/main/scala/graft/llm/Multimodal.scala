@@ -540,7 +540,10 @@ object Multimodal {
                         // count), else a truncated/crafted stss would claim
                         // an arbitrary keyframe count with no entries.
                         val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
-                        if (cnt <= (e - p - 8L) / 4L) trakSync = cnt
+                        // -2 = stss PRESENT but entries unreadable: the
+                        // sync set is unknown, which is NOT the same as
+                        // the absence rule (absent => all sync).
+                        trakSync = if (cnt <= (e - p - 8L) / 4L) cnt else -2L
                       case ("stsd", p, e) if e - p >= 16 =>
                         // ver/flags(4), entry_count(4), then sample
                         // entries (size(4) + format fourcc(4) + ...).
@@ -556,16 +559,27 @@ object Multimodal {
                         if (cnt <= (e - p - 8L) / 8L) {
                           var samples = 0L
                           var units = 0L
+                          var bad = false
                           var j = 0
-                          while (j < cnt.toInt) {
+                          while (j < cnt.toInt && !bad) {
                             val sc = bb.getInt(p + 8 + 8 * j).toLong & 0xFFFFFFFFL
                             val sd = bb.getInt(p + 12 + 8 * j).toLong & 0xFFFFFFFFL
-                            samples += sc
-                            units += sc * sd
+                            // Unsigned-32 x unsigned-32 can overflow a Long
+                            // (crafted runs like 0xFFFFFFFF x 0xFFFFFFFF) —
+                            // a wrapped sum would emit confident garbage
+                            // fps; treat overflow as unparseable timing.
+                            if (sc != 0L && sd > Long.MaxValue / sc) bad = true
+                            else {
+                              val prod = sc * sd
+                              if (units > Long.MaxValue - prod) bad = true
+                              else { samples += sc; units += prod }
+                            }
                             j += 1
                           }
-                          trakSamples = samples
-                          trakUnits = units
+                          if (!bad) {
+                            trakSamples = samples
+                            trakUnits = units
+                          }
                         }
                       case _ => ()
                     }
@@ -578,7 +592,12 @@ object Multimodal {
               if (frameCount < 0 && trakFrames >= 0) {
                 frameCount = trakFrames
                 sumFrameBytes = trakSum
-                keyframeCount = if (trakSync >= 0) trakSync else trakFrames
+                // absent (-1) => every sample is sync; corrupt (-2) =>
+                // unknown, surfaces as a null keyframe_count.
+                keyframeCount =
+                  if (trakSync >= 0) trakSync
+                  else if (trakSync == -2L) -2L
+                  else trakFrames
               }
               // First stsd-bearing track names the codec; first track with
               // stts + a positive mdhd timescale yields timing (the two
@@ -597,7 +616,7 @@ object Multimodal {
       else Row(brand, timescale, durationUnits,
         durationUnits.toDouble / timescale, nTracks, width, height,
         if (frameCount >= 0) frameCount else null,
-        if (frameCount >= 0) keyframeCount else null,
+        if (frameCount >= 0 && keyframeCount >= 0) keyframeCount else null,
         if (frameCount > 0) sumFrameBytes / frameCount
         else if (frameCount == 0) 0.0 else null,
         codec,

@@ -306,10 +306,13 @@ object Similarity {
     * The sample is keyed by the vector bytes, so it is reproducible across
     * reruns and repartitions (the [[Sampling.sample]] contract). */
   private def boundedTrainFrame(c: DataFrame, vecCol: String,
-      maxTrainRows: Long): Option[DataFrame] = {
+      maxTrainRows: Long, totalRowsHint: Long = -1L): Option[DataFrame] = {
     if (maxTrainRows <= 0) None
     else {
-      val total = c.count()
+      // The hint saves a full count scan when the caller already knows the
+      // corpus size (buildIvfPqIndex counts once for all three uses); a
+      // slight overestimate only shrinks the sample fraction a hair.
+      val total = if (totalRowsHint >= 0) totalRowsHint else c.count()
       if (total <= maxTrainRows) None
       else Some(
         c.where(Sampling.hashFraction(Seq(col(vecCol)), 0x9E3779B97F4A7C15L) <
@@ -332,14 +335,16 @@ object Similarity {
     * refinement wall is flat in corpus size. */
   def refineCentroids(corpus: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], iterations: Int,
-      maxTrainRows: Long = 1000000L): Array[Array[Double]] =
+      maxTrainRows: Long = 1000000L,
+      totalRowsHint: Long = -1L): Array[Array[Double]] =
     graft.tools.StageLog.timed("ivf_refine_centroids") {
     var mat = centroids
     // MATERIALIZE the sample once (memory-and-disk): without it every
     // iteration would re-scan the whole corpus through the filter, and
     // bounding the sample would bound arithmetic but not bandwidth.
     val sampled =
-      if (iterations > 0 && mat.nonEmpty) boundedTrainFrame(corpus, vecCol, maxTrainRows)
+      if (iterations > 0 && mat.nonEmpty)
+        boundedTrainFrame(corpus, vecCol, maxTrainRows, totalRowsHint)
       else None
     sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
@@ -386,9 +391,10 @@ object Similarity {
     import spark.implicits._
     val c = parallelize(corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("cv")))
-    val n = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    val total = if (nCentroids > 0) -1L else c.count()
+    val n = if (nCentroids > 0) nCentroids else autoCentroids(total)
     val mat = refineCentroids(c, "cv",
-      sampleCentroids(c, "id", "cv", n), refineIterations, maxTrainRows)
+      sampleCentroids(c, "id", "cv", n), refineIterations, maxTrainRows, total)
     val counts = c
       .select(CentroidKernels.nearestIndex(col("cv"), mat).as("centroid_idx"))
       .groupBy("centroid_idx").agg(count(lit(1)).as("n_rows"))
@@ -428,9 +434,10 @@ object Similarity {
       col(corpusVec).cast("array<double>").as("cv"))
       .withColumn("cn", VectorKernels.norm(col("cv"))))
 
-    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    val total = if (nCentroids > 0) -1L else c.count()
+    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(total)
     val seed = sampleCentroids(c, "neighbor_id", "cv", nCells)
-    val mat = refineCentroids(c, "cv", seed, refineIterations, maxTrainRows)
+    val mat = refineCentroids(c, "cv", seed, refineIterations, maxTrainRows, total)
 
     // Corpus side: one narrow projection — argmax cosine against the
     // embedded matrix, no fan-out, no shuffle.
@@ -476,7 +483,8 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, refineIterations: Int = 2,
-      maxTrainRows: Long = 1000000L): Array[Array[Array[Double]]] =
+      maxTrainRows: Long = 1000000L,
+      totalRowsHint: Long = -1L): Array[Array[Array[Double]]] =
     graft.tools.StageLog.timed("pq_train") {
     import graft.functions.PqKernels
     require(m > 0 && ksub > 0, s"pqTrain needs m > 0 and ksub > 0, got m=$m ksub=$ksub")
@@ -493,7 +501,9 @@ object Similarity {
     val seedVecs = sampleCentroids(c, "id", "cv", ksub)
     require(seedVecs.nonEmpty, "pqTrain: corpus has no non-null vectors to seed from")
     val sampled =
-      if (refineIterations > 0) boundedTrainFrame(c, "cv", maxTrainRows) else None
+      if (refineIterations > 0)
+        boundedTrainFrame(c, "cv", maxTrainRows, totalRowsHint)
+      else None
     sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
     val train = sampled.getOrElse(c)
@@ -677,10 +687,15 @@ object Similarity {
     import graft.functions.{CentroidKernels, PqKernels}
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv")))
-    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(c.count())
+    // ONE count serves auto-sizing AND both bounded-training decisions —
+    // without the hint each trainer would re-count the corpus.
+    val total = c.count()
+    val nCells = if (nCentroids > 0) nCentroids else autoCentroids(total)
     val mat = refineCentroids(c, "cv",
-      sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations, maxTrainRows)
-    val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations, maxTrainRows)
+      sampleCentroids(c, "neighbor_id", "cv", nCells), refineIterations,
+      maxTrainRows, total)
+    val books = pqTrain(c, "neighbor_id", "cv", m, ksub, refineIterations,
+      maxTrainRows, total)
     val meta = IvfPqMeta(mat, books)
     (encodeIndexRows(c, "neighbor_id", "cv", meta), meta)
   }
@@ -780,9 +795,13 @@ object Similarity {
       org.apache.spark.sql.types.StructField("centroid_idx",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val jpairs = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    // A null (or null-casting) query vector yields a null cell list —
+    // drop it here, matching the pre-collect explode() semantics (the
+    // query simply returns no rows) instead of NPEing on the driver.
     qCells.foreach { r =>
-      r.getSeq[Int](1).distinct.foreach(c =>
-        jpairs.add(org.apache.spark.sql.Row(r.get(0), c)))
+      if (!r.isNullAt(1))
+        r.getSeq[Int](1).distinct.foreach(c =>
+          jpairs.add(org.apache.spark.sql.Row(r.get(0), c)))
     }
     val cellOf = queries.sparkSession.createDataFrame(jpairs, pairSchema)
     val probed = q
@@ -797,7 +816,8 @@ object Similarity {
     // the pruning saves.
     val cells = {
       val distinctCells = new java.util.LinkedHashSet[Int]()
-      qCells.foreach(_.getSeq[Int](1).foreach(c => distinctCells.add(c)))
+      qCells.foreach(r =>
+        if (!r.isNullAt(1)) r.getSeq[Int](1).foreach(c => distinctCells.add(c)))
       import scala.jdk.CollectionConverters._
       distinctCells.asScala.toSeq
     }

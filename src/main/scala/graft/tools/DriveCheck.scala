@@ -32,8 +32,8 @@ object DriveCheck {
     println(s"CHECK bloom_guard_false_negatives=$missed (want 0) false_positives=$extra")
 
     // 2) Truncated stss: claims 1000 sync samples but carries none → the
-    //    bound check must leave keyframe_count at the all-sync fallback
-    //    rather than trusting the count.
+    //    bound check must report keyframe_count as UNKNOWN (null) rather
+    //    than trusting the count or fabricating the all-sync rule.
     val good = Multimodal.encodeMp4Stub(600, 1200, Seq((640, 360)),
       frameSizes = Seq(100, 200, 300), syncSamples = Seq(1))
     // corrupt: patch the stss entry_count field to 1000 (find box by tag)
@@ -54,7 +54,7 @@ object DriveCheck {
     val parsed = Multimodal.decodeVideoMeta(vids, "v")
       .select(col("decoded_video.frame_count"), col("decoded_video.keyframe_count"))
       .collect()
-    println(s"CHECK stss_good=${parsed(0)} stss_truncated=${parsed(1)} (truncated must NOT report 1000)")
+    println(s"CHECK stss_good=${parsed(0)} stss_truncated=${parsed(1)} (truncated: keyframes UNKNOWN -> null, never 1000)")
 
     // 3) probeIvfPqIndex: single collect path + isin skip when cells cover
     //    the index. Small corpus, tiny nCentroids so queries probe all cells.
