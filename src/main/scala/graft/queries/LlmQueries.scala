@@ -853,6 +853,40 @@ object LlmQueries {
         "recall_ok" -> lit(nExact == 0 || nHit.toDouble / nExact >= 0.6))
     }),
 
+    // Bounded-sample training (r12): the maxTrainRows knob on the SAME
+    // IVF pipeline. Three pins: (a) below the bound the knob is a strict
+    // NO-OP (identical result frames to maxTrainRows=0); (b) with the
+    // bound FORCED active (a cap far below the corpus) recall parity
+    // holds within 0.15 of full-corpus training; (c) the forced-bound
+    // run is itself deterministic across two evaluations (hash-keyed
+    // sample, not RNG). n_exact replays in DuckDB; the rest are frozen.
+    "q_ann_train_bounded" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      def ivf(maxTrain: Long) = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
+        refineIterations = 2, maxTrainRows = maxTrain)
+        .select("query_id", "neighbor_id").localCheckpoint()
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
+        .localCheckpoint()
+      val full = ivf(0L)
+      val noop = ivf(1000000000L) // corpus far below: must be a no-op
+      val capped = ivf(100L)      // corpus far above: sample forced
+      val capped2 = ivf(100L)
+      val nExact = exact.count()
+      def recall(a: org.apache.spark.sql.DataFrame): Double =
+        if (nExact == 0) 1.0
+        else a.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / nExact
+      val noopIdentical = noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty
+      val cappedStable = capped.exceptAll(capped2).isEmpty && capped2.exceptAll(capped).isEmpty
+      one(exact, "n_exact" -> count(lit(1)),
+        "noop_below_bound" -> lit(noopIdentical),
+        "bounded_parity" -> lit(recall(capped) >= recall(full) - 0.15),
+        "bounded_deterministic" -> lit(cappedStable))
+    }),
+
     // ------------------------------------------------- text analysis
     "q_text_tokens" -> ((s, d) =>
       one(table(s, d, "documents"),
@@ -1987,6 +2021,18 @@ object LlmQueries {
     // recall band pinned (deterministic centroid draw).
     "q_ann_ivf_recall" ->
       """SELECT count(*) AS n_exact, TRUE AS recall_ok FROM (
+        |  SELECT q.vec_id, c.vec_id AS nid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rnk
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+        |WHERE rnk <= 5""".stripMargin,
+
+    // Bounded-training pins: same replayable exact-arm size; no-op,
+    // parity, and determinism facts are frozen booleans.
+    "q_ann_train_bounded" ->
+      """SELECT count(*) AS n_exact, TRUE AS noop_below_bound,
+        |  TRUE AS bounded_parity, TRUE AS bounded_deterministic FROM (
         |  SELECT q.vec_id, c.vec_id AS nid,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rnk
