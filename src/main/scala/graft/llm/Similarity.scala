@@ -632,8 +632,10 @@ object Similarity {
       maxTrainRows: Long = 1000000L): DataFrame = {
     val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
       col(corpusVec).cast("array<double>").as("cv")))
-    val (indexed, meta) = buildIvfPqIndex(corpus, corpusId, corpusVec,
-      nCentroids, m, ksub, refineIterations, maxTrainRows)
+    // ONE normalized frame feeds build AND the re-rank fetch — the build
+    // path must not re-project/re-parallelize the corpus it was handed.
+    val (indexed, meta) = buildIvfPqIndexNormalized(c, nCentroids, m, ksub,
+      refineIterations, maxTrainRows)
     probeIvfPqIndex(indexed, meta, c, queries, queryId, queryVec,
       k, nProbe, rerank)
   }
@@ -665,6 +667,30 @@ object Similarity {
   }
 
   object IvfPqMeta {
+    /** Why two metas are NOT the same codebook, or None when they match
+      * exactly. Shape differences name the offending dimension; value
+      * differences mean same-shaped but differently-trained codebooks —
+      * equality is exact because both sides come from the same doubles
+      * (Jackson's double serialization round-trips bit-exactly through
+      * the JSON sidecar). */
+    def mismatch(a: IvfPqMeta, b: IvfPqMeta): Option[String] = {
+      def dim(m: IvfPqMeta) = if (m.centroids.isEmpty) 0 else m.centroids(0).length
+      def ksub(m: IvfPqMeta) = if (m.books.isEmpty) 0 else m.books(0).length
+      if (a.centroids.length != b.centroids.length)
+        Some(s"nCentroids ${a.centroids.length} vs ${b.centroids.length}")
+      else if (dim(a) != dim(b)) Some(s"dim ${dim(a)} vs ${dim(b)}")
+      else if (a.books.length != b.books.length)
+        Some(s"m ${a.books.length} vs ${b.books.length}")
+      else if (ksub(a) != ksub(b)) Some(s"ksub ${ksub(a)} vs ${ksub(b)}")
+      else if (!a.centroids.indices.forall(i =>
+          java.util.Arrays.equals(a.centroids(i), b.centroids(i))))
+        Some("centroid values differ (same shape, different training)")
+      else if (!a.books.indices.forall(i => a.books(i).indices.forall(j =>
+          java.util.Arrays.equals(a.books(i)(j), b.books(i)(j)))))
+        Some("codebook values differ (same shape, different training)")
+      else None
+    }
+
     def fromJson(text: String): IvfPqMeta = {
       import scala.jdk.CollectionConverters._
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
@@ -683,10 +709,19 @@ object Similarity {
     * form of the corpus for similarity serving. */
   def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       nCentroids: Int = 0, m: Int = 16, ksub: Int = 64,
-      refineIterations: Int = 2, maxTrainRows: Long = 1000000L): (DataFrame, IvfPqMeta) = {
-    import graft.functions.{CentroidKernels, PqKernels}
-    val c = parallelize(corpus.select(col(corpusId).as("neighbor_id"),
-      col(corpusVec).cast("array<double>").as("cv")))
+      refineIterations: Int = 2, maxTrainRows: Long = 1000000L): (DataFrame, IvfPqMeta) =
+    buildIvfPqIndexNormalized(
+      parallelize(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).cast("array<double>").as("cv"))),
+      nCentroids, m, ksub, refineIterations, maxTrainRows)
+
+  /** Build against an ALREADY-normalized `(neighbor_id, cv)` frame — the
+    * shared core of [[buildIvfPqIndex]] and [[ivfPqTopK]] (which reuses
+    * the same frame for the re-rank fetch, so normalizing twice would be
+    * two projections of the corpus in the plan). */
+  private def buildIvfPqIndexNormalized(c: DataFrame, nCentroids: Int,
+      m: Int, ksub: Int, refineIterations: Int,
+      maxTrainRows: Long): (DataFrame, IvfPqMeta) = {
     // ONE count serves auto-sizing AND both bounded-training decisions —
     // without the hint each trainer would re-count the corpus.
     val total = c.count()
@@ -724,11 +759,78 @@ object Similarity {
     * O(index). This is the production lifecycle: build+train once, append
     * per ingest batch, probe anytime; if the data distribution drifts far
     * from the training sample, quantization error grows — the answer is a
-    * periodic rebuild, not per-batch retraining. */
+    * periodic rebuild, not per-batch retraining.
+    *
+    * Fails fast when `meta` is not the index's OWN codebook (the sidecar
+    * at `dir`): rows encoded against foreign centroids/codebooks land in
+    * cells the sidecar's probe-time meta cannot decode — a silent
+    * corruption that only surfaces as wrong neighbors much later. The
+    * check is exact value equality (shape first, for a readable message);
+    * it costs one small sidecar read per batch. A dir with no sidecar yet
+    * (fresh directory, first batch) is accepted as-is. */
   def appendToIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
-      meta: IvfPqMeta, dir: String): Unit =
+      meta: IvfPqMeta, dir: String): Unit = {
+    readMetaSidecar(newRows.sparkSession, dir).foreach { existing =>
+      IvfPqMeta.mismatch(existing, meta).foreach { why =>
+        throw new IllegalArgumentException(
+          s"appendToIvfPqIndex: meta does not match the index sidecar at $dir " +
+            s"($why) — appending with a foreign codebook corrupts the index; " +
+            "reload meta via readIvfPqIndex or rebuild with buildIvfPqIndex")
+      }
+    }
     encodeIndexRows(newRows, idCol, vecCol, meta)
       .write.mode("append").partitionBy("centroid_idx").parquet(dir)
+  }
+
+  /** Compact a persisted index in place: every [[appendToIvfPqIndex]]
+    * batch ADDS files to the cells it touches, so after N ingest batches a
+    * cell directory holds ~N small files — at index scale that is the
+    * classic small-files problem (a probe opens nProbe × N footers, and
+    * the namenode/listing cost grows without bound). The compaction
+    * shuffles each cell's rows into `filesPerCell` tasks (repartition by
+    * the partition column + a salt), so the dynamic-partition write emits
+    * at most `filesPerCell` files per cell, and rewrites the index through
+    * a SIBLING temp directory plus a rename swap — Spark reads lazily, so
+    * writing over the path still being scanned would corrupt the index
+    * mid-job. The rename is atomic on rename-capable filesystems (HDFS,
+    * local); the delete→rename window is the documented non-atomicity —
+    * probes racing a compaction should read a snapshot path. Meta is
+    * byte-identical after the swap (the sidecar is rewritten from the
+    * parsed meta, whose JSON round-trips exactly).
+    *
+    * @return (dataFilesBefore, dataFilesAfter) under cell partitions. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, filesPerCell: Int = 1): (Long, Long) = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    val (indexed, meta) = readIvfPqIndex(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val nm = f.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(dirPath)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath.getParent,
+      dirPath.getName + "._graft_compact_tmp")
+    fs.delete(tmp, true) // a crashed earlier compaction leaves one behind
+    val salted =
+      if (filesPerCell == 1) indexed.repartition(col("centroid_idx"))
+      else indexed.repartition(col("centroid_idx"),
+        pmod(hash(col("neighbor_id")), lit(filesPerCell)))
+    writeIvfPqIndex(salted, meta, tmp.toString)
+    if (!fs.delete(dirPath, true))
+      throw new java.io.IOException(s"compactIvfPqIndex: could not remove $dir")
+    if (!fs.rename(tmp, dirPath))
+      throw new java.io.IOException(
+        s"compactIvfPqIndex: rename $tmp -> $dir failed; compacted index left at $tmp")
+    (before, dataFiles(dirPath))
+  }
 
   /** Persist an index: parquet PARTITIONED BY the cell — a probe then
     * reads only its nProbe cell directories off disk (static partition
@@ -747,17 +849,30 @@ object Similarity {
     try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The sidecar meta at `dir`, through the dir's own filesystem; None
+    * when no sidecar exists yet (fresh index directory). */
+  private def readMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[IvfPqMeta] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      Some(IvfPqMeta.fromJson(text))
+    }
+  }
+
   /** Reload a persisted index: the `(neighbor_id, centroid_idx, pq_codes)`
     * table (cell as partition column) + metadata. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfPqMeta) = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    (spark.read.parquet(dir), IvfPqMeta.fromJson(text))
+    val meta = readMetaSidecar(spark, dir).getOrElse(throw new
+      java.io.FileNotFoundException(
+        s"no _graft_ivfpq_meta.json sidecar under $dir — not a graft IVF+PQ index"))
+    (spark.read.parquet(dir), meta)
   }
 
   /** Probe a (possibly reloaded) IVF+PQ index: LUT-ADC candidate scoring

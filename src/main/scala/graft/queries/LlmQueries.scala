@@ -1594,6 +1594,54 @@ object LlmQueries {
       s.createDataFrame(jrows, result.schema)
     }),
 
+    // Index compaction closes the append lifecycle: three appends leave
+    // ~4 files in the hot cells; compactIvfPqIndex rewrites every cell to
+    // one file through a temp-dir + rename swap. Pins: (a) probe top-k is
+    // IDENTICAL before and after (compaction moves bytes, never rows);
+    // (b) the data-file count shrank to exactly one per occupied cell;
+    // (c) the sidecar survived the swap byte-equal (meta mismatch None).
+    "q_ann_index_compact" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val quarter = emb.where(col("vec_id") % 4 === 0)
+      val queries = emb.where(col("vec_id") < 5)
+      val (indexed, meta) = Similarity.buildIvfPqIndex(
+        quarter, "vec_id", "embedding", nCentroids = 8, m = 16, ksub = 64,
+        refineIterations = 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_compact").toString
+      Similarity.writeIvfPqIndex(indexed, meta, dir)
+      (1 to 3).foreach(r => Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") % 4 === r), "vec_id", "embedding", meta, dir))
+      val raw = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      def probe(): org.apache.spark.sql.DataFrame = {
+        val (idx, m2) = Similarity.readIvfPqIndex(s, dir)
+        Similarity.probeIvfPqIndex(idx, m2, raw, queries, "vec_id",
+          "embedding", k = 10, nProbe = 4, rerank = 8)
+          .select("query_id", "neighbor_id").localCheckpoint()
+      }
+      val beforeTopK = probe()
+      val (filesBefore, filesAfter) = Similarity.compactIvfPqIndex(s, dir)
+      val (idxAfter, metaAfter) = Similarity.readIvfPqIndex(s, dir)
+      val nCells = idxAfter.select("centroid_idx").distinct().count()
+      val afterTopK = probe()
+      val nRows = afterTopK.count()
+      val nDiff = beforeTopK.unionByName(afterTopK)
+        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
+        .where(col("c") =!= 2).count()
+      val result = one(emb.limit(1),
+        "n_queries" -> L(5L),
+        "rows_ok" -> lit(nRows == 50L),
+        "identical_topk" -> lit(nDiff == 0L),
+        "files_shrunk" -> lit(filesAfter < filesBefore),
+        "one_file_per_cell" -> lit(filesAfter == nCells),
+        "meta_survived_swap" ->
+          lit(Similarity.IvfPqMeta.mismatch(meta, metaAfter).isEmpty))
+      val jrows2 = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      result.collect().foreach(jrows2.add)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      s.createDataFrame(jrows2, result.schema)
+    }),
+
     // ------------------------------------- bigram LM quality (perplexity)
     // Full replay: per-doc bigram counts and the 1e-6 fixed-point average
     // NLL under the corpus-trained add-1 bigram model — DuckDB re-derives
@@ -2407,6 +2455,15 @@ object LlmQueries {
       """SELECT CAST(least(5, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_queries,
         |  TRUE AS rows_ok, TRUE AS identical_topk,
         |  TRUE AS append_only_batch_cells, TRUE AS preexisting_untouched
+        |FROM (SELECT 1)""".stripMargin,
+
+    // Compaction: n_queries replays; the probe identity, file-count
+    // shrink, one-file-per-cell, and sidecar-survival facts are frozen
+    // booleans.
+    "q_ann_index_compact" ->
+      """SELECT CAST(least(5, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_queries,
+        |  TRUE AS rows_ok, TRUE AS identical_topk, TRUE AS files_shrunk,
+        |  TRUE AS one_file_per_cell, TRUE AS meta_survived_swap
         |FROM (SELECT 1)""".stripMargin,
 
     // Same shape as q_ann_quantized_recall: replayable exact-arm size,

@@ -137,4 +137,83 @@ class Round12Spec extends AnyFunSuite {
       assert(math.abs(a(i)(j) - b(i)(j)) < 1e-9,
         s"centroid ($i,$j) moved across repartition: ${a(i)(j)} vs ${b(i)(j)}")
   }
+
+  test("appendToIvfPqIndex refuses a foreign codebook (sidecar mismatch)") {
+    import graft.llm.Similarity
+    val c = corpus(3000)
+    val batch = corpus(3200).where(col("id") >= 3000)
+    val (indexed, meta) = Similarity.buildIvfPqIndex(c, "id", "vec",
+      nCentroids = 8, m = 4, ksub = 16, refineIterations = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_guard").toString
+    try {
+      Similarity.writeIvfPqIndex(indexed, meta, dir)
+      // The index's own meta appends fine (value-exact through the JSON
+      // sidecar roundtrip — this is also the Jackson-roundtrip pin).
+      Similarity.appendToIvfPqIndex(batch, "id", "vec", meta, dir)
+      // A retrained (different-values) meta of the SAME shape must refuse.
+      val (_, foreign) = Similarity.buildIvfPqIndex(
+        c.where(col("id") % 3 === 0), "id", "vec",
+        nCentroids = 8, m = 4, ksub = 16, refineIterations = 1)
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfPqIndex(batch, "id", "vec", foreign, dir)
+      }
+      assert(e1.getMessage.contains("values differ"), e1.getMessage)
+      // A different-SHAPE meta names the offending dimension.
+      val wrongM = Similarity.IvfPqMeta(meta.centroids, meta.books.take(2))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.appendToIvfPqIndex(batch, "id", "vec", wrongM, dir)
+      }
+      assert(e2.getMessage.contains("m 4 vs 2") ||
+        e2.getMessage.contains("m 2 vs 4"), e2.getMessage)
+      // A directory with no sidecar yet accepts the first batch.
+      val fresh = java.nio.file.Files.createTempDirectory("graft_meta_fresh").toString
+      try Similarity.appendToIvfPqIndex(batch, "id", "vec", meta, fresh)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("compactIvfPqIndex: one file per cell, identical probes, meta survives") {
+    import graft.llm.Similarity
+    val c = corpus(4000).cache()
+    val q = c.limit(10).select(col("id").as("qid"), col("vec"))
+    val (indexed, meta) = Similarity.buildIvfPqIndex(
+      c.where(col("id") % 4 === 0), "id", "vec",
+      nCentroids = 8, m = 4, ksub = 16, refineIterations = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      Similarity.writeIvfPqIndex(indexed, meta, dir)
+      (1 to 3).foreach(r => Similarity.appendToIvfPqIndex(
+        c.where(col("id") % 4 === r), "id", "vec", meta, dir))
+      val raw = c.select(col("id").as("neighbor_id"),
+        col("vec").cast("array<double>").as("cv"))
+      def probe(): DataFrame = {
+        val (idx, m2) = Similarity.readIvfPqIndex(spark, dir)
+        Similarity.probeIvfPqIndex(idx, m2, raw, q, "qid", "vec",
+          k = 5, nProbe = 3, rerank = 4)
+          .select("query_id", "neighbor_id").localCheckpoint()
+      }
+      val before = probe()
+      val (nBefore, nAfter) = Similarity.compactIvfPqIndex(spark, dir)
+      val after = probe()
+      assert(nAfter < nBefore, s"compaction must shrink files: $nBefore -> $nAfter")
+      val (idx2, meta2) = Similarity.readIvfPqIndex(spark, dir)
+      // Materialize the cell count NOW: the second compaction below
+      // replaces idx2's underlying files (the documented snapshot rule).
+      val cells = idx2.select("centroid_idx").distinct().count()
+      assert(nAfter === cells,
+        "filesPerCell=1 must leave exactly one file per occupied cell")
+      assert(Similarity.IvfPqMeta.mismatch(meta, meta2).isEmpty,
+        "sidecar must survive the rename swap unchanged")
+      assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty,
+        "compaction must not change probe results")
+      // filesPerCell > 1 bounds, not fixes, the per-cell file count.
+      (1 to 2).foreach(r => Similarity.appendToIvfPqIndex(
+        c.where(col("id") % 4 === r), "id", "vec", meta, dir))
+      val (_, nAfter3) = Similarity.compactIvfPqIndex(spark, dir, filesPerCell = 3)
+      assert(nAfter3 <= 3 * cells, s"filesPerCell=3: $nAfter3 files for $cells cells")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      c.unpersist()
+    }
+  }
 }
