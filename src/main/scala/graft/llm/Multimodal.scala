@@ -390,7 +390,13 @@ object Multimodal {
     StructField("codec", StringType),
     StructField("codec_class", StringType),
     StructField("fps", DoubleType),
-    StructField("stts_duration_sec", DoubleType)))
+    StructField("stts_duration_sec", DoubleType),
+    // Chunk map (r12): stco/co64 chunk count and the sample total implied
+    // by expanding stsc's (first_chunk, samples_per_chunk) runs over it —
+    // cross-checkable against stsz's frame_count on well-formed files.
+    // Null when the boxes are absent or malformed.
+    StructField("chunk_count", LongType),
+    StructField("chunk_sample_count", LongType)))
 
   /** Sample-entry fourcc → coarse media class (ISO 14496-15 / common
     * registrations). Unknown fourccs are "other", never an error. */
@@ -469,6 +475,8 @@ object Multimodal {
       var codec: String = null
       var fps = Double.NaN
       var sttsDurSec = Double.NaN
+      var chunkCount = -1L
+      var chunkSamples = -1L
       boxes(0, bytes.length).foreach {
         case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(p)
         case ("moov", mp, me) =>
@@ -491,6 +499,8 @@ object Multimodal {
               var trakCodec: String = null
               var trakSamples = -1L
               var trakUnits = 0L
+              var trakChunks = -1L
+              var trakStscRuns: Array[(Long, Long)] = null
               boxes(tp, te).foreach {
                 case ("tkhd", p, e) =>
                   val version = bytes(p) & 0xFF
@@ -581,6 +591,35 @@ object Multimodal {
                             trakUnits = units
                           }
                         }
+                      case ("stco", p, e) if e - p >= 8 =>
+                        // Chunk offset table: ver/flags(4), entry_count(4),
+                        // u32 offsets. Only the COUNT is structural — the
+                        // offsets point into mdat, out of scope here. Same
+                        // payload-bound rule as stsz/stss.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt <= (e - p - 8L) / 4L) trakChunks = cnt
+                      case ("co64", p, e) if e - p >= 8 =>
+                        // 64-bit chunk offsets (files past 4 GiB): 8-byte
+                        // entries, otherwise identical to stco.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt <= (e - p - 8L) / 8L) trakChunks = cnt
+                      case ("stsc", p, e) if e - p >= 8 =>
+                        // Sample-to-chunk runs: (first_chunk,
+                        // samples_per_chunk, sample_description_index)
+                        // triples, 12 bytes each. The sdi is a codec-config
+                        // pointer, not structural — only the first two are
+                        // kept, for the chunk-map expansion below.
+                        val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                        if (cnt <= (e - p - 8L) / 12L) {
+                          val runs = new Array[(Long, Long)](cnt.toInt)
+                          var j = 0
+                          while (j < cnt.toInt) {
+                            runs(j) = ((bb.getInt(p + 8 + 12 * j).toLong & 0xFFFFFFFFL),
+                              (bb.getInt(p + 12 + 12 * j).toLong & 0xFFFFFFFFL))
+                            j += 1
+                          }
+                          trakStscRuns = runs
+                        }
                       case _ => ()
                     }
                     case _ => ()
@@ -598,6 +637,44 @@ object Multimodal {
                   if (trakSync >= 0) trakSync
                   else if (trakSync == -2L) -2L
                   else trakFrames
+              }
+              // Chunk map from the FIRST track carrying a chunk-offset
+              // table. The implied sample total expands stsc's runs: run i
+              // covers chunks [first_i, first_{i+1}), the last run extends
+              // to the stco count (ISO 14496-12 §8.7.4). Malformed runs —
+              // first_chunk not 1-based strictly increasing, or past the
+              // chunk count — yield an unknown (null) sample total, never
+              // garbage; span×samples_per_chunk is overflow-guarded like
+              // the stts products.
+              if (chunkCount < 0 && trakChunks >= 0) {
+                chunkCount = trakChunks
+                if (trakStscRuns != null) {
+                  if (trakStscRuns.isEmpty) {
+                    if (trakChunks == 0L) chunkSamples = 0L
+                  } else {
+                    var ok = trakStscRuns(0)._1 == 1L
+                    var total = 0L
+                    var i = 0
+                    while (i < trakStscRuns.length && ok) {
+                      val (first, spc) = trakStscRuns(i)
+                      val next =
+                        if (i + 1 < trakStscRuns.length) trakStscRuns(i + 1)._1
+                        else trakChunks + 1
+                      if (next <= first || next > trakChunks + 1) ok = false
+                      else {
+                        val span = next - first
+                        if (spc != 0L && span > Long.MaxValue / spc) ok = false
+                        else {
+                          val prod = span * spc
+                          if (total > Long.MaxValue - prod) ok = false
+                          else total += prod
+                        }
+                      }
+                      i += 1
+                    }
+                    if (ok) chunkSamples = total
+                  }
+                }
               }
               // First stsd-bearing track names the codec; first track with
               // stts + a positive mdhd timescale yields timing (the two
@@ -622,7 +699,9 @@ object Multimodal {
         codec,
         if (codec != null) codecClassOf(codec) else null,
         if (fps.isNaN) null else fps,
-        if (sttsDurSec.isNaN) null else sttsDurSec)
+        if (sttsDurSec.isNaN) null else sttsDurSec,
+        if (chunkCount >= 0) chunkCount else null,
+        if (chunkCount >= 0 && chunkSamples >= 0) chunkSamples else null)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -636,7 +715,8 @@ object Multimodal {
   def encodeMp4Stub(timescale: Int, durationUnits: Long,
       tracks: Seq[(Int, Int)], frameSizes: Seq[Int] = Nil,
       syncSamples: Seq[Int] = Nil, codec: String = null,
-      sampleDeltas: Seq[Int] = Nil, mediaTimescale: Int = 0): Array[Byte] = {
+      sampleDeltas: Seq[Int] = Nil, mediaTimescale: Int = 0,
+      chunkSamples: Seq[Int] = Nil): Array[Byte] = {
     require(timescale > 0 && durationUnits >= 0 && durationUnits <= Int.MaxValue,
       s"bad MP4 spec: timescale=$timescale duration=$durationUnits (v0 caps at 2^31-1)")
     require(syncSamples.isEmpty || frameSizes.nonEmpty,
@@ -645,6 +725,8 @@ object Multimodal {
       s"stsd sample-entry format must be a fourcc, got '$codec'")
     require(sampleDeltas.isEmpty || mediaTimescale > 0,
       "sampleDeltas (stts) need a positive mediaTimescale (mdhd)")
+    require(chunkSamples.forall(_ >= 0),
+      s"chunkSamples are per-chunk sample counts, must be >= 0")
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
         .order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -656,7 +738,8 @@ object Multimodal {
     // `syncSamples` names 1-based keyframe positions, an stss — its
     // ABSENCE means every sample is sync, which the parser must honor.
     val stbl: Array[Byte] =
-      if (frameSizes.isEmpty && codec == null && sampleDeltas.isEmpty) Array.empty
+      if (frameSizes.isEmpty && codec == null && sampleDeltas.isEmpty &&
+          chunkSamples.isEmpty) Array.empty
       else {
         val stsz =
           if (frameSizes.isEmpty) Array.empty[Byte]
@@ -704,6 +787,33 @@ object Multimodal {
               b.array()
             })
           }
+        // Chunk map: stco carries one u32 offset per chunk (synthetic
+        // monotonic values — the parser reads only the count) and stsc
+        // run-length-compresses equal consecutive samples-per-chunk
+        // values into (first_chunk, samples_per_chunk, sdi=1) triples,
+        // the spec's own compression, mirroring stts.
+        val stco =
+          if (chunkSamples.isEmpty) Array.empty[Byte]
+          else box("stco", {
+            val b = java.nio.ByteBuffer.allocate(8 + 4 * chunkSamples.length)
+            b.putInt(0).putInt(chunkSamples.length)
+            chunkSamples.indices.foreach(i => b.putInt(0x1000 + 0x100 * i))
+            b.array()
+          })
+        val stsc =
+          if (chunkSamples.isEmpty) Array.empty[Byte]
+          else {
+            val runs = chunkSamples.zipWithIndex.foldLeft(List.empty[(Int, Int)]) {
+              case (acc @ ((_, spc) :: _), (v, _)) if spc == v => acc
+              case (acc, (v, i)) => (i + 1, v) :: acc // first_chunk is 1-based
+            }.reverse
+            box("stsc", {
+              val b = java.nio.ByteBuffer.allocate(8 + 12 * runs.length)
+              b.putInt(0).putInt(runs.length)
+              runs.foreach { case (first, spc) => b.putInt(first).putInt(spc).putInt(1) }
+              b.array()
+            })
+          }
         // mdhd (media timescale) v0 — required for stts to be
         // interpretable; duration = sum of the sample deltas.
         val mdhd =
@@ -714,7 +824,8 @@ object Multimodal {
               .putInt(sampleDeltas.map(_.toLong).sum.toInt).putInt(0)
             b.array()
           })
-        box("mdia", mdhd ++ box("minf", box("stbl", stsd ++ stts ++ stsz ++ stss)))
+        box("mdia", mdhd ++ box("minf",
+          box("stbl", stsd ++ stts ++ stsc ++ stco ++ stsz ++ stss)))
       }
     val ftyp = box("ftyp", {
       val b = java.nio.ByteBuffer.allocate(16)

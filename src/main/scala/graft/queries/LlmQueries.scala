@@ -1166,13 +1166,22 @@ object LlmQueries {
                 else if (id % 11 == 0)
                   (Seq.fill(nFrames)(units.toInt), ts1 * nFrames)
                 else (Seq.fill(nFrames)(((id % 3 + 1) * 100).toInt), 2400)
+              // Chunk map planting (r12), gated with the stbl: frames
+              // packed 2 per chunk (odd tail chunk of 1) -> chunk_count
+              // is ceil(nFrames/2) and the stsc x stco expansion must
+              // recover exactly nFrames (the frame_count cross-check).
+              val chunks =
+                if (sizes.isEmpty) Nil
+                else Seq.fill(nFrames / 2)(2) ++
+                  (if (nFrames % 2 == 1) Seq(1) else Nil)
               Multimodal.encodeMp4Stub(
                 timescale = ts1,
                 durationUnits = units,
                 tracks = ((160 * (1 + id % 6)).toInt, (90 * (1 + id % 4)).toInt) +:
                   Seq.fill(nt - 1)((0, 0)),
                 frameSizes = sizes, syncSamples = sync,
-                codec = fourcc, sampleDeltas = deltas, mediaTimescale = mediaTs)
+                codec = fourcc, sampleDeltas = deltas, mediaTimescale = mediaTs,
+                chunkSamples = chunks)
             }
           (id, bytes)
         }.toDF("doc_id", "payload")
@@ -1212,7 +1221,12 @@ object LlmQueries {
           abs(v("fps") - lit(2400.0) /
             ((col("doc_id") % 3 + 1) * 100).cast("double")) < 1e-6, 1L).otherwise(0L)),
         "n_duration_consistent" -> sum(when(
-          v("stts_duration_sec") === v("duration_sec"), 1L).otherwise(0L)))
+          v("stts_duration_sec") === v("duration_sec"), 1L).otherwise(0L)),
+        // r12: chunk map — stco counts and the stsc-expansion-vs-stsz
+        // structural cross-check (well-formed files must agree exactly).
+        "sum_chunks" -> sum(v("chunk_count")).cast("long"),
+        "n_chunk_consistent" -> sum(when(
+          v("chunk_sample_count") === v("frame_count"), 1L).otherwise(0L)))
     }),
 
     "q_multimodal_resize" -> ((s, d) => {
@@ -2034,7 +2048,9 @@ object LlmQueries {
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 AND
         |  (3 + doc_id % 5) * (CASE WHEN doc_id % 11 = 0 THEN 3000 + (doc_id % 100) * 25 ELSE (doc_id % 3 + 1) * 100 END) * (1000 + (doc_id % 4) * 500)
         |  = (3000 + (doc_id % 100) * 25) * (CASE WHEN doc_id % 11 = 0 THEN (1000 + (doc_id % 4) * 500) * (3 + doc_id % 5) ELSE 2400 END)
-        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_consistent
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_duration_consistent,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN (4 + doc_id % 5) // 2 END) AS BIGINT) AS sum_chunks,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunk_consistent
         |FROM documents WHERE doc_id < 2000""".stripMargin,
 
     // Replay of the solid-gray resize closed form (see q_multimodal_resize):

@@ -123,6 +123,61 @@ class Round12Spec extends AnyFunSuite {
     assert(rb.getLong(7) === 3L)
   }
 
+  test("video stsc/stco/co64: chunk count + implied sample total") {
+    import graft.llm.Multimodal
+    // 5 chunks: 3+3+3+2+2 samples — stsc compresses to two runs
+    // (first=1,spc=3),(first=4,spc=2); the expansion must recover 13,
+    // which equals the stsz frame count (well-formed cross-check).
+    val v = Multimodal.encodeMp4Stub(1000, 2000L, Seq((320, 240)),
+      frameSizes = (1 to 13).map(100 + _),
+      chunkSamples = Seq(3, 3, 3, 2, 2))
+    val r = Multimodal.parseMp4Meta(v)
+    assert(r.getLong(14) === 5L, s"chunk_count: $r")
+    assert(r.getLong(15) === 13L, s"chunk_sample_count: $r")
+    assert(r.getLong(15) === r.getLong(7), "chunk map must agree with stsz")
+
+    // Uniform chunking compresses to ONE stsc run covering every chunk.
+    val u = Multimodal.encodeMp4Stub(1000, 2000L, Seq((320, 240)),
+      chunkSamples = Seq.fill(7)(4))
+    val ru = Multimodal.parseMp4Meta(u)
+    assert(ru.getLong(14) === 7L && ru.getLong(15) === 28L)
+
+    // No chunk boxes: both fields null, old fields untouched.
+    val bare = Multimodal.encodeMp4Stub(1000, 2000L, Seq((320, 240)),
+      frameSizes = Seq(10, 20))
+    val rb = Multimodal.parseMp4Meta(bare)
+    assert(rb.isNullAt(14) && rb.isNullAt(15) && rb.getLong(7) === 2L)
+
+    // Malformed stsc (first_chunk starts at 2, not 1): chunk_count still
+    // reads, but the implied sample total is unknown (null), not garbage.
+    def patchFirstChunk(bytes: Array[Byte]): Array[Byte] = {
+      val out = bytes.clone()
+      // find the stsc box and bump its first run's first_chunk
+      val idx = out.sliding(4).indexWhere(_.sameElements("stsc".getBytes("US-ASCII")))
+      assert(idx > 0, "stsc box not found in stub")
+      val firstChunkOff = idx + 4 + 8 // past fourcc, ver/flags, entry_count
+      out(firstChunkOff + 3) = 2.toByte
+      out
+    }
+    val rmVal = Multimodal.parseMp4Meta(patchFirstChunk(u))
+    assert(rmVal.getLong(14) === 7L && rmVal.isNullAt(15),
+      s"malformed stsc must yield null sample total: $rmVal")
+
+    // Truncated stco claim (entry_count far beyond payload): the bound
+    // check rejects it — chunk_count stays null.
+    def patchStcoCount(bytes: Array[Byte]): Array[Byte] = {
+      val out = bytes.clone()
+      val idx = out.sliding(4).indexWhere(_.sameElements("stco".getBytes("US-ASCII")))
+      assert(idx > 0, "stco box not found in stub")
+      val cntOff = idx + 4 + 4 // past fourcc + ver/flags
+      out(cntOff) = 0x7F.toByte // entry_count ~2^31: cannot fit the payload
+      out
+    }
+    val rt = Multimodal.parseMp4Meta(patchStcoCount(u))
+    assert(rt.isNullAt(14) && rt.isNullAt(15),
+      s"overclaimed stco must be rejected by the payload bound: $rt")
+  }
+
   test("bounded training sample is deterministic across repartition") {
     import graft.llm.Similarity
     val c = corpus(6000)
