@@ -839,6 +839,46 @@ object Dedup {
       .drop("__starts")
   }
 
+  /** Corpus-wide line dedup (the C4/RefinedWeb boilerplate strip, at line
+    * granularity): drop every line whose exact text appears in at least
+    * `minDocs` DISTINCT documents across the whole corpus — cookie
+    * banners, nav bars, footers, license blurbs that repeat across a
+    * crawl. Distinct-DOC counting on purpose: a line repeated inside one
+    * page is [[graft.llm.TextAnalysis.removeRepeatedLines]]'s (within-doc)
+    * job, not corpus boilerplate. Reference behavior:
+    * /root/reference — no counterpart (data-generation only); the rule
+    * follows the C4 paper's cross-document span dedup (Raffel et al. 2020)
+    * as commonly applied line-wise (RefinedWeb, Dolma).
+    *
+    * Scale shape: posexplode preserves line positions; the frequency pass
+    * ships (xxhash64(line), doc) pairs — never line text — through ONE
+    * distinct + map-side-combined count; the surviving frequent-hash set
+    * (boilerplate vocabulary, tiny relative to the corpus) comes back via
+    * a left-anti equi-join (AQE broadcasts it when small); reassembly is
+    * one groupBy(doc) with an array_sort on (pos, line) structs. The
+    * 2^-64-per-pair hash-collision risk matches the content-hash dedup
+    * family. Rows are PRESERVED: a document whose every line is
+    * boilerplate comes back as the empty string (and a null text as ""),
+    * never dropped — row-count stability is the downstream contract. Ids
+    * must be unique (the reassembly join is keyed on them). */
+  def removeCorpusFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lined = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+    val frequent = lined.select(col("__lh"), col(idCol)).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= lit(minDocs)).select("__lh")
+    val rebuilt = lined.join(frequent, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol)).agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s("__line")), "\n").as("__clean"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine similarity, bucketed by

@@ -124,6 +124,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-wide line dedup (C4-style boilerplate strip), planted: every
+    // 4th doc gets a shared header line and every 6th a shared footer —
+    // both corpus-frequent (>= 3 distinct docs) and therefore stripped
+    // everywhere, while genuine text lines survive unless the raw text
+    // itself repeats in >= 3 docs (the oracle replays the same rule).
+    // concat_ws skips the null when-arms, so unplanted docs stay
+    // single-line. Full per-document hash compare.
+    "q_dedup_corpus_lines" -> ((s, d) => {
+      val aug = table(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("SUBSCRIBE TO OUR NEWSLETTER")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            lit("(c) example.com - all rights reserved"))).as("text"))
+      Dedup.removeCorpusFrequentLines(aug, "doc_id", "text", minDocs = 3)
+        .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------- transitive-closure dedup (CC)
     // Planted duplicate CHAINS: for each of 3 base docs, 4 sliding-window
     // variants over a hash-derived 100-word sequence. Consecutive windows
@@ -2062,6 +2081,23 @@ object LlmQueries {
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_exact,
         |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_png
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+
+    // Full replay of the corpus-frequent-line strip: same planting, same
+    // distinct-doc counting rule, same >= 3 threshold, rejoin by line.
+    "q_dedup_corpus_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' END,
+        |    text,
+        |    CASE WHEN doc_id % 6 = 0 THEN '(c) example.com - all rights reserved' END) AS text
+        |  FROM documents),
+        |lns AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line FROM aug),
+        |freq AS (SELECT coalesce(list(line), []) AS fl FROM
+        |  (SELECT line FROM lns GROUP BY line HAVING count(*) >= 3))
+        |SELECT a.doc_id,
+        |  array_to_string(list_filter(string_split(a.text, chr(10)),
+        |    x -> NOT list_contains(f.fl, x)), chr(10)) AS cleaned
+        |FROM aug a, freq f ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT count(*) AS n, count(DISTINCT text) AS n_after_dedup,

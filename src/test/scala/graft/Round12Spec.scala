@@ -178,6 +178,38 @@ class Round12Spec extends AnyFunSuite {
       s"overclaimed stco must be rejected by the payload bound: $rt")
   }
 
+  test("removeCorpusFrequentLines: cross-doc strip, within-doc immunity, row stability") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (0L, "BOILER\nalpha zero"),
+      (1L, "BOILER\nalpha one"),
+      (2L, "BOILER\nalpha two"),
+      (3L, "alpha three\nBOILER"),      // position doesn't matter
+      (4L, "BOILER"),                   // all-boilerplate doc -> ""
+      (5L, "twice\ntwice\nalpha five"), // within-ONE-doc repeat: NOT corpus-frequent
+      (6L, "rare\nrare2"),              // rare pair (2 docs < minDocs=3): kept
+      (7L, "rare\nrare2"),
+      (8L, "alpha eight")
+    ).toDF("id", "text")
+    val out = Dedup.removeCorpusFrequentLines(docs, "id", "text", minDocs = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length === 9, "row count must be stable")
+    val m = out.toMap
+    assert(m(0L) === "alpha zero" && m(3L) === "alpha three",
+      "corpus-frequent line stripped regardless of position")
+    assert(m(4L) === "", "all-boilerplate doc becomes empty, not dropped")
+    assert(m(5L) === "twice\ntwice\nalpha five",
+      "a line repeated within ONE doc is not corpus-frequent")
+    assert(m(6L) === "rare\nrare2" && m(7L) === "rare\nrare2",
+      "2-doc lines survive a minDocs=3 threshold")
+    assert(m(8L) === "alpha eight")
+    // Order preservation inside a doc with interleaved strips.
+    val docs2 = Seq((0L, "a\nX\nb\nX\nc"), (1L, "X\np"), (2L, "X\nq")).toDF("id", "text")
+    val out2 = Dedup.removeCorpusFrequentLines(docs2, "id", "text", minDocs = 3)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out2(0) === "a\nb\nc", s"line order must survive the strip: ${out2(0)}")
+  }
+
   test("bounded training sample is deterministic across repartition") {
     import graft.llm.Similarity
     val c = corpus(6000)
