@@ -158,6 +158,29 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
 
+  /** Pick (bands, rowsPerBand) for a target Jaccard threshold. Banded LSH
+    * makes a pair with similarity s a candidate with probability
+    * 1-(1-s^r)^b — an S-curve whose transition sits near (1/b)^(1/r)
+    * (the standard analysis, Mining of Massive Datasets ch. 3). This
+    * minimizes |(1/b)^(1/r) - threshold| over the divisor pairs with
+    * b·r == numHashes (using every hash — a partial banding would just
+    * waste signature entries), breaking ties toward MORE bands: the
+    * higher-recall side, and false positives are cheap here because every
+    * candidate is exact-verified downstream.
+    *
+    * Usage: `val (b, r) = lshParamsFor(0.8); nearDupMinHash(df, id, text,
+    * threshold = 0.8, numHashes = b * r, bands = b)`. */
+  def lshParamsFor(threshold: Double, numHashes: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .minBy { case (b, r) =>
+        (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+      }
+  }
+
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -210,6 +210,31 @@ class Round12Spec extends AnyFunSuite {
     assert(out2(0) === "a\nb\nc", s"line order must survive the strip: ${out2(0)}")
   }
 
+  test("lshParamsFor: S-curve threshold fit, exhaustively verified") {
+    import graft.llm.Dedup
+    // Against a brute-force enumeration at several operating points.
+    def brute(t: Double, n: Int): Double =
+      (1 to n).filter(n % _ == 0)
+        .map(b => math.abs(math.pow(1.0 / b, 1.0 / (n / b)) - t)).min
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9); n <- Seq(64, 128, 256)) {
+      val (b, r) = Dedup.lshParamsFor(t, n)
+      assert(b * r === n, s"must use every hash: ($b,$r) for n=$n")
+      val got = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      assert(math.abs(got - brute(t, n)) < 1e-12,
+        s"not the closest divisor pair at t=$t n=$n: ($b,$r)")
+    }
+    // Known points: high thresholds want few bands of many rows, low
+    // thresholds many bands of few rows (the S-curve moves right with r).
+    assert(Dedup.lshParamsFor(0.8, 128) === ((8, 16)))
+    assert(Dedup.lshParamsFor(0.5, 128) === ((32, 4)))
+    val (bLow, _) = Dedup.lshParamsFor(0.3, 128)
+    val (bHigh, _) = Dedup.lshParamsFor(0.9, 128)
+    assert(bLow > bHigh, "lower threshold must pick more bands")
+    // Tie-break toward more bands (recall side).
+    val (b2, r2) = Dedup.lshParamsFor(0.5, 4) // (4,1)->0.25, (2,2)->~0.707, (1,4)->1
+    assert(b2 * r2 === 4)
+  }
+
   test("bounded training sample is deterministic across repartition") {
     import graft.llm.Similarity
     val c = corpus(6000)
