@@ -239,6 +239,62 @@ object DriveOpsScale {
       }
     }
 
+    // IVF+PQ index compaction (r12): a 10M-row index written once, then 8
+    // append batches of 500k — the small-files growth path a production
+    // ingest pays. Measures the file-count shrink, the compaction wall
+    // (one shuffled rewrite of the CODES table: ~m+4 bytes/row, never the
+    // raw vectors), and the probe wall before/after (footer-open +
+    // listing overhead reclaimed). Corpora are materialized parquet for
+    // the same CodegenFallback reason as the training lines.
+    if (only.isEmpty || only("index_compact_10m")) {
+      import org.apache.spark.sql.functions.col
+      val baseDir = "/tmp/graft_ops_compact_base"
+      if (!new java.io.File(baseDir, "_SUCCESS").exists()) {
+        spark.range(14000000L).toDF("id")
+          .withColumn("cv", vec(32).cast("array<float>"))
+          .write.mode("overwrite").parquet(baseDir)
+      }
+      val all = spark.read.parquet(baseDir)
+      val idxDir = "/tmp/graft_ops_compact_idx"
+      rm(new java.io.File(idxDir))
+      val (indexed, meta) = graft.llm.Similarity.buildIvfPqIndex(
+        all.where(col("id") < 10000000L), "id", "cv",
+        nCentroids = 64, m = 8, ksub = 16, refineIterations = 1,
+        maxTrainRows = 1000000L)
+      graft.llm.Similarity.writeIvfPqIndex(indexed, meta, idxDir)
+      (0 until 8).foreach { b =>
+        val lo = 10000000L + b * 500000L
+        graft.llm.Similarity.appendToIvfPqIndex(
+          all.where(col("id") >= lo && col("id") < lo + 500000L),
+          "id", "cv", meta, idxDir)
+      }
+      val queries = all.where(col("id") < 32)
+        .select(col("id").as("qid"), col("cv").as("qv"))
+      val raw = all.select(col("id").as("neighbor_id"),
+        col("cv").cast("array<double>").as("cv"))
+      def probeSec(): Double = {
+        val (idx, m2) = graft.llm.Similarity.readIvfPqIndex(spark, idxDir)
+        secs {
+          mat(graft.llm.Similarity.probeIvfPqIndex(idx, m2, raw,
+            queries, "qid", "qv", k = 10, nProbe = 8, rerank = 4))
+        }
+      }
+      val probeBefore = probeSec()
+      val (st0, _) = boxTicks()
+      var nBefore = 0L; var nAfter = 0L
+      val compactSec = secs {
+        val r = graft.llm.Similarity.compactIvfPqIndex(spark, idxDir)
+        nBefore = r._1; nAfter = r._2
+      }
+      val (st1, _) = boxTicks()
+      val probeAfter = probeSec()
+      val line = f"""{"bench":"index_compact_10m","rows":14000000,"files_before":$nBefore,"files_after":$nAfter,"compact_sec":$compactSec%.2f,"probe_before_sec":$probeBefore%.2f,"probe_after_sec":$probeAfter%.2f,"steal_sec":${(st1 - st0) / 100.0}%.2f}"""
+      println(s"CHECK $line")
+      out.append(line).append('\n')
+      rm(new java.io.File(idxDir))
+      rm(new java.io.File(baseDir))
+    }
+
     // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
     // fused whole-text encode over 10M 32-token docs.
     if (only.isEmpty || only("bpe_encode_10m_docs")) {
