@@ -883,14 +883,26 @@ object Dedup {
     * family. Rows are PRESERVED: a document whose every line is
     * boilerplate comes back as the empty string (and a null text as ""),
     * never dropped — row-count stability is the downstream contract. Ids
-    * must be unique (the reassembly join is keyed on them). */
+    * must be unique (the reassembly join is keyed on them).
+    *
+    * Lines whose space-trimmed length is below `minLineChars` are EXEMPT —
+    * never counted, never dropped. The default (1) protects blank lines:
+    * paragraph breaks are "corpus-frequent" in any real corpus, and
+    * stripping them would silently collapse document structure; the
+    * production line-dedup recipes carve out blank/short lines for the
+    * same reason. Raise it to also shield dividers like "---". An exempt
+    * line can never be dropped by a non-exempt twin: exemption is a pure
+    * function of the line text, so both sides of any hash match share it. */
   def removeCorpusFrequentLines(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 3): DataFrame = {
+      minDocs: Int = 3, minLineChars: Int = 1): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
     val lined = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
-    val frequent = lined.select(col("__lh"), col(idCol)).distinct()
+    val frequent = lined
+      .where(length(trim(col("__line"))) >= minLineChars)
+      .select(col("__lh"), col(idCol)).distinct()
       .groupBy("__lh").agg(count(lit(1)).as("__nd"))
       .where(col("__nd") >= lit(minDocs)).select("__lh")
     val rebuilt = lined.join(frequent, Seq("__lh"), "left_anti")

@@ -394,7 +394,10 @@ object Multimodal {
     // Chunk map (r12): stco/co64 chunk count and the sample total implied
     // by expanding stsc's (first_chunk, samples_per_chunk) runs over it —
     // cross-checkable against stsz's frame_count on well-formed files.
-    // Null when the boxes are absent or malformed.
+    // Adopted from the SAME track as the frame stats when that track
+    // carries a chunk table (so the cross-check never spans tracks),
+    // falling back to the first chunk-bearing track otherwise. Null when
+    // the boxes are absent or malformed.
     StructField("chunk_count", LongType),
     StructField("chunk_sample_count", LongType)))
 
@@ -477,6 +480,11 @@ object Multimodal {
       var sttsDurSec = Double.NaN
       var chunkCount = -1L
       var chunkSamples = -1L
+      // Fallback chunk stats from the first chunk-bearing track, used
+      // only when no frame-stats track carries a chunk table (see the
+      // adoption comment below).
+      var fbChunkCount = -1L
+      var fbChunkSamples = -1L
       boxes(0, bytes.length).foreach {
         case ("ftyp", p, e) if e - p >= 4 => brand = fourcc(p)
         case ("moov", mp, me) =>
@@ -628,6 +636,39 @@ object Multimodal {
                 }
                 case _ => ()
               }
+              // The implied chunk sample total expands stsc's runs: run i
+              // covers chunks [first_i, first_{i+1}), the last run extends
+              // to the stco count (ISO 14496-12 §8.7.4). Malformed runs —
+              // first_chunk not 1-based strictly increasing, or past the
+              // chunk count — yield an unknown (-1 -> null) sample total,
+              // never garbage; span×samples_per_chunk is overflow-guarded
+              // like the stts products.
+              def expandedChunkSamples(): Long =
+                if (trakStscRuns == null) -1L
+                else if (trakStscRuns.isEmpty) { if (trakChunks == 0L) 0L else -1L }
+                else {
+                  var ok = trakStscRuns(0)._1 == 1L
+                  var total = 0L
+                  var i = 0
+                  while (i < trakStscRuns.length && ok) {
+                    val (first, spc) = trakStscRuns(i)
+                    val next =
+                      if (i + 1 < trakStscRuns.length) trakStscRuns(i + 1)._1
+                      else trakChunks + 1
+                    if (next <= first || next > trakChunks + 1) ok = false
+                    else {
+                      val span = next - first
+                      if (spc != 0L && span > Long.MaxValue / spc) ok = false
+                      else {
+                        val prod = span * spc
+                        if (total > Long.MaxValue - prod) ok = false
+                        else total += prod
+                      }
+                    }
+                    i += 1
+                  }
+                  if (ok) total else -1L
+                }
               if (frameCount < 0 && trakFrames >= 0) {
                 frameCount = trakFrames
                 sumFrameBytes = trakSum
@@ -637,44 +678,21 @@ object Multimodal {
                   if (trakSync >= 0) trakSync
                   else if (trakSync == -2L) -2L
                   else trakFrames
-              }
-              // Chunk map from the FIRST track carrying a chunk-offset
-              // table. The implied sample total expands stsc's runs: run i
-              // covers chunks [first_i, first_{i+1}), the last run extends
-              // to the stco count (ISO 14496-12 §8.7.4). Malformed runs —
-              // first_chunk not 1-based strictly increasing, or past the
-              // chunk count — yield an unknown (null) sample total, never
-              // garbage; span×samples_per_chunk is overflow-guarded like
-              // the stts products.
-              if (chunkCount < 0 && trakChunks >= 0) {
-                chunkCount = trakChunks
-                if (trakStscRuns != null) {
-                  if (trakStscRuns.isEmpty) {
-                    if (trakChunks == 0L) chunkSamples = 0L
-                  } else {
-                    var ok = trakStscRuns(0)._1 == 1L
-                    var total = 0L
-                    var i = 0
-                    while (i < trakStscRuns.length && ok) {
-                      val (first, spc) = trakStscRuns(i)
-                      val next =
-                        if (i + 1 < trakStscRuns.length) trakStscRuns(i + 1)._1
-                        else trakChunks + 1
-                      if (next <= first || next > trakChunks + 1) ok = false
-                      else {
-                        val span = next - first
-                        if (spc != 0L && span > Long.MaxValue / spc) ok = false
-                        else {
-                          val prod = span * spc
-                          if (total > Long.MaxValue - prod) ok = false
-                          else total += prod
-                        }
-                      }
-                      i += 1
-                    }
-                    if (ok) chunkSamples = total
-                  }
+                // Chunk map PREFERENTIALLY from the frame-stats track:
+                // the advertised cross-check (chunk_sample_count vs
+                // frame_count) must compare ONE track's sample tables,
+                // never an stco from track 1 against an stsz from track 2.
+                if (trakChunks >= 0) {
+                  chunkCount = trakChunks
+                  chunkSamples = expandedChunkSamples()
                 }
+              }
+              // Fallback: first chunk-bearing track, for chunk-table-only
+              // containers (no stsz anywhere) — adopted at the end only if
+              // no frame-stats track supplied a chunk map.
+              if (fbChunkCount < 0 && trakChunks >= 0) {
+                fbChunkCount = trakChunks
+                fbChunkSamples = expandedChunkSamples()
               }
               // First stsd-bearing track names the codec; first track with
               // stts + a positive mdhd timescale yields timing (the two
@@ -700,8 +718,11 @@ object Multimodal {
         if (codec != null) codecClassOf(codec) else null,
         if (fps.isNaN) null else fps,
         if (sttsDurSec.isNaN) null else sttsDurSec,
-        if (chunkCount >= 0) chunkCount else null,
-        if (chunkCount >= 0 && chunkSamples >= 0) chunkSamples else null)
+        if (chunkCount >= 0) chunkCount
+        else if (fbChunkCount >= 0) fbChunkCount else null,
+        if (chunkCount >= 0) { if (chunkSamples >= 0) chunkSamples else null }
+        else if (fbChunkCount >= 0 && fbChunkSamples >= 0) fbChunkSamples
+        else null)
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 

@@ -767,11 +767,16 @@ object Similarity {
     * corruption that only surfaces as wrong neighbors much later. The
     * check is exact value equality (shape first, for a readable message);
     * it costs one small sidecar read per batch. A dir with no sidecar yet
-    * (fresh directory, first batch) is accepted as-is. */
+    * (fresh directory, first batch) ADOPTS `meta` as the index's codebook:
+    * the sidecar is written after the data lands, so an append-initialized
+    * index is readable/probeable/compactable like a written one, and the
+    * guard bites from the second batch on. */
   def appendToIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
       meta: IvfPqMeta, dir: String): Unit = {
-    readMetaSidecar(newRows.sparkSession, dir).foreach { existing =>
-      IvfPqMeta.mismatch(existing, meta).foreach { why =>
+    val spark = newRows.sparkSession
+    val existing = readMetaSidecar(spark, dir)
+    existing.foreach { e =>
+      IvfPqMeta.mismatch(e, meta).foreach { why =>
         throw new IllegalArgumentException(
           s"appendToIvfPqIndex: meta does not match the index sidecar at $dir " +
             s"($why) — appending with a foreign codebook corrupts the index; " +
@@ -780,6 +785,7 @@ object Similarity {
     }
     encodeIndexRows(newRows, idCol, vecCol, meta)
       .write.mode("append").partitionBy("centroid_idx").parquet(dir)
+    if (existing.isEmpty) writeMetaSidecar(spark, dir, meta)
   }
 
   /** Compact a persisted index in place: every [[appendToIvfPqIndex]]
@@ -792,11 +798,18 @@ object Similarity {
     * at most `filesPerCell` files per cell, and rewrites the index through
     * a SIBLING temp directory plus a rename swap — Spark reads lazily, so
     * writing over the path still being scanned would corrupt the index
-    * mid-job. The rename is atomic on rename-capable filesystems (HDFS,
-    * local); the delete→rename window is the documented non-atomicity —
-    * probes racing a compaction should read a snapshot path. Meta is
-    * byte-identical after the swap (the sidecar is rewritten from the
-    * parsed meta, whose JSON round-trips exactly).
+    * mid-job. The swap renames the OLD dir aside before moving the
+    * rewrite into place and deletes it only once the new dir is live, so
+    * a crash at any point leaves a complete index on disk (at `dir`, or
+    * recoverable from the `.__old`/`._graft_compact_tmp` sibling) — never
+    * an empty serving path. Renames are atomic on rename-capable
+    * filesystems (HDFS, local); object stores with copy-based renames
+    * widen the windows. Compaction must be the directory's only WRITER
+    * while it runs: an appendToIvfPqIndex racing it lands in the old dir
+    * after the listing snapshot and is discarded with it; probes racing
+    * it should read a snapshot path. Meta is byte-identical after the
+    * swap (the sidecar is rewritten from the parsed meta, whose JSON
+    * round-trips exactly).
     *
     * @return (dataFilesBefore, dataFilesAfter) under cell partitions. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -824,11 +837,18 @@ object Similarity {
       else indexed.repartition(col("centroid_idx"),
         pmod(hash(col("neighbor_id")), lit(filesPerCell)))
     writeIvfPqIndex(salted, meta, tmp.toString)
-    if (!fs.delete(dirPath, true))
-      throw new java.io.IOException(s"compactIvfPqIndex: could not remove $dir")
-    if (!fs.rename(tmp, dirPath))
+    val old = new org.apache.hadoop.fs.Path(dirPath.getParent,
+      dirPath.getName + ".__old")
+    fs.delete(old, true) // residue of a crashed earlier compaction
+    if (!fs.rename(dirPath, old))
       throw new java.io.IOException(
-        s"compactIvfPqIndex: rename $tmp -> $dir failed; compacted index left at $tmp")
+        s"compactIvfPqIndex: could not move $dir aside; compacted index left at $tmp")
+    if (!fs.rename(tmp, dirPath)) {
+      fs.rename(old, dirPath) // best-effort restore of the live index
+      throw new java.io.IOException(
+        s"compactIvfPqIndex: rename $tmp -> $dir failed; original index restored")
+    }
+    fs.delete(old, true)
     (before, dataFiles(dirPath))
   }
 
@@ -840,11 +860,16 @@ object Similarity {
     * (underscore-prefixed: invisible to parquet directory listings). */
   def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String): Unit = {
     indexed.write.mode("overwrite").partitionBy("centroid_idx").parquet(dir)
-    // Sidecar through the SAME filesystem as the parquet — an
-    // hdfs://-or-s3a:// index directory must carry its metadata too, not
-    // strand it on the driver's local disk.
+    writeMetaSidecar(indexed.sparkSession, dir, meta)
+  }
+
+  /** Sidecar write through the SAME filesystem as the parquet — an
+    * hdfs://-or-s3a:// index directory must carry its metadata too, not
+    * strand it on the driver's local disk. */
+  private def writeMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, meta: IvfPqMeta): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
-    val fs = p.getFileSystem(indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
   }

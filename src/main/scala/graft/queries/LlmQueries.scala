@@ -872,37 +872,47 @@ object LlmQueries {
         "recall_ok" -> lit(nExact == 0 || nHit.toDouble / nExact >= 0.6))
     }),
 
-    // Bounded-sample training (r12): the maxTrainRows knob on the SAME
-    // IVF pipeline. Three pins: (a) below the bound the knob is a strict
-    // NO-OP (identical result frames to maxTrainRows=0); (b) with the
-    // bound FORCED active (a cap far below the corpus) recall parity
-    // holds within 0.15 of full-corpus training; (c) the forced-bound
-    // run is itself deterministic across two evaluations (hash-keyed
-    // sample, not RNG). n_exact replays in DuckDB; the rest are frozen.
+    // Bounded-sample training (r12): the maxTrainRows knob. Three pins:
+    // (a) below the bound the knob is a no-op — the TRAINED CENTROIDS
+    // match the maxTrainRows=0 run within 1e-9 (k-means is deterministic
+    // only up to floating-point summation order, so exact result-frame
+    // equality across two executions could flake on an LSB flipping a
+    // near-equidistant cell assignment; same tolerance as Round12Spec);
+    // (b) with the bound FORCED active (a cap far below the corpus),
+    // recall through the FULL IVF pipeline holds within 0.15 of
+    // full-corpus training; (c) the forced-bound centroids are
+    // reproducible across two trainings (hash-keyed sample, not RNG).
+    // n_exact replays in DuckDB; the rest are frozen.
     "q_ann_train_bounded" -> ((s, d) => {
       val emb = table(s, d, "embeddings")
       val q = emb.where(col("vec_id") < 20)
+      val c = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val seed = Similarity.sampleCentroids(c, "vec_id", "cv", 16)
+      def train(maxTrain: Long) =
+        Similarity.refineCentroids(c, "cv", seed, 2, maxTrain)
+      def close(a: Array[Array[Double]], b: Array[Array[Double]]): Boolean =
+        a.length == b.length && a.indices.forall(i =>
+          a(i).length == b(i).length && a(i).indices.forall(j =>
+            math.abs(a(i)(j) - b(i)(j)) < 1e-9))
+      val full = train(0L)
+      val noopOk = close(full, train(1000000000L)) // corpus far below bound
+      val cappedStable = close(train(100L), train(100L)) // sample forced
       def ivf(maxTrain: Long) = Similarity.ivfTopK(emb, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8,
         refineIterations = 2, maxTrainRows = maxTrain)
-        .select("query_id", "neighbor_id").localCheckpoint()
+        .select("query_id", "neighbor_id")
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 5).select("query_id", "neighbor_id")
         .localCheckpoint()
-      val full = ivf(0L)
-      val noop = ivf(1000000000L) // corpus far below: must be a no-op
-      val capped = ivf(100L)      // corpus far above: sample forced
-      val capped2 = ivf(100L)
       val nExact = exact.count()
       def recall(a: org.apache.spark.sql.DataFrame): Double =
         if (nExact == 0) 1.0
         else a.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .count().toDouble / nExact
-      val noopIdentical = noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty
-      val cappedStable = capped.exceptAll(capped2).isEmpty && capped2.exceptAll(capped).isEmpty
       one(exact, "n_exact" -> count(lit(1)),
-        "noop_below_bound" -> lit(noopIdentical),
-        "bounded_parity" -> lit(recall(capped) >= recall(full) - 0.15),
+        "noop_below_bound" -> lit(noopOk),
+        "bounded_parity" -> lit(recall(ivf(100L)) >= recall(ivf(0L)) - 0.15),
         "bounded_deterministic" -> lit(cappedStable))
     }),
 
@@ -2083,7 +2093,8 @@ object LlmQueries {
         |FROM documents WHERE doc_id < 1000""".stripMargin,
 
     // Full replay of the corpus-frequent-line strip: same planting, same
-    // distinct-doc counting rule, same >= 3 threshold, rejoin by line.
+    // distinct-doc counting rule, same >= 3 threshold, same blank-line
+    // exemption (trim(line) <> ''), rejoin by line.
     "q_dedup_corpus_lines" ->
       """WITH aug AS (
         |  SELECT doc_id, concat_ws(chr(10),
@@ -2091,7 +2102,9 @@ object LlmQueries {
         |    text,
         |    CASE WHEN doc_id % 6 = 0 THEN '(c) example.com - all rights reserved' END) AS text
         |  FROM documents),
-        |lns AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line FROM aug),
+        |lns AS (SELECT DISTINCT doc_id, line FROM
+        |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM aug)
+        |  WHERE trim(line) <> ''),
         |freq AS (SELECT coalesce(list(line), []) AS fl FROM
         |  (SELECT line FROM lns GROUP BY line HAVING count(*) >= 3))
         |SELECT a.doc_id,

@@ -208,6 +208,18 @@ class Round12Spec extends AnyFunSuite {
     val out2 = Dedup.removeCorpusFrequentLines(docs2, "id", "text", minDocs = 3)
       .orderBy("id").collect().map(_.getString(1))
     assert(out2(0) === "a\nb\nc", s"line order must survive the strip: ${out2(0)}")
+    // Blank lines are corpus-frequent in ANY real corpus but exempt by
+    // default — paragraph breaks must survive; raising minLineChars also
+    // shields short dividers.
+    val docs3 = Seq((0L, "p1\n\np2"), (1L, "q1\n\nq2"), (2L, "r1\n\nr2"),
+      (3L, "s1\n---\ns2"), (4L, "t1\n---\nt2"), (5L, "u1\n---\nu2")).toDF("id", "text")
+    val out3 = Dedup.removeCorpusFrequentLines(docs3, "id", "text", minDocs = 3)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out3(0) === "p1\n\np2", "blank paragraph breaks must be exempt")
+    assert(out3(3) === "s1\ns2", "a 3-char divider IS stripped at minLineChars=1")
+    val out4 = Dedup.removeCorpusFrequentLines(docs3, "id", "text",
+      minDocs = 3, minLineChars = 4).orderBy("id").collect().map(_.getString(1))
+    assert(out4(3) === "s1\n---\ns2", "minLineChars=4 exempts the divider")
   }
 
   test("lshParamsFor: S-curve threshold fit, exhaustively verified") {
@@ -277,10 +289,19 @@ class Round12Spec extends AnyFunSuite {
       }
       assert(e2.getMessage.contains("m 4 vs 2") ||
         e2.getMessage.contains("m 2 vs 4"), e2.getMessage)
-      // A directory with no sidecar yet accepts the first batch.
+      // A directory with no sidecar yet ADOPTS the first batch's meta:
+      // the sidecar is written, the dir becomes readable, and the guard
+      // bites from the second batch on.
       val fresh = java.nio.file.Files.createTempDirectory("graft_meta_fresh").toString
-      try Similarity.appendToIvfPqIndex(batch, "id", "vec", meta, fresh)
-      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
+      try {
+        Similarity.appendToIvfPqIndex(batch, "id", "vec", meta, fresh)
+        val (_, adopted) = Similarity.readIvfPqIndex(spark, fresh)
+        assert(Similarity.IvfPqMeta.mismatch(meta, adopted).isEmpty,
+          "first append must adopt its meta as the index sidecar")
+        intercept[IllegalArgumentException] {
+          Similarity.appendToIvfPqIndex(batch, "id", "vec", foreign, fresh)
+        }
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
