@@ -811,6 +811,12 @@ object Similarity {
     * swap (the sidecar is rewritten from the parsed meta, whose JSON
     * round-trips exactly).
     *
+    * Measured (`bench_ops_scale.json` index_compact_10m, steal 0.03s): a
+    * 10M-row 64-cell index plus 8 append batches of 500k accumulates
+    * 2496 data files; compaction rewrites it to 64 (one per cell) in
+    * 13.9s, and the same 32-query probe drops 8.4s → 6.7s — the
+    * footer-open/listing overhead reclaimed.
+    *
     * @return (dataFilesBefore, dataFilesAfter) under cell partitions. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, filesPerCell: Int = 1): (Long, Long) = {
