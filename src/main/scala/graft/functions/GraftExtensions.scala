@@ -137,6 +137,14 @@ object GraftExtensions {
           s"graft_count_in_set expects (arr, set_literal_array), got ${children.length} args")
         SetKernels.ArrayCountInSet(children.head,
           new SetKernels.LongSortedSet(literalLongArray(children(1), "set")))
+      }),
+    (FunctionIdentifier("graft_strip_lines_in_set"),
+      new ExpressionInfo(classOf[SetKernels.StripLinesInSet].getName, "graft_strip_lines_in_set"),
+      { children =>
+        require(children.length == 2,
+          s"graft_strip_lines_in_set expects (text, line_hash_literal_array), got ${children.length} args")
+        SetKernels.StripLinesInSet(children.head,
+          new SetKernels.LongSortedSet(literalLongArray(children(1), "set")))
       }))
 
   /** A foldable array-of-integral expression (e.g. `array(1, 2, 3)`)

@@ -59,6 +59,27 @@ object SetKernels {
       if (sawNull) null else false
     }
 
+    /** [[StripLinesInSet]]'s evaluation body (interpreted + codegen paths
+      * both land here): rebuild `text` with every line whose seed-42
+      * xxhash64 is a member removed. Lives on the set — the codegen
+      * reference object — per the kernel convention. */
+    def stripLines(text: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val nl = UTF8String.fromString("\n")
+      // limit -1: trailing empty lines survive, matching split(col, "\n").
+      val parts = text.split(nl, -1)
+      val kept = new java.util.ArrayList[UTF8String](parts.length)
+      var i = 0
+      while (i < parts.length) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(parts(i), 42L)
+        if (java.util.Arrays.binarySearch(sorted, h) < 0) kept.add(parts(i))
+        i += 1
+      }
+      UTF8String.concatWs(nl, kept.toArray(new Array[UTF8String](kept.size)): _*)
+    }
+
     /** Count of elements present in the set; null when ANY element is null
       * (the exact count is unknowable — a null element might or might not
       * be a member). */
@@ -122,9 +143,43 @@ object SetKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Rebuild a text with every line whose `xxhash64(line)` is in the set
+    * REMOVED — the per-row half of the corpus-frequent-line strip
+    * ([[graft.llm.Dedup.removeCorpusFrequentLines]] computes the same rule
+    * relationally when the frequency pass and the strip run over one
+    * corpus; this kernel applies a driver-known frequent-line vocabulary
+    * to any LATER frame or stream). One fused pass: split on '\n',
+    * seed-42 `XXH64.hashUTF8String` per line (bit-identical to the
+    * `xxhash64(col)` key the frequency pass groups on), binary-search
+    * probe, join survivors. Stateless, stream-safe, codegen'd. */
+  case class StripLinesInSet(child: Expression, set: LongSortedSet)
+      extends UnaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def prettyName: String = "graft_strip_lines_in_set"
+    override def nullable: Boolean = child.nullable
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      set.stripLines(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stripSet", set,
+        "graft.functions.SetKernels.LongSortedSet")
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.stripLines($t);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def anyInSet(arr: Column, values: Array[Long]): Column =
     GraftSql.column(ArrayAnyInSet(GraftSql.expression(arr),
       new LongSortedSet(values.clone().sorted)))
+
+  def stripLinesIn(text: Column, lineHashes: Array[Long]): Column =
+    GraftSql.column(StripLinesInSet(GraftSql.expression(text),
+      new LongSortedSet(lineHashes.clone().sorted)))
 
   def countInSet(arr: Column, values: Array[Long]): Column =
     GraftSql.column(ArrayCountInSet(GraftSql.expression(arr),

@@ -914,6 +914,48 @@ object Dedup {
       .drop("__clean")
   }
 
+  /** Driver-known frequent-line vocabulary of a static corpus — the
+    * frequency half of [[removeCorpusFrequentLines]], collected in ONE
+    * job (`limit(max+1)` is its own overflow detector, the
+    * [[minHashBandIndex]] pattern). Sound to collect because the result
+    * is corpus BOILERPLATE (headers/footers/banners/license blurbs):
+    * tiny relative to the corpus by construction — a corpus whose
+    * frequent-line set exceeds `maxLines` should use the relational
+    * [[removeCorpusFrequentLines]] instead. Same counting rule
+    * (distinct docs, `minLineChars` exemption), same `xxhash64` keys. */
+  def frequentLineIndex(corpus: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, minLineChars: Int = 1,
+      maxLines: Long = 10000000L): Array[Long] = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val keys = corpus
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .where(length(trim(col("__line"))) >= minLineChars)
+      .select(xxhash64(col("__line")).as("__lh"), col(idCol)).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= lit(minDocs)).select("__lh")
+      .limit(math.min(maxLines, Int.MaxValue - 1L).toInt + 1)
+      .collect().map(_.getLong(0))
+    require(keys.length <= maxLines,
+      s"frequent-line vocabulary exceeds maxLines=$maxLines — this corpus's " +
+        "boilerplate is not driver-collectable; use removeCorpusFrequentLines")
+    keys
+  }
+
+  /** Strip a corpus-trained frequent-line vocabulary from any frame or
+    * STREAM: one fused per-row kernel pass
+    * (`graft_strip_lines_in_set` — seed-42 line hashes binary-searched
+    * against the broadcast-by-reference sorted set), stateless — no
+    * shuffle, no state store, composes in append mode at any stream
+    * position, the guard shape of the decontamination family. Applied to
+    * the SAME corpus the index was built from, it equals
+    * [[removeCorpusFrequentLines]] line for line (pinned in Round12Spec),
+    * except null text stays null (a projection has no join-reassembly to
+    * normalize it to ""). */
+  def stripFrequentLinesWith(df: DataFrame, textCol: String,
+      lineHashes: Array[Long]): DataFrame =
+    df.withColumn(textCol,
+      graft.functions.SetKernels.stripLinesIn(col(textCol), lineHashes))
+
   // -------------------------------------------------- embedding near-dup
 
   /** Near-duplicate pairs by embedding cosine similarity, bucketed by

@@ -143,6 +143,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The guard form of the same rule: frequency pass collected ONCE into
+    // a driver-known line vocabulary, then a single fused per-row kernel
+    // strip (graft_strip_lines_in_set) — the stateless shape a stream
+    // composes with. Same planting, same oracle replay as
+    // q_dedup_corpus_lines: on the training corpus the two forms are
+    // line-for-line equal (also pinned directly in Round12Spec).
+    "q_dedup_line_guard" -> ((s, d) => {
+      val aug = table(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("SUBSCRIBE TO OUR NEWSLETTER")),
+          col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 0,
+            lit("(c) example.com - all rights reserved"))).as("text"))
+      val idx = Dedup.frequentLineIndex(aug, "doc_id", "text", minDocs = 3)
+      Dedup.stripFrequentLinesWith(aug, "text", idx)
+        .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------- transitive-closure dedup (CC)
     // Planted duplicate CHAINS: for each of 3 base docs, 4 sliding-window
     // variants over a hash-derived 100-word sequence. Consecutive windows
@@ -2096,6 +2115,25 @@ object LlmQueries {
     // distinct-doc counting rule, same >= 3 threshold, same blank-line
     // exemption (trim(line) <> ''), rejoin by line.
     "q_dedup_corpus_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' END,
+        |    text,
+        |    CASE WHEN doc_id % 6 = 0 THEN '(c) example.com - all rights reserved' END) AS text
+        |  FROM documents),
+        |lns AS (SELECT DISTINCT doc_id, line FROM
+        |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM aug)
+        |  WHERE trim(line) <> ''),
+        |freq AS (SELECT coalesce(list(line), []) AS fl FROM
+        |  (SELECT line FROM lns GROUP BY line HAVING count(*) >= 3))
+        |SELECT a.doc_id,
+        |  array_to_string(list_filter(string_split(a.text, chr(10)),
+        |    x -> NOT list_contains(f.fl, x)), chr(10)) AS cleaned
+        |FROM aug a, freq f ORDER BY doc_id""".stripMargin,
+
+    // The guard form replays against the SAME rule as q_dedup_corpus_lines
+    // (the two engine paths are pinned equal on the training corpus).
+    "q_dedup_line_guard" ->
       """WITH aug AS (
         |  SELECT doc_id, concat_ws(chr(10),
         |    CASE WHEN doc_id % 4 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' END,

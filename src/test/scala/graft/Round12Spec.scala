@@ -222,6 +222,42 @@ class Round12Spec extends AnyFunSuite {
     assert(out4(3) === "s1\n---\ns2", "minLineChars=4 exempts the divider")
   }
 
+  test("stripFrequentLinesWith: guard equals the relational strip, null passthrough") {
+    import graft.llm.Dedup
+    val docs = Seq(
+      (0L, "BOILER\nalpha zero"), (1L, "BOILER\nalpha one"),
+      (2L, "BOILER\nalpha two"), (3L, "alpha three\nBOILER"),
+      (4L, "BOILER"), (5L, "p1\n\np2"), (6L, "q1\n\nq2"), (7L, "r1\n\nr2"),
+      (8L, "alpha eight")
+    ).toDF("id", "text")
+    val idx = Dedup.frequentLineIndex(docs, "id", "text", minDocs = 3)
+    assert(idx.length === 1, "exactly the BOILER line is frequent (blanks exempt)")
+    val guard = Dedup.stripFrequentLinesWith(docs, "text", idx)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val join = Dedup.removeCorpusFrequentLines(docs, "id", "text", minDocs = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(guard.toSeq === join.toSeq,
+      "per-row guard must equal the relational strip on the training corpus")
+    assert(guard.toMap.apply(5L) === "p1\n\np2", "blank lines survive the guard too")
+    // Null text rides through the projection as null (no join to "" it).
+    val withNull = docs.unionByName(Seq((10L, null.asInstanceOf[String])).toDF("id", "text"))
+    val g2 = Dedup.stripFrequentLinesWith(withNull, "text", idx)
+      .where(col("id") === 10L).collect()
+    assert(g2.length === 1 && g2(0).isNullAt(1))
+    // The collect is bounded: an overflowing vocabulary fails fast.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.frequentLineIndex(docs, "id", "text", minDocs = 3, maxLines = 0L)
+    }
+    assert(e.getMessage.contains("maxLines"))
+    // SQL surface: same strip through the registered function.
+    graft.functions.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("strip_docs")
+    val viaSql = spark.sql(
+      s"SELECT id, graft_strip_lines_in_set(text, array(${idx.mkString(",")})) AS t " +
+        "FROM strip_docs ORDER BY id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSql.toSeq === join.toSeq, "SQL form must match the Column form")
+  }
+
   test("lshParamsFor: S-curve threshold fit, exhaustively verified") {
     import graft.llm.Dedup
     // Against a brute-force enumeration at several operating points.
