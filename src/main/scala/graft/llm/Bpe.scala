@@ -164,4 +164,50 @@ object Bpe {
   def tokenCount(text: Column, merges: Seq[Merge],
       byteLevel: Boolean = false): Column =
     size(BpeKernels.encode(text, merges.map(m => (m.left, m.right)), byteLevel))
+
+  // -------------------------------------------------- tokenizer lifecycle
+
+  /** Persist a trained tokenizer: the ordered merge list PLUS the
+    * byteLevel flag (an encode with the wrong flag is silently wrong, so
+    * the flag must travel with the merges — the [[Similarity.IvfPqMeta]]
+    * sidecar lesson). One JSON document through the path's own Hadoop
+    * filesystem: train once on the corpus, encode from any later job.
+    * Jackson handles merge-symbol escaping (symbols may be quotes,
+    * backslashes, CJK, or byte-alphabet code points). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], byteLevel: Boolean, path: String): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("byte_level", byteLevel)
+    val arr = root.putArray("merges")
+    merges.foreach { mg =>
+      val n = arr.addObject()
+      n.put("rank", mg.rank); n.put("left", mg.left); n.put("right", mg.right)
+      n.put("count", mg.count); n.put("sweep", mg.sweep)
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Reload a persisted tokenizer: `(merges, byteLevel)` — feed both to
+    * [[encode]]; merge ORDER is the serialized order (rank order), which
+    * the encoder's greedy loop depends on. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Merge], Boolean) = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val merges = root.get("merges").elements().asScala.map { n =>
+      Merge(n.get("rank").asInt, n.get("left").asText, n.get("right").asText,
+        n.get("count").asLong, n.get("sweep").asInt)
+    }.toSeq
+    (merges, root.get("byte_level").asBoolean)
+  }
 }

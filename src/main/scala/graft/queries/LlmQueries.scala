@@ -1787,6 +1787,35 @@ object LlmQueries {
         "merged_something" -> lit(merges.nonEmpty))
     }),
 
+    // Tokenizer lifecycle: train byte-level merges, SAVE the model (the
+    // ordered merge list + the byteLevel flag, one JSON doc through the
+    // path's own filesystem), reload, and pin (a) structural merge-list
+    // equality incl. ranks/counts/sweeps, (b) the flag's survival, (c)
+    // bit-identical encode through the reloaded model. n_docs replays.
+    "q_bpe_model_roundtrip" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 300)
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 12,
+        byteLevel = true)
+      val dir = java.nio.file.Files.createTempDirectory("graft_bpe_model")
+      val path = dir.resolve("tokenizer.json").toString
+      graft.llm.Bpe.saveMerges(s, merges, byteLevel = true, path)
+      val (loaded, flag) = graft.llm.Bpe.loadMerges(s, path)
+      val a = graft.llm.Bpe.encode(docs, "text", merges, byteLevel = true)
+        .select(col("doc_id"), col("bpe_tokens"))
+      val b = graft.llm.Bpe.encode(docs, "text", loaded, byteLevel = flag)
+        .select(col("doc_id"), col("bpe_tokens"))
+      val identical = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val result = one(docs, "n_docs" -> count(lit(1)),
+        "merges_equal" -> lit(loaded == merges),
+        "flag_survives" -> lit(flag),
+        "encode_identical" -> lit(identical))
+      val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      result.collect().foreach(jrows.add)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      s.createDataFrame(jrows, result.schema)
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -2612,6 +2641,13 @@ object LlmQueries {
       """SELECT CAST(count(*) + 5 AS BIGINT) AS n_docs, TRUE AS all_roundtrip,
         |  TRUE AS all_encodable, TRUE AS merged_something
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // Tokenizer save/load: n_docs replays; the structural and
+    // encode-identity facts are frozen booleans.
+    "q_bpe_model_roundtrip" ->
+      """SELECT count(*) AS n_docs, TRUE AS merges_equal,
+        |  TRUE AS flag_survives, TRUE AS encode_identical
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
 
     // Full replay of the bigram-LM scoring: identical tokenization, the
     // corpus bigram/unigram counts, V, and -ln((cb+1)/(cu+V)) averaged

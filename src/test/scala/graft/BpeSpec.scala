@@ -182,4 +182,37 @@ class BpeSpec extends AnyFunSuite {
       BpeKernels.byteDecode(concat_ws("", col("bpe_tokens"))) =!= col("stripped")).count()
     assert(bad === 0L)
   }
+
+  test("tokenizer save/load: structural roundtrip with hostile symbols") {
+    // Merges whose symbols are exactly the JSON-hostile cases: quotes,
+    // backslashes, newlines-in-symbol can't arise from the trainer (words
+    // are whitespace-split) but CJK / byte-alphabet code points can, and
+    // user-constructed tables may carry anything — the serializer must be
+    // symbol-agnostic.
+    val merges = Seq(
+      Bpe.Merge(0, "\"", "\\", 7L), Bpe.Merge(1, "日", "本", 5L, sweep = 1),
+      Bpe.Merge(2, "a\"b", "\\n", 3L), Bpe.Merge(3, "Ā", "ÿ", 2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_save")
+    val path = dir.resolve("tok.json").toString
+    try {
+      Bpe.saveMerges(spark, merges, byteLevel = true, path)
+      val (loaded, flag) = Bpe.loadMerges(spark, path)
+      assert(flag && loaded === merges,
+        s"roundtrip must be structural identity: $loaded")
+      // And the false flag survives too.
+      Bpe.saveMerges(spark, merges.take(2), byteLevel = false, path)
+      val (l2, f2) = Bpe.loadMerges(spark, path)
+      assert(!f2 && l2 === merges.take(2))
+      // Trained-table roundtrip drives identical encodes.
+      val docs = Seq("the cat sat on the mat", "the bat sat on the hat")
+        .toDF("text")
+      val trained = Bpe.train(docs, "text", numMerges = 8, minPairCount = 1)
+      Bpe.saveMerges(spark, trained, byteLevel = false, path)
+      val (lt, lf) = Bpe.loadMerges(spark, path)
+      val a = Bpe.encode(docs, "text", trained).select("bpe_tokens").collect()
+      val b = Bpe.encode(docs, "text", lt, byteLevel = lf)
+        .select("bpe_tokens").collect()
+      assert(a.map(_.getSeq[String](0)).toSeq === b.map(_.getSeq[String](0)).toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
 }
