@@ -295,6 +295,61 @@ object DriveOpsScale {
       rm(new java.io.File(baseDir))
     }
 
+    // Corpus-frequent line strip at 10M docs (r12): the relational form
+    // (3 shuffles: frequency distinct+count, anti-join, reassembly) vs
+    // the guard form (ONE bounded vocabulary collect + a zero-shuffle
+    // fused strip). Corpus is materialized parquet with planted banner
+    // lines (every 3rd doc a footer, every 5th a header) — the honest
+    // input for a multi-scan operator.
+    if (only.isEmpty || only("line_dedup_10m") || only("line_guard_10m")) {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val dir = "/tmp/graft_ops_lines"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        spark.range(10000000L).toDF("id")
+          .withColumn("text", concat(
+            when(pmod(col("id"), lit(5)) === 0,
+              lit("OFFICIAL SITE BANNER DO NOT REMOVE\n")).otherwise(lit("")),
+            text(32),
+            when(pmod(col("id"), lit(3)) === 0,
+              lit("\nPLEASE SUBSCRIBE TO OUR NEWSLETTER TODAY")).otherwise(lit(""))))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val c = spark.read.parquet(dir)
+      def minTimed(body: => Unit): (Double, Double) = {
+        var best = Double.MaxValue; var steal = 0.0
+        for (_ <- 0 until 2) {
+          val (st0, _) = boxTicks()
+          val t = secs(body)
+          val (st1, _) = boxTicks()
+          if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
+        }
+        (best, steal)
+      }
+      if (only.isEmpty || only("line_dedup_10m")) {
+        mat(graft.llm.Dedup.removeCorpusFrequentLines(
+          c.where(col("id") < 1000000L), "id", "text")) // warm
+        val (t, st) = minTimed(
+          mat(graft.llm.Dedup.removeCorpusFrequentLines(c, "id", "text")))
+        val line = f"""{"bench":"line_dedup_10m","rows":10000000,"op_sec":$t%.2f,"steal_sec":$st%.2f}"""
+        println(s"CHECK $line"); out.append(line).append('\n')
+      }
+      if (only.isEmpty || only("line_guard_10m")) {
+        var idx: Array[Long] = null
+        val (bt0, _) = boxTicks()
+        val buildSec = secs {
+          idx = graft.llm.Dedup.frequentLineIndex(c, "id", "text")
+        }
+        val (bt1, _) = boxTicks()
+        mat(graft.llm.Dedup.stripFrequentLinesWith(
+          c.where(col("id") < 1000000L), "text", idx)) // warm
+        val (t, st) = minTimed(
+          mat(graft.llm.Dedup.stripFrequentLinesWith(c, "text", idx)))
+        val line = f"""{"bench":"line_guard_10m","rows":10000000,"index_build_sec":$buildSec%.2f,"n_frequent":${idx.length},"strip_sec":$t%.2f,"build_steal_sec":${(bt1 - bt0) / 100.0}%.2f,"steal_sec":$st%.2f}"""
+        println(s"CHECK $line"); out.append(line).append('\n')
+      }
+      rm(new java.io.File(dir))
+    }
+
     // BPE encode: 50-merge table trained once on a 5k-doc sample, then the
     // fused whole-text encode over 10M 32-token docs.
     if (only.isEmpty || only("bpe_encode_10m_docs")) {
