@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   */
 object SetKernels {
 
+  /** Shared '\n' separator for [[LongSortedSet.stripLines]] — a constant
+    * the per-row kernel must not reallocate. */
+  private[functions] val NewlineUtf8: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString("\n")
+
   /** Sorted-array set with binary-search probes; shipped to executors as
     * one codegen reference object. Equality/hashCode are CONTENT-based
     * with a precomputed hash, because the expression tree embeds this
@@ -66,7 +71,7 @@ object SetKernels {
     def stripLines(text: org.apache.spark.unsafe.types.UTF8String)
         : org.apache.spark.unsafe.types.UTF8String = {
       import org.apache.spark.unsafe.types.UTF8String
-      val nl = UTF8String.fromString("\n")
+      val nl = SetKernels.NewlineUtf8 // hoisted: the kernel runs per row
       // limit -1: trailing empty lines survive, matching split(col, "\n").
       val parts = text.split(nl, -1)
       val kept = new java.util.ArrayList[UTF8String](parts.length)

@@ -185,10 +185,7 @@ object Bpe {
       n.put("rank", mg.rank); n.put("left", mg.left); n.put("right", mg.right)
       n.put("count", mg.count); n.put("sweep", mg.sweep)
     }
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(m.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+    graft.io.FsText.write(spark, path, m.writeValueAsString(root))
   }
 
   /** Reload a persisted tokenizer: `(merges, byteLevel)` — feed both to
@@ -197,12 +194,8 @@ object Bpe {
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[Merge], Boolean) = {
     import scala.jdk.CollectionConverters._
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
+    val text = graft.io.FsText.read(spark, path).getOrElse(throw new
+      java.io.FileNotFoundException(s"no BPE tokenizer model at $path"))
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
     val merges = root.get("merges").elements().asScala.map { n =>
       Merge(n.get("rank").asInt, n.get("left").asText, n.get("right").asText,

@@ -927,6 +927,8 @@ object Dedup {
       minDocs: Int = 3, minLineChars: Int = 1,
       maxLines: Long = 10000000L): Array[Long] = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    require(maxLines >= 0, s"maxLines must be >= 0, got $maxLines")
     val keys = corpus
       .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
       .where(length(trim(col("__line"))) >= minLineChars)

@@ -305,7 +305,7 @@ object Similarity {
     * `maxTrainRows <= 0` disables the bound (exact full-corpus training).
     * The sample is keyed by the vector bytes, so it is reproducible across
     * reruns and repartitions (the [[Sampling.sample]] contract). */
-  private def boundedTrainFrame(c: DataFrame, vecCol: String,
+  private[graft] def boundedTrainFrame(c: DataFrame, vecCol: String,
       maxTrainRows: Long, totalRowsHint: Long = -1L): Option[DataFrame] = {
     if (maxTrainRows <= 0) None
     else {
@@ -767,15 +767,25 @@ object Similarity {
     * corruption that only surfaces as wrong neighbors much later. The
     * check is exact value equality (shape first, for a readable message);
     * it costs one small sidecar read per batch. A dir with no sidecar yet
-    * (fresh directory, first batch) ADOPTS `meta` as the index's codebook:
-    * the sidecar is written after the data lands, so an append-initialized
-    * index is readable/probeable/compactable like a written one, and the
-    * guard bites from the second batch on. */
+    * (fresh directory, first batch) ADOPTS `meta` as the index's codebook.
+    * The adoption writes the sidecar BEFORE any data lands, with an
+    * exclusive create (no overwrite): of two first appends racing into
+    * one fresh dir with different codebooks, exactly one adopts and the
+    * other falls through to the mismatch check against the winner — and a
+    * crash between sidecar and data leaves an empty-but-guarded index,
+    * never data without a codebook. */
   def appendToIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
       meta: IvfPqMeta, dir: String): Unit = {
     val spark = newRows.sparkSession
-    val existing = readMetaSidecar(spark, dir)
-    existing.foreach { e =>
+    val adopted = readMetaSidecar(spark, dir) match {
+      case Some(e) => Some(e)
+      case None =>
+        // Exclusive create: the loser of a racing adoption gets the
+        // winner's sidecar back and validates against it like any batch.
+        if (tryCreateMetaSidecar(spark, dir, meta)) None
+        else readMetaSidecar(spark, dir)
+    }
+    adopted.foreach { e =>
       IvfPqMeta.mismatch(e, meta).foreach { why =>
         throw new IllegalArgumentException(
           s"appendToIvfPqIndex: meta does not match the index sidecar at $dir " +
@@ -785,7 +795,6 @@ object Similarity {
     }
     encodeIndexRows(newRows, idCol, vecCol, meta)
       .write.mode("append").partitionBy("centroid_idx").parquet(dir)
-    if (existing.isEmpty) writeMetaSidecar(spark, dir, meta)
   }
 
   /** Compact a persisted index in place: every [[appendToIvfPqIndex]]
@@ -850,9 +859,11 @@ object Similarity {
       throw new java.io.IOException(
         s"compactIvfPqIndex: could not move $dir aside; compacted index left at $tmp")
     if (!fs.rename(tmp, dirPath)) {
-      fs.rename(old, dirPath) // best-effort restore of the live index
+      val restored = fs.rename(old, dirPath) // best-effort restore
       throw new java.io.IOException(
-        s"compactIvfPqIndex: rename $tmp -> $dir failed; original index restored")
+        s"compactIvfPqIndex: rename $tmp -> $dir failed; " + (
+          if (restored) "original index restored"
+          else s"restore ALSO failed — original preserved at $old, compacted at $tmp"))
     }
     fs.delete(old, true)
     (before, dataFiles(dirPath))
@@ -869,32 +880,27 @@ object Similarity {
     writeMetaSidecar(indexed.sparkSession, dir, meta)
   }
 
+  private def sidecarPath(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json").toString
+
   /** Sidecar write through the SAME filesystem as the parquet — an
     * hdfs://-or-s3a:// index directory must carry its metadata too, not
-    * strand it on the driver's local disk. */
+    * strand it on the driver's local disk ([[graft.io.FsText]]). */
   private def writeMetaSidecar(spark: org.apache.spark.sql.SparkSession,
-      dir: String, meta: IvfPqMeta): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
-  }
+      dir: String, meta: IvfPqMeta): Unit =
+    graft.io.FsText.write(spark, sidecarPath(dir), meta.toJson)
+
+  /** Exclusive-create adoption: false when a sidecar already exists. */
+  private def tryCreateMetaSidecar(spark: org.apache.spark.sql.SparkSession,
+      dir: String, meta: IvfPqMeta): Boolean =
+    graft.io.FsText.write(spark, sidecarPath(dir), meta.toJson,
+      overwrite = false)
 
   /** The sidecar meta at `dir`, through the dir's own filesystem; None
     * when no sidecar exists yet (fresh index directory). */
   private def readMetaSidecar(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[IvfPqMeta] = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_ivfpq_meta.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val text =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      Some(IvfPqMeta.fromJson(text))
-    }
-  }
+      dir: String): Option[IvfPqMeta] =
+    graft.io.FsText.read(spark, sidecarPath(dir)).map(IvfPqMeta.fromJson)
 
   /** Reload a persisted index: the `(neighbor_id, centroid_idx, pq_codes)`
     * table (cell as partition column) + metadata. */
