@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Packing, QualityClassifier, Sampling, Similarity, TextAnalysis}
 
 /** Driver-facing queries for the training-data pipeline operators, over the
   * `documents` and `embeddings` test tables. Every oracle is genuine SQL:
@@ -966,6 +966,43 @@ object LlmQueries {
         "n_digit_any" -> sum(when(f.getField("digit_ratio") > 0, 1L).otherwise(0L)),
         "n_upper_any" -> sum(when(f.getField("upper_ratio") > 0, 1L).otherwise(0L)),
         "n_hi_quality" -> sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)))
+    }),
+
+    // Model-based quality filter (the GPT-3 / CCNet classifier lineage):
+    // train the hashed-n-gram logistic regression on a planted separable
+    // label (documents whose token list contains "spark" — the exact
+    // TextAnalysis.tokens rule, so DuckDB replays n_docs/n_pos from
+    // strings), score the corpus with the fused zero-shuffle kernel, and
+    // pin the learnability contract with tolerance-band booleans: binned
+    // AUC >= 0.95, class-mean separation, a descending loss trace,
+    // unit-interval probabilities, and the Pareto acceptance rule keeping
+    // positives at a higher rate than negatives. Tolerance bands (not
+    // weight bits) because gradient sums commute only up to FP
+    // association — the documented determinism story of the operator.
+    "q_quality_classifier" -> ((s, d) => {
+      val labeled = table(s, d, "documents").withColumn("label",
+        array_contains(TextAnalysis.tokens(col("text")), "spark"))
+      val model = QualityClassifier.train(labeled, "text", "label",
+        dim = 1 << 15, ngrams = 2, iterations = 60, learningRate = 10.0,
+        l2 = 1e-6, maxTrainRows = 100000L, sampleKeyCols = Seq("doc_id"))
+      val scored = labeled.withColumn("score",
+        QualityClassifier.score(col("text"), model)).localCheckpoint()
+      val auc = QualityClassifier.binnedAuc(scored, "score", "label")
+      val mPos = scored.where(col("label")).agg(avg("score")).head.getDouble(0)
+      val mNeg = scored.where(!col("label")).agg(avg("score")).head.getDouble(0)
+      val keep = QualityClassifier.paretoKeep(col("score"), col("doc_id"))
+      val posKeep = scored.where(col("label") && keep).count().toDouble /
+        math.max(scored.where(col("label")).count(), 1L)
+      val negKeep = scored.where(!col("label") && keep).count().toDouble /
+        math.max(scored.where(!col("label")).count(), 1L)
+      one(scored,
+        "n_docs" -> count(lit(1)),
+        "n_pos" -> sum(when(col("label"), 1L).otherwise(0L)),
+        "auc_ok" -> lit(auc >= 0.95),
+        "separation_ok" -> lit(mPos > mNeg + 0.2),
+        "loss_decreasing" -> lit(model.lossTrace.head > model.lossTrace.last),
+        "scores_in_unit" -> all(col("score") >= 0 && col("score") <= 1),
+        "pareto_monotone" -> lit(posKeep > negKeep))
     }),
 
     // Streaming corpus-intake monitor: file-stream the documents parquet,
@@ -2436,6 +2473,20 @@ object LlmQueries {
         |    (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
         |    (CASE WHEN rep <= 0.5 THEN 1 ELSE 0 END) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
         |FROM g""".stripMargin,
+
+    // n_docs and n_pos replay the planted label from strings with the
+    // exact tokens() rule (space trim, ASCII \s split); the learnability
+    // facts (AUC, separation, loss descent, unit scores, Pareto
+    // monotonicity) are frozen tolerance-band booleans — DuckDB has no
+    // gradient-descent arm to recompute weights with.
+    "q_quality_classifier" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN list_contains(
+        |    regexp_split_to_array(trim(text), '\s+'), 'spark')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  TRUE AS auc_ok, TRUE AS separation_ok, TRUE AS loss_decreasing,
+        |  TRUE AS scores_in_unit, TRUE AS pareto_monotone
+        |FROM documents""".stripMargin,
 
     // Same quality arithmetic as q_text_quality, grouped by source — the
     // streaming sink's final table must equal this batch replay.
