@@ -968,6 +968,34 @@ object LlmQueries {
         "n_hi_quality" -> sum(when(score >= lit(6.0 / 7.0), 1L).otherwise(0L)))
     }),
 
+    // HTML -> text extraction (the WET step of a crawl pipeline): wrap
+    // every document in a deterministic HTML template exercising the
+    // whole kernel grammar (head/style/script with embedded fake markup,
+    // a comment, attribute-bearing tags, named + numeric entities), run
+    // the single-pass extraction state machine, and pin exact
+    // reconstruction: the corpus text is whitespace-clean, so the
+    // extracted body must equal source + NL + text + NL + the decoded
+    // entity line on EVERY row. The extracted character total replays in
+    // DuckDB from raw column lengths (len(source) + len(text) + the
+    // template's 16 fixed chars) — a genuine arithmetic recomputation of
+    // the kernel's output size.
+    "q_text_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title></title><style>p { color: red }</style>" +
+          "<script type=\"text/js\">var x = '<p>not text</p>';</script>" +
+          "</head><body><h1 class=\"a>b\">"),
+        col("source"), lit("</h1><!-- boilerplate <p>comment</p> --><p>  "),
+        col("text"),
+        lit("  </p><p>a &amp; b &lt;tag&gt; &#65;&#x42;</p></body></html>"))
+      val extracted = graft.functions.HtmlKernel.htmlToText(html)
+      val expected = concat(col("source"), lit("\n"), col("text"),
+        lit("\na & b <tag> AB"))
+      one(table(s, d, "documents"),
+        "n_docs" -> count(lit(1)),
+        "n_exact" -> sum(when(extracted === expected, 1L).otherwise(0L)),
+        "sum_extracted_chars" -> sum(length(extracted)).cast("long"))
+    }),
+
     // Model-based quality filter (the GPT-3 / CCNet classifier lineage):
     // train the hashed-n-gram logistic regression on a planted separable
     // label (documents whose token list contains "spark" — the exact
@@ -2473,6 +2501,17 @@ object LlmQueries {
         |    (CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) +
         |    (CASE WHEN rep <= 0.5 THEN 1 ELSE 0 END) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_quality
         |FROM g""".stripMargin,
+
+    // All three facts replay from raw column lengths under the pinned
+    // template: every row reconstructs exactly (so n_exact = count(*)),
+    // and the extracted total is len(source) + len(text) + 16 fixed
+    // chars (2 newlines + the 14-char decoded entity line).
+    "q_text_html_extract" ->
+      """SELECT count(*) AS n_docs,
+        |  count(*) AS n_exact,
+        |  CAST(sum(length(source) + length(text) + 16) AS BIGINT)
+        |    AS sum_extracted_chars
+        |FROM documents""".stripMargin,
 
     // n_docs and n_pos replay the planted label from strings with the
     // exact tokens() rule (space trim, ASCII \s split); the learnability
