@@ -1885,6 +1885,83 @@ object LlmQueries {
         "encode_identical" -> lit(identical))
     }),
 
+    // Unigram-LM tokenizer training (SentencePiece family, Kudo 2018):
+    // one corpus shuffle to the distinct-word table, EM over a pruned
+    // seed vocabulary, forward-backward in the fused lattice kernel.
+    // n_words (distinct lowercased whitespace tokens) AND n_pieces both
+    // replay in DuckDB — the final vocabulary size is a pure function of
+    // the corpus: min(300, distinct substrings of length <= maxPieceLen),
+    // since the trainer prunes exactly to the target when the seed is
+    // ample and keeps every candidate when it is not. The remaining model
+    // facts are pinned invariants: every corpus character is a piece
+    // (encode total by construction), the distribution normalizes
+    // (logsumexp = 0), EM is monotone within each fixed-vocab stage (a
+    // mathematical EM guarantee, tolerance-banded for the M-step count
+    // floor), and the most frequent word survives as a whole piece.
+    "q_unigram_train" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val m = graft.llm.UnigramLm.train(docs, "text", vocabSize = 300,
+        maxPieceLen = 8, seedMultiplier = 4)
+      val vocab = m.pieces.map(_.piece).toSet
+      val words = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val corpusChars = words.select(explode(split(col("w"), "")).as("ch"))
+        .where(col("ch") =!= "").distinct().collect().map(_.getString(0)).toSet
+      val topWord = words.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(1)
+        .collect().headOption.map(_.getString(0))
+      val logZ = {
+        val mx = m.pieces.map(_.logp).max
+        mx + math.log(m.pieces.map(p => math.exp(p.logp - mx)).sum)
+      }
+      val emMonotone = m.llTrace.grouped(2).forall {
+        case Seq(a, b) => b >= a - 1e-9 * (1 + math.abs(a))
+        case _ => true
+      }
+      one(words.select(col("w")).distinct(),
+        "n_words" -> count(lit(1)),
+        "n_pieces" -> L(m.pieces.size.toLong),
+        "word_len_le_64" -> all(length(col("w")) <= 64),
+        "alphabet_covered" -> lit(corpusChars.subsetOf(vocab)),
+        "normalized" -> lit(math.abs(logZ) < 1e-9),
+        "em_monotone" -> lit(emMonotone),
+        "top_word_is_piece" -> lit(topWord.forall(vocab.contains)))
+    }),
+
+    // Corpus-wide unigram encode through the fused Viterbi kernel, plus
+    // the save/load lifecycle: the reloaded model must encode
+    // bit-identically. sum_piece_chars is a genuine DuckDB replay — the
+    // Viterbi pieces of each word concatenate back to the word, so total
+    // piece characters = total non-whitespace characters, recomputable
+    // from raw strings. Compression (pieces strictly fewer than chars)
+    // and the roundtrip identity are pinned per row.
+    "q_unigram_encode" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      val m = graft.llm.UnigramLm.train(docs, "text", vocabSize = 300)
+      val dir = java.nio.file.Files.createTempDirectory("graft_unigram_model")
+      val path = dir.resolve("model.json").toString
+      graft.llm.UnigramLm.save(s, m, path)
+      val m2 = graft.llm.UnigramLm.load(s, path)
+      val enc = graft.llm.UnigramLm.encode(docs, "text", m)
+        .withColumn("stripped",
+          concat_ws("", split(lower(trim(col("text"))), "\\s+")))
+      val enc1 = graft.llm.UnigramLm.encode(docs, "text", m)
+        .select(col("doc_id"), col("unigram_tokens")).localCheckpoint()
+      val enc2 = graft.llm.UnigramLm.encode(docs, "text", m2)
+        .select(col("doc_id"), col("unigram_tokens")).localCheckpoint()
+      val identical = enc1.exceptAll(enc2).isEmpty && enc2.exceptAll(enc1).isEmpty
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      one(enc,
+        "n_docs" -> count(lit(1)),
+        "sum_piece_chars" -> sum(length(concat_ws("", col("unigram_tokens"))))
+          .cast("long"),
+        "all_roundtrip" -> all(
+          concat_ws("", col("unigram_tokens")) === col("stripped")),
+        "compressed" -> (sum(size(col("unigram_tokens"))) <
+          sum(length(col("stripped")))),
+        "reload_identical" -> lit(identical))
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -2742,6 +2819,36 @@ object LlmQueries {
       """SELECT count(*) AS n_docs, TRUE AS merges_equal,
         |  TRUE AS flag_survives, TRUE AS encode_identical
         |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
+    // n_words and n_pieces are genuine recomputations under the shared
+    // word rule — the vocabulary size is min(target, distinct substrings
+    // of length <= 8), counted here over a 64-position series whose
+    // sufficiency word_len_le_64 itself verifies on both sides. The
+    // model facts are pinned invariants (alphabet coverage,
+    // normalization, EM monotonicity — see the query comment).
+    "q_unigram_train" ->
+      """WITH words AS (
+        |  SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |subs AS (
+        |  SELECT DISTINCT substring(w, s, l) AS p
+        |  FROM words, generate_series(1, 64) AS g(s), generate_series(1, 8) AS h(l)
+        |  WHERE w <> '' AND s + l - 1 <= length(w))
+        |SELECT (SELECT count(*) FROM words WHERE w <> '') AS n_words,
+        |  (SELECT least(300, count(*)) FROM subs) AS n_pieces,
+        |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
+        |  TRUE AS alphabet_covered, TRUE AS normalized,
+        |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // sum_piece_chars replays from raw strings: Viterbi segmentation
+    // partitions each word, so piece characters total exactly the
+    // corpus's non-whitespace characters.
+    "q_unigram_encode" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(regexp_replace(trim(lower(text)), '\s+', '', 'g'))) AS BIGINT)
+        |    AS sum_piece_chars,
+        |  TRUE AS all_roundtrip, TRUE AS compressed, TRUE AS reload_identical
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // Full replay of the bigram-LM scoring: identical tokenization, the
     // corpus bigram/unigram counts, V, and -ln((cb+1)/(cu+V)) averaged
