@@ -1962,6 +1962,38 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // DSIR importance resampling (Xie et al., NeurIPS 2023): the target
+    // corpus is the high-'spark'-token-rate slice (> 0.06 of tokens); the
+    // raw corpus is everything. n_raw / n_target / n_out are genuine
+    // DuckDB recomputations (the target rule replays exactly — integer
+    // token counts, IEEE double division on both engines); enrichment
+    // (selected docs' mean marker rate strictly above raw's),
+    // rerun+repartition determinism, and weight finiteness are pinned
+    // booleans on the executed selection.
+    "q_dsir_resample" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      def rate(c: Column): Column = {
+        val toks = split(lower(trim(c)), "\\s+")
+        size(filter(toks, t => t === "spark")).cast("double") / size(toks)
+      }
+      val target = docs.where(rate(col("text")) > 0.06)
+      val picked = graft.llm.Dsir.resampleN(docs, target, "text",
+        Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2).localCheckpoint()
+      val again = graft.llm.Dsir.resampleN(docs.repartition(13), target,
+        "text", Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2)
+      val idsA = picked.select("doc_id").collect().map(_.getLong(0)).toSet
+      val idsB = again.select("doc_id").collect().map(_.getLong(0)).toSet
+      val rawRate = docs.agg(avg(rate(col("text")))).collect()(0).getDouble(0)
+      one(picked,
+        "n_raw" -> L(docs.count()),
+        "n_target" -> L(target.count()),
+        "n_out" -> count(lit(1)),
+        "enriched" -> (avg(rate(col("text"))) > rawRate),
+        "deterministic" -> lit(idsA == idsB),
+        "weights_finite" -> all(!isnan(col("dsir_logw")) &&
+          abs(col("dsir_logw")) < Double.PositiveInfinity))
+    }),
+
     // -------------------------------------------- tf-idf salient terms
     // Full replay: per-doc top-3 terms with tf/df and the smoothed TF-IDF
     // at 1e-6 fixed point — DuckDB re-derives the whole pipeline (explode,
@@ -2839,6 +2871,23 @@ object LlmQueries {
         |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
         |  TRUE AS alphabet_covered, TRUE AS normalized,
         |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // n_raw / n_target / n_out replay exactly: the target rule is integer
+    // token counts + IEEE double division, identical in both engines;
+    // n_out = least(100, n_raw) because Gumbel top-k returns min(n, rows).
+    // The hash-dependent selection itself is pinned by the query's own
+    // enrichment/determinism/finiteness booleans.
+    "q_dsir_resample" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |           x -> x = 'spark')) * 1.0
+        |         / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS r
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_raw,
+        |  count(*) FILTER (r > 0.06) AS n_target,
+        |  least(100, count(*)) AS n_out,
+        |  TRUE AS enriched, TRUE AS deterministic, TRUE AS weights_finite
+        |FROM t""".stripMargin,
 
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
