@@ -416,6 +416,72 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Trigram stupid-backoff LM scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007 — the n-gram smoothing
+    * built FOR distributed trillion-token corpora: no continuation
+    * counts, no discount normalization, just count ratios with a fixed
+    * backoff penalty):
+    *
+    *   S(w3|w1,w2) = c3/c2(w1,w2)        if c3(w1,w2,w3) > 0
+    *               = λ · S(w3|w2)         otherwise
+    *   S(w3|w2)    = c2(w2,w3)/c1(w2)    if c2(w2,w3) > 0
+    *               = λ · S(w3)            otherwise
+    *   S(w3)       = (c1(w3)+1)/(N+V+1)   (add-one at the unigram level
+    *                                       so OOV words score finite —
+    *                                       pure SB drops unseen words)
+    *
+    * Counts come from `train`; scoring runs over `score` — the reference
+    * deployment (fit on the trusted corpus, score candidates), and the
+    * split is what makes the backoff branches live. Scores are relative
+    * frequencies, not a normalized distribution (the published SB
+    * tradeoff) — ranking quality, not true perplexity.
+    *
+    * Scale shape (the [[bigramNll]] contract): three map-side-combined
+    * count aggregations over the train corpus; scoring LEFT-joins each
+    * document trigram to its five counts (equi-joins on gram keys, never
+    * all-pairs) and aggregates per doc; the (N, V) totals ride as a
+    * broadcast 1-row frame. Fully lazy — no driver action.
+    *
+    * @return (id, n_trigrams, avg_nll) for scored documents with >= 3
+    *   tokens (shorter docs carry no trigram evidence and are omitted). */
+  def trigramSbNll(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, backoff: Double = 0.4): DataFrame = {
+    require(backoff > 0 && backoff <= 1, s"backoff must be in (0,1], got $backoff")
+    def toks(df: DataFrame) = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(trim(lower(col(textCol))), "\\s+").as("t"))
+    def grams(df: DataFrame, n: Int): DataFrame = {
+      val fields = (1 to n).map(k => s"element_at(t, i+$k) as w$k").mkString(", ")
+      toks(df).where(size(col("t")) >= n)
+        .select(col("id"), explode(expr(
+          s"transform(sequence(0, size(t)-$n), i -> struct($fields))")).as("g"))
+        .select(col("id") +: (1 to n).map(k => col(s"g.w$k").as(s"w$k")): _*)
+    }
+    val uni = grams(train, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = grams(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tri = grams(train, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val nv = uni.agg(sum("c1").as("n_total"), count(lit(1)).as("v"))
+
+    val sc = grams(score, 3)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("c2").as("c2_ctx")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2_pair")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c1_w2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c1").as("c1_w3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+    val sUni = (coalesce(col("c1_w3"), lit(0L)) + 1.0) /
+      (col("n_total") + col("v") + 1.0)
+    val s = when(col("c3").isNotNull, col("c3") / col("c2_ctx"))
+      .otherwise(lit(backoff) * when(col("c2_pair").isNotNull,
+        col("c2_pair") / col("c1_w2")).otherwise(lit(backoff) * sUni))
+    sc.withColumn("nll", -log(s))
+      .groupBy("id").agg(count(lit(1)).as("n_trigrams"), avg("nll").as("avg_nll"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("avg_nll"))
+  }
+
   // ------------------------------------------------------------ frame API
 
   /** Annotate a document frame with the standard analysis columns. */

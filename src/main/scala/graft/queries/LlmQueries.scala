@@ -1784,6 +1784,21 @@ object LlmQueries {
           round(col("avg_nll") * 1e6).cast("long").as("nll_fp"))
         .orderBy("doc_id")),
 
+    // Trigram stupid-backoff scoring (Brants et al. 2007): counts fit on
+    // the even-doc_id half, scores on the odd half — the train/score
+    // split is what makes the backoff and OOV branches live. Full DuckDB
+    // replay (same tokenization, counts, branch arithmetic) at 1e-6
+    // fixed point.
+    "q_text_perplexity_sb" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.trigramSbNll(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("avg_nll") * 1e6).cast("long").as("nll_fp"))
+        .orderBy("doc_id")
+    }),
+
     // ------------------------------------------------- BPE tokenizer
     // The rank-0 merge is a genuine SQL replay (weighted adjacent-char
     // bigram argmax with the same (count desc, left asc, right asc)
@@ -2920,6 +2935,49 @@ object LlmQueries {
         |    -ln((cb + 1.0) / (cu + 1.0 * v)) AS nll
         |  FROM pf JOIN bi USING (w1, w2) JOIN uni ON pf.w1 = uni.w CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(avg(nll) * 1e6) AS BIGINT) AS nll_fp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Full replay of the stupid-backoff arithmetic: identical counts from
+    // the even half, identical branch structure (trigram ratio, else
+    // 0.4 x bigram ratio, else 0.4 x 0.4 x add-one unigram) over the odd
+    // half, 1e-6 fixed point. All divisions forced to double (*1.0)
+    // to match Spark's true division on longs.
+    "q_text_perplexity_sb" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w1, count(*) AS c1 FROM
+        |  (SELECT unnest(lt) AS w1 FROM tr) GROUP BY w1),
+        |bi AS (SELECT g.w1 AS w1, g.w2 AS w2, count(*) AS c2 FROM
+        |  (SELECT unnest(list_transform(generate_series(1, len(lt)-1),
+        |     i -> {'w1': lt[i], 'w2': lt[i+1]})) AS g
+        |   FROM tr WHERE len(lt) >= 2) GROUP BY 1, 2),
+        |tri AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*) AS c3 FROM
+        |  (SELECT unnest(list_transform(generate_series(1, len(lt)-2),
+        |     i -> {'w1': lt[i], 'w2': lt[i+1], 'w3': lt[i+2]})) AS g
+        |   FROM tr WHERE len(lt) >= 3) GROUP BY 1, 2, 3),
+        |nv AS (SELECT sum(c1) AS n_total, count(*) AS v FROM uni),
+        |sf AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM
+        |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(lt)-2),
+        |     i -> {'w1': lt[i], 'w2': lt[i+1], 'w3': lt[i+2]})) AS g
+        |   FROM tk WHERE doc_id % 2 = 1 AND len(lt) >= 3)),
+        |j AS (SELECT sf.doc_id, tri.c3, b1.c2 AS c2_ctx, b2.c2 AS c2_pair,
+        |    u2.c1 AS c1_w2, u3.c1 AS c1_w3, nv.n_total, nv.v
+        |  FROM sf
+        |  LEFT JOIN tri ON sf.w1 = tri.w1 AND sf.w2 = tri.w2 AND sf.w3 = tri.w3
+        |  LEFT JOIN bi b1 ON sf.w1 = b1.w1 AND sf.w2 = b1.w2
+        |  LEFT JOIN bi b2 ON sf.w2 = b2.w1 AND sf.w3 = b2.w2
+        |  LEFT JOIN uni u2 ON sf.w2 = u2.w1
+        |  LEFT JOIN uni u3 ON sf.w3 = u3.w1
+        |  CROSS JOIN nv),
+        |sc AS (SELECT doc_id, -ln(
+        |    CASE WHEN c3 IS NOT NULL THEN c3 * 1.0 / c2_ctx
+        |      ELSE 0.4 * (CASE WHEN c2_pair IS NOT NULL THEN c2_pair * 1.0 / c1_w2
+        |        ELSE 0.4 * ((coalesce(c1_w3, 0) + 1.0) / (n_total + v + 1.0)) END)
+        |    END) AS nll FROM j)
+        |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(round(avg(nll) * 1e6) AS BIGINT) AS nll_fp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

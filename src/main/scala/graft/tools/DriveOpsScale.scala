@@ -359,6 +359,94 @@ object DriveOpsScale {
           .select(size(col("bpe_tokens")).as("n")))
     }
 
+    // Unigram-LM: model trained once on a 5k-doc sample, then the fused
+    // Viterbi encode over 10M docs (the 100 TB deployment shape — train
+    // on a sample, encode the corpus). The train line measures the full
+    // wall at 10M docs: the one corpus→distinct-word shuffle dominates,
+    // everything after is vocabulary-sized (5000 distinct words here).
+    if (only.isEmpty || only("unigram_encode_10m_docs")
+        || only("unigram_train_10m_docs")) {
+      if (only.isEmpty || only("unigram_encode_10m_docs")) {
+        val um = graft.llm.UnigramLm.train(docs10m.limit(5000), "text",
+          vocabSize = 300, maxPieceLen = 6)
+        bench("unigram_encode_10m_docs", 10000000L, docs10m,
+          df => graft.llm.UnigramLm.encode(df, "text", um)
+            .select(size(col("unigram_tokens")).as("n")))
+      }
+      if (only.isEmpty || only("unigram_train_10m_docs")) {
+        graft.llm.UnigramLm.train( // warm at 1/10 scale
+          docs10m.limit(1000000), "text", vocabSize = 300, maxPieceLen = 6)
+        var bestT = Double.MaxValue; var bestSteal = 0.0
+        for (_ <- 0 until 2) {
+          val (st0, _) = boxTicks()
+          val t = secs {
+            graft.llm.UnigramLm.train(docs10m, "text",
+              vocabSize = 300, maxPieceLen = 6); ()
+          }
+          val (st1, _) = boxTicks()
+          if (t < bestT) { bestT = t; bestSteal = (st1 - st0) / 100.0 }
+        }
+        val line = f"""{"bench":"unigram_train_10m_docs","rows":10000000,"train_sec":$bestT%.2f,"steal_sec":$bestSteal%.2f}"""
+        println(s"CHECK $line"); out.append(line).append('\n')
+      }
+    }
+
+    // Quality-classifier scoring: model trained once on a 10k-doc sample
+    // with a synthetic label, then the fused hashed-n-gram + logreg score
+    // over 10M docs — the corpus-filtering pass of the GPT-3 pipeline.
+    if (only.isEmpty || only("quality_score_10m_docs")) {
+      val labeled = docs10m.limit(10000)
+        .withColumn("label", (pmod(xxhash64(col("id")), lit(2L))).cast("double"))
+      val qm = graft.llm.QualityClassifier.train(labeled, "text", "label",
+        dim = 1 << 16, iterations = 5)
+      bench("quality_score_10m_docs", 10000000L, docs10m,
+        df => df.select(
+          graft.llm.QualityClassifier.score(col("text"), qm).as("q")))
+    }
+
+    // HTML-to-text extraction over 10M synthetic pages (tags + script
+    // noise around the 32-token body) — the crawl WET pass.
+    if (only.isEmpty || only("html_extract_10m_docs")) {
+      val pages10m = spark.range(10000000L).toDF("id").withColumn("text",
+        concat(lit("<html><head><title>t</title><script>var x=1;</script></head><body><p>"),
+          text(32), lit("</p><div>&amp; more</div></body></html>")))
+      bench("html_extract_10m_docs", 10000000L, pages10m,
+        df => df.select(
+          graft.functions.HtmlKernel.htmlToText(col("text")).as("wet")))
+    }
+
+    // DSIR: the log-ratio table fit once (target = a 5k-doc slice, raw =
+    // a 100k sample — the real deployment fits on samples), then the
+    // fused importance-weight score over 10M docs; plus the fit wall
+    // itself at 10M docs (one dim-bounded two-phase count + ≤ dim-row
+    // collect per corpus).
+    if (only.isEmpty || only("dsir_score_10m_docs") || only("dsir_fit_10m_docs")) {
+      if (only.isEmpty || only("dsir_score_10m_docs")) {
+        val tbl = graft.llm.Dsir.logRatioTable(
+          docs10m.limit(5000), docs10m.limit(100000), "text",
+          dim = 1 << 16, ngrams = 2)
+        bench("dsir_score_10m_docs", 10000000L, docs10m,
+          df => df.select(
+            graft.llm.Dsir.importanceLogWeight(col("text"), tbl).as("w")))
+      }
+      if (only.isEmpty || only("dsir_fit_10m_docs")) {
+        graft.llm.Dsir.bucketLogProbs( // warm at 1/10 scale
+          docs10m.limit(1000000), "text", dim = 1 << 16, ngrams = 2)
+        var bestT = Double.MaxValue; var bestSteal = 0.0
+        for (_ <- 0 until 2) {
+          val (st0, _) = boxTicks()
+          val t = secs {
+            graft.llm.Dsir.bucketLogProbs(docs10m, "text",
+              dim = 1 << 16, ngrams = 2); ()
+          }
+          val (st1, _) = boxTicks()
+          if (t < bestT) { bestT = t; bestSteal = (st1 - st0) / 100.0 }
+        }
+        val line = f"""{"bench":"dsir_fit_10m_docs","rows":10000000,"fit_sec":$bestT%.2f,"steal_sec":$bestSteal%.2f}"""
+        println(s"CHECK $line"); out.append(line).append('\n')
+      }
+    }
+
     val path = java.nio.file.Paths.get("bench_ops_scale.json")
     val merged =
       if (only.isEmpty || !java.nio.file.Files.exists(path)) out.toString
