@@ -116,6 +116,34 @@ object CentroidKernels {
       }
       if (best == Double.NegativeInfinity) null else java.lang.Double.valueOf(best)
     }
+
+    /** Index of the nearest centroid by SQUARED EUCLIDEAN distance — the
+      * Lloyd/k-means objective ([[graft.llm.Clustering]]), where the
+      * cosine argmax is wrong for unnormalized vectors (any two parallel
+      * vectors tie at cosine 1 regardless of magnitude). Computed as
+      * argmin(|c|² − 2·v·c): |v|² is constant per row, and the centroid
+      * norms are precomputed. Ties and NaNs resolve to the LOWEST index
+      * (strict `<` replacement; NaN never beats a real distance); null on
+      * null-element / ragged input; null when the set is empty. */
+    def nearestL2(vec: ArrayData): Any = {
+      if (mat.isEmpty) return null
+      val dim = vec.numElements()
+      var i = 0
+      while (i < dim) { if (vec.isNullAt(i)) return null; i += 1 }
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var c = 0
+      while (c < mat.length) {
+        val cv = mat(c)
+        if (cv.length != dim) return null
+        var s = 0.0; var j = 0
+        while (j < dim) { s += vec.getDouble(j) * cv(j); j += 1 }
+        val d = norms(c) * norms(c) - 2.0 * s
+        if (d < best) { best = d; bestIdx = c }
+        c += 1
+      }
+      if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+    }
   }
 
   /** `topIndices` as a Catalyst expression. Holds the matrix as Seq-of-Seq
@@ -158,6 +186,43 @@ object CentroidKernels {
   /** The single nearest centroid index (argmax cosine). */
   def nearestIndex(vec: Column, centroids: Array[Array[Double]]): Column =
     org.apache.spark.sql.functions.element_at(nearestIndices(vec, centroids, 1), 1)
+
+  /** `nearestL2` as a Catalyst expression — the squared-Euclidean argmin
+    * twin of [[NearestCentroids]] for k-means clustering. */
+  case class NearestCentroidL2(child: Expression, centroids: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def prettyName: String = "graft_nearest_centroid_l2"
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+
+    @transient private lazy val set = new CentroidSet(centroids.map(_.toArray).toArray)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      set.nearestL2(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroidSetL2", set,
+        "graft.functions.CentroidKernels.CentroidSet")
+      val tmp = ctx.freshName("l2Idx")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        java.lang.Integer $tmp = (java.lang.Integer) $ref.nearestL2($arr);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.intValue(); }""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The single nearest centroid index by squared Euclidean distance. */
+  def nearestIndexL2(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftSql.column(NearestCentroidL2(
+      GraftSql.expression(vec.cast("array<double>")), centroids.map(_.toSeq).toSeq))
 
   // ---------------------------------------------------------- max cosine
 

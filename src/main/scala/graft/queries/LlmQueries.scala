@@ -1977,6 +1977,55 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // K-means clustering (farthest-first seeds, L2 Lloyd, fused argmin
+    // assignment) + cluster-balanced selection. n replays in DuckDB; the
+    // model facts are pinned invariants on the executed clustering:
+    // every row sits in its genuinely-nearest cell (recomputed against
+    // the centroid literal with built-in HOFs), Lloyd never increases
+    // the objective, sizes sum to n, assignment is repartition-stable,
+    // and the balanced sample takes exactly min(quota, size) per cell.
+    "q_cluster_kmeans" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").where(col("embedding").isNotNull)
+      val (a0, m0) = graft.llm.Clustering.kMeans(emb, "vec_id", "embedding",
+        k = 8, iterations = 0)
+      val (assigned, mat) = graft.llm.Clustering.kMeans(emb, "vec_id",
+        "embedding", k = 8, iterations = 3)
+      def totalInertia(df: DataFrame, m: Array[Array[Double]]): Double =
+        graft.llm.Clustering.clusterStats(df, "embedding", m)
+          .agg(coalesce(sum("inertia"), lit(0.0))).collect()(0).getDouble(0)
+      val monotone = totalInertia(assigned, mat) <=
+        totalInertia(a0, m0) * (1 + 1e-12) + 1e-9
+      val sizes = graft.llm.Clustering.clusterStats(assigned, "embedding", mat)
+        .select("cluster_id", "n").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val balCounts = graft.llm.Clustering
+        .balancedSample(assigned, Seq("vec_id"), perCluster = 20)
+        .groupBy("cluster_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val balancedOk = sizes.forall { case (c, n) =>
+        balCounts.getOrElse(c, 0L) == math.min(20L, n) }
+      val stable = graft.llm.Clustering
+        .assign(emb.repartition(11), "embedding", mat)
+        .select("vec_id", "cluster_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+        assigned.select("vec_id", "cluster_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val matLit = array(mat.map(c => array(c.map(lit): _*)): _*)
+      val dists = transform(matLit, c => aggregate(
+        zip_with(col("embedding").cast("array<double>"), c,
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      one(assigned,
+        "n" -> count(lit(1)),
+        "assigned_nearest" -> all(
+          element_at(dists, col("cluster_id") + 1) === array_min(dists)),
+        "sizes_sum_to_n" -> (sum(lit(1L)) === L(sizes.values.sum)),
+        "cells_le_k" -> lit(sizes.size <= 8),
+        "cells_ge_2" -> lit(sizes.size >= 2),
+        "lloyd_monotone" -> lit(monotone),
+        "balanced_ok" -> lit(balancedOk),
+        "assign_stable" -> lit(stable))
+    }),
+
     // DSIR importance resampling (Xie et al., NeurIPS 2023): the target
     // corpus is the high-'spark'-token-rate slice (> 0.06 of tokens); the
     // raw corpus is everything. n_raw / n_target / n_out are genuine
@@ -2886,6 +2935,18 @@ object LlmQueries {
         |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
         |  TRUE AS alphabet_covered, TRUE AS normalized,
         |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // n replays exactly; the clustering facts are pinned invariants on
+    // the executed model (see the query comment) — centroids are
+    // train-data-dependent, so DuckDB cannot re-derive them, but the
+    // nearest-cell recomputation and the quota arithmetic hold for ANY
+    // correct clustering.
+    "q_cluster_kmeans" ->
+      """SELECT count(*) AS n,
+        |  TRUE AS assigned_nearest, TRUE AS sizes_sum_to_n,
+        |  TRUE AS cells_le_k, TRUE AS cells_ge_2, TRUE AS lloyd_monotone,
+        |  TRUE AS balanced_ok, TRUE AS assign_stable
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
 
     // n_raw / n_target / n_out replay exactly: the target rule is integer
     // token counts + IEEE double division, identical in both engines;
