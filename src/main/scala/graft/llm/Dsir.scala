@@ -36,6 +36,11 @@ import graft.functions.DsirKernels
   *
   * Null contract: null-text rows score null and never survive selection;
   * empty text scores 0 (equally likely under both distributions).
+  *
+  * Measured (bench_ops_scale.json): the multinomial fit is 12.2s at 10M
+  * 32-token docs (dim 2^16, orders 1-2); the fused scoring pass is below
+  * the 50ms measurement floor against its input synthesis at 10M docs —
+  * selection cost is the scan itself.
   */
 object Dsir {
 

@@ -33,7 +33,9 @@ import graft.functions.LogRegKernels
   *
   * The reference package has no model-based filter; this extends the
   * beyond-reference LLM-pipeline surface (SURVEY §2.11) alongside the
-  * heuristic [[TextAnalysis.qualityScore]].
+  * heuristic [[TextAnalysis.qualityScore]]. Measured
+  * (bench_ops_scale.json): scoring 1.4M docs/s marginal at 10M
+  * 32-token docs.
   */
 object QualityClassifier {
 

@@ -31,7 +31,9 @@ import graft.functions.UnigramKernels
   * On a real corpus one trains on a deterministic sample
   * ([[Sampling.sampleN]] composes directly, the ANN-training pattern)
   * and encodes the full 100 TB with the zero-shuffle fused
-  * [[UnigramKernels.UnigramEncode]] pass.
+  * [[UnigramKernels.UnigramEncode]] pass. Measured (bench_ops_scale.json):
+  * encode 0.8M docs/s marginal at 10M 32-token docs; full train at 10M
+  * docs 46s, dominated by the one corpus→distinct-word shuffle.
   *
   * Determinism: seeding ties break on (count desc, piece asc); EM is
   * deterministic up to floating-point summation order (shuffle-partial
