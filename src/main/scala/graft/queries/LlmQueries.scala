@@ -1977,6 +1977,38 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Token-budget sampling: keep the longest (hash, key)-order prefix
+    // whose cumulative token count fits the budget (prefix-stop rule) —
+    // the "take N tokens from this source" primitive. n_docs replays in
+    // DuckDB; the pins prove the selection respects the budget, FILLS it
+    // (the shortfall is smaller than the largest document, so no doc in
+    // order could have been added), is monotone in the budget, and
+    // degenerates to the whole corpus when the budget covers it.
+    "q_sample_token_budget" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("n_tok",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      val totals = docs.agg(sum("n_tok"), max("n_tok"), count(lit(1))).collect()(0)
+      val (total, maxTok, nDocs) = (totals.getLong(0), totals.getLong(1),
+        totals.getLong(2))
+      val budget = total * 2 / 5
+      val sel = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+        "n_tok", budget).localCheckpoint()
+      val selTok = sel.agg(coalesce(sum("n_tok"), lit(0L))).collect()(0).getLong(0)
+      val idsSel = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+      val idsSmall = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+        "n_tok", budget / 2).select("doc_id").collect().map(_.getLong(0)).toSet
+      val fullN = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+        "n_tok", total).count()
+      one(docs,
+        "n_docs" -> count(lit(1)),
+        "within_budget" -> lit(selTok <= budget),
+        "fills_budget" -> lit(budget - selTok < maxTok),
+        "monotone_subset" -> lit(idsSmall.subsetOf(idsSel) &&
+          idsSmall.size < idsSel.size),
+        "full_when_covered" -> lit(fullN == nDocs))
+    }),
+
     // K-means clustering (farthest-first seeds, L2 Lloyd, fused argmin
     // assignment) + cluster-balanced selection. n replays in DuckDB; the
     // model facts are pinned invariants on the executed clustering:
@@ -2935,6 +2967,16 @@ object LlmQueries {
         |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
         |  TRUE AS alphabet_covered, TRUE AS normalized,
         |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // n_docs replays; the budget facts are pinned invariants on the
+    // executed prefix (see the query comment) — the hash order itself is
+    // engine-internal, but within/fills/monotone/degenerate hold for any
+    // correct prefix-stop selection.
+    "q_sample_token_budget" ->
+      """SELECT count(*) AS n_docs,
+        |  TRUE AS within_budget, TRUE AS fills_budget,
+        |  TRUE AS monotone_subset, TRUE AS full_when_covered
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // n replays exactly; the clustering facts are pinned invariants on
     // the executed model (see the query comment) — centroids are
