@@ -204,6 +204,27 @@ object Bench {
     val calWords = 4 << 20 // 32 MB of longs
     lazy val calSrc = new Array[Long](calWords)
     lazy val calDst = new Array[Long](calWords)
+    // Disk axis (r12 run E finding): a window can be CPU- and
+    // memory-bandwidth-clean while the DISK is contended — the
+    // parquet-writing queries (index compact/persist/append, stream
+    // sinks) inflated 3-6x under clean Mops/GB/s probes. A 32 MB
+    // synced write to the same tmp filesystem those queries use pins
+    // the third axis (~50-150 ms per probe).
+    lazy val diskBuf = new Array[Byte](4 << 20) // one 4 MB block, reused
+    def quickDiskMbps(): Double = {
+      val f = java.io.File.createTempFile("graft_bench_disk", ".probe")
+      try {
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val t0 = System.nanoTime()
+          var r = 0
+          while (r < 8) { ch.write(java.nio.ByteBuffer.wrap(diskBuf)); r += 1 }
+          ch.force(false)
+          32.0 / ((System.nanoTime() - t0) / 1e9)
+        } finally ch.close()
+      } finally { f.delete(); () }
+    }
     def calibrate(): (Double, Double) = {
       var x = 0x9E3779B97F4A7C15L
       var n = 0L
@@ -233,7 +254,11 @@ object Bench {
     // `SPARK_GRAFT_CLEAN_GATE=mops,gbps[,maxWaitSec]`, disable with
     // `SPARK_GRAFT_CLEAN_GATE=off`. On timeout the run proceeds (and the
     // recorded start probe shows what it ran on).
-    val gateSpec = sys.env.getOrElse("SPARK_GRAFT_CLEAN_GATE", "270,9,300")
+    // Spec format: `mops,gbps[,maxWaitSec[,diskMbps]]` — the fourth field
+    // (r12) gates the disk axis; its default 150 MB/s synced-write bar is
+    // ~half the clean-box reading, the same margin policy as the other
+    // two axes.
+    val gateSpec = sys.env.getOrElse("SPARK_GRAFT_CLEAN_GATE", "270,9,300,150")
     if (!gateSpec.trim.equalsIgnoreCase("off")) {
       // A malformed spec must not abort the bench before any query runs —
       // fall back to the FULL defaults (a partially-parseable spec like
@@ -241,23 +266,26 @@ object Bench {
       val raw = gateSpec.split(",").flatMap(p => scala.util.Try(p.trim.toDouble).toOption)
       val parts = if (raw.length >= 2) raw else Array.empty[Double]
       if (raw.length < 2)
-        System.err.println(s"[bench] unparseable SPARK_GRAFT_CLEAN_GATE='$gateSpec' — using defaults 270,9,300")
+        System.err.println(s"[bench] unparseable SPARK_GRAFT_CLEAN_GATE='$gateSpec' — using defaults 270,9,300,150")
       val needMops = if (parts.length >= 1) parts(0) else 270.0
       val needGbps = if (parts.length >= 2) parts(1) else 9.0
       val maxWait = if (parts.length > 2) parts(2).toLong else 300L
+      val needDisk = if (parts.length > 3) parts(3) else 150.0
       val deadline = System.nanoTime() + maxWait * 1000000000L
       var ok = false
       while (!ok && System.nanoTime() < deadline) {
         val (m, g) = calibrate()
-        ok = m >= needMops && g >= needGbps
+        val dk = quickDiskMbps()
+        ok = m >= needMops && g >= needGbps && dk >= needDisk
         if (!ok) {
-          System.err.println(f"[bench] box busy (probe $m%.0f Mops, $g%.1f GB/s; need $needMops%.0f/$needGbps%.1f) — waiting")
+          System.err.println(f"[bench] box busy (probe $m%.0f Mops, $g%.1f GB/s, $dk%.0f MB/s disk; need $needMops%.0f/$needGbps%.1f/$needDisk%.0f) — waiting")
           Thread.sleep(15000)
         }
       }
       if (!ok) System.err.println("[bench] clean-gate timeout — proceeding on a possibly-degraded box")
     }
     val (cpuMops0, memGbps0) = calibrate()
+    val diskMbps0 = quickDiskMbps()
 
     val nCpus = cpus.toInt
     val genRows = 10000000L
@@ -384,8 +412,13 @@ object Bench {
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered =
       if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1")) ordered0.reverse else ordered0
+    val diskTrace = scala.collection.mutable.LinkedHashMap[String, Double]()
     ordered.foreach { case (name, fn) =>
-      if (qIdx % 10 == 0) { mopsTrace(name) = quickMops(); gbpsTrace(name) = quickGbps() }
+      if (qIdx % 10 == 0) {
+        mopsTrace(name) = quickMops()
+        gbpsTrace(name) = quickGbps()
+        diskTrace(name) = quickDiskMbps()
+      }
       qIdx += 1
       timed(name)(materialize(fn(spark, sfDir)))
       // Multi-action pipelines (dedup CC) record per-stage wall times so a
@@ -424,8 +457,10 @@ object Bench {
     spark.stop()
     System.gc()
     val (cpuMops1, memGbps1) = calibrate()
+    val diskMbps1 = quickDiskMbps()
+    val dtrace = diskTrace.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_disk_mbps":[$diskMbps0%.0f,$diskMbps1%.0f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace,"box_disk_trace":$dtrace}"""
     // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
