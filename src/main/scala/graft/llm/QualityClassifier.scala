@@ -121,24 +121,31 @@ object QualityClassifier {
           (-(col("y") * log(greatest(col("p"), lit(eps))) +
             (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(eps)))))
             .as("ll"))
-        // Job 1 of 2: scalar aggregates (loss + bias gradient).
-        val head = resid.agg(sum("ll").as("sll"), sum("r").as("sr")).head()
-        losses += head.getDouble(0) / n
-        val biasGrad = head.getDouble(1) / n
-        // Job 2 of 2: per-feature gradient — explode the sparse entries,
-        // hash-aggregate by index (map-side partials mean the shuffle
-        // carries <= dim sums per task), collect the <= dim result rows.
-        val grad = resid.select(col("r"),
-          explode(arrays_zip(col("f").getField("indices").as("i"),
-            col("f").getField("values").as("v"))).as("e"))
-          .select(col("e.i").as("i"), (col("e.v") * col("r")).as("g"))
+        // ONE job per iteration: the per-feature gradient entries ride the
+        // same explode as two sentinel rows — id -1 carries the residual
+        // (bias gradient), id -2 the log-loss — so one map-side-combined
+        // hash aggregate (shuffle <= dim+2 sums per task) delivers loss,
+        // bias gradient, and every weight gradient in <= dim+2 collected
+        // rows. (Two jobs per iteration doubled the driver-side latency
+        // that dominates at bounded training sizes.)
+        val grad = resid.select(explode(concat(
+          transform(arrays_zip(col("f").getField("indices").as("i"),
+            col("f").getField("values").as("v")),
+            e => struct(e.getField("i").as("i"),
+              (e.getField("v") * col("r")).as("g"))),
+          array(struct(lit(-1).as("i"), col("r").as("g")),
+            struct(lit(-2).as("i"), col("ll").as("g"))))).as("e"))
+          .select(col("e.i").as("i"), col("e.g").as("g"))
           .groupBy("i").agg(sum("g").as("g"))
           .collect()
+        var biasGrad = 0.0
         var gi = 0
         while (gi < grad.length) {
           val row = grad(gi)
           val k = row.getInt(0)
-          w(k) -= learningRate * (row.getDouble(1) / n + l2 * w(k))
+          if (k == -1) biasGrad = row.getDouble(1) / n
+          else if (k == -2) losses += row.getDouble(1) / n
+          else w(k) -= learningRate * (row.getDouble(1) / n + l2 * w(k))
           gi += 1
         }
         bias -= learningRate * biasGrad
