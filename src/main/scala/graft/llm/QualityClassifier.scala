@@ -126,16 +126,20 @@ object QualityClassifier {
         // (bias gradient), id -2 the log-loss — so one map-side-combined
         // hash aggregate (shuffle <= dim+2 sums per task) delivers loss,
         // bias gradient, and every weight gradient in <= dim+2 collected
-        // rows. (Two jobs per iteration doubled the driver-side latency
-        // that dominates at bounded training sizes.)
-        val grad = resid.select(explode(concat(
-          transform(arrays_zip(col("f").getField("indices").as("i"),
+        // rows. (Two jobs per iteration re-evaluated the score twice and
+        // doubled the driver latency.) The per-entry value resolves POST-
+        // explode with a codegen'd `when` — no `transform` lambda, which
+        // as a higher-order function is CodegenFallback and would drop
+        // the whole hot projection (score included) to interpreted eval.
+        val grad = resid.select(col("r"), col("ll"), explode(concat(
+          arrays_zip(col("f").getField("indices").as("i"),
             col("f").getField("values").as("v")),
-            e => struct(e.getField("i").as("i"),
-              (e.getField("v") * col("r")).as("g"))),
-          array(struct(lit(-1).as("i"), col("r").as("g")),
-            struct(lit(-2).as("i"), col("ll").as("g"))))).as("e"))
-          .select(col("e.i").as("i"), col("e.g").as("g"))
+          array(struct(lit(-1).as("i"), lit(0.0).as("v")),
+            struct(lit(-2).as("i"), lit(0.0).as("v"))))).as("e"))
+          .select(col("e.i").as("i"),
+            when(col("e.i") >= 0, col("e.v") * col("r"))
+              .when(col("e.i") === -1, col("r"))
+              .otherwise(col("ll")).as("g"))
           .groupBy("i").agg(sum("g").as("g"))
           .collect()
         var biasGrad = 0.0
