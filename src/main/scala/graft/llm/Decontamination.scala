@@ -46,6 +46,45 @@ object Decontamination {
       .withColumn("contaminated", col("n_hits") >= 1L)
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * memorization-risk complement of [[contaminationReport]]: instead of
+    * "how much of this doc appears in the eval set" (contamination),
+    * "how much of this doc does NOT appear in the reference corpus"
+    * (novelty — the standard proxy for verbatim-memorization exposure
+    * and for how much new signal a candidate document carries).
+    * Grams are DISTINCT whitespace-token windows of width `n` (the
+    * token rule shared corpus-wide); novelty is their unseen fraction.
+    *
+    * Scale shape: one distinct-gram aggregation per side (map-side
+    * combined, keyed on the gram), one LEFT join on the gram key —
+    * never all-pairs, nothing driver-side. Unlike the fused guards
+    * (broadcast eval set), the reference here may be arbitrarily large:
+    * the join shuffles on gram keys, the unbounded-reference path.
+    *
+    * @return (id, n_grams, n_novel, novelty_fp) per score doc with ≥ n
+    *   tokens — novelty_fp = floor(n_novel·1e6 / n_grams). */
+  def ngramNovelty(reference: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    def grams(df: DataFrame) = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        split(trim(lower(col(textCol))), "\\s+").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', slice(t, i+1, $n)))"))
+        .as("gram"))
+      .distinct()
+    val ref = grams(reference).select("gram").distinct()
+      .withColumn("__seen", lit(true))
+    grams(score)
+      .join(ref, Seq("gram"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000L div n_grams").as("novelty_fp"))
+  }
+
   /** The keep-side: training rows sharing fewer than `minHits` n-grams
     * with the evaluation corpus (rows with null text carry no grams and
     * are always kept). One left_anti against the flagged id set. */

@@ -1977,6 +1977,17 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // N-gram novelty: unseen-fraction of each odd-doc's distinct 5-gram
+    // windows against the even-half reference — full DuckDB replay
+    // (string grams, identical tokenization, floor-division fixed point).
+    "q_text_novelty" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      graft.llm.Decontamination.ngramNovelty(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
     // Token-budget sampling: keep the longest (hash, key)-order prefix
     // whose cumulative token count fits the budget (prefix-stop rule) —
     // the "take N tokens from this source" primitive. n_docs replays in
@@ -2967,6 +2978,30 @@ object LlmQueries {
         |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
         |  TRUE AS alphabet_covered, TRUE AS normalized,
         |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // Full replay: same tokenization, same distinct 5-token windows on
+    // both halves, same left-join novelty counts, floor-division fixed
+    // point (Spark `div` == DuckDB `//` for non-negative longs).
+    "q_text_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt
+        |  FROM documents WHERE text IS NOT NULL),
+        |ref AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, len(lt) - 4),
+        |    i -> array_to_string(lt[i:i+4], ' '))) AS gram
+        |  FROM tk WHERE doc_id % 2 = 0 AND len(lt) >= 5),
+        |sg AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(lt) - 4),
+        |    i -> array_to_string(lt[i:i+4], ' '))) AS gram
+        |  FROM tk WHERE doc_id % 2 = 1 AND len(lt) >= 5),
+        |j AS (SELECT sg.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM sg LEFT JOIN ref ON sg.gram = ref.gram
+        |  GROUP BY sg.doc_id)
+        |SELECT doc_id, n_grams, n_novel,
+        |  CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_fp
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // n_docs replays; the budget facts are pinned invariants on the
     // executed prefix (see the query comment) — the hash order itself is

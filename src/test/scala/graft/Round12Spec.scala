@@ -385,4 +385,23 @@ class Round12Spec extends AnyFunSuite {
       c.unpersist()
     }
   }
+
+  test("ngramNovelty: hand-counted unseen windows, boundary cases") {
+    // Reference doc: "a b c d e f" -> 5-gram windows {abcde, bcdef}.
+    val ref = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c d e"),       // {abcde}: seen -> 0/1 novel
+      (3L, "a b c d e x"),     // {abcde, bcdex}: 1/2 novel
+      (5L, "x y z w v"),       // {xyzwv}: 1/1 novel
+      (7L, "a b c d"),         // < 5 tokens -> omitted
+      (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.llm.Decontamination
+      .ngramNovelty(ref, score, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0L),
+      (3L, 2L, 1L, 500000L),
+      (5L, 1L, 1L, 1000000L)))
+  }
 }
