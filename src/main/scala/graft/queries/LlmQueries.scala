@@ -1977,6 +1977,32 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Mojibake repair: a clean corpus must pass through bit-identically
+    // (n_docs + unchanged_all replay in DuckDB); the planted booleans
+    // prove the repair itself — classic cp1252 mojibake restores to the
+    // original, the Latin-1/C1 variant too, ASCII and legitimate
+    // accented text are untouched, and null survives.
+    "q_text_mojibake" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      def corrupt1252(x: String) = new String(x.getBytes("UTF-8"), "windows-1252")
+      def corruptL1(x: String) = new String(x.getBytes("UTF-8"), "ISO-8859-1")
+      val planted = Seq(
+        ("cp1252", corrupt1252("déjà vu — café 5€"), "déjà vu — café 5€"),
+        ("latin1", corruptL1("smart “quotes” and …"), "smart “quotes” and …"),
+        ("ascii", "plain text stays", "plain text stays"),
+        ("accents", "résumé naïve café", "résumé naïve café"))
+        .toDF("kind", "broken", "clean")
+        .withColumn("fixed", graft.functions.MojibakeKernel.fixMojibake(col("broken")))
+      val plantedOk = planted.agg(all(col("fixed") === col("clean")))
+        .collect()(0).getBoolean(0)
+      one(docs.withColumn("fixed",
+        graft.functions.MojibakeKernel.fixMojibake(col("text"))),
+        "n_docs" -> count(lit(1)),
+        "unchanged_all" -> all(col("fixed") === col("text")),
+        "planted_repaired" -> lit(plantedOk))
+    }),
+
     // N-gram novelty: unseen-fraction of each odd-doc's distinct 5-gram
     // windows against the even-half reference — full DuckDB replay
     // (string grams, identical tokenization, floor-division fixed point).
@@ -2978,6 +3004,14 @@ object LlmQueries {
         |  (SELECT max(length(w)) FROM words) <= 64 AS word_len_le_64,
         |  TRUE AS alphabet_covered, TRUE AS normalized,
         |  TRUE AS em_monotone, TRUE AS top_word_is_piece""".stripMargin,
+
+    // n_docs and the clean-corpus no-op replay; the planted repairs are
+    // pinned booleans (byte-level encoding surgery has no DuckDB
+    // counterpart).
+    "q_text_mojibake" ->
+      """SELECT count(*) AS n_docs, TRUE AS unchanged_all,
+        |  TRUE AS planted_repaired
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // Full replay: same tokenization, same distinct 5-token windows on
     // both halves, same left-join novelty counts, floor-division fixed
