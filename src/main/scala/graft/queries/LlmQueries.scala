@@ -1977,6 +1977,51 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // WordPiece train + per-word greedy encode + save/load lifecycle.
+    // n_words and sum_piece_chars are genuine DuckDB replays: every
+    // non-UNK word's pieces are first-token-bare + ##-marked
+    // continuations, so the structural reconstruction (token 1 verbatim,
+    // later tokens minus their 2-char marker) reproduces the word exactly
+    // — total piece content = total word chars, recomputable from raw
+    // strings. UNK never fires here by construction (the single-symbol
+    // alphabet is never pruned and maxWordChars is lifted above the
+    // corpus maximum), which no_unk pins. Merge quality invariants
+    // (counts ≥ floor, positive likelihood scores) ride as booleans.
+    "q_wordpiece" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      val m0 = graft.llm.WordPiece.train(docs, "text", numMerges = 30)
+      val words = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "").localCheckpoint()
+      val maxWordLen = words.agg(max(length(col("w"))))
+        .collect()(0).getInt(0)
+      val m = m0.copy(maxWordChars = math.max(200, maxWordLen))
+      val dir = java.nio.file.Files.createTempDirectory("graft_wp_model")
+      val path = dir.resolve("model.json").toString
+      graft.llm.WordPiece.save(s, m, path)
+      val m2 = graft.llm.WordPiece.load(s, path)
+      val enc = graft.llm.WordPiece.encode(words, "w", m, outCol = "t")
+      val enc2 = graft.llm.WordPiece.encode(words, "w", m2, outCol = "t")
+      val identical = enc.exceptAll(enc2).isEmpty && enc2.exceptAll(enc).isEmpty
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      val rebuilt = concat(
+        coalesce(element_at(col("t"), 1), lit("")),
+        concat_ws("", transform(
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          x => x.substr(lit(3), length(x)))))
+      one(enc,
+        "n_words" -> count(lit(1)),
+        "sum_piece_chars" -> sum(length(rebuilt)).cast("long"),
+        "all_roundtrip" -> all(rebuilt === col("w")),
+        "no_unk" -> all(!array_contains(col("t"),
+          graft.functions.WordPieceKernels.UnkToken)),
+        "compressed" -> (sum(size(col("t"))) < sum(length(col("w")))),
+        "reload_identical" -> lit(identical),
+        "n_merges" -> L(m.merges.length.toLong),
+        "merge_counts_ge_floor" -> lit(m.merges.forall(_.count >= 2L)),
+        "scores_positive" -> lit(m.merges.forall(_.score > 0.0)))
+    }),
+
     // Mojibake repair: a clean corpus must pass through bit-identically
     // (n_docs + unchanged_all replay in DuckDB); the planted booleans
     // prove the repair itself — classic cp1252 mojibake restores to the
@@ -3079,6 +3124,21 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // n_words and sum_piece_chars replay from the raw strings (the
+    // roundtrip invariant makes total piece content = total word chars);
+    // the lifecycle/quality facts are pinned booleans, n_merges is the
+    // requested vocabulary size (corpus has ≥ 30 pairs above the floor).
+    "q_wordpiece" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_words,
+        |  CAST(sum(length(w)) AS BIGINT) AS sum_piece_chars,
+        |  TRUE AS all_roundtrip, TRUE AS no_unk, TRUE AS compressed,
+        |  TRUE AS reload_identical, CAST(30 AS BIGINT) AS n_merges,
+        |  TRUE AS merge_counts_ge_floor, TRUE AS scores_positive
+        |FROM w WHERE w <> ''""".stripMargin,
+
     "q_unigram_encode" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(length(regexp_replace(trim(lower(text)), '\s+', '', 'g'))) AS BIGINT)
