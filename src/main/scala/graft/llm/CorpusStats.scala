@@ -70,6 +70,109 @@ object CorpusStats {
     jaccardFromSketches(bottomKSketch(a, textCol, width, k),
       bottomKSketch(b, textCol, width, k), k)
 
+  // ------------------------------------------------- heavy hitters (MG)
+
+  /** Mergeable Misra-Gries frequent-items summary of capacity `k`
+    * (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    * Summaries", PODS 2012). Counters UNDERCOUNT: for every tracked item
+    * `est(x) <= true(x) <= est(x) + dec`, and any item with
+    * `true(x) > dec` is guaranteed tracked; the total decrement obeys
+    * `dec <= W / (k+1)` for total weight W — the classic frequent-items
+    * guarantee, independent of stream order and partitioning. */
+  final class MisraGries(val k: Int) extends Serializable {
+    require(k >= 1, s"capacity k must be >= 1, got $k")
+    val counts = new java.util.HashMap[String, Long]()
+    /** Total per-item decrement so far (the one-sided error bound). */
+    var dec: Long = 0L
+    /** Total inserted weight W. */
+    var weight: Long = 0L
+
+    def add(x: String, w: Long = 1L): this.type = {
+      require(w >= 0, s"weights must be >= 0, got $w")
+      if (w > 0) {
+        weight += w
+        counts.put(x, counts.getOrDefault(x, 0L) + w)
+        if (counts.size > k) shrinkTo(k)
+      }
+      this
+    }
+
+    /** Subtract the (size-target)-th smallest counter from all counters
+      * and drop the non-positive — the stream rule (target = k, one new
+      * item over) and the merge rule (arbitrary overshoot) in one. */
+    private def shrinkTo(target: Int): Unit = {
+      val vals = new Array[Long](counts.size)
+      val it0 = counts.values().iterator()
+      var i = 0
+      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      // (k+1)-th LARGEST = index (size-1-target) ... for size = target+1
+      // this is the minimum counter, the textbook stream case.
+      val m = vals(vals.length - 1 - target)
+      dec += m
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue - m
+        if (v <= 0) it.remove() else e.setValue(v)
+      }
+    }
+
+    /** Pointwise-add the other summary, then re-shrink to capacity —
+      * errors add, every guarantee above survives the merge. */
+    def merge(other: MisraGries): this.type = {
+      require(other.k == k, s"cannot merge MG(k=${other.k}) into MG(k=$k)")
+      val it = other.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      dec += other.dec
+      weight += other.weight
+      if (counts.size > k) shrinkTo(k)
+      this
+    }
+
+    /** Tracked items, (estimate desc, token asc)-ordered. */
+    def items: Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.toSeq
+        .map(e => (e.getKey, e.getValue: Long))
+        .sortBy { case (t, c) => (-c, t) }
+    }
+  }
+
+  /** Corpus-wide heavy-hitter candidates over whitespace tokens (the
+    * shared word rule): one narrow `treeAggregate` pass — per-partition
+    * MG summaries merge up a depth-2 tree, so driver and combiner memory
+    * stay O(k) regardless of partition count (the 10k-partition case
+    * where the KMV-style flat driver merge would balloon). No shuffle of
+    * the token universe. Items with true count > W/(k+1) are guaranteed
+    * present; pair with an exact second pass over the ≤ k candidates
+    * ([[exactCounts]]) for confirmed top-m at scale. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 4096): MisraGries = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.where(col(textCol).isNotNull)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "").as[String]
+    words.rdd.treeAggregate(new MisraGries(k))(
+      (mg, w) => mg.add(w), (a, b) => a.merge(b), depth = 2)
+  }
+
+  /** Exact corpus counts of a bounded candidate list (the confirmation
+    * pass): filter-pushdown `isin` on the ≤ k candidates, then one
+    * candidate-sized aggregate — only candidate occurrences shuffle. */
+  def exactCounts(df: DataFrame, textCol: String,
+      candidates: Seq[String]): DataFrame = {
+    require(candidates.size <= 100000,
+      s"candidate list of ${candidates.size} exceeds the driver-literal bound")
+    df.where(col(textCol).isNotNull)
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .where(col("w").isin(candidates: _*))
+      .groupBy("w").agg(count(lit(1)).as("c_exact"))
+  }
+
   /** Exact Jaccard between the two corpora's distinct gram sets — the
     * verification harness for the estimator (full distinct + join of the
     * gram universes; `maxGrams` refuses corpus-scale inputs the same way

@@ -1977,6 +1977,36 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Misra-Gries heavy hitters + exact confirmation pass. The emitted
+    // rows are the true global top-10 tokens by exact count — a full
+    // DuckDB replay — and the query PROVES they are global from the
+    // sketch alone: any token with true count > dec is guaranteed
+    // tracked, so once the returned 10th exact count exceeds dec, no
+    // untracked token can outrank it (top10_certified). The output is
+    // therefore deterministic even though treeAggregate's merge order
+    // can shuffle the candidate tail. Sandwich (est <= exact <= est+dec)
+    // and the mergeable-summaries bound dec*(k+1) <= W ride as booleans.
+    "q_corpus_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents")
+      val mg = graft.llm.CorpusStats.heavyHitters(docs, "text", k = 4096)
+      val cand = mg.items
+      val exact = graft.llm.CorpusStats.exactCounts(docs, "text",
+        cand.map(_._1)).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val sandwichOk = cand.forall { case (t, e) =>
+        val tr = exact.getOrElse(t, 0L); e <= tr && tr <= e + mg.dec
+      }
+      val errBoundOk = mg.dec * (mg.k + 1L) <= mg.weight
+      val top10 = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      val certified = top10.size == 10 && top10.last._2 > mg.dec
+      top10.toDF("token", "c_exact")
+        .withColumn("sandwich_ok", lit(sandwichOk))
+        .withColumn("error_bound_ok", lit(errBoundOk))
+        .withColumn("top10_certified", lit(certified))
+        .orderBy(col("c_exact").desc, col("token").asc)
+    }),
+
     // WordPiece train + per-word greedy encode + save/load lifecycle.
     // n_words and sum_piece_chars are genuine DuckDB replays: every
     // non-UNK word's pieces are first-token-bare + ##-marked
@@ -3124,6 +3154,19 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // Full replay: the emitted rows are the exact global top-10 token
+    // counts (same word rule, same tie-break); the sketch-quality facts
+    // are pinned booleans certified inside the query (see its comment).
+    "q_corpus_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT w AS token, count(*) AS c_exact FROM w
+        |  WHERE w <> '' GROUP BY w)
+        |SELECT token, c_exact, TRUE AS sandwich_ok, TRUE AS error_bound_ok,
+        |  TRUE AS top10_certified
+        |FROM c ORDER BY c_exact DESC, token ASC LIMIT 10""".stripMargin,
+
     // n_words and sum_piece_chars replay from the raw strings (the
     // roundtrip invariant makes total piece content = total word chars);
     // the lifecycle/quality facts are pinned booleans, n_merges is the
