@@ -1103,4 +1103,54 @@ object Dedup {
     dropPairLosers(df, idCol,
       semanticNearDupPairs(df, idCol, vecCol, threshold, nCentroids,
         refineIterations, maxCell, probeCells))
+
+  // ------------------------------------------------ edit-distance near-dup
+
+  /** COMPLETE bounded edit-distance pair join: all pairs with
+    * `levenshtein(a, b) <= maxDist`, found without any all-pairs scan —
+    * the character-level fuzzy-dup family (titles, names, boilerplate
+    * variants) next to the token/shingle families above.
+    *
+    * Blocking is the PassJoin pigeonhole
+    * ([[graft.functions.EditBlockKernel]]): each string emits `d+1`
+    * segment keys and a bounded set of substring probe keys; an
+    * equi-join on `(segment, index, shorter-length)` provably yields
+    * EVERY true pair (each edit shifts alignment by ≤ 1, so some segment
+    * of the shorter string occurs verbatim in the longer within ±d of
+    * its position), and the survivors verify in one fused
+    * `levenshtein(_, _, maxDist)` pass (early-exit banded DP — O(d·n)
+    * per candidate, never the full matrix). No distance computation ever
+    * touches a non-candidate pair; candidates are bounded by block
+    * selectivity, with the usual skew caveat on heavily repeated short
+    * segments (salt or pre-dedup exact duplicates first —
+    * [[exact]] composes). Returns `(id_a < id_b, dist)`. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 4,
+      s"maxDist must be in [1, 4] (probe keys grow as (d+1)^2(2d+1)), got $maxDist")
+    import graft.functions.EditBlockKernel
+    val base = df.select(col(idCol).cast("long").as("eid"),
+      col(textCol).as("etxt")).where(col("etxt").isNotNull)
+    val segs = base.select(col("eid").as("id_s"), col("etxt").as("txt_s"),
+      explode(EditBlockKernel.segKeys(col("etxt"), maxDist)).as("k"))
+      .select(col("id_s"), col("txt_s"),
+        col("k.seg").as("seg"), col("k.idx").as("idx"), col("k.ls").as("ls"))
+    val probes = base.select(col("eid").as("id_l"), col("etxt").as("txt_l"),
+      explode(EditBlockKernel.probeKeys(col("etxt"), maxDist)).as("k"))
+      .select(col("id_l"), col("txt_l"),
+        col("k.seg").as("seg"), col("k.idx").as("idx"), col("k.ls").as("ls"))
+    segs.join(probes, Seq("seg", "idx", "ls"))
+      .where(col("id_s") =!= col("id_l"))
+      .select(
+        least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        when(col("id_s") < col("id_l"), col("txt_s"))
+          .otherwise(col("txt_l")).as("txt_a"),
+        when(col("id_s") < col("id_l"), col("txt_l"))
+          .otherwise(col("txt_s")).as("txt_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -1977,6 +1977,26 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Bounded edit-distance near-dup join (PassJoin segment blocking +
+    // fused banded-levenshtein verify) over a bounded ASCII title
+    // universe with planted distance-1 variants. FULL DuckDB replay: the
+    // oracle brute-forces levenshtein over every title pair, so a single
+    // pair missed by the blocking (or a wrong distance) is a hash
+    // mismatch — the oracle certifies the pigeonhole's completeness, not
+    // just the verifier.
+    "q_dedup_edit_distance" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 2000)
+      val titles = docs.select(col("doc_id").as("id"),
+        regexp_replace(substring(col("text"), 1, 40), "[^ -~]", "").as("t"))
+        .where(length(col("t")) >= 5)
+      val variants = titles.where(col("id") % 10 === 0)
+        .select((col("id") + 10000000L).as("id"),
+          col("t").substr(lit(2), length(col("t"))).as("t"))
+      Dedup.editDistancePairs(titles.unionByName(variants), "id", "t",
+        maxDist = 1).orderBy("id_a", "id_b")
+    }),
+
     // Misra-Gries heavy hitters + exact confirmation pass. The emitted
     // rows are the true global top-10 tokens by exact count — a full
     // DuckDB replay — and the query PROVES they are global from the
@@ -3154,6 +3174,25 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // Brute-force replay of the complete bounded edit-distance join over
+    // the same planted title universe (length-diff prefilter is sound:
+    // ed >= |len(a)-len(b)|).
+    "q_dedup_edit_distance" ->
+      """WITH titles AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(substring(text, 1, 40), '[^ -~]', '', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 2000),
+        |base AS (SELECT id, t FROM titles WHERE length(t) >= 5),
+        |vars AS (SELECT id + 10000000 AS id, substring(t, 2) AS t
+        |  FROM base WHERE id % 10 = 0),
+        |uni AS (SELECT * FROM base UNION ALL SELECT * FROM vars)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM uni a JOIN uni b
+        |  ON a.id < b.id AND abs(length(a.t) - length(b.t)) <= 1
+        |WHERE levenshtein(a.t, b.t) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Full replay: the emitted rows are the exact global top-10 token
     // counts (same word rule, same tie-break); the sketch-quality facts
     // are pinned booleans certified inside the query (see its comment).
