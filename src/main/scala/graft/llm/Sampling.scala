@@ -135,6 +135,32 @@ object Sampling {
     df.withColumn(splitCol, expr0)
   }
 
+  /** NEAR-DUP-leakage-safe split: [[assignSplits]] guards rows sharing a
+    * KEY; this guards rows sharing a near-dup CLUSTER — the eval-set
+    * contamination that survives key-level splitting (a paraphrased or
+    * lightly-edited copy of a train doc landing in test). The pair frame
+    * (any `(id_a, id_b)` near-dup output — minhash, simhash, cosine,
+    * edit-distance) closes transitively via
+    * [[Dedup.connectedComponents]]; every row splits by the hash of its
+    * component REPRESENTATIVE (its own id when unpaired), so whole
+    * clusters move atomically and the defining invariant — no near-dup
+    * pair straddles two splits — holds by construction, even for pairs
+    * only connected through intermediates. Scale shape: the CC cost is
+    * the pair graph's (pairs are sparse after blocking), the assignment
+    * itself is one left join + a pure projection. */
+  def assignSplitsByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").cast("long").as(idCol),
+        col("component").cast("long").as("__graft_comp"))
+    val rep = coalesce(col("__graft_comp"), col(idCol).cast("long"))
+    assignSplits(
+      df.join(cc, Seq(idCol), "left").withColumn("__graft_rep", rep),
+      Seq("__graft_rep"), splits, seed, splitCol)
+      .drop("__graft_comp", "__graft_rep")
+  }
+
   /** Weighted corpus mixture with deterministic epoch oversampling — the
     * data-mixture step of LLM training runs ("2.3 epochs of corpus A, 0.5
     * of corpus B"). A weight w contributes floor(w) full copies (tagged

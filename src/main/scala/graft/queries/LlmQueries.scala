@@ -1977,6 +1977,48 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Near-dup-leakage-safe splits: whole minhash clusters move
+    // atomically into train/val/test. n replays in DuckDB (corpus
+    // construction is pure arithmetic); the invariants are pinned
+    // booleans computed against the materialized assignment — zero
+    // straddling near-dup pairs (the defining guarantee, checked over
+    // EVERY emitted pair), planted copy-triples sharing one split, full
+    // coverage, and row-level fractions inside a band sized for the
+    // corpus (±0.05 at 550+ effective draws).
+    "q_split_leakage_safe" -> ((s, d) => {
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      val base = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+      val copies = base.where(col("id") < 50)
+        .select(explode(array(lit(1000000000L), lit(2000000000L))).as("off"),
+          col("id"), col("text"))
+        .select((col("id") + col("off")).as("id"), col("text"))
+      val corpus = base.unionByName(copies)
+      val pairs = Dedup.nearDupMinHash(corpus, "id", "text",
+        threshold = 0.9, numHashes = 128, bands = 64).localCheckpoint()
+      val split = Sampling.assignSplitsByCluster(corpus, "id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).localCheckpoint()
+      val straddle = pairs
+        .join(split.select(col("id").as("id_a"), col("split").as("sp_a")), "id_a")
+        .join(split.select(col("id").as("id_b"), col("split").as("sp_b")), "id_b")
+        .where(col("sp_a") =!= col("sp_b")).count()
+      val plantedBad = split
+        .where(col("id") < 50 || col("id") >= 1000000000L)
+        .withColumn("b", pmod(col("id"), lit(1000000000L)))
+        .groupBy("b").agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+        .where(col("ns") =!= 1 || col("n") =!= 3).count()
+      def fracOk(name: String, target: Double) =
+        (abs(avg(when(col("split") === name, 1.0).otherwise(0.0)) - target)
+          < 0.05).as(s"${name}_frac_ok")
+      one(split,
+        "n" -> count(lit(1)),
+        "no_straddle" -> lit(straddle == 0L),
+        "planted_same_split" -> lit(plantedBad == 0L),
+        "coverage" -> all(col("split").isin("train", "val", "test")),
+        "train_frac_ok" -> fracOk("train", 0.8),
+        "val_frac_ok" -> fracOk("val", 0.1),
+        "test_frac_ok" -> fracOk("test", 0.1))
+    }),
+
     // Bounded edit-distance near-dup join (PassJoin segment blocking +
     // fused banded-levenshtein verify) over a bounded ASCII title
     // universe with planted distance-1 variants. FULL DuckDB replay: the
@@ -3174,6 +3216,18 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // n replays from the planted-copy arithmetic; the split invariants
+    // are pinned booleans (hash assignment and CC are engine-internal,
+    // but the no-straddle/atomic-cluster facts hold for any correct
+    // leakage-safe split — see the query comment).
+    "q_split_leakage_safe" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+        |SELECT (SELECT count(*) FROM d)
+        |    + 2 * (SELECT count(*) FROM d WHERE doc_id < 50) AS n,
+        |  TRUE AS no_straddle, TRUE AS planted_same_split,
+        |  TRUE AS coverage, TRUE AS train_frac_ok, TRUE AS val_frac_ok,
+        |  TRUE AS test_frac_ok""".stripMargin,
+
     // Brute-force replay of the complete bounded edit-distance join over
     // the same planted title universe (length-diff prefilter is sound:
     // ed >= |len(a)-len(b)|).

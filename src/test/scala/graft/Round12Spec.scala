@@ -404,4 +404,24 @@ class Round12Spec extends AnyFunSuite {
       (3L, 2L, 1L, 500000L),
       (5L, 1L, 1L, 1000000L)))
   }
+
+  test("assignSplitsByCluster: clusters move atomically, singletons match the key split") {
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // Chain 1-2-3 (transitive: no direct 1-3 pair) and pair 5-6.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = graft.llm.Sampling.assignSplitsByCluster(df, "id", pairs, splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.size === 200)
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(5L) === got(6L))
+    // Clustered rows take the REPRESENTATIVE's (min id) split...
+    val plain = graft.llm.Sampling.assignSplits(df, Seq("id"), splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got(3L) === plain(1L) && got(6L) === plain(5L))
+    // ...and unpaired rows split exactly as the plain key-hash split.
+    (7L to 200L).foreach(i => assert(got(i) === plain(i)))
+    // Both split names actually occur (hash is not degenerate).
+    assert(got.values.toSet === Set("train", "test"))
+  }
 }
