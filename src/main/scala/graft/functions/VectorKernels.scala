@@ -143,4 +143,72 @@ object VectorKernels {
 
   /** Native fused cosine similarity (0.0 for zero-norm inputs). */
   def cosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  // -------------------------------------------------------- PCA projection
+
+  /** Mean + row-major component matrix, shipped once per plan as a
+    * codegen reference object (the [[CentroidKernels]] pattern). */
+  final class ProjMatrix(val mean: Array[Double], val comps: Array[Double],
+      val k: Int) extends Serializable {
+    val d: Int = mean.length
+    require(comps.length == k * d, s"component matrix ${comps.length} != $k x $d")
+    /** out_j = Σ_i comps(j,i) · (x_i - mean_i); null on dim mismatch. */
+    def project(x: ArrayData): ArrayData = {
+      if (x.numElements() != d) return null
+      val cx = new Array[Double](d)
+      var i = 0
+      while (i < d) { cx(i) = x.getDouble(i) - mean(i); i += 1 }
+      val out = new Array[Any](k)
+      var j = 0
+      while (j < k) {
+        val row = j * d
+        var s = 0.0
+        i = 0
+        while (i < d) { s += comps(row + i) * cx(i); i += 1 }
+        out(j) = s
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  case class PcaProject(child: Expression, meanSeq: Seq[Double],
+      compSeq: Seq[Double], k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def prettyName: String = "graft_pca_project"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+
+    @transient private lazy val mat =
+      new ProjMatrix(meanSeq.toArray, compSeq.toArray, k)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double>, got ${other.simpleString}")
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      mat.project(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pcaProjMatrix", mat,
+        "graft.functions.VectorKernels.ProjMatrix")
+      val tmp = ctx.freshName("pcaOut")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp = $ref.project($arr);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }""")
+    }
+
+    override protected def withNewChildInternal(ch: Expression): Expression =
+      copy(child = ch)
+  }
+
+  /** Fused PCA projection: `array<double>` of length k (floats upcast on
+    * input; dim-mismatched rows null out). */
+  def pcaProject(vec: Column, mean: Array[Double],
+      components: Array[Array[Double]]): Column =
+    c(PcaProject(e(vec), mean.toSeq, components.flatten.toSeq,
+      components.length))
 }

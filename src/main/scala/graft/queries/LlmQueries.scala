@@ -1977,6 +1977,52 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Distributed PCA: one-pass Gram treeAggregate + driver Jacobi +
+    // fused projection. n/dim/trace_fp replay in DuckDB (the covariance
+    // trace is basis-independent and recomputable from raw per-dimension
+    // population variances — double-cast products, so only summation
+    // order drifts, ~1e-11 against the 1e-6 step); the spectral facts
+    // are pinned booleans: orthonormal components, descending nonnegative
+    // eigenvalues, and the projected corpus's per-component population
+    // variance matching its eigenvalue (the defining PCA property,
+    // recomputed from the materialized projection).
+    "q_embed_pca" -> ((s, d) => {
+      val emb = table(s, d, "embeddings").where(col("embedding").isNotNull)
+      val m = graft.llm.Pca.fit(emb, "embedding", k = 8)
+      def dotv(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+        s0
+      }
+      val ortho = (0 until m.k).forall(i => (i until m.k).forall { j =>
+        math.abs(dotv(m.components(i), m.components(j)) -
+          (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+      val desc = m.eigenvalues.zip(m.eigenvalues.tail)
+        .forall { case (a, b) => a >= b - 1e-12 }
+      val nonneg = m.eigenvalues.forall(_ >= -1e-9)
+      val proj = graft.llm.Pca.transform(emb, "embedding", m, "pc")
+      val stats = proj.select((0 until m.k).flatMap(j => Seq(
+        avg(element_at(col("pc"), j + 1)),
+        avg(element_at(col("pc"), j + 1) * element_at(col("pc"), j + 1)))): _*)
+        .collect()(0)
+      val varOk = (0 until m.k).forall { j =>
+        val mu = stats.getDouble(2 * j)
+        val v = stats.getDouble(2 * j + 1) - mu * mu
+        math.abs(v - m.eigenvalues(j)) <= 1e-6 * math.max(1.0, m.eigenvalues(j))
+      }
+      one(emb,
+        "n" -> count(lit(1)),
+        "dim" -> max(size(col("embedding"))).cast("long"),
+        "trace_fp" -> L(math.floor(m.eigenvalues.sum * 1e6).toLong),
+        "orthonormal_ok" -> lit(ortho),
+        "eigen_desc_ok" -> lit(desc),
+        "eigen_nonneg_ok" -> lit(nonneg),
+        "proj_var_matches" -> lit(varOk),
+        "explained_in_unit" -> lit(m.explainedVariance > 0.0 &&
+          m.explainedVariance <= 1.0))
+    }),
+
     // Near-dup-leakage-safe splits: whole minhash clusters move
     // atomically into train/val/test. n replays in DuckDB (corpus
     // construction is pure arithmetic); the invariants are pinned
@@ -3216,6 +3262,26 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // n/dim replay directly; trace_fp replays because the covariance
+    // trace = Σ per-dimension population variance, basis-independent —
+    // products are double-cast on both sides so only summation order
+    // drifts (~1e-11 vs the 1e-6 step). Spectral facts are pinned
+    // booleans (eigenvectors are engine-internal, but orthonormality and
+    // var(pc_j)=λ_j hold for any correct PCA).
+    "q_embed_pca" ->
+      """WITH e AS (SELECT embedding AS emb FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |x AS (SELECT unnest(list_transform(generate_series(1, len(emb)),
+        |    i -> {'i': i, 'v': CAST(emb[i] AS DOUBLE)})) AS s FROM e),
+        |pd AS (SELECT s.i AS i, avg(s.v * s.v) - avg(s.v) * avg(s.v) AS var
+        |  FROM x GROUP BY s.i)
+        |SELECT (SELECT count(*) FROM e) AS n,
+        |  (SELECT max(len(emb)) FROM e) AS dim,
+        |  CAST(floor(1e6 * (SELECT sum(var) FROM pd)) AS BIGINT) AS trace_fp,
+        |  TRUE AS orthonormal_ok, TRUE AS eigen_desc_ok,
+        |  TRUE AS eigen_nonneg_ok, TRUE AS proj_var_matches,
+        |  TRUE AS explained_in_unit""".stripMargin,
+
     // n replays from the planted-copy arithmetic; the split invariants
     // are pinned booleans (hash assignment and CC are engine-internal,
     // but the no-straddle/atomic-cluster facts hold for any correct
