@@ -1123,7 +1123,9 @@ object Dedup {
     * touches a non-candidate pair; candidates are bounded by block
     * selectivity, with the usual skew caveat on heavily repeated short
     * segments (salt or pre-dedup exact duplicates first —
-    * [[exact]] composes). Returns `(id_a < id_b, dist)`. */
+    * [[exact]] composes). Returns `(id_a < id_b, dist)`. Measured
+    * (`bench_ops_scale.json`, local[32], r12): 1.7s marginal over 1M
+    * ~30-char titles at d=1 (~0.6M titles/s, blocking join dominated). */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 4,

@@ -28,7 +28,9 @@ import graft.functions.WordPieceKernels
   * application; recorded scores are sweep-start scores. On a real corpus
   * one trains on a deterministic sample ([[Sampling.sampleN]] composes)
   * and encodes the full 100 TB with the zero-shuffle fused
-  * [[WordPieceKernels.WordPieceEncode]] pass.
+  * [[WordPieceKernels.WordPieceEncode]] pass. Measured
+  * (`bench_ops_scale.json`, local[32], r12): encode 1.2M docs/s marginal
+  * over 10M 32-token docs with a 50-merge model.
   *
   * Determinism: winners break ties on (score desc, left asc, right asc);
   * the merge sequence is a pure function of the corpus. The final

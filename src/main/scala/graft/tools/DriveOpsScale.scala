@@ -447,6 +447,89 @@ object DriveOpsScale {
       }
     }
 
+    // WordPiece: 50-merge model trained once on a 5k-doc sample, then the
+    // fused greedy longest-match encode over 10M 32-token docs (the same
+    // train-on-sample / encode-the-corpus shape as BPE/unigram).
+    if (only.isEmpty || only("wordpiece_encode_10m_docs")) {
+      val wpm = graft.llm.WordPiece.train(docs10m.limit(5000), "text",
+        numMerges = 50)
+      bench("wordpiece_encode_10m_docs", 10000000L, docs10m,
+        df => graft.llm.WordPiece.encode(df, "text", wpm)
+          .select(size(col("wp_tokens")).as("n")))
+    }
+
+    // Misra-Gries heavy hitters: one treeAggregate pass over 10M docs
+    // (k=4096, ~5000 distinct tokens here so the summary is near-exact);
+    // marginal = sketch wall minus the same scan materialized to noop.
+    if (only.isEmpty || only("heavy_hitters_10m_docs")) {
+      def mgMinTimed(body: => Unit): (Double, Double) = {
+        var best = Double.MaxValue; var steal = 0.0
+        for (_ <- 0 until 2) {
+          val (st0, _) = boxTicks()
+          val t = secs(body)
+          val (st1, _) = boxTicks()
+          if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
+        }
+        (best, steal)
+      }
+      graft.llm.CorpusStats.heavyHitters(docs10m.limit(1000000), "text", 4096) // warm
+      val (baseT, _) = mgMinTimed(mat(docs10m))
+      val (hhT, hhSteal) = mgMinTimed {
+        graft.llm.CorpusStats.heavyHitters(docs10m, "text", 4096); ()
+      }
+      val marginal = math.max(0.0, hhT - baseT)
+      val line = f"""{"bench":"heavy_hitters_10m_docs","rows":10000000,"base_sec":$baseT%.2f,"full_sec":$hhT%.2f,"marginal_sec":$marginal%.2f,"steal_sec":$hhSteal%.2f}"""
+      println(s"CHECK $line"); out.append(line).append('\n')
+    }
+
+    // PCA over 10M 64-dim vectors: fit is the one-pass Gram treeAggregate
+    // (materialized parquet input for the CodegenFallback-synthesis
+    // reason the training lines share); projection is the fused kernel,
+    // synthesis-subtracted like quantize.
+    if (only.isEmpty || only("pca_fit_10m_vecs") || only("pca_project_10m_vecs")) {
+      def pcaMinTimed(body: => Unit): (Double, Double) = {
+        var best = Double.MaxValue; var steal = 0.0
+        for (_ <- 0 until 2) {
+          val (st0, _) = boxTicks()
+          val t = secs(body)
+          val (st1, _) = boxTicks()
+          if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
+        }
+        (best, steal)
+      }
+      val dir = "/tmp/graft_ops_pca"
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        emb10m.withColumn("embedding", col("embedding").cast("array<float>"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val pvecs = spark.read.parquet(dir)
+      if (only.isEmpty || only("pca_fit_10m_vecs")) {
+        graft.llm.Pca.fit(pvecs.limit(1000000), "embedding", k = 8) // warm
+        val (t, st) = pcaMinTimed {
+          graft.llm.Pca.fit(pvecs, "embedding", k = 8); ()
+        }
+        val line = f"""{"bench":"pca_fit_10m_vecs","rows":10000000,"fit_sec":$t%.2f,"steal_sec":$st%.2f}"""
+        println(s"CHECK $line"); out.append(line).append('\n')
+      }
+      if (only.isEmpty || only("pca_project_10m_vecs")) {
+        val pm = graft.llm.Pca.fit(pvecs.limit(1000000), "embedding", k = 8)
+        bench("pca_project_10m_vecs", 10000000L, pvecs.select("embedding"),
+          df => graft.llm.Pca.transform(df, "embedding", pm)
+            .select(element_at(col("pc"), 1).as("p0")))
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // Edit-distance join over 1M short titles (6 tokens ≈ 30 chars, d=1):
+    // segment blocking + banded verify; the pair output is tiny (vocab
+    // 5000 makes distance-1 title collisions rare), so the measured cost
+    // is candidate generation — the operator's real scale cost.
+    if (only.isEmpty || only("edit_distance_1m_titles")) {
+      val titles1m = spark.range(1000000L).toDF("id").withColumn("t", text(6))
+      bench("edit_distance_1m_titles", 1000000L, titles1m,
+        df => graft.llm.Dedup.editDistancePairs(df, "id", "t", maxDist = 1))
+    }
+
     val path = java.nio.file.Paths.get("bench_ops_scale.json")
     val merged =
       if (only.isEmpty || !java.nio.file.Files.exists(path)) out.toString
