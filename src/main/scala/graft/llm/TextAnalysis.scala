@@ -288,6 +288,29 @@ object TextAnalysis {
     lineStats.join(ngramStats, Seq(idCol))
   }
 
+  // ------------------------------------------------------- sentence split
+
+  /** The shared sentence rule: maximal runs of non-terminator characters
+    * followed by a terminator run (`[.!?]+`), plus an unterminated tail.
+    * Deliberately RE2-safe (no lookbehind) AND leftmost-first-identical
+    * between java.util.regex and RE2, so the DuckDB oracle replays the
+    * segmentation verbatim. Terminator-only runs ("...") and
+    * whitespace-only segments yield no sentence. */
+  val SentencePattern = "[^.!?]+[.!?]+|[^.!?]+\\z"
+
+  /** Explode a text column into `(id, sent_idx, sentence)` rows —
+    * sentence-level filtering/dedup/stats compose on top (one narrow
+    * explode, zero shuffle). `sent_idx` is the 0-based position among
+    * RAW pattern matches: whitespace-only matches are dropped AFTER
+    * indexing, so indices are stable under the drop (gaps allowed). */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(
+        regexp_extract_all(col(textCol), lit(SentencePattern), lit(0))))
+      .withColumnRenamed("pos", "sent_idx")
+      .select(col(idCol), col("sent_idx"), trim(col("col")).as("sentence"))
+      .where(col("sentence") =!= "")
+
   // ------------------------------------------------------------ cleaning
 
   /** PII masking: URLs, emails, IPv4 addresses and phone-like digit runs

@@ -1977,6 +1977,42 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Sentence segmentation: full row-for-row DuckDB replay of the
+    // exploded (doc, idx, sentence) frame over a bounded doc set — the
+    // shared regex is deliberately RE2-safe and leftmost-first-identical
+    // between engines, so segmentation, indexing, the whitespace-only
+    // drop, and trim all replay exactly.
+    "q_text_sentences" -> ((s, d) =>
+      graft.llm.TextAnalysis.sentences(
+        table(s, d, "documents").where(col("doc_id") < 200), "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")),
+
+    // JSONL interchange roundtrip: documents -> gzip .jsonl shards ->
+    // pinned-schema read-back. Every emitted aggregate is computed from
+    // the ROUNDTRIPPED frame while DuckDB replays it from the original
+    // parquet — equality certifies losslessness field-for-field (longs,
+    // Unicode text, nulls); the exceptAll-both-ways boolean pins exact
+    // multiset identity.
+    "q_io_jsonl_roundtrip" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      val path = dir.resolve("docs").toString
+      graft.io.TextIo.writeJsonl(docs, path, compression = "gzip",
+        partitions = 4)
+      val back = graft.io.TextIo.readJsonl(s, path, docs.schema)
+      val identical = back.exceptAll(docs).isEmpty &&
+        docs.exceptAll(back).isEmpty
+      val res = one(back,
+        "n" -> count(lit(1)),
+        "sum_doc_id" -> sum(col("doc_id")).cast("long"),
+        "sum_chars" -> sum(length(col("text"))).cast("long"),
+        "n_langs" -> countDistinct(col("lang")),
+        "n_null_text" -> sum(when(col("text").isNull, 1L).otherwise(0L)),
+        "roundtrip_identical" -> lit(identical)).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      res
+    }),
+
     // Distributed PCA: one-pass Gram treeAggregate + driver Jacobi +
     // fused projection. n/dim/trace_fp replay in DuckDB (the covariance
     // trace is basis-independent and recomputable from raw per-dimension
@@ -3262,6 +3298,33 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // Row-for-row replay of the sentence rule (same regex, same 0-based
+    // raw-match indexing, same space-only trim and empty drop).
+    "q_text_sentences" ->
+      """WITH m AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+\z') AS arr
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 200),
+        |x AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(arr)),
+        |    i -> {'i': i, 's': arr[i]})) AS u FROM m)
+        |SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx,
+        |  trim(u.s) AS sentence
+        |FROM x WHERE trim(u.s) <> ''
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // The aggregates come from the roundtripped JSONL frame; DuckDB
+    // replays them from the original parquet — equality certifies the
+    // write/read cycle lost nothing.
+    "q_io_jsonl_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_text,
+        |  TRUE AS roundtrip_identical
+        |FROM documents""".stripMargin,
+
     // n/dim replay directly; trace_fp replays because the covariance
     // trace = Σ per-dimension population variance, basis-independent —
     // products are double-cast on both sides so only summation order
