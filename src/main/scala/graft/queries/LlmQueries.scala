@@ -1977,6 +1977,37 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // NFKC normalization: n and the ASCII-subset count replay in DuckDB
+    // (the ASCII test is the same RE2-safe regex in both engines); the
+    // Unicode facts are pinned booleans — ASCII text is untouched,
+    // normalization is idempotent corpus-wide (the UAX #15 guarantee,
+    // checked, not assumed), and planted compatibility characters
+    // (fullwidth, ligatures, circled digits, NBSP) map to their canonical
+    // forms.
+    "q_text_normalize" -> ((s, d) => {
+      import s.implicits._
+      val docs = table(s, d, "documents").where(col("text").isNotNull)
+      val K = graft.functions.NormalizeKernel
+      val planted = Seq(
+        ("fullwidth", "Ｈｅｌｌｏ　！", "Hello !"),
+        ("ligature", "eﬃcient ﬁle", "efficient file"),
+        ("circled", "step ① done", "step 1 done"),
+        ("nbsp", "a b", "a b"),
+        ("ascii", "plain ascii stays", "plain ascii stays"))
+        .toDF("kind", "raw", "want")
+        .withColumn("got", K.nfkc(col("raw")))
+      val plantedOk = planted.agg(all(col("got") === col("want")))
+        .collect()(0).getBoolean(0)
+      val isAscii = col("text").rlike("^[ -~\\t\\n\\r]*$")
+      val norm = docs.withColumn("nt", K.nfkc(col("text")))
+      one(norm,
+        "n" -> count(lit(1)),
+        "n_ascii" -> sum(when(isAscii, 1L).otherwise(0L)),
+        "ascii_unchanged" -> all(!isAscii || (col("nt") === col("text"))),
+        "idempotent_all" -> all(K.nfkc(col("nt")) === col("nt")),
+        "planted_ok" -> lit(plantedOk))
+    }),
+
     // Sentence segmentation: full row-for-row DuckDB replay of the
     // exploded (doc, idx, sentence) frame over a bounded doc set — the
     // shared regex is deliberately RE2-safe and leftmost-first-identical
@@ -3298,6 +3329,16 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // n and the ASCII-subset count replay (same RE2-safe class both
+    // engines); the Unicode mapping facts are pinned booleans.
+    "q_text_normalize" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '^[ -~\t\n\r]*$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+        |  TRUE AS ascii_unchanged, TRUE AS idempotent_all,
+        |  TRUE AS planted_ok
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
     // Row-for-row replay of the sentence rule (same regex, same 0-based
     // raw-match indexing, same space-only trim and empty drop).
     "q_text_sentences" ->
