@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval — the sparse/lexical side of RAG next to the
+  * [[Similarity]] ANN family (hybrid retrieval joins both result sets).
+  * Okapi BM25 with the Lucene-standard smoothed idf:
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * `score(q, d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`
+  * over the DISTINCT terms of the query (qtf = 1 — the common search
+  * engine behavior).
+  *
+  * Scale design — build once, query many:
+  *  - [[buildIndex]] is the corpus-wide work: tokenize (shared word
+  *    rule), ONE shuffle keyed on (doc, term) for tf, one doc-keyed
+  *    aggregate for lengths, one term-keyed aggregate for df. The three
+  *    frames ARE the inverted index — persist them as parquet
+  *    (bucketed by term for the postings) and every later query batch
+  *    skips the corpus entirely.
+  *  - [[scores]] touches only the postings of the query's terms: the
+  *    (tiny) query-term frame broadcast-joins into df and tf, so the
+  *    shuffled data is the candidate postings, never the corpus. Scoring
+  *    is one (query, doc) aggregate.
+  *  - [[topK]] ranks with a per-query window over the scored candidates
+  *    (WindowGroupLimit keeps the rank map-side), ties broken by doc id.
+  */
+object Retrieval {
+
+  /** The inverted index: `tf(doc_id, term, tf)`, `dl(doc_id, dl)`,
+    * `df(term, df)` plus the two corpus scalars. Plain frames —
+    * persisting/bucketing them is ordinary parquet I/O. */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
+      nDocs: Long, avgdl: Double)
+
+  private def terms(textCol: String) =
+    explode(split(lower(trim(col(textCol))), "\\s+")).as("term")
+
+  /** Corpus-wide index build (the one-time cost). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), terms(textCol))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val s = dl.agg(count(lit(1)), avg("dl")).collect()(0)
+    val n = s.getLong(0)
+    Bm25Index(tf, dl, df, n, if (n == 0) 0.0 else s.getDouble(1))
+  }
+
+  /** BM25 scores for every (query, candidate) pair — candidates are the
+    * docs sharing at least one term with the query. */
+  def scores(index: Bm25Index, queries: DataFrame, qIdCol: String,
+      qTextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(index.nDocs > 0, "BM25 index is empty")
+    val qterms = queries.where(col(qTextCol).isNotNull)
+      .select(col(qIdCol).as("q_id"), terms(qTextCol))
+      .where(col("term") =!= "").distinct()
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val qt = broadcast(qterms).join(index.df, Seq("term"))
+      .select(col("q_id"), col("term"), idf.as("idf"))
+    val norm = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    broadcast(qt).join(index.tf, Seq("term"))
+      .join(index.dl, Seq("doc_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("idf") * norm).as("score"))
+  }
+
+  /** Top-k docs per query, (score desc, doc_id asc)-ranked. */
+  def topK(index: Bm25Index, queries: DataFrame, qIdCol: String,
+      qTextCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores(index, queries, qIdCol, qTextCol, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** One-call convenience for ad-hoc use (index built inline). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topK(buildIndex(docs, idCol, textCol), queries, qIdCol, qTextCol, k, k1, b)
+}

@@ -1977,6 +1977,27 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // BM25 lexical retrieval: full DuckDB replay of the entire scoring
+    // pipeline — tokenization, tf/dl/df aggregates, the Lucene smoothed
+    // idf, and the per-(query, doc) score sum at 1e-6 fixed point —
+    // over a bounded doc universe with queries derived from corpus
+    // content (first 8 tokens of three fixed docs). All candidate pairs
+    // are emitted (no top-k in the gate, so no rank-boundary FP risk);
+    // the ranking path is spec-pinned.
+    "q_text_bm25" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+        .where(col("text").isNotNull && col("doc_id") < 300)
+      val queries = docs.where(col("doc_id").isin(1, 3, 5))
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
+            .as("q_text"))
+      val idx = graft.llm.Retrieval.buildIndex(docs, "doc_id", "text")
+      graft.llm.Retrieval.scores(idx, queries, "q_id", "q_text")
+        .select(col("q_id"), col("doc_id"),
+          floor(col("score") * 1e6).cast("long").as("score_fp"))
+        .orderBy("q_id", "doc_id")
+    }),
+
     // NFKC normalization: n and the ASCII-subset count replay in DuckDB
     // (the ASCII test is the same RE2-safe regex in both engines); the
     // Unicode facts are pinned booleans — ASCII text is untouched,
@@ -3329,6 +3350,37 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // Complete BM25 replay: same word rule, same tf/dl/df aggregates,
+    // same smoothed idf and length normalization, 1e-6 fixed point
+    // (term-sum FP drift ~1e-15 sits far inside the step).
+    "q_text_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        |tok AS (SELECT doc_id, unnest(lt) AS term FROM d),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfre AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS q_id, array_to_string(lt[1:8], ' ') AS qt
+        |  FROM d WHERE doc_id IN (1, 3, 5)),
+        |qterm AS (SELECT DISTINCT q_id, unnest(
+        |    regexp_split_to_array(trim(lower(qt)), '\s+')) AS term FROM q),
+        |qterm2 AS (SELECT q_id, term FROM qterm WHERE term <> ''),
+        |sc AS (SELECT qterm2.q_id AS q_id, tf.doc_id AS doc_id,
+        |    sum(ln(1 + ((SELECT n FROM stats) - dfre.df + 0.5)
+        |          / (dfre.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+        |          / (SELECT avgdl FROM stats)))) AS score
+        |  FROM qterm2 JOIN dfre USING (term) JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  GROUP BY qterm2.q_id, tf.doc_id)
+        |SELECT q_id, doc_id, CAST(floor(score * 1e6) AS BIGINT) AS score_fp
+        |FROM sc ORDER BY q_id, doc_id""".stripMargin,
+
     // n and the ASCII-subset count replay (same RE2-safe class both
     // engines); the Unicode mapping facts are pinned booleans.
     "q_text_normalize" ->
