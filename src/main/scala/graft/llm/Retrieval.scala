@@ -85,4 +85,27 @@ object Retrieval {
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     topK(buildIndex(docs, idCol, textCol), queries, qIdCol, qTextCol, k, k1, b)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes `1/(rrfK + rank)` per (query, doc), missing docs
+    * contribute nothing, and the fused ranking orders by the summed
+    * score (doc-id tie-break). Rank-arithmetic only — score scales of
+    * the inputs (BM25 vs cosine) never need calibrating, which is the
+    * method's whole point. Each input must carry `(q_id, doc_id, rank)`
+    * with rank ≥ 1 (the [[topK]] / ANN top-k output shape). One union +
+    * one (query, doc) aggregate + one per-query window — no join of the
+    * rankings against each other. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && rrfK >= 0, s"bad k=$k / rrfK=$rrfK")
+    val contrib = rankings.map(_.select(col("q_id"), col("doc_id"),
+      (lit(1.0) / (lit(rrfK.toDouble) + col("rank"))).as("c")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    contrib.groupBy("q_id", "doc_id").agg(sum("c").as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -1977,6 +1977,26 @@ object LlmQueries {
         "reload_identical" -> lit(identical))
     }),
 
+    // Reciprocal-rank fusion over two planted id-arithmetic rankings —
+    // COMPLETE DuckDB replay including the fused rank and the score at
+    // 1e-9 fixed point: with two rankings each (query, doc) sums at most
+    // two doubles, and two-term IEEE addition is order-independent, so
+    // both engines produce bit-identical scores (the tie-break is
+    // doc_id, also replayed).
+    "q_retrieval_rrf" -> ((s, d) => {
+      val base = s.range(0, 150).toDF("i")
+        .select(floor(col("i") / 50).cast("long").as("q_id"),
+          pmod(col("i"), lit(50)).as("doc_id"))
+      def planted(a: Int, b: Int) = base
+        .withColumn("rank",
+          (pmod(col("doc_id") * a + col("q_id") * b, lit(50)) + 1).cast("int"))
+        .where(col("rank") <= 20)
+      graft.llm.Retrieval.rrfFuse(Seq(planted(7, 1), planted(13, 3)), k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"),
+          floor(col("rrf_score") * 1e9).cast("long").as("score_fp"))
+        .orderBy("q_id", "rank")
+    }),
+
     // BM25 lexical retrieval: full DuckDB replay of the entire scoring
     // pipeline — tokenization, tf/dl/df aggregates, the Lucene smoothed
     // idf, and the per-(query, doc) score sum at 1e-6 fixed point —
@@ -3350,6 +3370,30 @@ object LlmQueries {
     // sum_piece_chars replays from raw strings: Viterbi segmentation
     // partitions each word, so piece characters total exactly the
     // corpus's non-whitespace characters.
+    // Exact replay of the fusion arithmetic (CAST 1.0 AS DOUBLE keeps
+    // DuckDB in IEEE doubles, not DECIMAL; two-term sums are
+    // order-independent so score_fp is bit-stable).
+    "q_retrieval_rrf" ->
+      """WITH b AS (SELECT CAST(g.range // 50 AS BIGINT) AS q_id,
+        |    g.range % 50 AS doc_id FROM range(0, 150) g),
+        |r1 AS (SELECT q_id, doc_id, (doc_id * 7 + q_id) % 50 + 1 AS rank
+        |  FROM b),
+        |r2 AS (SELECT q_id, doc_id, (doc_id * 13 + q_id * 3) % 50 + 1 AS rank
+        |  FROM b),
+        |c AS (SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        |    FROM r1 WHERE rank <= 20
+        |  UNION ALL
+        |  SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+        |    FROM r2 WHERE rank <= 20),
+        |sc AS (SELECT q_id, doc_id, sum(c) AS s FROM c GROUP BY q_id, doc_id)
+        |SELECT q_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+        |  CAST(floor(s * 1e9) AS BIGINT) AS score_fp
+        |FROM sc
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     // Complete BM25 replay: same word rule, same tf/dl/df aggregates,
     // same smoothed idf and length normalization, 1e-6 fixed point
     // (term-sum FP drift ~1e-15 sits far inside the step).

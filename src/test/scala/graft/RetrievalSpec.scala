@@ -57,6 +57,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(t.toSeq === Seq((1L, 1), (2L, 2)))
   }
 
+  test("rrfFuse: hand-computed fusion, missing docs, tie-break") {
+    // Ranking A: d1@1, d2@2. Ranking B: d2@1, d3@2.
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 2L, 1), (1L, 3L, 2)).toDF("q_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3, rrfK = 60)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // d2: 1/62 + 1/61 wins; d1: 1/61; d3: 1/62 — d1 beats d3.
+    assert(got.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(math.abs(got(0)._2 - (1.0 / 62 + 1.0 / 61)) === 0.0)
+    assert(got(1)._2 === 1.0 / 61 && got(2)._2 === 1.0 / 62)
+    // Equal contributions tie-break by doc id.
+    val t1 = Seq((1L, 9L, 1), (1L, 4L, 1)).toDF("q_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1), k = 2).orderBy("rank")
+      .collect().map(_.getLong(1))
+    assert(tied.toSeq === Seq(4L, 9L))
+  }
+
   test("queries with no matching terms return no candidates; empty index refused") {
     val idx = Retrieval.buildIndex(docs, "id", "text")
     val none = Retrieval.scores(idx,
