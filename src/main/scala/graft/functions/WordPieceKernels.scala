@@ -50,19 +50,33 @@ object WordPieceKernels {
 
     /** Greedy longest-match-first segmentation of one word; null means
       * unsegmentable (caller emits [UNK]). Words longer than
-      * `maxWordChars` are [UNK] without scanning (the BERT
-      * max_input_chars_per_word rule). */
+      * `maxWordChars` CODE POINTS are [UNK] without scanning (the BERT
+      * max_input_chars_per_word rule — code points, the same unit
+      * training's single-symbol alphabet and the gate's `length()` use;
+      * UTF-16 units would spuriously [UNK] astral-plane words and break
+      * the pinned no-UNK-on-training-corpus invariant). Match windows
+      * also step by code points so a surrogate pair is never split. */
     def encodeWord(word: String): Array[String] = {
-      val L = word.length
-      if (L == 0) return Array.empty
-      if (L > maxWordChars) return null
+      if (word.isEmpty) return Array.empty
+      // Code-point start offsets (UTF-16 index of each code point).
+      val nCp = word.codePointCount(0, word.length)
+      if (nCp > maxWordChars) return null
+      val off = new Array[Int](nCp + 1)
+      var u = 0
+      var c = 0
+      while (u < word.length) {
+        off(c) = u
+        u += Character.charCount(word.codePointAt(u))
+        c += 1
+      }
+      off(nCp) = word.length
       val out = new scala.collection.mutable.ArrayBuffer[String](4)
       var i = 0
-      while (i < L) {
-        var j = math.min(L, i + maxContentLen)
+      while (i < nCp) {
+        var j = math.min(nCp, i + maxContentLen)
         var hit: String = null
         while (j > i && hit == null) {
-          val sub = word.substring(i, j)
+          val sub = word.substring(off(i), off(j))
           val cand = if (i == 0) sub else "##" + sub
           if (set.contains(cand)) hit = cand else j -= 1
         }

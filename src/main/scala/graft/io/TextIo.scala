@@ -13,11 +13,11 @@ import org.apache.spark.sql.types.StructType
   *    extra pass over 100 TB and silently widens/narrows types per shard;
   *    the reader takes an explicit `StructType` (or a sample-bounded
   *    inference escape hatch for exploration).
-  *  - **Compression is splittable-aware.** gzip shards are whole-file
-  *    splits (one task per shard — fine when shards are written at
-  *    bounded size, the `partitions` knob), while uncompressed/zstd text
-  *    splits by range; the writer defaults to gzip at a bounded shard
-  *    row count so downstream readers still parallelize.
+  *  - **Compression is splittable-aware.** Compressed shards (gzip,
+  *    zstd — neither codec is splittable in Spark's text/json source)
+  *    are whole-file reads, one task per shard, so shard count IS read
+  *    parallelism — the `partitions` knob. Only uncompressed (and
+  *    bzip2) text splits by byte range.
   *  - **Lossless roundtrip** for the supported column types (longs,
   *    strings incl. full Unicode, booleans, doubles, arrays, structs,
   *    nulls) — pinned by the gate query's field-for-field replay.
@@ -37,15 +37,25 @@ object TextIo {
     out.write.mode("overwrite").option("compression", compression).json(path)
   }
 
-  /** Read JSONL with a PINNED schema — the production path. Rows that
-    * fail to parse surface in `_corrupt_record` mode PERMISSIVE by
-    * default; pass `failFast = true` to abort on the first bad record
-    * (the ingest-gate behavior). */
+  /** Read JSONL with a PINNED schema — the production path. Bad-record
+    * handling is explicit, because Spark's PERMISSIVE default is a trap
+    * with a pinned schema: a malformed line becomes an all-null row
+    * indistinguishable from legitimate nulls UNLESS the schema carries
+    * the `_corrupt_record` column. So: `failFast = true` aborts on the
+    * first bad record (the ingest-gate behavior); `keepCorrupt = true`
+    * appends a `_corrupt_record` string column holding each bad line
+    * (filter `_corrupt_record IS NOT NULL` to quarantine); both false
+    * means you have accepted silent null rows for bad data. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
-      failFast: Boolean = false): DataFrame =
-    spark.read.schema(schema)
+      failFast: Boolean = false, keepCorrupt: Boolean = false): DataFrame = {
+    val full =
+      if (keepCorrupt && !schema.fieldNames.contains("_corrupt_record"))
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read.schema(full)
       .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
       .json(path)
+  }
 
   /** Exploration-only reader: schema inferred from a bounded sample of
     * records (`samplingRatio` keeps the inference pass cheap), never the

@@ -1131,7 +1131,10 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 4,
       s"maxDist must be in [1, 4] (probe keys grow as (d+1)^2(2d+1)), got $maxDist")
     import graft.functions.EditBlockKernel
-    val base = df.select(col(idCol).cast("long").as("eid"),
+    // Ids keep their own type — the rest of the near-dup family never
+    // casts, and a long cast would null string/UUID ids under non-ANSI
+    // (silently returning zero pairs) or throw under ANSI.
+    val base = df.select(col(idCol).as("eid"),
       col(textCol).as("etxt")).where(col("etxt").isNotNull)
     val segs = base.select(col("eid").as("id_s"), col("etxt").as("txt_s"),
       explode(EditBlockKernel.segKeys(col("etxt"), maxDist)).as("k"))

@@ -151,10 +151,14 @@ object Sampling {
   def assignSplitsByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       splits: Seq[(String, Double)], seed: Long = 42L,
       splitCol: String = "split"): DataFrame = {
+    // Ids keep their own type (long, string, UUID — whatever the pair
+    // frame's near-dup family produced): a cast here would null out
+    // non-numeric ids under non-ANSI and silently void the no-straddle
+    // guarantee. Contract: pairs' id_a/id_b carry the same type as
+    // df(idCol), which every Dedup pair function preserves.
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").cast("long").as(idCol),
-        col("component").cast("long").as("__graft_comp"))
-    val rep = coalesce(col("__graft_comp"), col(idCol).cast("long"))
+      .select(col("id").as(idCol), col("component").as("__graft_comp"))
+    val rep = coalesce(col("__graft_comp"), col(idCol))
     assignSplits(
       df.join(cc, Seq(idCol), "left").withColumn("__graft_rep", rep),
       Seq("__graft_rep"), splits, seed, splitCol)

@@ -69,6 +69,44 @@ object WordPiece {
       |  i -> if(i = 1, substring(w, 1, 1), concat('##', substring(w, i, 1))))"""
       .stripMargin)
 
+  /** The initial distinct-word symbol table (the one corpus-wide
+    * shuffle), pre-checkpoint — shared by [[train]] and the plan audit. */
+  private[graft] def wordSymbolTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordsOf(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(initSyms.as("syms"), col("cnt"))
+
+  /** One sweep's scored, ranked candidate frame over the symbol table —
+    * `(l, r, c, score)` ordered (score desc, l asc, r asc). Shared by
+    * [[train]] and the plan audit so PLANS.md certifies the SHIPPING
+    * pipeline, never a copy. Symbol counts are tiny (≤ alphabet +
+    * accepted merges) and broadcast-join into the pair table for the
+    * score denominators; counts are cast to double BEFORE the
+    * denominator multiply — two long symbol counts at web-corpus
+    * frequencies (~5e9 each) would overflow Long and raise under ANSI
+    * mode. */
+  private[graft] def sweepCandidateFrame(words: DataFrame,
+      minPairCount: Long): DataFrame = {
+    val n = size(col("syms"))
+    val symCounts = words.select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy("sym").agg(sum("cnt").as("sc"))
+    words.where(n >= 2)
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("c"))
+      .where(col("c") >= minPairCount)
+      .join(broadcast(symCounts.withColumnRenamed("sym", "l")
+        .withColumnRenamed("sc", "sl")), Seq("l"))
+      .join(broadcast(symCounts.withColumnRenamed("sym", "r")
+        .withColumnRenamed("sc", "sr")), Seq("r"))
+      .select(col("l"), col("r"), col("c"),
+        (col("c").cast("double") /
+          (col("sl").cast("double") * col("sr").cast("double"))).as("score"))
+      .orderBy(col("score").desc, col("l").asc, col("r").asc)
+  }
+
   /** Learn `numMerges` WordPiece merges over a text column. Stops early
     * when the best remaining pair occurs fewer than `minPairCount` times.
     * `sweepSize > 1` batches symbol-disjoint merge selection (see object
@@ -92,10 +130,7 @@ object WordPiece {
       c
     }
 
-    var words = ckpt(df.select(explode(wordsOf(col(textCol))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(initSyms.as("syms"), col("cnt")))
+    var words = ckpt(wordSymbolTable(df, textCol))
 
     // The single-symbol alphabet (bare first chars + ##-marked rest),
     // fixed at init — these are never dropped, keeping encode total on
@@ -110,25 +145,7 @@ object WordPiece {
     while (merges.length < numMerges && !done) {
       val want = math.min(sweepSize, numMerges - merges.length)
       val fetch = if (sweepSize == 1) 1 else math.max(sweepSize * 2, sweepSize + 8)
-      val n = size(col("syms"))
-      // Symbol counts: tiny (≤ alphabet + accepted merges entries) —
-      // broadcast-joined twice into the pair table for the score
-      // denominators.
-      val symCounts = words.select(explode(col("syms")).as("sym"), col("cnt"))
-        .groupBy("sym").agg(sum("cnt").as("sc"))
-      val top = words.where(n >= 2)
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("c"))
-        .where(col("c") >= minPairCount)
-        .join(broadcast(symCounts.withColumnRenamed("sym", "l")
-          .withColumnRenamed("sc", "sl")), Seq("l"))
-        .join(broadcast(symCounts.withColumnRenamed("sym", "r")
-          .withColumnRenamed("sc", "sr")), Seq("r"))
-        .select(col("l"), col("r"), col("c"),
-          (col("c").cast("double") / (col("sl") * col("sr"))).as("score"))
-        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+      val top = sweepCandidateFrame(words, minPairCount)
         .limit(fetch).collect()
       if (top.isEmpty) done = true
       else {

@@ -2011,11 +2011,18 @@ object LlmQueries {
         .select(col("doc_id").as("q_id"),
           array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
             .as("q_text"))
-      val idx = graft.llm.Retrieval.buildIndex(docs, "doc_id", "text")
-      graft.llm.Retrieval.scores(idx, queries, "q_id", "q_text")
+      // The persisted-index lifecycle is on the gate path: build+write,
+      // reload, score from the parquet postings.
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+      graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id", "text",
+        dir.toString)
+      val idx = graft.llm.Retrieval.loadIndex(s, dir.toString)
+      val res = graft.llm.Retrieval.scores(idx, queries, "q_id", "q_text")
         .select(col("q_id"), col("doc_id"),
           floor(col("score") * 1e6).cast("long").as("score_fp"))
-        .orderBy("q_id", "doc_id")
+        .orderBy("q_id", "doc_id").localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      res
     }),
 
     // NFKC normalization: n and the ASCII-subset count replay in DuckDB

@@ -27,6 +27,19 @@ object DriveOpsScale {
     def secs(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    /** Min wall over 2 attempts + the winning attempt's steal (the bench
+      * artifact's own contention policy) — shared by the action-shaped
+      * benches that cannot go through `bench()`. */
+    def minTimedBest(body: => Unit): (Double, Double) = {
+      var best = Double.MaxValue; var steal = 0.0
+      for (_ <- 0 until 2) {
+        val (st0, _) = boxTicks()
+        val t = secs(body)
+        val (st1, _) = boxTicks()
+        if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
+      }
+      (best, steal)
+    }
 
     /** ~`nTok`-token text from the row id — vocabulary of 5000 words. */
     def text(nTok: Int): Column = array_join(
@@ -462,19 +475,9 @@ object DriveOpsScale {
     // (k=4096, ~5000 distinct tokens here so the summary is near-exact);
     // marginal = sketch wall minus the same scan materialized to noop.
     if (only.isEmpty || only("heavy_hitters_10m_docs")) {
-      def mgMinTimed(body: => Unit): (Double, Double) = {
-        var best = Double.MaxValue; var steal = 0.0
-        for (_ <- 0 until 2) {
-          val (st0, _) = boxTicks()
-          val t = secs(body)
-          val (st1, _) = boxTicks()
-          if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
-        }
-        (best, steal)
-      }
       graft.llm.CorpusStats.heavyHitters(docs10m.limit(1000000), "text", 4096) // warm
-      val (baseT, _) = mgMinTimed(mat(docs10m))
-      val (hhT, hhSteal) = mgMinTimed {
+      val (baseT, _) = minTimedBest(mat(docs10m))
+      val (hhT, hhSteal) = minTimedBest {
         graft.llm.CorpusStats.heavyHitters(docs10m, "text", 4096); ()
       }
       val marginal = math.max(0.0, hhT - baseT)
@@ -487,16 +490,6 @@ object DriveOpsScale {
     // reason the training lines share); projection is the fused kernel,
     // synthesis-subtracted like quantize.
     if (only.isEmpty || only("pca_fit_10m_vecs") || only("pca_project_10m_vecs")) {
-      def pcaMinTimed(body: => Unit): (Double, Double) = {
-        var best = Double.MaxValue; var steal = 0.0
-        for (_ <- 0 until 2) {
-          val (st0, _) = boxTicks()
-          val t = secs(body)
-          val (st1, _) = boxTicks()
-          if (t < best) { best = t; steal = (st1 - st0) / 100.0 }
-        }
-        (best, steal)
-      }
       val dir = "/tmp/graft_ops_pca"
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         emb10m.withColumn("embedding", col("embedding").cast("array<float>"))
@@ -505,7 +498,7 @@ object DriveOpsScale {
       val pvecs = spark.read.parquet(dir)
       if (only.isEmpty || only("pca_fit_10m_vecs")) {
         graft.llm.Pca.fit(pvecs.limit(1000000), "embedding", k = 8) // warm
-        val (t, st) = pcaMinTimed {
+        val (t, st) = minTimedBest {
           graft.llm.Pca.fit(pvecs, "embedding", k = 8); ()
         }
         val line = f"""{"bench":"pca_fit_10m_vecs","rows":10000000,"fit_sec":$t%.2f,"steal_sec":$st%.2f}"""
@@ -518,6 +511,50 @@ object DriveOpsScale {
             .select(element_at(col("pc"), 1).as("p0")))
       }
       rm(new java.io.File(dir))
+    }
+
+    // NFKC normalization: fused projection with the isNormalized fast
+    // path (synthetic text is ASCII, so this measures the common case —
+    // one scan, zero allocation).
+    if (only.isEmpty || only("nfkc_10m_docs")) {
+      bench("nfkc_10m_docs", 10000000L, docs10m,
+        df => df.select(length(
+          graft.functions.NormalizeKernel.nfkc(col("text"))).as("n")))
+    }
+
+    // Sentence segmentation: one narrow regexp explode.
+    if (only.isEmpty || only("sentences_10m_docs")) {
+      bench("sentences_10m_docs", 10000000L, docs10m,
+        df => graft.llm.TextAnalysis.sentences(
+          df.withColumn("id", monotonically_increasing_id()), "id", "text")
+          .select(length(col("sentence")).as("n")))
+    }
+
+    // BM25 index build at 10M docs: the one-time corpus cost (tf + dl +
+    // df materialized — what a production build writes as parquet), then
+    // a 100-query batch scored against it (postings-only work).
+    if (only.isEmpty || only("bm25_index_10m_docs")) {
+      val bmDocs = docs10m
+      val bmDir = "/tmp/graft_ops_bm25_idx"
+      rm(new java.io.File(bmDir))
+      graft.llm.Retrieval.buildAndWriteIndex(
+        bmDocs.limit(1000000), "id", "text", bmDir) // warm
+      rm(new java.io.File(bmDir))
+      var idx: graft.llm.Retrieval.Bm25Index = null
+      val (buildT, buildSteal) = minTimedBest {
+        // ONE corpus tokenization into the written tf parquet; dl/df and
+        // the stats job derive from the parquet — the production build
+        // shape, not N independent corpus rescans.
+        idx = graft.llm.Retrieval.buildAndWriteIndex(bmDocs, "id", "text", bmDir)
+      }
+      val queries = spark.range(100).toDF("id")
+        .select(col("id").as("q_id"), text(6).as("q_text"))
+      val (queryT, _) = minTimedBest {
+        mat(graft.llm.Retrieval.topK(idx, queries, "q_id", "q_text", k = 10))
+      }
+      val line = f"""{"bench":"bm25_index_10m_docs","rows":10000000,"build_sec":$buildT%.2f,"query100_sec":$queryT%.2f,"steal_sec":$buildSteal%.2f}"""
+      println(s"CHECK $line"); out.append(line).append('\n')
+      rm(new java.io.File(bmDir))
     }
 
     // Edit-distance join over 1M short titles (6 tokens ≈ 30 chars, d=1):

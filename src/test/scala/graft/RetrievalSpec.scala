@@ -57,6 +57,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(t.toSeq === Seq((1L, 1), (2L, 2)))
   }
 
+  test("buildAndWriteIndex/loadIndex: persisted index scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_spec")
+    try {
+      val written = Retrieval.buildAndWriteIndex(docs, "id", "text",
+        dir.toString)
+      val loaded = Retrieval.loadIndex(spark, dir.toString)
+      assert(loaded.nDocs === 3L && loaded.avgdl === 3.0)
+      val qs = Seq((10L, "a c")).toDF("qid", "qtext")
+      val mem = Retrieval.scores(Retrieval.buildIndex(docs, "id", "text"),
+        qs, "qid", "qtext").collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      val fromWritten = Retrieval.scores(written, qs, "qid", "qtext")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      val fromLoaded = Retrieval.scores(loaded, qs, "qid", "qtext")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      assert(fromWritten === mem && fromLoaded === mem)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("rrfFuse: hand-computed fusion, missing docs, tie-break") {
     // Ranking A: d1@1, d2@2. Ranking B: d2@1, d3@2.
     val a = Seq((1L, 1L, 1), (1L, 2L, 2)).toDF("q_id", "doc_id", "rank")
