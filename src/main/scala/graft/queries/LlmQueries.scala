@@ -2242,7 +2242,12 @@ object LlmQueries {
     // (counts ≥ floor, positive likelihood scores) ride as booleans.
     "q_wordpiece" -> ((s, d) => {
       val docs = table(s, d, "documents").where(col("text").isNotNull)
-      val m0 = graft.llm.WordPiece.train(docs, "text", numMerges = 30)
+      // sweepSize=4 exercises the batched symbol-disjoint path (sound
+      // for WordPiece — see the trainer scaladoc) and cuts the gate's
+      // driver round-trips 4x; every pin below holds for any correct
+      // selection (counts are sweep-start counts, all >= the floor).
+      val m0 = graft.llm.WordPiece.train(docs, "text", numMerges = 30,
+        sweepSize = 4)
       val words = docs
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .where(col("w") =!= "").localCheckpoint()
