@@ -260,32 +260,50 @@ object SetKernels {
       b.result()
     }
 
-    /** Incremental form of [[build]] for key streams that never
-      * materialize as one array (e.g. `toLocalIterator` over a distinct
-      * frame): sized ONCE from `expectedKeys` — callers must know the
-      * count up front (FP rate degrades if the stream overshoots it). */
-    def builder(expectedKeys: Long, bitsPerKey: Int): Builder = {
+    /** Probe count for a bits-per-key budget (k = bitsPerKey·ln2, the
+      * textbook optimum) — the `k` half of the filter geometry. */
+    def probesFor(bitsPerKey: Int): Int =
+      math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt)
+
+    /** Word-array length for an expected key count — the size half of the
+      * filter geometry. Two filters built with the same
+      * (expectedKeys, bitsPerKey) have identical geometry, which makes
+      * their bitwise OR an EXACT union (the distributed-build invariant). */
+    def wordsFor(expectedKeys: Long, bitsPerKey: Int): Int = {
       require(bitsPerKey >= 4 && bitsPerKey <= 64,
         s"bitsPerKey must be in [4, 64], got $bitsPerKey")
       require(expectedKeys >= 0 && expectedKeys <= (Int.MaxValue.toLong * 64L) / bitsPerKey,
         s"bloom for $expectedKeys keys at $bitsPerKey bits/key exceeds a single word array")
       val nBits = math.max(64L, expectedKeys * bitsPerKey)
-      new Builder(new Array[Long](((nBits + 63) / 64).toInt),
-        math.max(1, math.round(bitsPerKey * math.log(2.0)).toInt))
+      ((nBits + 63) / 64).toInt
     }
 
-    final class Builder private[LongBloomSet] (words: Array[Long], k: Int) {
-      private val total = words.length.toLong * 64L
-      def add(v: Long): Unit = {
-        val h1 = mix(v, 0x9E3779B97F4A7C15L)
-        val h2 = mix(v, 0xC2B2AE3D27D4EB4FL) | 1L
-        var i = 0
-        while (i < k) {
-          val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, total)
-          words((bit >>> 6).toInt) |= (1L << (bit & 63L))
-          i += 1
-        }
+    /** Set `v`'s k probe bits in a raw word array — the one shared write
+      * path of the serial [[Builder]] and the distributed treeAggregate
+      * build (same bit math ⇒ same filter regardless of add order or
+      * duplicate keys: OR is idempotent and commutative). */
+    def addTo(words: Array[Long], k: Int, v: Long): Unit = {
+      val total = words.length.toLong * 64L
+      val h1 = mix(v, 0x9E3779B97F4A7C15L)
+      val h2 = mix(v, 0xC2B2AE3D27D4EB4FL) | 1L
+      var i = 0
+      while (i < k) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, total)
+        words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+        i += 1
       }
+    }
+
+    /** Incremental form of [[build]] for key streams that never
+      * materialize as one array: sized ONCE from `expectedKeys` — callers
+      * must know the count up front (FP rate degrades if the stream
+      * overshoots it). */
+    def builder(expectedKeys: Long, bitsPerKey: Int): Builder =
+      new Builder(new Array[Long](wordsFor(expectedKeys, bitsPerKey)),
+        probesFor(bitsPerKey))
+
+    final class Builder private[LongBloomSet] (words: Array[Long], k: Int) {
+      def add(v: Long): Unit = addTo(words, k, v)
       def result(): LongBloomSet = new LongBloomSet(words, k)
     }
   }

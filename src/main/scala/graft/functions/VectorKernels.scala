@@ -152,12 +152,18 @@ object VectorKernels {
       val k: Int) extends Serializable {
     val d: Int = mean.length
     require(comps.length == k * d, s"component matrix ${comps.length} != $k x $d")
-    /** out_j = Σ_i comps(j,i) · (x_i - mean_i); null on dim mismatch. */
+    /** out_j = Σ_i comps(j,i) · (x_i - mean_i); null on dim mismatch or
+      * any null element (the file-wide kernel null contract — a null
+      * coordinate must not silently project as 0.0). */
     def project(x: ArrayData): ArrayData = {
       if (x.numElements() != d) return null
       val cx = new Array[Double](d)
       var i = 0
-      while (i < d) { cx(i) = x.getDouble(i) - mean(i); i += 1 }
+      while (i < d) {
+        if (x.isNullAt(i)) return null
+        cx(i) = x.getDouble(i) - mean(i)
+        i += 1
+      }
       val out = new Array[Any](k)
       var j = 0
       while (j < k) {

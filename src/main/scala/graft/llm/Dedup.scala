@@ -467,55 +467,108 @@ object Dedup {
     keys
   }
 
-  /** Distinct banded-LSH keys of a corpus as a frame — the shared build
-    * of [[minHashBandIndex]] (exact collect) and [[minHashBandBloom]]
-    * (streamed bloom). One narrow sketch pass + a distinct shuffle. */
-  private def distinctBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+  /** Raw (non-distinct) banded-LSH keys of a corpus as a frame — one
+    * narrow sketch pass, zero shuffle. The bloom build consumes these
+    * directly (duplicate adds set the same bits); the exact index
+    * distincts them first. */
+  private def bandKeysOf(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleWidth: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
     minHashSigOnly(corpus, idCol, textCol, numHashes, shingleWidth)
       .select(explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandkey"))
-      .distinct()
   }
 
-  /** Bloom-backed corpus band index: the driver never holds the key set —
-    * the distinct keys are counted (the bounded-ceiling check), then
-    * STREAMED through `toLocalIterator` one partition at a time into a
-    * [[graft.functions.SetKernels.LongBloomSet.Builder]] sized from the
-    * count. Driver memory is the bloom's bit array (`bitsPerKey`/8 bytes
-    * per key — ~750 MB at the default 300M-key ceiling and 20 bits) plus
-    * one partition of rows in flight, NOT 300M boxed Rows (the exact
-    * index's `collect` would need ~10x the 8 bytes/key its array
-    * ultimately stores — that Row overhead is what this path removes).
-    * Cost: the distinct frame is persisted and evaluated twice (count +
-    * stream); past the ceiling, shard the corpus into several guards or
-    * use the incremental band-key equi-join ([[nearDupMinHashAgainst]]).
+  /** Distinct banded-LSH keys of a corpus as a frame — the build side of
+    * [[minHashBandIndex]] (exact collect). One narrow sketch pass + a
+    * distinct shuffle. */
+  private def distinctBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleWidth: Int): DataFrame =
+    bandKeysOf(corpus, idCol, textCol, numHashes, bands, shingleWidth).distinct()
+
+  /** Bloom-backed corpus band index, built CLUSTER-PARALLEL: neither the
+    * key set nor the key stream ever funnels through the driver — each
+    * input partition fills a local bit array of the shared geometry and a
+    * `treeAggregate` bitwise-ORs them upward (bloom union is EXACT for
+    * identical size/hash-family filters, and OR is idempotent, so
+    * duplicate band keys need no distinct shuffle at all). The driver
+    * receives one pre-merged bit array per tree branch instead of 10⁸
+    * rows. Two passes over the persisted (zero-shuffle) key frame:
+    * sizing + build.
     *
-    * Measured at scale (`bench_ops_scale.json`, local[32], r12): a
-    * 10M-doc corpus at numHashes=128/bands=16 (~160M distinct band keys)
-    * builds a 400 MB bloom in ~10 min (615.8s wall incl. 126.6s steal —
-    * sketch + distinct dominate, the driver stream is a minor tail); the
-    * stateless probe then scores a 1M-doc stream at ~73k docs/s/box
-    * (13.7s marginal — the per-doc 128-hash sketch, not the bloom lookup,
-    * is the cost). Build once, probe many ([[streamMinHashGuardWith]]). */
+    * Sizing: by default the filter is sized from `approx_count_distinct`
+    * (HLL, deterministic for a fixed frame) inflated 6% — a ±2% estimate
+    * error moves the false-positive rate, never the no-false-negative
+    * guarantee. `exactSizing = true` restores the exact distinct+count
+    * sizing (one extra shuffle) — with it, the result is BIT-IDENTICAL to
+    * a serial [[graft.functions.SetKernels.LongBloomSet.Builder]] build
+    * over the same corpus (pinned in Round13Spec). Past the ceiling,
+    * shard the corpus into several guards or use the incremental
+    * batch-vs-corpus join ([[nearDupMinHashAgainst]]).
+    *
+    * Measured at scale (`bench_ops_scale.json`, local[32]): the r12
+    * driver-serial form (distinct + `toLocalIterator`) built a 10M-doc /
+    * ~160M-key / 400 MB guard in 615.8s; this form removes both the
+    * distinct shuffle and the driver funnel — the wall is the one
+    * sketch pass plus a cores-parallel OR-merge. The stateless probe is
+    * unchanged ([[streamMinHashGuardWith]]): build once, probe many. */
   def minHashBandBloom(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 128, bands: Int = 64, shingleWidth: Int = 3,
-      bitsPerKey: Int = 20, maxCorpusKeys: Long = 300000000L)
+      bitsPerKey: Int = 20, maxCorpusKeys: Long = 300000000L,
+      exactSizing: Boolean = false)
       : graft.functions.SetKernels.LongBloomSet = {
-    val keysDf = distinctBandKeys(corpus, idCol, textCol, numHashes, bands, shingleWidth)
+    val keysDf = bandKeysOf(corpus, idCol, textCol, numHashes, bands, shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
-      val n = keysDf.count()
+      val n =
+        if (exactSizing) keysDf.distinct().count()
+        else {
+          // HLL at 2% rsd, +6% headroom (3σ): undersizing only raises the
+          // FP rate a hair; the 6% pad keeps it at-or-below nominal.
+          val est = keysDf.agg(approx_count_distinct(col("bandkey"), 0.02))
+            .collect()(0).getLong(0)
+          math.max(1L, (est * 1.06).toLong)
+        }
       require(n <= maxCorpusKeys,
-        s"corpus band index has $n distinct keys > maxCorpusKeys=$maxCorpusKeys — " +
+        s"corpus band index has ~$n distinct keys > maxCorpusKeys=$maxCorpusKeys — " +
           "raise the knob explicitly, shard the corpus into several guards, " +
           "or use the incremental batch-vs-corpus join instead")
-      val b = graft.functions.SetKernels.LongBloomSet.builder(n, bitsPerKey)
-      val it = keysDf.toLocalIterator()
-      while (it.hasNext) b.add(it.next().getLong(0))
-      b.result()
+      buildBloomDistributed(keysDf, n, bitsPerKey)
     } finally keysDf.unpersist()
+  }
+
+  /** OR-merge bloom build over a single-long-column frame: partition-local
+    * bit arrays of the SHARED geometry, `treeAggregate`-merged. The zero
+    * value is an empty marker (allocating lazily keeps the ~`n·bitsPerKey`
+    * -bit array out of the per-task closure); partitions are first
+    * coalesced (narrow) to the executor parallelism so the transient
+    * build memory is cores × array, never input-splits × array. */
+  private def buildBloomDistributed(keys: DataFrame, expectedKeys: Long,
+      bitsPerKey: Int): graft.functions.SetKernels.LongBloomSet = {
+    import graft.functions.SetKernels.LongBloomSet
+    val nWords = LongBloomSet.wordsFor(expectedKeys, bitsPerKey)
+    val k = LongBloomSet.probesFor(bitsPerKey)
+    val spark = keys.sparkSession
+    val keyIdx = keys.schema.fieldIndex("bandkey")
+    val internal = keys.queryExecution.toRdd
+    val p = math.max(1, math.min(internal.getNumPartitions,
+      spark.sparkContext.defaultParallelism))
+    val words = internal.coalesce(p).treeAggregate(Array.emptyLongArray)(
+      (acc, row) => {
+        val a = if (acc.length == 0) new Array[Long](nWords) else acc
+        LongBloomSet.addTo(a, k, row.getLong(keyIdx))
+        a
+      },
+      (a, b) =>
+        if (a.length == 0) b
+        else if (b.length == 0) a
+        else {
+          var i = 0
+          while (i < nWords) { a(i) |= b(i); i += 1 }
+          a
+        },
+      depth = 2)
+    new LongBloomSet(if (words.length == 0) new Array[Long](nWords) else words, k)
   }
 
   /** STATELESS streaming near-dup guard against a static corpus: each
@@ -561,9 +614,9 @@ object Dedup {
     * bytes/key at 20 bits, ~6e-5 false-positive rate per band probe) —
     * per [[graft.functions.SetKernels.LongBloomSet]]'s sizing note this
     * pushes the guard's corpus ceiling ~3-6x past the exact form's
-    * ~10^8 keys (the build still runs one distinct+collect, which is
-    * what ultimately bounds it; past that, shard the corpus into several
-    * guards). False positives only over-flag (a clean doc gets an
+    * ~10^8 keys (the build is a cluster-parallel OR-merge — the driver
+    * holds only the finished bit array; past the ceiling, shard the
+    * corpus into several guards). False positives only over-flag (a clean doc gets an
     * unnecessary exact-verify or a conservative drop); genuine band
     * collisions are NEVER missed — the decontamination-guard tradeoff.
     * Same stateless zero-shuffle contract as the exact form; verdict is
@@ -572,9 +625,9 @@ object Dedup {
       idCol: String, textCol: String, numHashes: Int = 128, bands: Int = 64,
       shingleWidth: Int = 3, bitsPerKey: Int = 20,
       maxCorpusKeys: Long = 300000000L): DataFrame = {
-    // Streamed bloom build ([[minHashBandBloom]]): the default 300M-key
-    // ceiling costs the driver the bloom's bit array (~750 MB), never a
-    // 300M-Row collect. Validation lives in the delegates.
+    // Distributed bloom build ([[minHashBandBloom]]): the driver holds the
+    // bloom's bit array (~750 MB at the default 300M-key ceiling), never
+    // a key stream or collect. Validation lives in the delegates.
     val bloom = minHashBandBloom(corpus, idCol, textCol, numHashes, bands,
       shingleWidth, bitsPerKey, maxCorpusKeys)
     streamMinHashGuardWith(stream, bloom, textCol, numHashes, bands, shingleWidth)
@@ -700,23 +753,39 @@ object Dedup {
     * share at least one exact sub-key, so candidates meet in a sub-key
     * bucket — never all-pairs. */
   def nearDupSimHash(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000): DataFrame =
+    nearDupHamming64(simHashes(df, idCol, textCol), "id", "sk",
+      maxDistance, pieces, maxBucket)
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit sketch column —
+    * the shared pigeonhole engine of [[nearDupSimHash]] (text) and the
+    * image pHash family ([[Multimodal.pHashImages]]): the sketch splits
+    * into `pieces` disjoint bit slices, two sketches within distance
+    * d < pieces must agree exactly on at least one slice, so candidate
+    * generation is an equi-join on slice keys (exact blocking — no
+    * recall loss) and only candidates pay the XOR/bit_count verify.
+    * `maxBucket` caps degenerate slice buckets (the [[capBuckets]] skew
+    * guard). Null sketches are dropped. */
+  def nearDupHamming64(df: DataFrame, idCol: String, hashCol: String,
       maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000): DataFrame = {
     require(maxDistance < pieces, "need maxDistance < pieces for pigeonhole completeness")
+    require(pieces >= 1 && 64 % pieces == 0, s"pieces must divide 64, got $pieces")
     val bitsPerPiece = 64 / pieces
     val pieceKeys = (0 until pieces).map { p =>
       concat_ws(":", lit(p.toString),
-        shiftrightunsigned(col("sk"), p * bitsPerPiece)
+        shiftrightunsigned(col("__h"), p * bitsPerPiece)
           .bitwiseAND(lit(if (bitsPerPiece == 64) -1L else (1L << bitsPerPiece) - 1)).cast("string"))
     }
-    val prepared = simHashes(df, idCol, textCol)
+    val prepared = df.where(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("__h"))
       .withColumn("piece", explode(array(pieceKeys: _*)))
 
     val bucketed = capBuckets(prepared, "piece", maxBucket)
-    val a = bucketed.select(col("piece"), col("id").as("id_a"), col("sk").as("sk_a"))
-    val b = bucketed.select(col("piece"), col("id").as("id_b"), col("sk").as("sk_b"))
+    val a = bucketed.select(col("piece"), col("id").as("id_a"), col("__h").as("h_a"))
+    val b = bucketed.select(col("piece"), col("id").as("id_b"), col("__h").as("h_b"))
     a.join(b, Seq("piece")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).as("hamming"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .where(col("hamming") <= maxDistance)
       .distinct()
   }

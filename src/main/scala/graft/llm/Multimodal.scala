@@ -364,6 +364,155 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------ perceptual hash
+
+  /** Batched per-partition perceptual hash (64-bit DCT pHash) — the image
+    * near-dup sketch: decode → 32×32 grayscale bilinear resample → 2D
+    * DCT-II → top-left 8×8 low-frequency block → bit j = coefficient >
+    * median (median over the 63 non-DC coefficients; the DC term is pure
+    * brightness and would otherwise bias the split). Two images that are
+    * re-encodes / resizes / mild quality-degrades of each other land
+    * within a few bits of Hamming distance; unrelated images differ in
+    * ~32 — the standard image-dedup step of multimodal corpus pipelines
+    * (composes with [[Dedup.nearDupHamming64]]'s pigeonhole blocking for
+    * the corpus-wide pair join). Same `mapPartitions` + batch shape as
+    * `decodeImages`; undecodable or degenerate bytes hash to null. */
+  def pHashImages(df: DataFrame, binCol: String, batchSize: Int = 64,
+      outCol: String = "phash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ pHashOne(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  private val PHashSide = 32
+  /** cosTable(u)(x) = cos((2x+1)·u·π/64) — the DCT-II basis, StrictMath
+    * so the hash is bit-stable across JVMs. */
+  @transient private lazy val pHashCos: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](PHashSide, PHashSide)
+    var u = 0
+    while (u < PHashSide) {
+      var x = 0
+      while (x < PHashSide) {
+        t(u)(x) = StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * PHashSide))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** 64-bit DCT pHash of one image, or null when the bytes don't decode. */
+  private[graft] def pHashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      imageIoNoDiskCache
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth == 0 || img.getHeight == 0) null
+        else {
+          // Grayscale 32×32 via one bilinear draw (the resize kernel path).
+          val gray = new java.awt.image.BufferedImage(
+            PHashSide, PHashSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g = gray.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, PHashSide, PHashSide, null)
+          } finally g.dispose()
+          val raster = gray.getRaster
+          val px = Array.ofDim[Double](PHashSide, PHashSide)
+          var y = 0
+          while (y < PHashSide) {
+            var x = 0
+            while (x < PHashSide) { px(y)(x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          // Separable 2D DCT-II, low-frequency 8×8 block only (8·32·32
+          // + 8·8·32 multiplies — no full-transform waste).
+          val cos = pHashCos
+          val rows8 = Array.ofDim[Double](8, PHashSide) // rows8(u)(y) = Σ_x px(y)(x)·cos(u,x)
+          var u = 0
+          while (u < 8) {
+            y = 0
+            while (y < PHashSide) {
+              var s = 0.0
+              var x = 0
+              while (x < PHashSide) { s += px(y)(x) * cos(u)(x); x += 1 }
+              rows8(u)(y) = s
+              y += 1
+            }
+            u += 1
+          }
+          val coef = new Array[Double](64)
+          var v = 0
+          while (v < 8) {
+            u = 0
+            while (u < 8) {
+              var s = 0.0
+              y = 0
+              while (y < PHashSide) { s += rows8(u)(y) * cos(v)(y); y += 1 }
+              coef(v * 8 + u) = s
+              u += 1
+            }
+            v += 1
+          }
+          // Median of the 63 AC coefficients (DC excluded), then the bits.
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          java.util.Arrays.sort(ac)
+          val median = ac(31) // element 32 of 63 — the true middle
+          var bits = 0L
+          var j = 0
+          while (j < 64) {
+            if (coef(j) > median) bits |= (1L << j)
+            j += 1
+          }
+          bits
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Synthetic textured image for pHash gates: an 8×8 grid of gray blocks
+    * whose levels derive from splitmix64(family, bx, by) — visually
+    * distinct across families, structurally stable under resize /
+    * re-encode (the two invariances pHash certifies). Deterministic, so
+    * planted-duplicate corpora stay oracle-checkable. */
+  def encodeBlockImage(family: Long, side: Int = 64, format: String = "png"): Array[Byte] = {
+    require(side >= 8, s"side must be >= 8, got $side")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val block = side / 8
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val h = mix(mix(family * 8191L + (x / block)) * 127L + (y / block))
+        val gray = (h & 0xFFL).toInt
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
   // ---------------------------------------------------- video containers
 
   /** Container-level video metadata: MP4 (ISO BMFF) header fields parsed

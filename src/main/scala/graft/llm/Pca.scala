@@ -164,7 +164,10 @@ object Pca {
       if (maxTrainRows <= 0) base0
       else Sampling.sampleN(base0, Seq(vecCol), maxTrainRows.toInt, seed = 7L)
     val vecs = base.select(col(vecCol).cast("array<double>")).as[Array[Double]]
-    val d = vecs.head().length
+    val probe = vecs.take(1)
+    require(probe.nonEmpty,
+      s"PCA needs at least one non-null '$vecCol' vector, got an empty input")
+    val d = probe(0).length
     require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
     val m = vecs.rdd.treeAggregate(new Moments(d))(
       (acc, x) => acc.add(x), (a, b) => a.merge(b), depth = 2)

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end C4/RefinedWeb-style curation: the pipeline a real
+  * training-data job runs, composed from the library's own stages in
+  * their canonical order —
+  *
+  *   fix encoding (mojibake repair + NFKC) → HTML→text extraction →
+  *   language-ID filter → heuristic quality filter → within-doc repeated-
+  *   line removal → exact dedup (content hash, keep-lowest-id) → minhash
+  *   near-dup removal → n-gram decontamination (optional) → token-budget
+  *   sampling (optional)
+  *
+  * — and emits, next to the curated corpus, a per-stage survival stats
+  * frame `(ord, stage, rows_out, tokens_out)`: the artifact a data team
+  * actually reviews (where did the corpus shrink, and by how much).
+  *
+  * Scale shape: the three column stages (encoding, HTML, lines) are fused
+  * zero-shuffle kernels; the filters are stateless projections; the only
+  * wide operations are the ones dedup inherently needs (content-hash
+  * shuffle, banded-minhash candidate join, gram-key join). Each stage
+  * output is localCheckpoint-ed once — it is read exactly twice (its
+  * stats aggregate + the next stage), so recomputing the whole prefix
+  * chain per stage would be strictly worse; intermediate checkpoints are
+  * unpersisted as soon as the next stage materializes. Stats cost one
+  * count+token-sum aggregate per stage over that stage's output.
+  */
+object Pipeline {
+
+  final case class Config(
+      keepLangs: Set[String] = Set("en"),
+      minQuality: Double = 0.7,
+      minTokens: Int = 5,
+      nearDupThreshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      shingleWidth: Int = 3,
+      decontaminateNgram: Int = 13,
+      budgetTokens: Long = 0L,
+      seed: Long = 42L)
+
+  /** Curated corpus + the per-stage stats frame. */
+  final case class Result(docs: DataFrame, stats: DataFrame)
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): Result = {
+    val spark = docs.sparkSession
+    require(cfg.minTokens >= 0 && cfg.budgetTokens >= 0L, s"bad config $cfg")
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    val checkpoints = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+
+    var cur = docs.where(col(textCol).isNotNull).localCheckpoint()
+    def measure(stage: String): Unit = {
+      val r = cur.agg(count(lit(1)),
+        coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)))
+        .collect()(0)
+      stats += ((stats.size, stage, r.getLong(0), r.getLong(1)))
+    }
+    def step(stage: String)(f: DataFrame => DataFrame): Unit = {
+      val prev = cur
+      cur = f(prev).localCheckpoint()
+      measure(stage)
+      // prev's blocks are no longer needed once cur is materialized.
+      org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
+        .foreach(checkpoints += _)
+    }
+    measure("input")
+
+    step("fix_encoding")(df => df.withColumn(textCol,
+      graft.functions.NormalizeKernel.nfkc(
+        graft.functions.MojibakeKernel.fixMojibake(col(textCol)))))
+    step("html_extract")(df => df
+      .withColumn(textCol, graft.functions.HtmlKernel.htmlToText(col(textCol)))
+      .where(trim(col(textCol)) =!= ""))
+    step("langid_filter")(df => df.where(
+      TextAnalysis.languageId(col(textCol)).isin(cfg.keepLangs.toSeq: _*)))
+    step("quality_filter")(df => df.where(
+      TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality &&
+        TextAnalysis.tokenCount(col(textCol)) >= cfg.minTokens))
+    step("line_dedup")(df => df
+      .withColumn(textCol, TextAnalysis.removeRepeatedLines(col(textCol)))
+      .where(trim(col(textCol)) =!= ""))
+    // Content-hash exact dedup with the deterministic keep-lowest-id rule
+    // (plain dropDuplicates keeps an arbitrary row; pipelines must be
+    // replayable).
+    step("exact_dedup")(df => Dedup.exactKeepFirst(
+      df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      Seq("__fp"), idCol).drop("__fp"))
+    step("near_dedup")(df => Dedup.dropNearDupsMinHash(df, idCol, textCol,
+      cfg.nearDupThreshold, cfg.numHashes, cfg.bands, cfg.shingleWidth))
+    evalDocs.foreach { ev =>
+      step("decontaminate")(df => Decontamination.decontaminate(df, ev,
+        idCol, textCol, cfg.decontaminateNgram))
+    }
+    if (cfg.budgetTokens > 0L)
+      step("token_budget")(df => Sampling.sampleTokenBudget(
+        df.withColumn("__tok", TextAnalysis.tokenCount(col(textCol)).cast("long")),
+        Seq(idCol), "__tok", cfg.budgetTokens, cfg.seed).drop("__tok"))
+
+    checkpoints.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    Result(cur,
+      stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out"))
+  }
+}

@@ -4,118 +4,250 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval — the sparse/lexical side of RAG next to the
-  * [[Similarity]] ANN family (hybrid retrieval joins both result sets).
-  * Okapi BM25 with the Lucene-standard smoothed idf:
+  * [[Similarity]] ANN family (hybrid retrieval fuses both result sets —
+  * [[rrfFuse]]). Okapi BM25 with the Lucene-standard smoothed idf:
   * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
   * `score(q, d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`
   * over the DISTINCT terms of the query (qtf = 1 — the common search
   * engine behavior).
   *
-  * Scale design — build once, query many:
-  *  - [[buildIndex]] is the corpus-wide work: tokenize (shared word
-  *    rule), ONE shuffle keyed on (doc, term) for tf, one doc-keyed
-  *    aggregate for lengths, one term-keyed aggregate for df. The three
-  *    frames ARE the inverted index — persist them as parquet
-  *    (bucketed by term for the postings) and every later query batch
-  *    skips the corpus entirely.
-  *  - [[scores]] touches only the postings of the query's terms: the
-  *    (tiny) query-term frame broadcast-joins into df and tf, so the
-  *    shuffled data is the candidate postings, never the corpus. Scoring
-  *    is one (query, doc) aggregate.
+  * Scale design — build once, query many, scan only the queried terms:
+  *  - [[buildAndWriteIndex]] pays ONE corpus pass and ONE shuffle: term
+  *    frequencies are row-local, so the fused
+  *    [[graft.functions.TermCountKernel]] emits each document's finished
+  *    postings (with its length denormalized Lucene-style into every
+  *    posting row) in the scan itself; the only wide exchange is the
+  *    bucket-layout repartition. Postings and document frequencies are
+  *    written PARTITIONED by `tb = pmod(xxhash64(term), nBuckets)` and
+  *    term-sorted within each bucket file.
+  *  - [[scores]] computes the query batch's (term, bucket) list in one
+  *    tiny driver job and pushes BOTH as filters: the bucket list prunes
+  *    whole partition directories (PartitionFilters) and the term list
+  *    reaches the parquet row groups (PushedFilters over the sorted term
+  *    column) — a query batch scans the postings of its own terms, never
+  *    the index. The `dl` join is gone entirely (denormalized above).
   *  - [[topK]] ranks with a per-query window over the scored candidates
   *    (WindowGroupLimit keeps the rank map-side), ties broken by doc id.
-  *
-  * Measured (`bench_ops_scale.json`, local[32], r12, disk-contended
-  * window with 18.8s steal): build+write of the full index for 10M
-  * 32-token docs (~320M tf rows) 218s — dominated by the one tf shuffle
-  * + parquet write; a 100-query batch against the persisted index 28s
-  * (one index-sized tf scan + postings join, the corpus untouched).
+  *  - [[appendToBm25Index]] ingests a new batch incrementally: delta
+  *    postings/lengths parquet-append into the bucket layout, document
+  *    frequencies merge vocab-sized, corpus stats recompute from the
+  *    lengths table — the existing index is never rebuilt.
   */
 object Retrieval {
 
-  /** The inverted index: `tf(doc_id, term, tf)`, `dl(doc_id, dl)`,
-    * `df(term, df)` plus the two corpus scalars. Plain frames —
-    * persisting/bucketing them is ordinary parquet I/O. */
+  /** The inverted index: `tf(doc_id, term, tf, dl[, tb])`,
+    * `dl(doc_id, dl)`, `df(term, df[, tb])` plus the corpus scalars.
+    * `nBuckets = 0` marks an unbucketed (in-memory / legacy) index —
+    * [[scores]] then skips partition pruning. */
   final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
-      nDocs: Long, avgdl: Double)
+      nDocs: Long, avgdl: Double, nBuckets: Int = 0)
+
+  private def tokens(textCol: String) =
+    filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
 
   private def terms(textCol: String) =
     explode(split(lower(trim(col(textCol))), "\\s+")).as("term")
 
-  /** Ad-hoc in-memory index build. `dl` and `df` derive from the tf
-    * table (`dl = Σ tf` per doc — identical by definition), but the
-    * frames stay LAZY: every downstream action re-tokenizes the corpus
-    * through the lineage. Fine for one-shot use; for build-once /
-    * query-many, [[buildAndWriteIndex]] is the production path — it pays
-    * exactly one corpus pass and every later query batch reads the
-    * (index-sized) parquet instead. */
+  /** Zero-shuffle postings rows `(doc_id, term, tf, dl)`: the fused
+    * per-row term count plus the document length denormalized into every
+    * posting (the Lucene norms layout — scoring then never joins a
+    * lengths table). Documents with no non-empty tokens emit no rows. */
+  private def tfRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(textCol)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("dl"),
+        explode(graft.functions.TermCountKernel.termCounts(toks)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"), col("dl"))
+  }
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int").as("tb")
+
+  /** Ad-hoc in-memory index build. The frames stay LAZY: every downstream
+    * action re-tokenizes the corpus through the lineage. Fine for one-shot
+    * use; for build-once / query-many, [[buildAndWriteIndex]] is the
+    * production path. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
-    val tf = tfOf(docs, idCol, textCol)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tf = tfRows(docs, idCol, textCol)
+    val dl = tf.groupBy("doc_id").agg(max("dl").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val s = dl.agg(count(lit(1)), avg("dl")).collect()(0)
     val n = s.getLong(0)
     Bm25Index(tf, dl, df, n, if (n == 0) 0.0 else s.getDouble(1))
   }
 
-  private def tfOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), terms(textCol))
-      .where(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-
-  /** Build-once persisted index: the tf table is written as parquet in
-    * the ONE corpus-wide pass, dl/df derive from the written parquet
-    * (index-sized jobs, the corpus is never touched again), and the
-    * corpus scalars land in a `meta.json` sidecar through the path's own
-    * filesystem (the IVF+PQ-index lifecycle). Returns the loaded
-    * index. */
+  /** Build-once persisted index: the postings are written in the ONE
+    * corpus-wide pass (fused term counts, then the single bucket-layout
+    * shuffle), `dl`/`df` derive from the written parquet (index-sized
+    * jobs, the corpus is never touched again), and the corpus scalars +
+    * bucket count land in a `meta.json` sidecar through the path's own
+    * filesystem (the IVF+PQ-index lifecycle). Returns the loaded index. */
   def buildAndWriteIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Bm25Index = {
+      path: String, nBuckets: Int = 256): Bm25Index = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
-    tfOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$path/tf")
+    writeBucketSorted(tfRows(docs, idCol, textCol).withColumn("tb",
+      bucketOf(nBuckets)), s"$path/tf", overwrite = true)
     val tfP = spark.read.parquet(s"$path/tf")
-    tfP.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tfP.groupBy("doc_id").agg(max("dl").as("dl"))
       .write.mode("overwrite").parquet(s"$path/dl")
-    tfP.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    val dlP = spark.read.parquet(s"$path/dl")
-    val s = dlP.agg(count(lit(1)), avg("dl")).collect()(0)
+    writeBucketSorted(tfP.groupBy("tb", "term").agg(count(lit(1)).as("df")),
+      s"$path/df", overwrite = true)
+    writeMeta(spark, path, nBuckets)
+    loadIndex(spark, path)
+  }
+
+  /** Bucket-partitioned, term-sorted parquet write: one shuffle keyed on
+    * the bucket, rows sorted by (tb, term) within each task so every
+    * bucket directory holds term-sorted files — parquet min/max row-group
+    * stats then make a pushed `term IN (...)` filter skip everything but
+    * the queried terms' row groups. */
+  private def writeBucketSorted(withTb: DataFrame, dir: String,
+      overwrite: Boolean): Unit =
+    withTb.repartition(col("tb")).sortWithinPartitions("tb", "term")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("tb").parquet(dir)
+
+  /** Recompute + write the meta sidecar from the dl table (exact corpus
+    * stats; a lengths-table-sized aggregate, never a corpus pass). */
+  private def writeMeta(spark: SparkSession, path: String, nBuckets: Int)
+      : (Long, Double) = {
+    val s = spark.read.parquet(s"$path/dl").agg(count(lit(1)), avg("dl"))
+      .collect()(0)
     val n = s.getLong(0)
     val avgdl = if (n == 0) 0.0 else s.getDouble(1)
     graft.io.FsText.write(spark, s"$path/meta.json",
-      s"""{"n_docs": $n, "avgdl": $avgdl}""")
-    Bm25Index(tfP, dlP, spark.read.parquet(s"$path/df"), n, avgdl)
+      s"""{"n_docs": $n, "avgdl": $avgdl, "n_buckets": $nBuckets}""")
+    (n, avgdl)
   }
 
-  /** Reload a persisted index (no corpus access, no stats job). */
+  /** Reload a persisted index (no corpus access, no stats job). Indexes
+    * written before the bucketed layout (no `n_buckets` field) load with
+    * `nBuckets = 0` and score unpruned. */
   def loadIndex(spark: SparkSession, path: String): Bm25Index = {
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json"))
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val nBuckets = if (root.has("n_buckets")) root.get("n_buckets").asInt else 0
     Bm25Index(spark.read.parquet(s"$path/tf"),
       spark.read.parquet(s"$path/dl"), spark.read.parquet(s"$path/df"),
-      root.get("n_docs").asLong, root.get("avgdl").asDouble)
+      root.get("n_docs").asLong, root.get("avgdl").asDouble, nBuckets)
+  }
+
+  /** Incrementally ingest `newDocs` into a persisted index: the delta
+    * postings and lengths parquet-APPEND into the existing bucket layout
+    * (O(batch) work — appended files land term-sorted next to the old
+    * ones, so pruning still holds), document frequencies merge as one
+    * vocab-sized union-aggregate (rewritten via temp-dir + rename swap,
+    * crash residue handled), and the corpus scalars recompute exactly
+    * from the lengths table. `checkIds` guards the df merge's
+    * correctness precondition — a re-ingested doc_id would double-count
+    * df — with one lengths-table semi-join (disable for trusted
+    * append-only id streams). Returns the reloaded index: scoring it
+    * equals scoring a from-scratch rebuild over old ∪ new (pinned by
+    * `q_text_bm25`). */
+  def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, checkIds: Boolean = true): Bm25Index = {
+    val spark = newDocs.sparkSession
+    val meta = graft.io.FsText.read(spark, s"$path/meta.json")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no BM25 index meta at $path/meta.json — not a graft BM25 index"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    val nBuckets = if (root.has("n_buckets")) root.get("n_buckets").asInt else 0
+    require(nBuckets >= 1,
+      s"index at $path predates the bucketed layout — rebuild with buildAndWriteIndex")
+    val delta = tfRows(newDocs, idCol, textCol).withColumn("tb", bucketOf(nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      if (checkIds) {
+        val clash = spark.read.parquet(s"$path/dl")
+          .join(delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .limit(1).count()
+        require(clash == 0L,
+          s"appendToBm25Index: batch re-ingests doc_ids already in the index at $path " +
+            "(df would double-count) — dedup the batch or pass checkIds = false only " +
+            "for streams with guaranteed-fresh ids")
+      }
+      writeBucketSorted(delta, s"$path/tf", overwrite = false)
+      delta.groupBy("doc_id").agg(max("dl").as("dl"))
+        .write.mode("append").parquet(s"$path/dl")
+      // Vocab-sized df merge, swapped in atomically (the compaction idiom:
+      // temp write, move-aside, rename; stale residue deleted up front).
+      val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
+      val fs = dfDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/df._graft_append_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/df.__old")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      val merged = spark.read.parquet(dfDir.toString)
+        .select(col("term"), col("df").cast("long").as("df"), col("tb"))
+        .unionByName(delta.groupBy("tb", "term").agg(count(lit(1)).as("df"))
+          .select(col("term"), col("df"), col("tb")))
+        .groupBy("tb", "term").agg(sum("df").as("df"))
+      writeBucketSorted(merged, tmp.toString, overwrite = true)
+      if (!fs.rename(dfDir, old))
+        throw new java.io.IOException(
+          s"appendToBm25Index: could not move $dfDir aside; merged df left at $tmp")
+      if (!fs.rename(tmp, dfDir)) {
+        val restored = fs.rename(old, dfDir)
+        throw new java.io.IOException(
+          s"appendToBm25Index: rename $tmp -> $dfDir failed; " + (
+            if (restored) "original df restored"
+            else s"restore ALSO failed — original preserved at $old, merged at $tmp"))
+      }
+      fs.delete(old, true)
+      writeMeta(spark, path, nBuckets)
+      loadIndex(spark, path)
+    } finally delta.unpersist()
   }
 
   /** BM25 scores for every (query, candidate) pair — candidates are the
-    * docs sharing at least one term with the query. */
+    * docs sharing at least one term with the query. On a bucketed index
+    * the postings/df scans are pruned to the query batch's own terms: one
+    * driver job collects the batch's distinct (term, bucket) pairs
+    * (bounded by the batch's vocabulary — the `probeIvfPqIndex` cell-list
+    * pattern), the bucket list prunes partition directories, and — up to
+    * `maxPushTerms` — the term list is pushed into the parquet scan where
+    * the term-sorted row groups skip everything else. */
   def scores(index: Bm25Index, queries: DataFrame, qIdCol: String,
-      qTextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      qTextCol: String, k1: Double = 1.2, b: Double = 0.75,
+      maxPushTerms: Int = 8192): DataFrame = {
     require(index.nDocs > 0, "BM25 index is empty")
     val qterms = queries.where(col(qTextCol).isNotNull)
       .select(col(qIdCol).as("q_id"), terms(qTextCol))
       .where(col("term") =!= "").distinct()
+    val bucketed = index.nBuckets > 0 && index.tf.columns.contains("tb")
+    val (tfScan, dfScan) =
+      if (!bucketed) (index.tf, index.df)
+      else {
+        // ONE tiny job: the batch's distinct (term, bucket) pairs. The
+        // bucket expression is the write-side one evaluated by the same
+        // engine — never reimplemented driver-side.
+        val tb = qterms.select(col("term"), bucketOf(index.nBuckets)).distinct()
+          .collect()
+        val buckets = tb.map(_.getInt(1)).distinct.toSeq
+        val termList = tb.map(_.getString(0)).toSeq
+        val bFilter = col("tb").isin(buckets: _*)
+        val filter =
+          if (termList.size <= maxPushTerms)
+            bFilter && col("term").isin(termList: _*)
+          else bFilter
+        (index.tf.where(filter), index.df.where(filter))
+      }
     val idf = log(lit(1.0) +
       (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val qt = broadcast(qterms).join(index.df, Seq("term"))
+    val qt = broadcast(qterms).join(dfScan, Seq("term"))
       .select(col("q_id"), col("term"), idf.as("idf"))
     val norm = col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
-    broadcast(qt).join(index.tf, Seq("term"))
-      .join(index.dl, Seq("doc_id"))
-      .groupBy("q_id", "doc_id")
+    val cand = broadcast(qt).join(tfScan, Seq("term"))
+    val withDl =
+      if (tfScan.columns.contains("dl")) cand
+      else cand.join(index.dl, Seq("doc_id"))
+    withDl.groupBy("q_id", "doc_id")
       .agg(sum(col("idf") * norm).as("score"))
   }
 

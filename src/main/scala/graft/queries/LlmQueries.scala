@@ -81,6 +81,37 @@ object LlmQueries {
         .orderBy("id_a")
     }),
 
+    // ------------------------------------- image near-dup (pHash)
+    // Planted duplicate-transform construction with a SQL-derivable
+    // answer: 40 families of 3 images each — a 64×64 block-texture PNG
+    // (texture a deterministic splitmix64 function of the family id), a
+    // bilinear 48×48 RESIZE of it, and a same-size JPEG RE-ENCODE (the
+    // two transforms image dedup must be invariant to). Real ImageIO
+    // decode + 32×32 DCT pHash + pigeonhole Hamming blocking must pair
+    // every within-family combination and nothing else: cross-family
+    // textures are independent 8×8 block noise, so their pHashes differ
+    // in ~32 bits (P(<= 10) ~ 1e-8 per pair, deterministic for the fixed
+    // corpus — the q_dedup_simhash plant contract). The oracle re-derives
+    // the exact pair list from the id arithmetic.
+    "q_dedup_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 120).select(col("id")).as[Long]
+        .map { id =>
+          val orig = Multimodal.encodeBlockImage(id / 3)
+          val bytes = (id % 3) match {
+            case 0L => orig
+            case 1L => Multimodal.resizeOne(orig, 48, 48, "png")
+            case _ => Multimodal.resizeOne(orig, 64, 64, "jpg")
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val hashed = Multimodal.pHashImages(media, "payload", batchSize = 32)
+      Dedup.nearDupHamming64(hashed, "doc_id", "phash",
+          maxDistance = 10, pieces = 16)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------------------------------------- substring-level dedup
     // RefinedWeb/exact-substring granularity: every 50th doc gets the same
     // 11-token boilerplate tail, so each planted doc carries >= 4 repeated
@@ -1997,31 +2028,162 @@ object LlmQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // HYBRID retrieval end-to-end: the real thing, not constructed
+    // rankings — BM25 top-k over the PERSISTED bucketed postings index
+    // fused (RRF) with dense top-k over the PERSISTED IVF+PQ index, both
+    // on the same multimodal corpus (documents that also carry an
+    // embedding). The dense probe runs at nProbe = nCentroids and
+    // k·rerank ≥ |corpus|, which makes it EXACTLY brute-force cosine
+    // top-k by construction (every cell probed, every candidate
+    // exact-reranked) — so DuckDB replays BOTH rankings genuinely (full
+    // BM25 recomputation + exhaustive double-precision cosine) plus the
+    // two-term RRF fusion bit-exactly. The pruning booleans pin that
+    // each index path scanned with non-empty PartitionFilters (term
+    // buckets / probed cells), i.e. the fused query never full-scanned
+    // either index.
+    "q_retrieval_hybrid" -> ((s, d) => {
+      val emb = table(s, d, "embeddings")
+      val corpus = table(s, d, "documents").where(col("text").isNotNull)
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+        .localCheckpoint()
+      val queries = corpus.where(col("doc_id").isin(1, 3, 5))
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
+            .as("q_text"),
+          col("embedding"))
+        .localCheckpoint()
+      val bmDir = java.nio.file.Files.createTempDirectory("graft_hybrid_bm25")
+      val annDir = java.nio.file.Files.createTempDirectory("graft_hybrid_ann")
+      val idx = graft.llm.Retrieval.buildAndWriteIndex(corpus, "doc_id",
+        "text", bmDir.toString, nBuckets = 8)
+      val bm = graft.llm.Retrieval.topK(idx, queries, "q_id", "q_text", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val (indexed, meta) = Similarity.buildIvfPqIndex(corpus, "doc_id",
+        "embedding", nCentroids = 8, m = 16, ksub = 64, refineIterations = 0)
+      Similarity.writeIvfPqIndex(indexed, meta, annDir.toString)
+      val (reloaded, meta2) = Similarity.readIvfPqIndex(s, annDir.toString)
+      val raw = corpus.select(col("doc_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val ann = Similarity.probeIvfPqIndex(reloaded, meta2, raw, queries,
+          "q_id", "embedding", k = 10, nProbe = 8, rerank = 200)
+        .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      def pruned(f: DataFrame): Boolean =
+        "PartitionFilters: \\[([^\\]]*)\\]".r
+          .findAllMatchIn(f.queryExecution.executedPlan.toString)
+          .exists(_.group(1).trim.nonEmpty)
+      val res = graft.llm.Retrieval.rrfFuse(Seq(bm, ann), k = 10)
+        .select(col("q_id"), col("doc_id"), col("rank"),
+          floor(col("rrf_score") * 1e9).cast("long").as("score_fp"),
+          lit(pruned(bm)).as("bm25_pruned"), lit(pruned(ann)).as("ann_pruned"))
+        .orderBy("q_id", "rank").localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(bmDir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(annDir.toFile)
+      res
+    }),
+
+    // END-TO-END pipeline composition: the full C4/RefinedWeb-style
+    // curation (fix encoding → HTML extract → langid → quality → line
+    // dedup → exact dedup → minhash near-dup → decontaminate) run as ONE
+    // Pipeline.curate call over a planted corpus whose every stage effect
+    // is id-arithmetic-derivable, with the per-stage survival stats frame
+    // as the output — DuckDB replays it STAGE BY STAGE (rows and token
+    // sums) by reconstructing the same 600 documents and applying each
+    // rule: fr-stopword docs die at langid, punctuation-spam at quality
+    // (discrete 4/7 score — no FP boundary), within-doc repeated lines
+    // shrink tokens, mirrored exact copies die at content-hash dedup
+    // (keep-lowest-id), +4-token variants (shingle jaccard 19/23 ≈ 0.826
+    // ≥ 0.8, exact-verified) at near-dup, and the two eval-copied docs at
+    // decontamination (every 13-gram carries an id token, so only exact
+    // id matches flag). ASCII-only corpus ⇒ the encoding stage is
+    // identity (the q_text_mojibake/q_text_normalize pinned contracts);
+    // the HTML wrapper strips exactly (the q_text_html_extract template).
+    // This is the cross-operator contract test no single-op gate gives:
+    // column collisions, null handling, or survivor-rule drift anywhere
+    // in the chain moves some stage's (rows_out, tokens_out).
+    "q_pipeline_e2e" -> ((s, d) => {
+      def enGood(i: Column) = concat(lit("w"), i,
+        lit("a the quick brown fox jumps over the lazy dog w"), i,
+        lit("b it was good that it is here and now w"), i, lit("c"))
+      val i = col("id").cast("string")
+      val j = col("id") - 300
+      val js = j.cast("string")
+      val fr = concat(lit("le chat et le chien sont dans la maison avec " +
+        "les amis et la famille w"), i)
+      val junk = lit("the it was " + Seq("!", "?", "@", "#", "$", "%", "^")
+        .map(c => c * 20).mkString(" "))
+      val lineA = concat(lit("the cat sat on the mat with w"), i, lit("x"))
+      val lineB = concat(lit("it was here and it is there w"), i, lit("y"))
+      val linesBody = concat(lineA, lit("\n"), lineB, lit("\n"), lineB)
+      val body = when(col("id") < 300 && pmod(col("id"), lit(5)) === 0, fr)
+        .when(col("id") < 300 && pmod(col("id"), lit(7)) === 0, junk)
+        .when(col("id") < 300 && pmod(col("id"), lit(11)) === 0, linesBody)
+        .when(col("id") < 300, enGood(i))
+        .when(pmod(j, lit(5)) === 0 || pmod(j, lit(7)) === 0 ||
+          pmod(j, lit(11)) === 0, enGood(i))
+        .when(pmod(j, lit(13)) === 0, enGood(js))
+        .when(pmod(j, lit(17)) === 0,
+          concat(enGood(js), lit(" extra alpha beta gamma")))
+        .otherwise(enGood(i))
+      val corpus = s.range(0, 600).toDF("id")
+        .select(col("id").as("doc_id"),
+          concat(lit("<p>"), body,
+            lit("</p><script>var x = 1;</script>")).as("text"))
+      val eval = s.range(0, 2).toDF("k")
+        .select((col("k") + 9000L).as("doc_id"),
+          when(col("k") === 0, enGood(lit("2")))
+            .otherwise(enGood(lit("4"))).as("text"))
+      graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval))
+        .stats.orderBy("ord")
+    }),
+
     // BM25 lexical retrieval: full DuckDB replay of the entire scoring
     // pipeline — tokenization, tf/dl/df aggregates, the Lucene smoothed
-    // idf, and the per-(query, doc) score sum at 1e-6 fixed point —
-    // over a bounded doc universe with queries derived from corpus
-    // content (first 8 tokens of three fixed docs). All candidate pairs
-    // are emitted (no top-k in the gate, so no rank-boundary FP risk);
-    // the ranking path is spec-pinned.
+    // idf, and the per-(query, doc) score sum — over a bounded doc
+    // universe with queries derived from corpus content (first 8 tokens
+    // of three fixed docs). All candidate pairs are emitted (no top-k in
+    // the gate, so no rank-boundary FP risk); the ranking path is
+    // spec-pinned. Fixed point is round-half-up at 1e-4 (not floor at
+    // 1e-6): cross-engine summation-order drift is ~1e-14 relative, so
+    // the coarser grid puts boundary-adjacent scores ~10 orders of
+    // magnitude further from a flip than the drift. The whole
+    // INCREMENTAL lifecycle is on the gate path: build+write the bucketed
+    // index over the base corpus, parquet-append a batch, reload, score —
+    // with `append_equals_rebuild` pinning (in-engine, 1e-9 tolerance)
+    // that the appended index scores EXACTLY like a from-scratch rebuild
+    // over base ∪ batch, which is also what DuckDB replays.
     "q_text_bm25" -> ((s, d) => {
       val docs = table(s, d, "documents")
         .where(col("text").isNotNull && col("doc_id") < 300)
+      val base = docs.where(col("doc_id") < 250)
+      val batch = docs.where(col("doc_id") >= 250)
       val queries = docs.where(col("doc_id").isin(1, 3, 5))
         .select(col("doc_id").as("q_id"),
           array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 8), " ")
             .as("q_text"))
-      // The persisted-index lifecycle is on the gate path: build+write,
-      // reload, score from the parquet postings.
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
-      graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id", "text",
-        dir.toString)
-      val idx = graft.llm.Retrieval.loadIndex(s, dir.toString)
-      val res = graft.llm.Retrieval.scores(idx, queries, "q_id", "q_text")
+      val dirFull = java.nio.file.Files.createTempDirectory("graft_bm25_idx_full")
+      graft.llm.Retrieval.buildAndWriteIndex(base, "doc_id", "text",
+        dir.toString, nBuckets = 8)
+      val appended = graft.llm.Retrieval.appendToBm25Index(batch, "doc_id",
+        "text", dir.toString)
+      val rebuilt = graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id",
+        "text", dirFull.toString, nBuckets = 8)
+      val sA = graft.llm.Retrieval.scores(appended, queries, "q_id", "q_text")
+      val sR = graft.llm.Retrieval.scores(rebuilt, queries, "q_id", "q_text")
+        .withColumnRenamed("score", "score_r")
+      val appendEqualsRebuild = sA.join(sR, Seq("q_id", "doc_id"), "full_outer")
+        .agg(all(abs(col("score") - col("score_r")) < 1e-9))
+        .collect()(0).getBoolean(0)
+      val res = sA
         .select(col("q_id"), col("doc_id"),
-          floor(col("score") * 1e6).cast("long").as("score_fp"))
+          round(col("score") * 1e4).cast("long").as("score_fp"),
+          lit(appendEqualsRebuild).as("append_equals_rebuild"))
         .orderBy("q_id", "doc_id").localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(dirFull.toFile)
       res
     }),
 
@@ -2129,7 +2291,11 @@ object LlmQueries {
       one(emb,
         "n" -> count(lit(1)),
         "dim" -> max(size(col("embedding"))).cast("long"),
-        "trace_fp" -> L(math.floor(m.eigenvalues.sum * 1e6).toLong),
+        // round-half-up at 1e-4 (not floor at 1e-6): the two engines reach
+        // the trace by different routes (Jacobi eigenvalue sum vs raw
+        // per-dimension variances), so the coarser grid keeps the ~1e-10
+        // cross-route drift ~6 orders of magnitude inside the step.
+        "trace_fp" -> L(math.floor(m.eigenvalues.sum * 1e4 + 0.5).toLong),
         "orthonormal_ok" -> lit(ortho),
         "eigen_desc_ok" -> lit(desc),
         "eigen_nonneg_ok" -> lit(nonneg),
@@ -2589,6 +2755,16 @@ object LlmQueries {
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0 ORDER BY id_a""".stripMargin,
+
+    // GENUINE replay of the planted image-family construction: ids 3f,
+    // 3f+1 (resized copy), 3f+2 (JPEG re-encode) must pair exactly within
+    // each family f — the pair list is pure id arithmetic.
+    "q_dedup_image_phash" ->
+      """WITH f AS (SELECT g.range AS f FROM range(0, 40) g),
+        |p AS (SELECT 3*f AS id_a, 3*f+1 AS id_b FROM f
+        |  UNION ALL SELECT 3*f AS id_a, 3*f+2 AS id_b FROM f
+        |  UNION ALL SELECT 3*f+1 AS id_a, 3*f+2 AS id_b FROM f)
+        |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB
@@ -3406,9 +3582,153 @@ object LlmQueries {
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
 
-    // Complete BM25 replay: same word rule, same tf/dl/df aggregates,
-    // same smoothed idf and length normalization, 1e-6 fixed point
-    // (term-sum FP drift ~1e-15 sits far inside the step).
+    // GENUINE replay of the whole hybrid stack: full BM25 recomputation
+    // (the q_text_bm25 oracle) ranked top-10, exhaustive double-precision
+    // cosine top-10 (the dense probe is exactly brute force by
+    // construction — every cell probed, every candidate exact-reranked,
+    // self excluded), then the two-term RRF sum (order-independent IEEE,
+    // bit-stable at 1e-9 fixed point). Pruning facts are pinned booleans.
+    "q_retrieval_hybrid" ->
+      """WITH c AS (SELECT d.doc_id AS doc_id,
+        |    regexp_split_to_array(trim(lower(d.text)), '\s+') AS lt,
+        |    CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE d.text IS NOT NULL),
+        |tok AS (SELECT doc_id, unnest(lt) AS term FROM c),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfre AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT doc_id AS q_id, array_to_string(lt[1:8], ' ') AS qt,
+        |    v AS qv
+        |  FROM c WHERE doc_id IN (1, 3, 5)),
+        |qterm AS (SELECT DISTINCT q_id, unnest(
+        |    regexp_split_to_array(trim(lower(qt)), '\s+')) AS term FROM q),
+        |qterm2 AS (SELECT q_id, term FROM qterm WHERE term <> ''),
+        |sc AS (SELECT qterm2.q_id AS q_id, tf.doc_id AS doc_id,
+        |    sum(ln(1 + ((SELECT n FROM stats) - dfre.df + 0.5)
+        |          / (dfre.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+        |          / (SELECT avgdl FROM stats)))) AS score
+        |  FROM qterm2 JOIN dfre USING (term) JOIN tf USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  GROUP BY qterm2.q_id, tf.doc_id),
+        |bm AS (SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc QUALIFY rank <= 10),
+        |dn AS (SELECT q.q_id AS q_id, c.doc_id AS doc_id,
+        |    list_cosine_similarity(q.qv, c.v) AS cos
+        |  FROM q JOIN c ON c.doc_id <> q.q_id),
+        |dnr AS (SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, doc_id ASC) AS rank
+        |  FROM dn QUALIFY rank <= 10),
+        |u AS (SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS con
+        |    FROM bm
+        |  UNION ALL
+        |  SELECT q_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS con
+        |    FROM dnr),
+        |f AS (SELECT q_id, doc_id, sum(con) AS s FROM u GROUP BY q_id, doc_id)
+        |SELECT q_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+        |  CAST(floor(s * 1e9) AS BIGINT) AS score_fp,
+        |  TRUE AS bm25_pruned, TRUE AS ann_pruned
+        |FROM f
+        |QUALIFY rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // STAGE-BY-STAGE replay of the whole curation pipeline: DuckDB
+    // reconstructs the same 600 planted documents and applies each
+    // stage's survivor rule (language family, quality family, line
+    // dedup's token shrink, mirrored exact copies, +4-token near-dup
+    // variants, eval-copied decontamination victims) from the id
+    // arithmetic, recomputing every stage's row count and token sum.
+    "q_pipeline_e2e" ->
+      """WITH ids AS (SELECT g.range AS id FROM range(0, 600) g),
+        |b1 AS (SELECT id,
+        |  CASE
+        |    WHEN id < 300 AND id % 5 = 0 THEN
+        |      'le chat et le chien sont dans la maison avec les amis et la famille w' || id
+        |    WHEN id < 300 AND id % 7 = 0 THEN
+        |      'the it was !!!!!!!!!!!!!!!!!!!! ???????????????????? @@@@@@@@@@@@@@@@@@@@ #################### $$$$$$$$$$$$$$$$$$$$ %%%%%%%%%%%%%%%%%%%% ^^^^^^^^^^^^^^^^^^^^'
+        |    WHEN id < 300 AND id % 11 = 0 THEN
+        |      'the cat sat on the mat with w' || id || 'x' || chr(10) ||
+        |      'it was here and it is there w' || id || 'y' || chr(10) ||
+        |      'it was here and it is there w' || id || 'y'
+        |    WHEN id < 300 THEN
+        |      'w' || id || 'a the quick brown fox jumps over the lazy dog w' ||
+        |      id || 'b it was good that it is here and now w' || id || 'c'
+        |    WHEN (id-300) % 5 = 0 OR (id-300) % 7 = 0 OR (id-300) % 11 = 0 THEN
+        |      'w' || id || 'a the quick brown fox jumps over the lazy dog w' ||
+        |      id || 'b it was good that it is here and now w' || id || 'c'
+        |    WHEN (id-300) % 13 = 0 THEN
+        |      'w' || (id-300) || 'a the quick brown fox jumps over the lazy dog w' ||
+        |      (id-300) || 'b it was good that it is here and now w' || (id-300) || 'c'
+        |    WHEN (id-300) % 17 = 0 THEN
+        |      'w' || (id-300) || 'a the quick brown fox jumps over the lazy dog w' ||
+        |      (id-300) || 'b it was good that it is here and now w' || (id-300) ||
+        |      'c extra alpha beta gamma'
+        |    ELSE
+        |      'w' || id || 'a the quick brown fox jumps over the lazy dog w' ||
+        |      id || 'b it was good that it is here and now w' || id || 'c'
+        |  END AS body FROM ids),
+        |b2 AS (SELECT id, body,
+        |  CASE WHEN id < 300 AND id % 11 = 0 AND id % 5 <> 0 AND id % 7 <> 0
+        |    THEN 'the cat sat on the mat with w' || id || 'x' || chr(10) ||
+        |         'it was here and it is there w' || id || 'y'
+        |    ELSE body END AS body5,
+        |  '<p>' || body || '</p><script>var x = 1;</script>' AS wrapped
+        |  FROM b1),
+        |g AS (SELECT id,
+        |  len(regexp_split_to_array(trim(wrapped), '\s+')) AS tokw,
+        |  len(regexp_split_to_array(trim(body), '\s+')) AS tokb,
+        |  len(regexp_split_to_array(trim(body5), '\s+')) AS tok5,
+        |  NOT (id < 300 AND id % 5 = 0) AS k_lang,
+        |  NOT (id < 300 AND id % 5 = 0)
+        |    AND NOT (id < 300 AND id % 7 = 0 AND id % 5 <> 0) AS k_q,
+        |  NOT (id < 300 AND id % 5 = 0)
+        |    AND NOT (id < 300 AND id % 7 = 0 AND id % 5 <> 0)
+        |    AND NOT (id >= 300 AND (id-300) % 13 = 0 AND (id-300) % 5 <> 0
+        |      AND (id-300) % 7 <> 0 AND (id-300) % 11 <> 0) AS k_exact,
+        |  NOT (id < 300 AND id % 5 = 0)
+        |    AND NOT (id < 300 AND id % 7 = 0 AND id % 5 <> 0)
+        |    AND NOT (id >= 300 AND (id-300) % 13 = 0 AND (id-300) % 5 <> 0
+        |      AND (id-300) % 7 <> 0 AND (id-300) % 11 <> 0)
+        |    AND NOT (id >= 300 AND (id-300) % 17 = 0 AND (id-300) % 13 <> 0
+        |      AND (id-300) % 5 <> 0 AND (id-300) % 7 <> 0
+        |      AND (id-300) % 11 <> 0) AS k_near
+        |  FROM b2)
+        |SELECT CAST(0 AS INT) AS ord, 'input' AS stage,
+        |    count(*) AS rows_out, CAST(sum(tokw) AS BIGINT) AS tokens_out
+        |  FROM g
+        |UNION ALL SELECT 1, 'fix_encoding', count(*), CAST(sum(tokw) AS BIGINT)
+        |  FROM g
+        |UNION ALL SELECT 2, 'html_extract', count(*), CAST(sum(tokb) AS BIGINT)
+        |  FROM g
+        |UNION ALL SELECT 3, 'langid_filter', count(*), CAST(sum(tokb) AS BIGINT)
+        |  FROM g WHERE k_lang
+        |UNION ALL SELECT 4, 'quality_filter', count(*), CAST(sum(tokb) AS BIGINT)
+        |  FROM g WHERE k_q
+        |UNION ALL SELECT 5, 'line_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |  FROM g WHERE k_q
+        |UNION ALL SELECT 6, 'exact_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |  FROM g WHERE k_exact
+        |UNION ALL SELECT 7, 'near_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |  FROM g WHERE k_near
+        |UNION ALL SELECT 8, 'decontaminate', count(*), CAST(sum(tok5) AS BIGINT)
+        |  FROM g WHERE k_near AND id NOT IN (2, 4)
+        |ORDER BY ord""".stripMargin,
+
+    // Complete BM25 replay over base ∪ batch: same word rule, same
+    // tf/dl/df aggregates, same smoothed idf and length normalization;
+    // round-half-up 1e-4 fixed point (term-sum FP drift ~1e-15 sits ~10
+    // orders inside the step). append_equals_rebuild is the in-engine
+    // pinned boolean (appended index ≡ rebuilt index).
     "q_text_bm25" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS lt
@@ -3434,7 +3754,8 @@ object LlmQueries {
         |  FROM qterm2 JOIN dfre USING (term) JOIN tf USING (term)
         |  JOIN dl ON tf.doc_id = dl.doc_id
         |  GROUP BY qterm2.q_id, tf.doc_id)
-        |SELECT q_id, doc_id, CAST(floor(score * 1e6) AS BIGINT) AS score_fp
+        |SELECT q_id, doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_fp,
+        |  TRUE AS append_equals_rebuild
         |FROM sc ORDER BY q_id, doc_id""".stripMargin,
 
     // n and the ASCII-subset count replay (same RE2-safe class both
@@ -3476,8 +3797,9 @@ object LlmQueries {
 
     // n/dim replay directly; trace_fp replays because the covariance
     // trace = Σ per-dimension population variance, basis-independent —
-    // products are double-cast on both sides so only summation order
-    // drifts (~1e-11 vs the 1e-6 step). Spectral facts are pinned
+    // products are double-cast on both sides, and the round-half-up 1e-4
+    // grid keeps the ~1e-10 cross-route drift (Jacobi vs raw variances)
+    // ~6 orders inside the step. Spectral facts are pinned
     // booleans (eigenvectors are engine-internal, but orthonormality and
     // var(pc_j)=λ_j hold for any correct PCA).
     "q_embed_pca" ->
@@ -3489,7 +3811,7 @@ object LlmQueries {
         |  FROM x GROUP BY s.i)
         |SELECT (SELECT count(*) FROM e) AS n,
         |  (SELECT max(len(emb)) FROM e) AS dim,
-        |  CAST(floor(1e6 * (SELECT sum(var) FROM pd)) AS BIGINT) AS trace_fp,
+        |  CAST(round(1e4 * (SELECT sum(var) FROM pd)) AS BIGINT) AS trace_fp,
         |  TRUE AS orthonormal_ok, TRUE AS eigen_desc_ok,
         |  TRUE AS eigen_nonneg_ok, TRUE AS proj_var_matches,
         |  TRUE AS explained_in_unit""".stripMargin,
