@@ -537,38 +537,44 @@ object Dedup {
     } finally keysDf.unpersist()
   }
 
-  /** OR-merge bloom build over a single-long-column frame: partition-local
-    * bit arrays of the SHARED geometry, `treeAggregate`-merged. The zero
-    * value is an empty marker (allocating lazily keeps the ~`n·bitsPerKey`
-    * -bit array out of the per-task closure); partitions are first
-    * coalesced (narrow) to the executor parallelism so the transient
-    * build memory is cores × array, never input-splits × array. */
+  /** OR-merge bloom build over a single-long-column frame: a few
+    * partition-local bit arrays of the SHARED geometry, fetched one per
+    * JOB and OR-merged on the driver.
+    *
+    * Why not a straight treeAggregate: every tree level returns its
+    * partials through ONE job, and `spark.driver.maxResultSize` caps the
+    * TOTAL serialized results of a job — 32 partials × 400 MB trips the
+    * default 1 GiB cap immediately (measured). Instead the keys are
+    * round-robin-shuffled into ≤8 merge partitions (the shuffle ships
+    * 8-byte keys, never arrays, and the expensive sketch stage upstream
+    * keeps full width — its shuffle files are written once and reused by
+    * every later per-partition job), each merge partition builds one
+    * partial, and `toLocalIterator` fetches them one job at a time, so
+    * each job returns a single array (the geometry ceiling — 750 MB at
+    * the default 300M-key / 20-bit maximum — stays under the default
+    * result cap). The driver's work is ≤8 sequential array ORs. */
   private def buildBloomDistributed(keys: DataFrame, expectedKeys: Long,
       bitsPerKey: Int): graft.functions.SetKernels.LongBloomSet = {
     import graft.functions.SetKernels.LongBloomSet
     val nWords = LongBloomSet.wordsFor(expectedKeys, bitsPerKey)
     val k = LongBloomSet.probesFor(bitsPerKey)
     val spark = keys.sparkSession
-    val keyIdx = keys.schema.fieldIndex("bandkey")
-    val internal = keys.queryExecution.toRdd
-    val p = math.max(1, math.min(internal.getNumPartitions,
-      spark.sparkContext.defaultParallelism))
-    val words = internal.coalesce(p).treeAggregate(Array.emptyLongArray)(
-      (acc, row) => {
-        val a = if (acc.length == 0) new Array[Long](nWords) else acc
-        LongBloomSet.addTo(a, k, row.getLong(keyIdx))
-        a
-      },
-      (a, b) =>
-        if (a.length == 0) b
-        else if (b.length == 0) a
-        else {
-          var i = 0
-          while (i < nWords) { a(i) |= b(i); i += 1 }
-          a
-        },
-      depth = 2)
-    new LongBloomSet(if (words.length == 0) new Array[Long](nWords) else words, k)
+    val mergeParts = math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    val repart = keys.repartition(mergeParts)
+    val keyIdx = repart.schema.fieldIndex("bandkey")
+    val partials = repart.queryExecution.toRdd.mapPartitions { rows =>
+      val a = new Array[Long](nWords)
+      while (rows.hasNext) LongBloomSet.addTo(a, k, rows.next().getLong(keyIdx))
+      Iterator.single(a)
+    }
+    val acc = new Array[Long](nWords)
+    val it = partials.toLocalIterator
+    while (it.hasNext) {
+      val b = it.next()
+      var i = 0
+      while (i < nWords) { acc(i) |= b(i); i += 1 }
+    }
+    new LongBloomSet(acc, k)
   }
 
   /** STATELESS streaming near-dup guard against a static corpus: each

@@ -49,25 +49,26 @@ object Pipeline {
       cfg: Config = Config()): Result = {
     val spark = docs.sparkSession
     require(cfg.minTokens >= 0 && cfg.budgetTokens >= 0L, s"bad config $cfg")
-    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
     val checkpoints = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
 
     var cur = docs.where(col(textCol).isNotNull).localCheckpoint()
-    def measure(stage: String): Unit = {
+    def measure(stage: String, wallSec: Double): Unit = {
       val r = cur.agg(count(lit(1)),
         coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)))
         .collect()(0)
-      stats += ((stats.size, stage, r.getLong(0), r.getLong(1)))
+      stats += ((stats.size, stage, r.getLong(0), r.getLong(1), wallSec))
     }
     def step(stage: String)(f: DataFrame => DataFrame): Unit = {
       val prev = cur
-      cur = f(prev).localCheckpoint()
-      measure(stage)
+      val t0 = System.nanoTime()
+      cur = f(prev).localCheckpoint() // eager: the stage materializes here
+      measure(stage, (System.nanoTime() - t0) / 1e9)
       // prev's blocks are no longer needed once cur is materialized.
       org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
         .foreach(checkpoints += _)
     }
-    measure("input")
+    measure("input", 0.0)
 
     step("fix_encoding")(df => df.withColumn(textCol,
       graft.functions.NormalizeKernel.nfkc(
@@ -103,6 +104,73 @@ object Pipeline {
     checkpoints.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     Result(cur,
-      stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out"))
+      stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out", "wall_sec"))
+  }
+
+  // ------------------------------------------------------ image pipeline
+
+  final case class ImageConfig(
+      maxDistance: Int = 10,
+      pieces: Int = 16,
+      maxBucket: Int = 10000,
+      targetW: Int = 64,
+      targetH: Int = 64,
+      resizeFormat: String = "png",
+      batchSize: Int = 64)
+
+  /** The multimodal sibling of [[curate]]: image-corpus curation as one
+    * entry point —
+    *
+    *   decode + pHash (undecodable payloads dropped) → byte-exact dedup
+    *   (content hash, keep-lowest-id) → perceptual near-dup removal
+    *   (pHash Hamming pigeonhole — re-encodes/resizes of the same image
+    *   collapse to the lowest id) → bilinear resize to the training shape
+    *
+    * with a per-stage `(ord, stage, rows_out, bytes_out, wall_sec)`
+    * survival stats frame (bytes: payload volume surviving — the number
+    * a storage budget watches). The decode/hash/resize stages ride the
+    * batched `mapPartitions` codec shape (zero shuffle); the only wide
+    * operations are the content-hash shuffle and the piece-key candidate
+    * join. Output docs carry `phash` and the resized payload column. */
+  def curateImages(docs: DataFrame, idCol: String, binCol: String,
+      cfg: ImageConfig = ImageConfig()): Result = {
+    val spark = docs.sparkSession
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
+    val checkpoints = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    var cur = docs.where(col(binCol).isNotNull).localCheckpoint()
+    def measure(stage: String, wallSec: Double): Unit = {
+      val r = cur.agg(count(lit(1)),
+        coalesce(sum(length(col(binCol)).cast("long")), lit(0L))).collect()(0)
+      stats += ((stats.size, stage, r.getLong(0), r.getLong(1), wallSec))
+    }
+    def step(stage: String)(f: DataFrame => DataFrame): Unit = {
+      val prev = cur
+      val t0 = System.nanoTime()
+      cur = f(prev).localCheckpoint()
+      measure(stage, (System.nanoTime() - t0) / 1e9)
+      org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
+        .foreach(checkpoints += _)
+    }
+    measure("input", 0.0)
+    step("decode_phash")(df =>
+      Multimodal.pHashImages(df, binCol, cfg.batchSize)
+        .where(col("phash").isNotNull))
+    step("exact_dedup")(df => Dedup.exactKeepFirst(
+      df.withColumn("__fp", xxhash64(col(binCol))), Seq("__fp"), idCol)
+      .drop("__fp"))
+    step("near_dedup") { df =>
+      val losers = Dedup.nearDupHamming64(df, idCol, "phash",
+        cfg.maxDistance, cfg.pieces, cfg.maxBucket)
+        .select(col("id_b").as(idCol)).distinct()
+      df.join(losers, Seq(idCol), "left_anti")
+    }
+    step("resize")(df =>
+      Multimodal.resizeImages(df, binCol, cfg.targetW, cfg.targetH,
+        cfg.resizeFormat, cfg.batchSize)
+        .where(col("resized").isNotNull))
+    checkpoints.foreach(_.unpersist(blocking = false))
+    import spark.implicits._
+    Result(cur,
+      stats.toSeq.toDF("ord", "stage", "rows_out", "bytes_out", "wall_sec"))
   }
 }

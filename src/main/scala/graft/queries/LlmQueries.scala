@@ -2136,7 +2136,46 @@ object LlmQueries {
           when(col("k") === 0, enGood(lit("2")))
             .otherwise(enGood(lit("4"))).as("text"))
       graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval))
-        .stats.orderBy("ord")
+        .stats.select("ord", "stage", "rows_out", "tokens_out") // wall_sec is
+        .orderBy("ord") // measurement, not oracle-replayable semantics
+    }),
+
+    // Multimodal image-curation pipeline: decode+pHash (garbage dropped) →
+    // byte-exact dedup → perceptual near-dup removal → bilinear resize,
+    // as ONE curateImages call over a planted corpus: 30 families × 5
+    // slots (64×64 block-texture original, 48×48 resize, JPEG re-encode,
+    // byte-exact copy, garbage bytes). Every stage's row count replays
+    // from the slot arithmetic: garbage dies at decode (-30), the byte
+    // copy at exact dedup (-30, keep-lowest-id), the resize/re-encode
+    // variants at near-dup (-60, pHash pigeonhole), and resize keeps all
+    // 30 survivors. Pinned booleans: every survivor is the family
+    // original (id % 5 = 0) and every resized payload re-decodes to
+    // exactly the target dims (real ImageIO roundtrip).
+    "q_pipeline_images" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 150).select(col("id")).as[Long].map { id =>
+        val orig = Multimodal.encodeBlockImage(id / 5)
+        val bytes = (id % 5) match {
+          case 0L => orig
+          case 1L => Multimodal.resizeOne(orig, 48, 48, "png")
+          case 2L => Multimodal.resizeOne(orig, 64, 64, "jpg")
+          case 3L => orig // byte-exact duplicate of slot 0
+          case _ => s"not-an-image-$id".getBytes("UTF-8")
+        }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+      val r = graft.llm.Pipeline.curateImages(media, "doc_id", "payload",
+        graft.llm.Pipeline.ImageConfig(targetW = 32, targetH = 32))
+      val dec = Multimodal.decodeImages(
+        r.docs.select(col("doc_id"), col("resized")), "resized")
+      val resizedOk = dec.agg(all(
+        col("decoded.width") === 32 && col("decoded.height") === 32))
+        .collect()(0).getBoolean(0)
+      val survivorsOk = r.docs.agg(all(pmod(col("doc_id"), lit(5)) === 0))
+        .collect()(0).getBoolean(0)
+      r.stats.select(col("ord"), col("stage"), col("rows_out"),
+          lit(resizedOk).as("resized_ok"), lit(survivorsOk).as("survivors_ok"))
+        .orderBy("ord")
     }),
 
     // BM25 lexical retrieval: full DuckDB replay of the entire scoring
@@ -3722,6 +3761,23 @@ object LlmQueries {
         |  FROM g WHERE k_near
         |UNION ALL SELECT 8, 'decontaminate', count(*), CAST(sum(tok5) AS BIGINT)
         |  FROM g WHERE k_near AND id NOT IN (2, 4)
+        |ORDER BY ord""".stripMargin,
+
+    // Slot-arithmetic replay of the image pipeline's survival counts; the
+    // decode-roundtrip and survivor-identity facts are pinned booleans.
+    "q_pipeline_images" ->
+      """WITH v AS (SELECT g.range AS id FROM range(0, 150) g)
+        |SELECT CAST(0 AS INT) AS ord, 'input' AS stage,
+        |    count(*) AS rows_out, TRUE AS resized_ok, TRUE AS survivors_ok
+        |  FROM v
+        |UNION ALL SELECT 1, 'decode_phash', count(*), TRUE, TRUE
+        |  FROM v WHERE id % 5 <> 4
+        |UNION ALL SELECT 2, 'exact_dedup', count(*), TRUE, TRUE
+        |  FROM v WHERE id % 5 IN (0, 1, 2)
+        |UNION ALL SELECT 3, 'near_dedup', count(*), TRUE, TRUE
+        |  FROM v WHERE id % 5 = 0
+        |UNION ALL SELECT 4, 'resize', count(*), TRUE, TRUE
+        |  FROM v WHERE id % 5 = 0
         |ORDER BY ord""".stripMargin,
 
     // Complete BM25 replay over base ∪ batch: same word rule, same

@@ -552,7 +552,14 @@ object DriveOpsScale {
       val (queryT, _) = minTimedBest {
         mat(graft.llm.Retrieval.topK(idx, queries, "q_id", "q_text", k = 10))
       }
-      val line = f"""{"bench":"bm25_index_10m_docs","rows":10000000,"build_sec":$buildT%.2f,"query100_sec":$queryT%.2f,"steal_sec":$buildSteal%.2f}"""
+      // Single-query latency: the online case the term-bucket layout is
+      // for — ~6 terms touch ~6 of 256 bucket dirs plus the pushed
+      // In(term,...) row-group skip, vs the r12 full postings scan.
+      val q1 = queries.limit(1)
+      val (query1T, _) = minTimedBest {
+        mat(graft.llm.Retrieval.topK(idx, q1, "q_id", "q_text", k = 10))
+      }
+      val line = f"""{"bench":"bm25_index_10m_docs","rows":10000000,"build_sec":$buildT%.2f,"query100_sec":$queryT%.2f,"query1_sec":$query1T%.2f,"n_buckets":${idx.nBuckets},"steal_sec":$buildSteal%.2f}"""
       println(s"CHECK $line"); out.append(line).append('\n')
       rm(new java.io.File(bmDir))
     }

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale proof for the end-to-end curation pipeline (`llm/Pipeline`):
+  * synthesizes an N-doc corpus exercising EVERY stage (a language family
+  * that dies at langid, a punctuation family at quality, repeated-line
+  * docs, exact and near duplicate pairs, decontamination victims), runs
+  * `Pipeline.curate`, and records per-stage wall + survival. One JSON
+  * line per corpus size into `bench_pipeline.json`; run two sizes and
+  * compare stage walls for superlinearity.
+  * Run: `sbt "runMain graft.tools.DrivePipelineScale [rows ...]"`. */
+object DrivePipelineScale {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(10000000L, 30000000L)
+    val out = new StringBuilder
+
+    def boxSteal(): Long = try {
+      val ticks = scala.io.Source.fromFile("/proc/stat").getLines().next().trim
+        .split("\\s+").drop(1).map(_.toLong)
+      ticks(7)
+    } catch { case _: Throwable => 0L }
+
+    sizes.foreach { n =>
+      // ~16-token English-stopword-bearing body, unique per id; families:
+      //  id%17=1 -> French (langid kill), id%17=2 -> punct spam (quality
+      //  kill), id%17=3 -> repeated line (token shrink), id%17=4 -> exact
+      //  copy of id-1, id%17=5 -> near-dup of id-1 (+3 tokens on ~21).
+      val i = col("id").cast("string")
+      val prev = (col("id") - 1).cast("string")
+      def enGood(idc: org.apache.spark.sql.Column) = concat(lit("w"), idc,
+        lit("a the quick brown fox jumps over the lazy dog w"), idc,
+        lit("b it was good that it is here and now w"), idc, lit("c"))
+      val fam = pmod(col("id"), lit(17))
+      val body = when(fam === 1, concat(lit("le chat et le chien sont dans " +
+          "la maison avec les amis et la famille w"), i))
+        .when(fam === 2, lit("the it was " +
+          Seq("!", "?", "@", "#", "$", "%", "^").map(c => c * 20).mkString(" ")))
+        .when(fam === 3, concat(
+          lit("the cat sat on the mat with w"), i, lit("x\n"),
+          lit("it was here and it is there w"), i, lit("y\n"),
+          lit("it was here and it is there w"), i, lit("y")))
+        .when(fam === 4, enGood(prev))
+        .when(fam === 5, concat(enGood(prev), lit(" extra alpha beta gamma")))
+        .otherwise(enGood(i))
+      // Materialize the input once (parquet) so stage walls measure the
+      // pipeline, not the synthesis expression.
+      val dir = s"/tmp/graft_pipeline_scale_$n"
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        spark.range(n).toDF("id")
+          .select(col("id").as("doc_id"), body.as("text"))
+          .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      val eval = spark.range(64).toDF("k")
+        .select((col("k") + n + 7L).as("doc_id"),
+          enGood((col("k") * 17 + 6).cast("string")).as("text"))
+      val st0 = boxSteal()
+      val t0 = System.nanoTime()
+      val r = graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval))
+      val total = (System.nanoTime() - t0) / 1e9
+      val st1 = boxSteal()
+      val stages = r.stats.orderBy("ord").collect().map { x =>
+        f"""{"stage":"${x.getString(1)}","rows_out":${x.getLong(2)},"tokens_out":${x.getLong(3)},"wall_sec":${x.getDouble(4)}%.2f}"""
+      }.mkString("[", ",", "]")
+      val line = f"""{"bench":"pipeline_e2e_${n / 1000000}m_docs","rows":$n,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"stages":$stages}"""
+      println(s"CHECK $line")
+      out.append(line).append('\n')
+      r.docs.unpersist()
+    }
+
+    val path = java.nio.file.Paths.get("bench_pipeline.json")
+    val merged =
+      if (!java.nio.file.Files.exists(path)) out.toString
+      else {
+        val fresh = out.toString.linesIterator.toSeq
+        val freshNames = fresh.map(l => l.split("\"")(3)).toSet
+        val kept = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          .linesIterator.filter(l => l.nonEmpty && !freshNames(l.split("\"")(3)))
+        (kept ++ fresh).mkString("", "\n", "\n")
+      }
+    java.nio.file.Files.write(path, merged.getBytes("UTF-8"))
+    println(s"CHECK wrote bench_pipeline.json (${out.length} chars)")
+    spark.stop()
+  }
+}

@@ -178,6 +178,29 @@ class Round13Spec extends AnyFunSuite {
 
   // ----------------------------------------------------- pipeline
 
+  test("Pipeline.curateImages: decode/exact/near/resize drop the planted slots") {
+    import graft.llm.{Multimodal, Pipeline}
+    val media = (0L until 30L).map { id =>
+      val orig = Multimodal.encodeBlockImage(id / 5)
+      val bytes = (id % 5) match {
+        case 0L => orig
+        case 1L => Multimodal.resizeOne(orig, 48, 48, "png")
+        case 2L => Multimodal.resizeOne(orig, 64, 64, "jpg")
+        case 3L => orig
+        case _ => s"garbage-$id".getBytes("UTF-8")
+      }
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    val r = Pipeline.curateImages(media, "doc_id", "payload",
+      Pipeline.ImageConfig(targetW = 16, targetH = 16))
+    val rows = r.stats.orderBy("ord").collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(rows === Map("input" -> 30L, "decode_phash" -> 24L,
+      "exact_dedup" -> 18L, "near_dedup" -> 6L, "resize" -> 6L))
+    assert(r.docs.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(0L, 5L, 10L, 15L, 20L, 25L))
+  }
+
   test("Pipeline.curate: stages drop exactly the planted families") {
     import graft.llm.Pipeline
     def enGood(i: Long) =
