@@ -577,6 +577,42 @@ object Dedup {
     new LongBloomSet(acc, k)
   }
 
+  /** Driver-known multi-index Hamming structure over a corpus's 64-bit
+    * perceptual hashes ([[Multimodal.pHashImages]]) — the build side of
+    * [[streamPHashGuard]]. One distinct collect bounded by
+    * `maxCorpusImages` (8 bytes/image + the bucket offsets — ~50M images
+    * ≈ 1 GB of driver/executor reference state at pieces=4); past that,
+    * shard the corpus into several guards or use the batch pigeonhole
+    * join ([[nearDupHamming64]]). */
+  def pHashIndex(corpus: DataFrame, phashCol: String, pieces: Int = 4,
+      maxCorpusImages: Long = 50000000L)
+      : graft.functions.HammingIndexKernel.MihIndex = {
+    val hs = corpus.where(col(phashCol).isNotNull)
+      .select(col(phashCol).cast("long")).distinct()
+      .limit(math.min(maxCorpusImages, Int.MaxValue - 1L).toInt + 1)
+      .collect().map(_.getLong(0))
+    require(hs.length <= maxCorpusImages,
+      s"pHash corpus exceeds maxCorpusImages=$maxCorpusImages distinct hashes — " +
+        "raise the knob explicitly, shard into several guards, or use the " +
+        "batch pigeonhole join")
+    new graft.functions.HammingIndexKernel.MihIndex(hs, pieces)
+  }
+
+  /** STATELESS streaming image near-dup guard against a static corpus:
+    * one fused multi-index Hamming probe per row — pigeonhole-complete
+    * for `maxDistance < pieces` and EXACT-verified (flags iff a corpus
+    * sketch truly lies within the radius; no false positives at all,
+    * unlike the candidate-only minhash band guard). Pure projection: no
+    * state store, no watermark, no shuffle — composes with any
+    * Structured Streaming source/sink in append mode. Rows with a null
+    * sketch (undecodable payloads) pass unflagged. Batch-replayable. */
+  def streamPHashGuard(stream: DataFrame,
+      index: graft.functions.HammingIndexKernel.MihIndex,
+      phashCol: String, maxDistance: Int = 3): DataFrame =
+    stream.withColumn("img_near_dup", coalesce(
+      graft.functions.HammingIndexKernel.anyWithin(
+        col(phashCol).cast("long"), index, maxDistance), lit(false)))
+
   /** STATELESS streaming near-dup guard against a static corpus: each
     * document's banded-LSH keys are probed against the driver-known corpus
     * band index ([[minHashBandIndex]]) in one fused per-row expression —

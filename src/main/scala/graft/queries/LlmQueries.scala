@@ -112,6 +112,41 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Stateless streaming image-dup guard: a multi-index Hamming probe of
+    // each in-flight sketch against the driver-known corpus index —
+    // pigeonhole-complete for d < pieces AND exact-verified (flags iff a
+    // corpus hash truly lies within the radius, so unlike the minhash
+    // band guard there are NO false positives). Planted construction with
+    // a SQL-derivable answer: the corpus is 40 real block-texture pHashes;
+    // the stream carries, per family, the exact hash (d=0, must flag), a
+    // 2-bit XOR perturbation confined to one 16-bit piece (d=2 ≤ 3, must
+    // flag — the other 3 pieces still bucket-match), and a 20-bit
+    // perturbation spread 5 bits into EACH piece (d=20, must not flag —
+    // no piece matches, and cross-family hashes sit ~32 bits apart,
+    // deterministic for the fixed corpus). The oracle re-derives the flag
+    // from the id arithmetic.
+    "q_dedup_image_stream" -> ((s, d) => {
+      import s.implicits._
+      val corpus = s.range(0, 40).select(col("id")).as[Long]
+        .map(f => (f, Multimodal.encodeBlockImage(f)))
+        .toDF("family", "payload")
+      val hashed = Multimodal.pHashImages(corpus, "payload", batchSize = 32)
+        .select(col("family"), col("phash"))
+        .localCheckpoint()
+      val index = Dedup.pHashIndex(hashed, "phash", pieces = 4)
+      val stream = hashed.select(col("family"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("v"), col("phash"))
+        .select((col("family") * 3 + col("v")).as("id"),
+          when(col("v") === 0L, col("phash"))
+            .when(col("v") === 1L, col("phash")
+              .bitwiseXOR(lit(0x0000000000000081L)))
+            .otherwise(col("phash")
+              .bitwiseXOR(lit(0x001F001F001F001FL))).as("phash"))
+      Dedup.streamPHashGuard(stream, index, "phash", maxDistance = 3)
+        .select(col("id"), col("img_near_dup"))
+        .orderBy("id")
+    }),
+
     // ------------------------------------- substring-level dedup
     // RefinedWeb/exact-substring granularity: every 50th doc gets the same
     // 11-token boilerplate tail, so each planted doc carries >= 4 repeated
@@ -2804,6 +2839,12 @@ object LlmQueries {
         |  UNION ALL SELECT 3*f AS id_a, 3*f+2 AS id_b FROM f
         |  UNION ALL SELECT 3*f+1 AS id_a, 3*f+2 AS id_b FROM f)
         |SELECT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // GENUINE replay of the planted guard construction: variants 0 (exact)
+    // and 1 (2-bit) flag, variant 2 (20-bit, every piece touched) does not.
+    "q_dedup_image_stream" ->
+      """SELECT g.range AS id, (g.range % 3) < 2 AS img_near_dup
+        |FROM range(0, 120) g ORDER BY id""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB

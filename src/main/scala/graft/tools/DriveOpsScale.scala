@@ -564,6 +564,19 @@ object DriveOpsScale {
       rm(new java.io.File(bmDir))
     }
 
+    // Image pHash at 1M images (64×64 PNG, ~50k distinct textures): real
+    // decode + grayscale resample + 2D DCT per payload — the perceptual
+    // sketch half of image dedup; the pair join is the generic Hamming
+    // pigeonhole already benched via the dedup family. Payload synthesis
+    // (PNG encode) is the base cost and subtracts out.
+    if (only.isEmpty || only("phash_1m_images")) {
+      val imgs = spark.range(1000000L).toDF("id").as[Long]
+        .map(id => (id, graft.llm.Multimodal.encodeBlockImage(id % 50000, 64)))
+        .toDF("id", "payload")
+      bench("phash_1m_images", 1000000L, imgs,
+        df => graft.llm.Multimodal.pHashImages(df, "payload").select("phash"))
+    }
+
     // Edit-distance join over 1M short titles (6 tokens ≈ 30 chars, d=1):
     // segment blocking + banded verify; the pair output is tiny (vocab
     // 5000 makes distance-1 title collisions rare), so the measured cost

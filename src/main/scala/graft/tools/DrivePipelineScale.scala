@@ -30,12 +30,14 @@ object DrivePipelineScale {
     } catch { case _: Throwable => 0L }
 
     sizes.foreach { n =>
-      // ~16-token English-stopword-bearing body, unique per id; families:
+      // ~21-token English-stopword-bearing body, unique per id; families:
       //  id%17=1 -> French (langid kill), id%17=2 -> punct spam (quality
       //  kill), id%17=3 -> repeated line (token shrink), id%17=4 -> exact
-      //  copy of id-1, id%17=5 -> near-dup of id-1 (+3 tokens on ~21).
+      //  copy of id-4 (a plain-en_good id: id-4 ≡ 0 mod 17), id%17=5 ->
+      //  near-dup of id-5 (+4 tokens on 21 ⇒ shingle jaccard 19/23 ≥ 0.8).
       val i = col("id").cast("string")
-      val prev = (col("id") - 1).cast("string")
+      val prevExact = (col("id") - 4).cast("string")
+      val prevNear = (col("id") - 5).cast("string")
       def enGood(idc: org.apache.spark.sql.Column) = concat(lit("w"), idc,
         lit("a the quick brown fox jumps over the lazy dog w"), idc,
         lit("b it was good that it is here and now w"), idc, lit("c"))
@@ -48,8 +50,8 @@ object DrivePipelineScale {
           lit("the cat sat on the mat with w"), i, lit("x\n"),
           lit("it was here and it is there w"), i, lit("y\n"),
           lit("it was here and it is there w"), i, lit("y")))
-        .when(fam === 4, enGood(prev))
-        .when(fam === 5, concat(enGood(prev), lit(" extra alpha beta gamma")))
+        .when(fam === 4, enGood(prevExact))
+        .when(fam === 5, concat(enGood(prevNear), lit(" extra alpha beta gamma")))
         .otherwise(enGood(i))
       // Materialize the input once (parquet) so stage walls measure the
       // pipeline, not the synthesis expression.

@@ -155,6 +155,30 @@ class Round13Spec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("MihIndex: pigeonhole-complete, exact-verified, null passthrough") {
+    import graft.functions.HammingIndexKernel
+    val corpus = Array(0x0123456789ABCDEFL, 0xFEDCBA9876543210L, 0L)
+    val idx = new HammingIndexKernel.MihIndex(corpus, pieces = 4)
+    // Exact members and <=d perturbations hit; far hashes don't.
+    assert(idx.anyWithin(0x0123456789ABCDEFL, 0))
+    assert(idx.anyWithin(0x0123456789ABCDEFL ^ 0x81L, 3)) // d=2
+    assert(!idx.anyWithin(0x0123456789ABCDEFL ^ 0x81L, 1)) // verify rejects d=2 at r=1
+    assert(idx.anyWithin(3L, 2) && !idx.anyWithin(0x00FF00FF00FF00FFL, 3))
+    // Completeness sweep: EVERY <=3-bit perturbation of a member flags.
+    val base = 0xFEDCBA9876543210L
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val bits = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(4))
+      val h = bits.foldLeft(base)((a, b) => a ^ (1L << b))
+      assert(idx.anyWithin(h, 3), s"missed ${bits.size}-bit perturbation")
+    }
+    // Column form: null sketch passes unflagged through the guard.
+    val df = Seq((1L, Some(0L)), (2L, None: Option[Long])).toDF("id", "phash")
+    val out = graft.llm.Dedup.streamPHashGuard(df, idx, "phash", maxDistance = 0)
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(2) && !out(1).getBoolean(2))
+  }
+
   // ----------------------------------------------------- PCA null contract
 
   test("PcaProject: a null vector element projects to null, not 0.0") {
