@@ -211,6 +211,17 @@ object Bench {
     // synced write to the same tmp filesystem those queries use pins
     // the third axis (~50-150 ms per probe).
     lazy val diskBuf = new Array[Byte](4 << 20) // one 4 MB block, reused
+    /** Flush OUR dirty pages before a gate/endpoint disk probe: the
+      * warmup passes write temp parquet, and a synced 32 MB probe issued
+      * while the kernel is still writing those pages back measures
+      * contention with OURSELVES — r13 measured 8 → 582 MB/s on the same
+      * box seconds apart purely from self-writeback. One blocking
+      * `sync` makes the probe see only external load. Mid-run trace
+      * probes deliberately skip this (they sample the box as the queries
+      * actually experience it). */
+    def drainOwnWriteback(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case NonFatal(_) => () }
     def quickDiskMbps(): Double = {
       val f = java.io.File.createTempFile("graft_bench_disk", ".probe")
       try {
@@ -274,6 +285,7 @@ object Bench {
       val deadline = System.nanoTime() + maxWait * 1000000000L
       var ok = false
       while (!ok && System.nanoTime() < deadline) {
+        drainOwnWriteback() // gate must see EXTERNAL load, not warmup residue
         val (m, g) = calibrate()
         val dk = quickDiskMbps()
         ok = m >= needMops && g >= needGbps && dk >= needDisk
@@ -284,6 +296,7 @@ object Bench {
       }
       if (!ok) System.err.println("[bench] clean-gate timeout — proceeding on a possibly-degraded box")
     }
+    drainOwnWriteback()
     val (cpuMops0, memGbps0) = calibrate()
     val diskMbps0 = quickDiskMbps()
 
@@ -456,6 +469,7 @@ object Bench {
     // steal/other/gc.
     spark.stop()
     System.gc()
+    drainOwnWriteback() // endpoint probe: external load, not our last writes
     val (cpuMops1, memGbps1) = calibrate()
     val diskMbps1 = quickDiskMbps()
     val dtrace = diskTrace.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")

@@ -513,6 +513,118 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------- audio hash
+
+  /** Batched per-partition audio fingerprint — the audio sibling of
+    * [[pHashImages]]: 16-bit PCM WAV → 64 equal time buckets → mean
+    * absolute amplitude per bucket → bit j = bucket j > median. The
+    * energy PROFILE is the signature, so the hash is invariant to
+    * amplitude scaling (the median scales with the signal) and to
+    * re-encoding of the same samples, while clips with different
+    * temporal structure differ in ~32 bits — composes with
+    * [[Dedup.nearDupHamming64]] exactly like the image hash.
+    * Non-PCM-16 or undecodable bytes hash to null. */
+  def audioHashes(df: DataFrame, binCol: String, batchSize: Int = 64,
+      outCol: String = "ahash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ audioHashOne(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** 64-bit energy-profile hash of one clip, or null when the bytes are
+    * not decodable 16-bit PCM with at least 64 samples. */
+  private[graft] def audioHashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0) null
+          else {
+            val data = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = data.length / 2
+            if (n < 64) null
+            else {
+              val sums = new Array[Long](64)
+              val counts = new Array[Long](64)
+              var i = 0
+              while (i < n) {
+                val b = (i.toLong * 64L / n).toInt
+                sums(b) += math.abs(bb.getShort(i * 2).toLong)
+                counts(b) += 1
+                i += 1
+              }
+              val means = new Array[Double](64)
+              i = 0
+              while (i < 64) {
+                means(i) = if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i)
+                i += 1
+              }
+              val sorted = means.clone()
+              java.util.Arrays.sort(sorted)
+              val median = sorted(31)
+              var bits = 0L
+              i = 0
+              while (i < 64) {
+                if (means(i) > median) bits |= (1L << i)
+                i += 1
+              }
+              bits
+            }
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Synthetic structured WAV for audio-hash gates: 64 sections of
+    * constant EVEN amplitude derived from splitmix64(family, section) —
+    * distinct energy profiles across families, exactly halvable for the
+    * amplitude-scale-invariance plant (even >> 1 is exact, so the scaled
+    * clip's bucket means are exactly half and the hash is bit-identical).
+    * Deterministic, oracle-checkable. */
+  def encodePatternWav(family: Long, scaleShift: Int = 0, sections: Int = 64,
+      framesPerSection: Int = 100, sampleRate: Int = 8000): Array[Byte] = {
+    require(sections >= 1 && framesPerSection >= 1 && scaleShift >= 0)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val nFrames = sections * framesPerSection
+    val dataSize = nFrames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = 0
+    while (s < sections) {
+      val amp = ((mix(family * 8191L + s) & 0x3FFEL) >> scaleShift).toShort
+      var f = 0
+      while (f < framesPerSection) { bb.putShort(amp); f += 1 }
+      s += 1
+    }
+    bb.array()
+  }
+
   // ---------------------------------------------------- video containers
 
   /** Container-level video metadata: MP4 (ISO BMFF) header fields parsed

@@ -147,6 +147,39 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // Audio near-dup dedup: 64-bucket energy-profile hash over REAL
+    // javax.sound PCM decode, paired by the shared Hamming pigeonhole.
+    // Planted construction with a SQL-derivable answer: 40 pattern
+    // families × {original clip, amplitude-halved copy (even amplitudes
+    // halve exactly, so the profile hash is bit-identical — the
+    // scale-invariance the energy signature certifies), a novel pattern,
+    // and every 3rd family's slot replaced by garbage bytes that must
+    // hash to null and pair with nothing}. Cross-pattern profiles are
+    // independent 14-bit section energies, so their hashes differ in
+    // ~32 bits (deterministic for the fixed corpus — the image-pHash
+    // plant contract). The oracle re-derives the pair list from the id
+    // arithmetic.
+    "q_dedup_audio_hash" -> ((s, d) => {
+      import s.implicits._
+      val media = s.range(0, 120).select(col("id")).as[Long]
+        .map { id =>
+          val fam = id / 3
+          val bytes = (id % 3) match {
+            case 0L => Multimodal.encodePatternWav(fam)
+            case 1L =>
+              if (fam % 3 == 2) s"not-a-wav-$id".getBytes("UTF-8")
+              else Multimodal.encodePatternWav(fam, scaleShift = 1)
+            case _ => Multimodal.encodePatternWav(fam + 5000L)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val hashed = Multimodal.audioHashes(media, "payload", batchSize = 32)
+      Dedup.nearDupHamming64(hashed, "doc_id", "ahash",
+          maxDistance = 3, pieces = 4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------------------------------------- substring-level dedup
     // RefinedWeb/exact-substring granularity: every 50th doc gets the same
     // 11-token boilerplate tail, so each planted doc carries >= 4 repeated
@@ -2845,6 +2878,14 @@ object LlmQueries {
     "q_dedup_image_stream" ->
       """SELECT g.range AS id, (g.range % 3) < 2 AS img_near_dup
         |FROM range(0, 120) g ORDER BY id""".stripMargin,
+
+    // GENUINE replay of the planted audio-family construction: (3f, 3f+1)
+    // pairs exactly where the scaled copy exists (families with f % 3 = 2
+    // carry garbage in that slot instead — null hash, no pair).
+    "q_dedup_audio_hash" ->
+      """SELECT 3 * g.range AS id_a, 3 * g.range + 1 AS id_b
+        |FROM range(0, 40) g WHERE g.range % 3 <> 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB

@@ -155,6 +155,22 @@ class Round13Spec extends AnyFunSuite {
     assert(got === Set((1L, 2L), (3L, 4L)))
   }
 
+  test("audioHash: amplitude-scale invariant, pattern-distinct, null on garbage") {
+    import graft.llm.Multimodal
+    val a = Multimodal.encodePatternWav(7L)
+    val aHalf = Multimodal.encodePatternWav(7L, scaleShift = 1)
+    val b = Multimodal.encodePatternWav(8L)
+    val ha = Multimodal.audioHashOne(a)
+    assert(ha != null && ha == Multimodal.audioHashOne(a)) // deterministic
+    assert(ha == Multimodal.audioHashOne(aHalf)) // exact halving => identical
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.audioHashOne(b)) > 16)
+    assert(Multimodal.audioHashOne("not audio".getBytes("UTF-8")) == null)
+    assert(Multimodal.audioHashOne(null) == null)
+    // A real constant-amplitude clip (no profile) still hashes without error.
+    assert(Multimodal.audioHashOne(
+      Multimodal.encodePcmWav(8000, 1, 6400, 1000)) != null)
+  }
+
   test("MihIndex: pigeonhole-complete, exact-verified, null passthrough") {
     import graft.functions.HammingIndexKernel
     val corpus = Array(0x0123456789ABCDEFL, 0xFEDCBA9876543210L, 0L)
