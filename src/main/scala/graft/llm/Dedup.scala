@@ -220,8 +220,20 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .localCheckpoint(false)
 
+    // Verify only the documents that appear in some candidate pair: the
+    // corpus-wide shingle frame semi-join-prunes to the candidate ids
+    // (AQE broadcasts the id side when small) BEFORE the two attach
+    // joins, so the corpus re-tokenizes zero times here (one checkpointed
+    // candidate-sized shingle frame) instead of twice, and the attach
+    // joins shuffle candidate-sized shingle arrays, never corpus-sized
+    // (r13; measured 422s -> see bench_pipeline.json near_dedup at 10M).
+    val ids = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
     val sets = shingleSets(df, idCol, textCol, shingleWidth)
+      .join(ids, Seq("id"), "left_semi")
+      .localCheckpoint(false)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
