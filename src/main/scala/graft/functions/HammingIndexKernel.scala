@@ -8,41 +8,50 @@ import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
 
 /** Multi-index Hamming (MIH) probe: "is any corpus sketch within Hamming
-  * distance d of this one?" as a single stateless expression — the
-  * stream-side twin of the batch pigeonhole join
+  * distance d of this one?" (and "what is the smallest id among them?")
+  * as single stateless expressions — the stream-side twin and the
+  * bounded-corpus dedup engine next to the batch pigeonhole join
   * ([[graft.llm.Dedup.nearDupHamming64]]).
   *
   * The driver-known corpus (one long per image, e.g. pHashes) is bucketed
   * `pieces` ways by disjoint bit slices (Norouzi et al., "Fast Search in
-  * Hamming Space with Multi-Index Hashing", CVPR 2012 — public method);
-  * by pigeonhole, any sketch within d < pieces must match a probe's slice
-  * exactly in at least one piece, so the probe scans only the ≤pieces
-  * matching buckets and EXACT-verifies each member (`bit_count(xor) <= d`)
-  * — flags iff a true within-d neighbor exists, no false positives at
-  * all (unlike the candidate-only minhash band guard). Expected probe
-  * cost is `pieces · n / 2^(64/pieces)` verifies; with the recommended
-  * pieces = 4 (16-bit slices) that is ~6 verifies per row per million
-  * corpus images. Larger radii (d ≥ pieces) need more pieces and the
-  * buckets coarsen exponentially — use the batch join for those. */
+  * Hamming Space with Multi-Index Hashing", CVPR 2012 — public method).
+  * Generalized pigeonhole: a sketch within distance d has some piece
+  * carrying at most e = ⌊d/pieces⌋ errors, so the probe enumerates, per
+  * piece, every slice value within e bit flips of the query's slice
+  * (Σ_{k≤e} C(bpp, k) probe keys — MIH's query expansion) and
+  * EXACT-verifies each bucket member (`bit_count(xor) <= d`). Complete
+  * for ANY radius, zero false positives. Expected verify cost is
+  * `pieces · Σ_{k≤e} C(bpp,k) · n / 2^bpp`; at the recommended pieces=4
+  * (16-bit slices), d≤3 probes 4 buckets/row and d=10 probes 548 —
+  * ~6 and ~850 verifies per row per million corpus images. */
 object HammingIndexKernel {
 
   /** Immutable bucketed index over a corpus of 64-bit sketches: sketches
-    * stored once, per-(piece, slice-value) buckets hold int offsets.
+    * stored once, per-(piece, slice-value) buckets hold int offsets;
+    * `ids`, when present (one per hash — callers pre-reduce duplicate
+    * hashes to their smallest id), enables [[MihIndex.minIdWithin]].
     * Serializable — ships to executors as one codegen reference object
-    * (8·n sketch bytes + 4·pieces·n bucket bytes + offsets). */
-  final class MihIndex(val hashes: Array[Long], val pieces: Int)
-      extends Serializable {
-    require(pieces >= 1 && pieces <= 16 && 64 % pieces == 0,
-      s"pieces must divide 64 and be <= 16, got $pieces")
+    * (8·n sketch [+8·n id] bytes + 4·pieces·n bucket bytes + offsets). */
+  final class MihIndex(val hashes: Array[Long], val pieces: Int,
+      val ids: Array[Long]) extends Serializable {
+
+    def this(hashes: Array[Long], pieces: Int) = this(hashes, pieces, null)
+
+    // pieces ∈ {4, 8}: the slice width bpp must be <= 16 (the 1 << bpp
+    // bucket table — bpp of 32/64 would overflow the Int shift and index
+    // out of bounds) and >= 8 (buckets degenerate below that).
+    require((pieces == 4 || pieces == 8) && 64 % pieces == 0,
+      s"pieces must be 4 or 8 (16- or 8-bit slices), got $pieces")
+    require(ids == null || ids.length == hashes.length,
+      s"ids (${if (ids == null) -1 else ids.length}) must parallel hashes (${hashes.length})")
     private val bpp = 64 / pieces
-    require(bpp >= 8, s"pieces=$pieces gives $bpp-bit slices — buckets " +
-      "degenerate below 8 bits; use the batch pigeonhole join instead")
     private val nBuckets = 1 << bpp
+    private val mask = (1L << bpp) - 1L
     // offsets(p*nBuckets + v) .. offsets(...+1): members of bucket (p, v).
     private val offsets = new Array[Int](pieces * nBuckets + 1)
     private val members = new Array[Int](pieces * hashes.length)
     locally {
-      val mask = if (bpp == 64) -1L else (1L << bpp) - 1L
       val counts = new Array[Int](pieces * nBuckets)
       var i = 0
       while (i < hashes.length) {
@@ -71,31 +80,73 @@ object HammingIndexKernel {
       }
     }
 
-    /** TRUE iff some corpus sketch is within Hamming distance `d` of `h`.
-      * Complete for d < pieces (pigeonhole); exact-verified, so never a
-      * false positive. */
-    def anyWithin(h: Long, d: Int): Boolean = {
-      val mask = if (bpp == 64) -1L else (1L << bpp) - 1L
+    /** Scan bucket (p, v): the smallest id among members within `d` of
+      * `h` (ids==null counts any match as 0), or Long.MaxValue. */
+    private def scanBucket(p: Int, v: Int, h: Long, d: Int): Long = {
+      var best = Long.MaxValue
+      var j = offsets(p * nBuckets + v)
+      val end = offsets(p * nBuckets + v + 1)
+      while (j < end) {
+        val m = members(j)
+        if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
+          val id = if (ids == null) 0L else ids(m)
+          if (id < best) best = id
+        }
+        j += 1
+      }
+      best
+    }
+
+    /** Enumerate slice values within `e` flips of `v` (flips at bit
+      * positions >= `from`), folding the per-bucket minima. `earlyOut`:
+      * stop as soon as ANY match exists (the boolean probe). */
+    private def probePiece(p: Int, v: Int, e: Int, from: Int, h: Long,
+        d: Int, earlyOut: Boolean, bestSoFar: Long): Long = {
+      var best = math.min(bestSoFar, scanBucket(p, v, h, d))
+      if (earlyOut && best != Long.MaxValue) return best
+      if (e > 0) {
+        var bit = from
+        while (bit < bpp) {
+          best = probePiece(p, v ^ (1 << bit), e - 1, bit + 1, h, d, earlyOut, best)
+          if (earlyOut && best != Long.MaxValue) return best
+          bit += 1
+        }
+      }
+      best
+    }
+
+    private def probe(h: Long, d: Int, earlyOut: Boolean): Long = {
+      val e = d / pieces
+      var best = Long.MaxValue
       var p = 0
       while (p < pieces) {
-        val b = p * nBuckets + ((h >>> (p * bpp)) & mask).toInt
-        var j = offsets(b)
-        val end = offsets(b + 1)
-        while (j < end) {
-          if (java.lang.Long.bitCount(hashes(members(j)) ^ h) <= d) return true
-          j += 1
-        }
+        best = probePiece(p, ((h >>> (p * bpp)) & mask).toInt, e, 0, h, d,
+          earlyOut, best)
+        if (earlyOut && best != Long.MaxValue) return best
         p += 1
       }
-      false
+      best
+    }
+
+    /** TRUE iff some corpus sketch is within Hamming distance `d` of `h`.
+      * Complete for any d (multi-probe); exact-verified, so never a
+      * false positive. */
+    def anyWithin(h: Long, d: Int): Boolean =
+      probe(h, d, earlyOut = true) != Long.MaxValue
+
+    /** Smallest id among corpus sketches within `d` of `h`, or
+      * Long.MaxValue when none — the keep-lowest-id dedup primitive
+      * (a row is a near-dup loser iff this is < its own id). */
+    def minIdWithin(h: Long, d: Int): Long = {
+      require(ids != null, "minIdWithin needs an id-carrying MihIndex")
+      probe(h, d, earlyOut = false)
     }
   }
 
   case class HammingAnyWithin(child: Expression, index: MihIndex, maxDistance: Int)
       extends UnaryExpression {
-    require(maxDistance >= 0 && maxDistance < index.pieces,
-      s"need 0 <= maxDistance < pieces for pigeonhole completeness, " +
-        s"got d=$maxDistance pieces=${index.pieces}")
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
     override def prettyName: String = "graft_hamming_any_within"
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = child.nullable
@@ -116,6 +167,35 @@ object HammingIndexKernel {
       copy(child = c)
   }
 
+  /** Smallest within-radius corpus id (Long.MaxValue when none). */
+  case class HammingMinIdWithin(child: Expression, index: MihIndex, maxDistance: Int)
+      extends UnaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    require(index.ids != null, "HammingMinIdWithin needs an id-carrying MihIndex")
+    override def prettyName: String = "graft_hamming_min_id_within"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects bigint, got ${other.simpleString}")
+    }
+    override def nullSafeEval(input: Any): Any =
+      index.minIdWithin(input.asInstanceOf[Long], maxDistance)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mihIndex", index,
+        "graft.functions.HammingIndexKernel.MihIndex")
+      nullSafeCodeGen(ctx, ev, h =>
+        s"${ev.value} = $ref.minIdWithin($h, $maxDistance);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def anyWithin(sketch: Column, index: MihIndex, maxDistance: Int): Column =
     GraftSql.column(HammingAnyWithin(GraftSql.expression(sketch), index, maxDistance))
+
+  def minIdWithin(sketch: Column, index: MihIndex, maxDistance: Int): Column =
+    GraftSql.column(HammingMinIdWithin(GraftSql.expression(sketch), index, maxDistance))
 }

@@ -610,6 +610,45 @@ object Dedup {
     new graft.functions.HammingIndexKernel.MihIndex(hs, pieces)
   }
 
+  /** Id-carrying MIH index (duplicate hashes pre-reduced to their
+    * smallest id) — the build side of [[dropNearDupsPHash]]. One
+    * hash-keyed aggregate + a bounded collect; ids must be numeric. */
+  def pHashIdIndex(corpus: DataFrame, idCol: String, phashCol: String,
+      pieces: Int = 4, maxCorpusImages: Long = 50000000L)
+      : graft.functions.HammingIndexKernel.MihIndex = {
+    val rows = corpus.where(col(phashCol).isNotNull)
+      .groupBy(col(phashCol).cast("long").as("__h"))
+      .agg(min(col(idCol).cast("long")).as("__id"))
+      .limit(math.min(maxCorpusImages, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    require(rows.length <= maxCorpusImages,
+      s"pHash corpus exceeds maxCorpusImages=$maxCorpusImages distinct hashes — " +
+        "raise the knob explicitly or shard into several passes")
+    new graft.functions.HammingIndexKernel.MihIndex(
+      rows.map(_.getLong(0)), pieces, rows.map(_.getLong(1)))
+  }
+
+  /** Perceptual near-dup removal with keep-lowest-id semantics via ONE
+    * fused multi-probe expression: a row survives iff no corpus sketch
+    * within `maxDistance` carries a smaller id (its own hash's entry
+    * returns its own id, so unique images always survive) — exactly the
+    * greedy larger-id drop [[nearDupHamming64]]'s pair list implies, but
+    * as a ZERO-SHUFFLE projection against the driver-known MIH index:
+    * no banded explode, no self-join, no bucket cap to silently lose
+    * recall at scale. Complete for any radius (MIH query expansion) and
+    * exact-verified. Bounded by `maxCorpusImages` distinct hashes of
+    * driver/executor reference state (~16 bytes each + buckets); shard
+    * the corpus into several passes past that. Hashless rows (null
+    * sketch — undecodable payloads) are kept. */
+  def dropNearDupsPHash(df: DataFrame, idCol: String, phashCol: String,
+      maxDistance: Int = 10, pieces: Int = 4,
+      maxCorpusImages: Long = 50000000L): DataFrame = {
+    val idx = pHashIdIndex(df, idCol, phashCol, pieces, maxCorpusImages)
+    df.where(col(phashCol).isNull ||
+      graft.functions.HammingIndexKernel.minIdWithin(
+        col(phashCol).cast("long"), idx, maxDistance) >= col(idCol).cast("long"))
+  }
+
   /** STATELESS streaming image near-dup guard against a static corpus:
     * one fused multi-index Hamming probe per row — pigeonhole-complete
     * for `maxDistance < pieces` and EXACT-verified (flags iff a corpus

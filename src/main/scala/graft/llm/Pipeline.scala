@@ -50,7 +50,6 @@ object Pipeline {
     val spark = docs.sparkSession
     require(cfg.minTokens >= 0 && cfg.budgetTokens >= 0L, s"bad config $cfg")
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
-    val checkpoints = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
 
     var cur = docs.where(col(textCol).isNotNull).localCheckpoint()
     def measure(stage: String, wallSec: Double): Unit = {
@@ -64,9 +63,11 @@ object Pipeline {
       val t0 = System.nanoTime()
       cur = f(prev).localCheckpoint() // eager: the stage materializes here
       measure(stage, (System.nanoTime() - t0) / 1e9)
-      // prev's blocks are no longer needed once cur is materialized.
+      // prev's blocks free IMMEDIATELY once cur is materialized — holding
+      // them to the end would stack every stage's full corpus in executor
+      // storage at once (~9x the working set at the benched sizes).
       org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
-        .foreach(checkpoints += _)
+        .foreach(_.unpersist(blocking = false))
     }
     measure("input", 0.0)
 
@@ -101,7 +102,6 @@ object Pipeline {
         df.withColumn("__tok", TextAnalysis.tokenCount(col(textCol)).cast("long")),
         Seq(idCol), "__tok", cfg.budgetTokens, cfg.seed).drop("__tok"))
 
-    checkpoints.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     Result(cur,
       stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out", "wall_sec"))
@@ -111,8 +111,8 @@ object Pipeline {
 
   final case class ImageConfig(
       maxDistance: Int = 10,
-      pieces: Int = 16,
-      maxBucket: Int = 10000,
+      pieces: Int = 4,
+      maxCorpusImages: Long = 50000000L,
       targetW: Int = 64,
       targetH: Int = 64,
       resizeFormat: String = "png",
@@ -129,14 +129,16 @@ object Pipeline {
     * with a per-stage `(ord, stage, rows_out, bytes_out, wall_sec)`
     * survival stats frame (bytes: payload volume surviving — the number
     * a storage budget watches). The decode/hash/resize stages ride the
-    * batched `mapPartitions` codec shape (zero shuffle); the only wide
-    * operations are the content-hash shuffle and the piece-key candidate
-    * join. Output docs carry `phash` and the resized payload column. */
+    * batched `mapPartitions` codec shape (zero shuffle); near-dup removal
+    * is the fused multi-probe MIH expression ([[Dedup.dropNearDupsPHash]]
+    * — zero shuffle, exact, complete for any radius, bounded by
+    * `maxCorpusImages` distinct hashes per pass), so the only wide
+    * operation left is the content-hash dedup shuffle. Output docs carry
+    * `phash` and the resized payload column. */
   def curateImages(docs: DataFrame, idCol: String, binCol: String,
       cfg: ImageConfig = ImageConfig()): Result = {
     val spark = docs.sparkSession
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
-    val checkpoints = scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
     var cur = docs.where(col(binCol).isNotNull).localCheckpoint()
     def measure(stage: String, wallSec: Double): Unit = {
       val r = cur.agg(count(lit(1)),
@@ -149,7 +151,7 @@ object Pipeline {
       cur = f(prev).localCheckpoint()
       measure(stage, (System.nanoTime() - t0) / 1e9)
       org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
-        .foreach(checkpoints += _)
+        .foreach(_.unpersist(blocking = false))
     }
     measure("input", 0.0)
     step("decode_phash")(df =>
@@ -158,17 +160,12 @@ object Pipeline {
     step("exact_dedup")(df => Dedup.exactKeepFirst(
       df.withColumn("__fp", xxhash64(col(binCol))), Seq("__fp"), idCol)
       .drop("__fp"))
-    step("near_dedup") { df =>
-      val losers = Dedup.nearDupHamming64(df, idCol, "phash",
-        cfg.maxDistance, cfg.pieces, cfg.maxBucket)
-        .select(col("id_b").as(idCol)).distinct()
-      df.join(losers, Seq(idCol), "left_anti")
-    }
+    step("near_dedup")(df => Dedup.dropNearDupsPHash(df, idCol, "phash",
+      cfg.maxDistance, cfg.pieces, cfg.maxCorpusImages))
     step("resize")(df =>
       Multimodal.resizeImages(df, binCol, cfg.targetW, cfg.targetH,
         cfg.resizeFormat, cfg.batchSize)
         .where(col("resized").isNotNull))
-    checkpoints.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     Result(cur,
       stats.toSeq.toDF("ord", "stage", "rows_out", "bytes_out", "wall_sec"))

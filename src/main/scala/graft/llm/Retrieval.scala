@@ -167,13 +167,21 @@ object Retrieval {
           .join(delta.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
           .limit(1).count()
         require(clash == 0L,
-          s"appendToBm25Index: batch re-ingests doc_ids already in the index at $path " +
-            "(df would double-count) — dedup the batch or pass checkIds = false only " +
-            "for streams with guaranteed-fresh ids")
+          s"appendToBm25Index: batch doc_ids already present in the lengths table at " +
+            s"$path — either the batch overlaps the corpus, or a previous append " +
+            "crashed between its dl and tf writes. Dedup the batch, or rebuild with " +
+            "buildAndWriteIndex to recover; checkIds = false is ONLY for streams " +
+            "with guaranteed-fresh ids (it would let postings double-count)")
       }
-      writeBucketSorted(delta, s"$path/tf", overwrite = false)
+      // dl BEFORE tf: the lengths table is the checkIds guard's witness,
+      // so a crash between the two writes makes a RETRY fail fast (ids
+      // already visible) instead of silently appending the same postings
+      // twice — the one unrecoverable corruption this lifecycle could
+      // otherwise produce. (df/meta after a partial append are rebuilt by
+      // the retry path or buildAndWriteIndex; duplicated postings are not.)
       delta.groupBy("doc_id").agg(max("dl").as("dl"))
         .write.mode("append").parquet(s"$path/dl")
+      writeBucketSorted(delta, s"$path/tf", overwrite = false)
       // Vocab-sized df merge, swapped in atomically (the compaction idiom:
       // temp write, move-aside, rename; stale residue deleted up front).
       val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")

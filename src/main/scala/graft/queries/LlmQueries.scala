@@ -2139,13 +2139,22 @@ object LlmQueries {
         .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
       def pruned(f: DataFrame): Boolean =
-        "PartitionFilters: \\[([^\\]]*)\\]".r
+        "PartitionFilters: \\[([^\\]]*)IN \\(([^\\]]*)\\]".r
           .findAllMatchIn(f.queryExecution.executedPlan.toString)
-          .exists(_.group(1).trim.nonEmpty)
+          .exists(_.group(2).trim.nonEmpty)
+      // The fused ranking deliberately probes EVERY cell (that is what
+      // makes the dense side exactly brute force and DuckDB-replayable),
+      // and probeIvfPqIndex correctly skips the cell filter then — so the
+      // ann pruning fact is pinned on a SIDE probe at nProbe=2, whose
+      // static `centroid_idx IN (...)` list must reach the scan as a
+      // PartitionFilter (the regex demands the literal IN list: dynamic-
+      // pruning subquery text alone must not satisfy the pin).
+      val annSide = Similarity.probeIvfPqIndex(reloaded, meta2, raw, queries,
+        "q_id", "embedding", k = 10, nProbe = 2, rerank = 200)
       val res = graft.llm.Retrieval.rrfFuse(Seq(bm, ann), k = 10)
         .select(col("q_id"), col("doc_id"), col("rank"),
           floor(col("rrf_score") * 1e9).cast("long").as("score_fp"),
-          lit(pruned(bm)).as("bm25_pruned"), lit(pruned(ann)).as("ann_pruned"))
+          lit(pruned(bm)).as("bm25_pruned"), lit(pruned(annSide)).as("ann_pruned"))
         .orderBy("q_id", "rank").localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(bmDir.toFile)
       org.apache.commons.io.FileUtils.deleteQuietly(annDir.toFile)

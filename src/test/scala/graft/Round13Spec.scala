@@ -117,7 +117,7 @@ class Round13Spec extends AnyFunSuite {
       val ex = intercept[IllegalArgumentException] {
         graft.llm.Retrieval.appendToBm25Index(batch, "id", "text", dir.toString)
       }
-      assert(ex.getMessage.contains("re-ingests"))
+      assert(ex.getMessage.contains("already present in the lengths table"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       org.apache.commons.io.FileUtils.deleteQuietly(dirR.toFile)
