@@ -564,14 +564,32 @@ object Dedup {
     * partial, and `toLocalIterator` fetches them one job at a time, so
     * each job returns a single array (the geometry ceiling — 750 MB at
     * the default 300M-key / 20-bit maximum — stays under the default
-    * result cap). The driver's work is ≤8 sequential array ORs. */
+    * result cap). The driver's work is ≤8 sequential array ORs.
+    *
+    * Executor-heap note (r14 — ADVICE): every CONCURRENT merge task
+    * allocates the full word array — ~750 MB/task at the 300M-key /
+    * 20-bit ceiling, so 8 concurrent tasks would need ~6 GB of
+    * simultaneous executor heap that the old driver-serial build never
+    * did. The merge-partition count is therefore derived from a heap
+    * budget (20% of the smaller of executor/driver max heap across all
+    * concurrent merge tasks), capped at 8: a tightly-heaped cluster
+    * degrades to fewer, bigger merge tasks instead of OOMing, and >8
+    * merge parallelism never pays anyway — the driver ORs serially. */
   private def buildBloomDistributed(keys: DataFrame, expectedKeys: Long,
       bitsPerKey: Int): graft.functions.SetKernels.LongBloomSet = {
     import graft.functions.SetKernels.LongBloomSet
     val nWords = LongBloomSet.wordsFor(expectedKeys, bitsPerKey)
     val k = LongBloomSet.probesFor(bitsPerKey)
     val spark = keys.sparkSession
-    val mergeParts = math.max(1, math.min(8, spark.sparkContext.defaultParallelism))
+    // Local mode shares one JVM (Runtime.maxMemory IS the executor heap);
+    // on a cluster spark.executor.memory bounds the task side.
+    val execHeap = spark.sparkContext.getConf.getSizeAsBytes(
+      "spark.executor.memory", Runtime.getRuntime.maxMemory().toString)
+    val perTaskBytes = math.max(1L, nWords.toLong * 8L)
+    val byBudget = (math.min(execHeap, Runtime.getRuntime.maxMemory()) / 5)
+      .max(perTaskBytes) / perTaskBytes
+    val mergeParts = math.max(1, math.min(math.min(8L, byBudget).toInt,
+      spark.sparkContext.defaultParallelism))
     val repart = keys.repartition(mergeParts)
     val keyIdx = repart.schema.fieldIndex("bandkey")
     val partials = repart.queryExecution.toRdd.mapPartitions { rows =>
@@ -592,10 +610,13 @@ object Dedup {
   /** Driver-known multi-index Hamming structure over a corpus's 64-bit
     * perceptual hashes ([[Multimodal.pHashImages]]) — the build side of
     * [[streamPHashGuard]]. One distinct collect bounded by
-    * `maxCorpusImages` (8 bytes/image + the bucket offsets — ~50M images
-    * ≈ 1 GB of driver/executor reference state at pieces=4); past that,
-    * shard the corpus into several guards or use the batch pigeonhole
-    * join ([[nearDupHamming64]]). */
+    * `maxCorpusImages`. True footprint at pieces=4 (r14 — the old
+    * estimate undercounted): 8 B hash + 16 B bucket members (4 ints) per
+    * hash plus ~1 MB of fixed offsets — ~24 B/hash, ≈1.2 GB at the 50M
+    * cap; the structure ships to executors inside each stage's broadcast
+    * task binary (once per stage, not per task). Past the cap, shard the
+    * corpus into several guards or use the batch pigeonhole join
+    * ([[nearDupHamming64]]). */
   def pHashIndex(corpus: DataFrame, phashCol: String, pieces: Int = 4,
       maxCorpusImages: Long = 50000000L)
       : graft.functions.HammingIndexKernel.MihIndex = {
@@ -637,8 +658,9 @@ object Dedup {
     * no banded explode, no self-join, no bucket cap to silently lose
     * recall at scale. Complete for any radius (MIH query expansion) and
     * exact-verified. Bounded by `maxCorpusImages` distinct hashes of
-    * driver/executor reference state (~16 bytes each + buckets); shard
-    * the corpus into several passes past that. Hashless rows (null
+    * driver/executor reference state (~32 B each at pieces=4: 8 B hash +
+    * 8 B id + 16 B bucket members — ≈1.6 GB at the 50M cap; r14, the old
+    * ~16 B estimate undercounted the members). Hashless rows (null
     * sketch — undecodable payloads) are kept. */
   def dropNearDupsPHash(df: DataFrame, idCol: String, phashCol: String,
       maxDistance: Int = 10, pieces: Int = 4,
@@ -650,10 +672,12 @@ object Dedup {
   }
 
   /** STATELESS streaming image near-dup guard against a static corpus:
-    * one fused multi-index Hamming probe per row — pigeonhole-complete
-    * for `maxDistance < pieces` and EXACT-verified (flags iff a corpus
-    * sketch truly lies within the radius; no false positives at all,
-    * unlike the candidate-only minhash band guard). Pure projection: no
+    * one fused multi-index Hamming probe per row — complete for ANY
+    * radius (the MIH slice-perturbation query expansion enumerates every
+    * bucket a within-distance sketch could occupy; the 500-perturbation
+    * sweep in Round13Spec certifies it) and EXACT-verified (flags iff a
+    * corpus sketch truly lies within the radius; no false positives at
+    * all, unlike the candidate-only minhash band guard). Pure projection: no
     * state store, no watermark, no shuffle — composes with any
     * Structured Streaming source/sink in append mode. Rows with a null
     * sketch (undecodable payloads) pass unflagged. Batch-replayable. */

@@ -368,9 +368,11 @@ object Multimodal {
 
   /** Batched per-partition perceptual hash (64-bit DCT pHash) — the image
     * near-dup sketch: decode → 32×32 grayscale bilinear resample → 2D
-    * DCT-II → top-left 8×8 low-frequency block → bit j = coefficient >
-    * median (median over the 63 non-DC coefficients; the DC term is pure
-    * brightness and would otherwise bias the split). Two images that are
+    * DCT-II → 64 low-frequency AC coefficients (the top-left 8×8 block
+    * minus DC, plus its (8,0) neighbor) → bit j = coefficient > median
+    * (the DC term is pure brightness and is excluded entirely — it sits
+    * far above the AC median, so emitting it would burn a bit on a
+    * constant; all 64 emitted bits discriminate). Two images that are
     * re-encodes / resizes / mild quality-degrades of each other land
     * within a few bits of Hamming distance; unrelated images differ in
     * ~32 — the standard image-dedup step of multimodal corpus pipelines
@@ -435,43 +437,55 @@ object Multimodal {
             while (x < PHashSide) { px(y)(x) = raster.getSample(x, y, 0); x += 1 }
             y += 1
           }
-          // Separable 2D DCT-II, low-frequency 8×8 block only (8·32·32
-          // + 8·8·32 multiplies — no full-transform waste).
+          // Separable 2D DCT-II, low-frequency coefficients only (9·32·32
+          // + 65·32 multiplies — no full-transform waste). Nine row
+          // transforms: the 8×8 block plus the (u=8, v=0) horizontal
+          // neighbor, so the hash can carry 64 genuine AC bits with the
+          // DC term excluded ENTIRELY (DC is pure brightness and sits far
+          // above the AC median — emitting it as a bit would waste one of
+          // the 64 on a constant; r14, was 63 discriminating bits + a
+          // constant. Persisted pHash sketches from before r14 are NOT
+          // comparable to post-r14 hashes — rehash, don't mix).
           val cos = pHashCos
-          val rows8 = Array.ofDim[Double](8, PHashSide) // rows8(u)(y) = Σ_x px(y)(x)·cos(u,x)
+          val rows9 = Array.ofDim[Double](9, PHashSide) // rows9(u)(y) = Σ_x px(y)(x)·cos(u,x)
           var u = 0
-          while (u < 8) {
+          while (u < 9) {
             y = 0
             while (y < PHashSide) {
               var s = 0.0
               var x = 0
               while (x < PHashSide) { s += px(y)(x) * cos(u)(x); x += 1 }
-              rows8(u)(y) = s
+              rows9(u)(y) = s
               y += 1
             }
             u += 1
           }
-          val coef = new Array[Double](64)
+          // coef(0) = DC; coef(v·8+u) for the 8×8 block; coef(64) = (8, 0).
+          val coef = new Array[Double](65)
           var v = 0
           while (v < 8) {
             u = 0
             while (u < 8) {
               var s = 0.0
               y = 0
-              while (y < PHashSide) { s += rows8(u)(y) * cos(v)(y); y += 1 }
+              while (y < PHashSide) { s += rows9(u)(y) * cos(v)(y); y += 1 }
               coef(v * 8 + u) = s
               u += 1
             }
             v += 1
           }
-          // Median of the 63 AC coefficients (DC excluded), then the bits.
-          val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+          var s80 = 0.0
+          y = 0
+          while (y < PHashSide) { s80 += rows9(8)(y) * cos(0)(y); y += 1 }
+          coef(64) = s80
+          // Median of the 64 AC coefficients, then bit j = AC j+1 > median.
+          val ac = java.util.Arrays.copyOfRange(coef, 1, 65)
           java.util.Arrays.sort(ac)
-          val median = ac(31) // element 32 of 63 — the true middle
+          val median = ac(31) // lower middle of 64
           var bits = 0L
           var j = 0
           while (j < 64) {
-            if (coef(j) > median) bits |= (1L << j)
+            if (coef(j + 1) > median) bits |= (1L << j)
             j += 1
           }
           bits

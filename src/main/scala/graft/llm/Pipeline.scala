@@ -140,20 +140,23 @@ object Pipeline {
     val spark = docs.sparkSession
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
     var cur = docs.where(col(binCol).isNotNull).localCheckpoint()
-    def measure(stage: String, wallSec: Double): Unit = {
+    // bytes_out sums the stage's OWN payload column: the resize stage
+    // reports the RESIZED volume (the number a storage budget watches),
+    // not the source payload it still carries alongside (r14 — ADVICE).
+    def measure(stage: String, wallSec: Double, bytesCol: String): Unit = {
       val r = cur.agg(count(lit(1)),
-        coalesce(sum(length(col(binCol)).cast("long")), lit(0L))).collect()(0)
+        coalesce(sum(length(col(bytesCol)).cast("long")), lit(0L))).collect()(0)
       stats += ((stats.size, stage, r.getLong(0), r.getLong(1), wallSec))
     }
-    def step(stage: String)(f: DataFrame => DataFrame): Unit = {
+    def step(stage: String, bytesCol: String = binCol)(f: DataFrame => DataFrame): Unit = {
       val prev = cur
       val t0 = System.nanoTime()
       cur = f(prev).localCheckpoint()
-      measure(stage, (System.nanoTime() - t0) / 1e9)
+      measure(stage, (System.nanoTime() - t0) / 1e9, bytesCol)
       org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
         .foreach(_.unpersist(blocking = false))
     }
-    measure("input", 0.0)
+    measure("input", 0.0, binCol)
     step("decode_phash")(df =>
       Multimodal.pHashImages(df, binCol, cfg.batchSize)
         .where(col("phash").isNotNull))
@@ -162,7 +165,7 @@ object Pipeline {
       .drop("__fp"))
     step("near_dedup")(df => Dedup.dropNearDupsPHash(df, idCol, "phash",
       cfg.maxDistance, cfg.pieces, cfg.maxCorpusImages))
-    step("resize")(df =>
+    step("resize", bytesCol = "resized")(df =>
       Multimodal.resizeImages(df, binCol, cfg.targetW, cfg.targetH,
         cfg.resizeFormat, cfg.batchSize)
         .where(col("resized").isNotNull))

@@ -123,10 +123,65 @@ object Retrieval {
     (n, avgdl)
   }
 
-  /** Reload a persisted index (no corpus access, no stats job). Indexes
-    * written before the bucketed layout (no `n_buckets` field) load with
-    * `nBuckets = 0` and score unpruned. */
+  private def readMetaBuckets(spark: SparkSession, path: String): Int = {
+    val meta = graft.io.FsText.read(spark, s"$path/meta.json")
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no BM25 index meta at $path/meta.json"))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(meta)
+    if (root.has("n_buckets")) root.get("n_buckets").asInt else 0
+  }
+
+  /** Self-heal a df swap interrupted by a crash (r14 — the one window the
+    * append lifecycle left manual): [[appendToBm25Index]] merges document
+    * frequencies through `df._graft_append_tmp` → rename(df, df.__old) →
+    * rename(tmp, df) → delete(__old) → meta refresh. A crash between the
+    * two renames leaves the index with NO df directory; a crash before
+    * the final cleanup leaves `__old`/tmp residue and possibly a stale
+    * sidecar. Every such state is mechanically recoverable because the
+    * merged tmp is FULLY written (with `_SUCCESS`) before any rename
+    * begins: missing df + complete tmp ⇒ finish the swap and recompute
+    * the sidecar (dl/tf were appended before the swap, so the healed
+    * index equals the completed append); missing df + incomplete tmp ⇒
+    * restore `__old` (a retried append then fail-fasts on the id check —
+    * the documented rebuild signal); df + `__old` both present ⇒ the swap
+    * finished, drop leftovers and refresh the sidecar. Called by both
+    * [[loadIndex]] and [[appendToBm25Index]], so a crashed append is
+    * healed by whichever touches the index next. */
+  private def healDfSwap(spark: SparkSession, path: String): Unit = {
+    val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
+    val fs = dfDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/df._graft_append_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/df.__old")
+    val haveOld = fs.exists(old)
+    if (!haveOld) return // tmp-only residue is inert; append deletes it
+    val haveDf = fs.exists(dfDir)
+    if (!haveDf) {
+      val tmpComplete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (tmpComplete) {
+        if (!fs.rename(tmp, dfDir))
+          throw new java.io.IOException(
+            s"healDfSwap: rename $tmp -> $dfDir failed — original at $old")
+        fs.delete(old, true)
+        writeMeta(spark, path, readMetaBuckets(spark, path))
+      } else {
+        if (!fs.rename(old, dfDir))
+          throw new java.io.IOException(s"healDfSwap: restore $old -> $dfDir failed")
+        fs.delete(tmp, true)
+      }
+    } else {
+      // Swap completed; cleanup/meta-refresh may not have. Idempotent.
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+      writeMeta(spark, path, readMetaBuckets(spark, path))
+    }
+  }
+
+  /** Reload a persisted index (no corpus access, no stats job — except
+    * when healing a crashed append's df swap first, see [[healDfSwap]]).
+    * Indexes written before the bucketed layout (no `n_buckets` field)
+    * load with `nBuckets = 0` and score unpruned. */
   def loadIndex(spark: SparkSession, path: String): Bm25Index = {
+    healDfSwap(spark, path)
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json"))
@@ -152,6 +207,7 @@ object Retrieval {
   def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, checkIds: Boolean = true): Bm25Index = {
     val spark = newDocs.sparkSession
+    healDfSwap(spark, path) // a crashed prior append must not be read as-is
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json — not a graft BM25 index"))
@@ -210,6 +266,81 @@ object Retrieval {
       writeMeta(spark, path, nBuckets)
       loadIndex(spark, path)
     } finally delta.unpersist()
+  }
+
+  /** Compact a persisted BM25 index in place (r14 — the IVF+PQ
+    * [[Similarity.compactIvfPqIndex]] mirrored onto the postings layout):
+    * every [[appendToBm25Index]] batch parquet-APPENDS one file per
+    * touched `tf` bucket directory and one to `dl`, so after N ingest
+    * batches a pruned probe opens ~N footers per queried bucket — the
+    * classic small-files growth. The compaction rewrites `tf` with one
+    * bucket-keyed shuffle back to ≤ `filesPerBucket` term-sorted files
+    * per bucket (terms salt WITHIN a bucket when filesPerBucket > 1, so
+    * a term's postings still land in one file and the In(term) row-group
+    * pushdown keeps its skip rate), and `dl` to `dlFiles` files, each
+    * through a SIBLING temp directory + rename swap (write-over-read
+    * would corrupt the lazily-scanned index mid-job; a crash leaves a
+    * complete index at the path or recoverable `.__old` residue, healed
+    * by the same idiom). `df` never accretes — each append rewrites it
+    * whole through its own swap — and the meta sidecar is untouched
+    * (compaction moves bytes, not statistics). Must be the index's only
+    * writer while it runs.
+    *
+    * @return (dataFilesBefore, dataFilesAfter) across tf + dl. */
+  def compactBm25Index(spark: SparkSession, path: String,
+      filesPerBucket: Int = 1, dlFiles: Int = 8): (Long, Long) = {
+    require(filesPerBucket >= 1 && dlFiles >= 1,
+      s"bad filesPerBucket=$filesPerBucket / dlFiles=$dlFiles")
+    healDfSwap(spark, path)
+    require(readMetaBuckets(spark, path) >= 1,
+      s"index at $path predates the bucketed layout — rebuild with buildAndWriteIndex")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = {
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val nm = it.next().getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) n += 1
+      }
+      n
+    }
+    def swapIn(dir: org.apache.hadoop.fs.Path, write: String => Unit): Unit = {
+      val fs = dir.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+        dir.getName + "._graft_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".__old")
+      fs.delete(tmp, true) // residue of a crashed earlier compaction
+      fs.delete(old, true)
+      write(tmp.toString)
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(
+          s"compactBm25Index: could not move $dir aside; rewrite left at $tmp")
+      if (!fs.rename(tmp, dir)) {
+        val restored = fs.rename(old, dir)
+        throw new java.io.IOException(
+          s"compactBm25Index: rename $tmp -> $dir failed; " + (
+            if (restored) "original restored"
+            else s"restore ALSO failed — original preserved at $old, rewrite at $tmp"))
+      }
+      fs.delete(old, true)
+    }
+    val tfDir = new org.apache.hadoop.fs.Path(s"$path/tf")
+    val dlDir = new org.apache.hadoop.fs.Path(s"$path/dl")
+    val before = dataFiles(tfDir) + dataFiles(dlDir)
+    val tf = spark.read.parquet(tfDir.toString)
+    swapIn(tfDir, tmp => {
+      val keyed =
+        if (filesPerBucket == 1) tf.repartition(col("tb"))
+        else tf.repartition(col("tb"),
+          pmod(xxhash64(col("term")), lit(filesPerBucket.toLong)))
+      keyed.sortWithinPartitions("tb", "term")
+        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    })
+    val dl = spark.read.parquet(dlDir.toString)
+    swapIn(dlDir, tmp =>
+      dl.repartition(dlFiles).write.mode("overwrite").parquet(tmp))
+    (before, dataFiles(tfDir) + dataFiles(dlDir))
   }
 
   /** BM25 scores for every (query, candidate) pair — candidates are the

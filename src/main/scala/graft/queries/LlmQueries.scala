@@ -2293,10 +2293,23 @@ object LlmQueries {
       val appendEqualsRebuild = sA.join(sR, Seq("q_id", "doc_id"), "full_outer")
         .agg(all(abs(col("score") - col("score_r")) < 1e-9))
         .collect()(0).getBoolean(0)
-      val res = sA
+      // Compaction leg (r14): the appended index has accreted one extra
+      // file per touched tf bucket + a dl delta; compactBm25Index must
+      // shrink the file census and leave scoring BIT-EQUIVALENT (same
+      // rows, 1e-9 score tolerance) on the reloaded index.
+      val (filesBefore, filesAfter) =
+        graft.llm.Retrieval.compactBm25Index(s, dir.toString, dlFiles = 2)
+      val sC = graft.llm.Retrieval.scores(
+        graft.llm.Retrieval.loadIndex(s, dir.toString), queries, "q_id", "q_text")
+      val compactPreserves = sC.join(sR, Seq("q_id", "doc_id"), "full_outer")
+        .agg(all(abs(col("score") - col("score_r")) < 1e-9))
+        .collect()(0).getBoolean(0)
+      val res = sC
         .select(col("q_id"), col("doc_id"),
           round(col("score") * 1e4).cast("long").as("score_fp"),
-          lit(appendEqualsRebuild).as("append_equals_rebuild"))
+          lit(appendEqualsRebuild).as("append_equals_rebuild"),
+          lit(filesAfter < filesBefore).as("compact_shrinks_files"),
+          lit(compactPreserves).as("compact_preserves_scores"))
         .orderBy("q_id", "doc_id").localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       org.apache.commons.io.FileUtils.deleteQuietly(dirFull.toFile)
@@ -3902,7 +3915,9 @@ object LlmQueries {
         |  JOIN dl ON tf.doc_id = dl.doc_id
         |  GROUP BY qterm2.q_id, tf.doc_id)
         |SELECT q_id, doc_id, CAST(round(score * 1e4) AS BIGINT) AS score_fp,
-        |  TRUE AS append_equals_rebuild
+        |  TRUE AS append_equals_rebuild,
+        |  TRUE AS compact_shrinks_files,
+        |  TRUE AS compact_preserves_scores
         |FROM sc ORDER BY q_id, doc_id""".stripMargin,
 
     // n and the ASCII-subset count replay (same RE2-safe class both

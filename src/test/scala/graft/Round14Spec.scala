@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 additions: BM25 index compaction, crash-healing of the df
+  * swap, and the full-64-AC-bit pHash. */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(lo: Int, hi: Int) = spark.range(lo, hi).toDF("id")
+    .withColumn("text", concat_ws(" ",
+      (0 until 12).map(k => concat(lit("t"),
+        pmod(xxhash64(col("id"), lit(k)), lit(50)).cast("string"))): _*))
+
+  private def scoreMap(idx: graft.llm.Retrieval.Bm25Index,
+      qs: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+    graft.llm.Retrieval.scores(idx, qs, "qid", "qtext")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  // --------------------------------------------------- BM25 compaction
+
+  test("compactBm25Index: shrinks the file census, preserves scores and pruning") {
+    val qs = Seq((1L, "t1 t7 t13 t25"), (2L, "t2 t40")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("r14_bm25_compact")
+    try {
+      graft.llm.Retrieval.buildAndWriteIndex(docs(0, 300), "id", "text",
+        dir.toString, nBuckets = 16)
+      // Three ingest batches: each appends one file per touched tf bucket
+      // and one dl delta — the small-files growth compaction closes.
+      (0 until 3).foreach { b =>
+        graft.llm.Retrieval.appendToBm25Index(
+          docs(300 + b * 50, 350 + b * 50), "id", "text", dir.toString)
+      }
+      val before = scoreMap(graft.llm.Retrieval.loadIndex(spark, dir.toString), qs)
+      val (nBefore, nAfter) =
+        graft.llm.Retrieval.compactBm25Index(spark, dir.toString, dlFiles = 2)
+      assert(nAfter < nBefore, s"expected shrink, got $nBefore -> $nAfter")
+      val reloaded = graft.llm.Retrieval.loadIndex(spark, dir.toString)
+      val after = scoreMap(reloaded, qs)
+      assert(after.keySet === before.keySet)
+      after.foreach { case (k, v) => assert(math.abs(v - before(k)) < 1e-9, s"$k") }
+      // Partition pruning must survive the rewrite (same tb=... layout).
+      val plan = graft.llm.Retrieval.scores(reloaded, qs, "qid", "qtext")
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+        .exists(_.group(1).trim.nonEmpty), s"no partition pruning in:\n$plan")
+      // Compaction is idempotent: a second pass may not lose rows.
+      graft.llm.Retrieval.compactBm25Index(spark, dir.toString, dlFiles = 2)
+      val again = scoreMap(graft.llm.Retrieval.loadIndex(spark, dir.toString), qs)
+      assert(again === after)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  // --------------------------------------------- df-swap crash healing
+
+  test("healDfSwap: a crash between the swap renames self-heals forward") {
+    val qs = Seq((1L, "t1 t7 t13 t25")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("r14_bm25_heal_fwd")
+    val dirR = java.nio.file.Files.createTempDirectory("r14_bm25_heal_ref")
+    try {
+      graft.llm.Retrieval.buildAndWriteIndex(docs(0, 300), "id", "text",
+        dir.toString, nBuckets = 8)
+      graft.llm.Retrieval.appendToBm25Index(docs(300, 400), "id", "text",
+        dir.toString)
+      val want = scoreMap(graft.llm.Retrieval.buildAndWriteIndex(
+        docs(0, 400), "id", "text", dirR.toString, nBuckets = 8), qs)
+      // Simulate the crash window between rename(df, __old) and
+      // rename(tmp, df): the COMPLETE merged df sits at the tmp name
+      // (with its _SUCCESS), the previous df at __old, nothing at df.
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val df = new org.apache.hadoop.fs.Path(s"$dir/df")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/df._graft_append_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/df.__old")
+      assert(fs.rename(df, tmp))
+      assert(fs.mkdirs(old)) // stale pre-append df (content irrelevant)
+      // loadIndex must finish the swap and score exactly like the rebuild.
+      val healed = graft.llm.Retrieval.loadIndex(spark, dir.toString)
+      assert(fs.exists(df) && !fs.exists(tmp) && !fs.exists(old))
+      val got = scoreMap(healed, qs)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"$k") }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      org.apache.commons.io.FileUtils.deleteQuietly(dirR.toFile)
+    }
+  }
+
+  test("healDfSwap: an incomplete merged df restores the original") {
+    val qs = Seq((1L, "t1 t7 t13 t25")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("r14_bm25_heal_back")
+    try {
+      val built = graft.llm.Retrieval.buildAndWriteIndex(docs(0, 300), "id",
+        "text", dir.toString, nBuckets = 8)
+      val want = scoreMap(built, qs)
+      // Simulate a crash DURING the merged-df write: df moved aside,
+      // tmp exists but has no _SUCCESS marker.
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val df = new org.apache.hadoop.fs.Path(s"$dir/df")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/df._graft_append_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/df.__old")
+      assert(fs.rename(df, old))
+      assert(fs.mkdirs(tmp)) // partial write, no _SUCCESS
+      val healed = graft.llm.Retrieval.loadIndex(spark, dir.toString)
+      assert(fs.exists(df) && !fs.exists(tmp) && !fs.exists(old))
+      val got = scoreMap(healed, qs)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"$k") }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  // ------------------------------------------------- pHash: 64 AC bits
+
+  test("pHash carries 64 discriminating AC bits (no constant DC bit)") {
+    import graft.llm.Multimodal
+    val hashes = (0L until 64L).map(f =>
+      Multimodal.pHashOne(Multimodal.encodeBlockImage(f)).longValue())
+    // Exactly 32 of the 64 AC coefficients sit above their median when
+    // values are distinct — the balanced split a Hamming sketch wants.
+    hashes.foreach(h => assert(java.lang.Long.bitCount(h) === 32, f"$h%016x"))
+    // Every BIT POSITION varies across textures: a constant bit (the old
+    // DC slot) carries no discrimination. Block textures are iid noise in
+    // every frequency, so 64 samples pin each position with P(miss)~5e-18.
+    (0 until 64).foreach { j =>
+      val ones = hashes.count(h => (h >>> j & 1L) == 1L)
+      assert(ones > 0 && ones < hashes.size, s"bit $j constant across textures")
+    }
+  }
+
+  test("pHash is invariant to global brightness/contrast scaling") {
+    import graft.llm.Multimodal
+    // Scaling every pixel by 0.75 scales every AC coefficient AND their
+    // median by 0.75 — the bit pattern is unchanged up to byte-rounding
+    // noise. (A pure brightness SHIFT moves only the excluded DC term.)
+    (0L until 8L).foreach { f =>
+      val orig = Multimodal.encodeBlockImage(f)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(orig))
+      val dark = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      (0 until img.getHeight).foreach { y =>
+        (0 until img.getWidth).foreach { x =>
+          val g = ((img.getRGB(x, y) & 0xFF) * 3) / 4
+          dark.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dark, "png", out)
+      val d = java.lang.Long.bitCount(
+        Multimodal.pHashOne(orig) ^ Multimodal.pHashOne(out.toByteArray))
+      assert(d <= 6, s"family $f: hamming $d under 0.75x contrast scale")
+    }
+  }
+}
