@@ -639,6 +639,233 @@ object Multimodal {
     bb.array()
   }
 
+  // ------------------------------------------------- audio spectral hash
+
+  private val SpecW = 1024
+  private val SpecHop = 512
+  /** Hann window, StrictMath so the hash is bit-stable across JVMs. */
+  @transient private lazy val specHann: Array[Double] = {
+    val w = new Array[Double](SpecW)
+    var i = 0
+    while (i < SpecW) {
+      w(i) = 0.5 - 0.5 * StrictMath.cos(2.0 * StrictMath.PI * i / SpecW)
+      i += 1
+    }
+    w
+  }
+
+  /** Iterative radix-2 Cooley-Tukey, in place. StrictMath twiddles. */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * StrictMath.PI / len
+      val wr = StrictMath.cos(ang)
+      val wi = StrictMath.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + len / 2); val xi = im(s + k + len / 2)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + len / 2) = ur - vr; im(s + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Batched per-partition TIME-SHIFT-ROBUST audio fingerprint — the
+    * spectral sibling of [[audioHashes]]: the energy-profile hash keys on
+    * WHEN energy occurs, so a few hundred frames of leading silence or a
+    * padded tail (the two most common real audio near-dup transforms)
+    * move every bucket and break it. This hash keys on WHERE IN FREQUENCY
+    * the energy lives: Welch-averaged power spectrum (Hann 1024-frame
+    * windows, hop 512, DC bin dropped) → 64 linear frequency bands →
+    * bit j = band j > median. The window-mean magnitude spectrum is
+    * shift-invariant up to boundary effects (a shifted copy re-slices the
+    * same samples; Hann suppresses the leakage difference) and silence
+    * prepend/append adds ~zero to every band equally, so offsets, padding,
+    * amplitude scaling, and re-encodes of the same material land within a
+    * few bits while different material differs in ~32 — composes with
+    * [[Dedup.nearDupHamming64]] exactly like the image/energy hashes.
+    * Non-PCM-16, undecodable, or shorter-than-one-window bytes hash to
+    * null. Channels are mono-mixed before the transform. */
+  def audioSpectralHashes(df: DataFrame, binCol: String, batchSize: Int = 64,
+      outCol: String = "shash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ audioSpectralHashOne(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** 64-bit spectral-band hash of one clip, or null when the bytes are
+    * not decodable 16-bit PCM with at least one full analysis window
+    * (1024 frames). */
+  private[graft] def audioSpectralHashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0) null
+          else {
+            val data = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val ch = fmt.getChannels
+            val nFrames = data.length / 2 / ch
+            if (nFrames < SpecW) null
+            else {
+              val mono = new Array[Double](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var c = 0
+                var s = 0.0
+                while (c < ch) { s += bb.getShort((f * ch + c) * 2); c += 1 }
+                mono(f) = s / ch
+                f += 1
+              }
+              // Welch: mean power per bin across overlapping Hann windows.
+              val bins = new Array[Double](SpecW / 2) // index 0 (DC) unused
+              val re = new Array[Double](SpecW)
+              val im = new Array[Double](SpecW)
+              var start = 0
+              while (start + SpecW <= nFrames) {
+                var i = 0
+                while (i < SpecW) {
+                  re(i) = mono(start + i) * specHann(i)
+                  im(i) = 0.0
+                  i += 1
+                }
+                fftInPlace(re, im)
+                i = 1
+                while (i < SpecW / 2) {
+                  bins(i) += re(i) * re(i) + im(i) * im(i)
+                  i += 1
+                }
+                start += SpecHop
+              }
+              // 64 linear bands over bins 1..511 (8 bins each; the last
+              // band has 7 — the dropped Nyquist neighborhood carries no
+              // discriminating audio energy anyway). Mean, not sum, so
+              // the short last band is not systematically low.
+              val bands = new Array[Double](64)
+              var b = 0
+              while (b < 64) {
+                var s = 0.0
+                var cnt = 0
+                var i = 1 + 8 * b
+                val end = math.min(8 * b + 8, (SpecW / 2) - 1)
+                while (i <= end) { s += bins(i); cnt += 1; i += 1 }
+                bands(b) = s / cnt
+                b += 1
+              }
+              val sorted = bands.clone()
+              java.util.Arrays.sort(sorted)
+              val median = sorted(31)
+              var bits = 0L
+              b = 0
+              while (b < 64) {
+                if (bands(b) > median) bits |= (1L << b)
+                b += 1
+              }
+              bits
+            }
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Synthetic multi-tone WAV for spectral-hash gates: 32 sinusoids, one
+    * per band PAIR (band 2k or 2k+1 chosen by splitmix64(family, k)), at
+    * each chosen band's center frequency — so the spectral hash's set
+    * bits are exactly the 32 chosen bands, two families disagree on ~16
+    * pairs (~32 bits of Hamming), and the tone content is a pure function
+    * of (family, frame-within-tone): prepending `prefixSilenceFrames` or
+    * appending `suffixSilenceFrames` of silence yields the OFFSET/PADDED
+    * copies the shift-robustness plant needs, with the tone samples
+    * themselves bit-identical. `scaleShift` halves the amplitude per
+    * step (the scale-invariance plant). Deterministic, oracle-checkable. */
+  def encodeToneWav(family: Long, prefixSilenceFrames: Int = 0,
+      suffixSilenceFrames: Int = 0, scaleShift: Int = 0,
+      toneFrames: Int = 16000, sampleRate: Int = 8000): Array[Byte] = {
+    require(toneFrames >= SpecW && prefixSilenceFrames >= 0 &&
+      suffixSilenceFrames >= 0 && scaleShift >= 0)
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val freqs = (0 until 32).map { k =>
+      val band = 2 * k + (mix(family * 127L + k) & 1L).toInt
+      (4 + 8 * band) * sampleRate / 1024.0
+    }.toArray
+    val amp = 800.0 / (1 << scaleShift)
+    val n = prefixSilenceFrames + toneFrames + suffixSilenceFrames
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var t = 0
+    while (t < n) {
+      val tt = t - prefixSilenceFrames
+      val v =
+        if (tt < 0 || tt >= toneFrames) 0.0
+        else {
+          var s = 0.0
+          var k = 0
+          while (k < 32) {
+            s += amp * StrictMath.sin(2.0 * StrictMath.PI * freqs(k) * tt / sampleRate)
+            k += 1
+          }
+          s
+        }
+      bb.putShort(math.max(-32768.0, math.min(32767.0, v)).toShort)
+      t += 1
+    }
+    bb.array()
+  }
+
   // ---------------------------------------------------- video containers
 
   /** Container-level video metadata: MP4 (ISO BMFF) header fields parsed

@@ -159,6 +159,16 @@ object LlmQueries {
     // ~32 bits (deterministic for the fixed corpus — the image-pHash
     // plant contract). The oracle re-derives the pair list from the id
     // arithmetic.
+    // (r14) Extended with the spectral-fingerprint leg: the energy hash
+    // keys on WHEN energy occurs, so the most common real near-dup
+    // transforms — a time OFFSET (leading silence) and PADDING (trailing
+    // silence) — break it; the Welch spectral-band hash keys on WHERE IN
+    // FREQUENCY the energy lives and pairs them. Spectral plant: 20 tone
+    // families × {original, +300-frame offset copy, +4000-frame padded
+    // copy, amplitude-halved copy, novel tone pattern} at ids 200+5f+slot
+    // — slots 0-3 must pair completely (6 pairs/family), slot 4 and
+    // cross-family must not (tone band sets disagree on ~16 of 32 pairs
+    // ⇒ ~32 bits, deterministic for the fixed corpus).
     "q_dedup_audio_hash" -> ((s, d) => {
       import s.implicits._
       val media = s.range(0, 120).select(col("id")).as[Long]
@@ -173,10 +183,26 @@ object LlmQueries {
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
-      val hashed = Multimodal.audioHashes(media, "payload", batchSize = 32)
-      Dedup.nearDupHamming64(hashed, "doc_id", "ahash",
-          maxDistance = 3, pieces = 4)
-        .select(col("id_a"), col("id_b"))
+      val energyPairs = Dedup.nearDupHamming64(
+        Multimodal.audioHashes(media, "payload", batchSize = 32),
+        "doc_id", "ahash", maxDistance = 3, pieces = 4)
+      val tones = s.range(0, 100).select(col("id")).as[Long]
+        .map { v =>
+          val fam = v / 5
+          val bytes = (v % 5) match {
+            case 0L => Multimodal.encodeToneWav(fam)
+            case 1L => Multimodal.encodeToneWav(fam, prefixSilenceFrames = 300)
+            case 2L => Multimodal.encodeToneWav(fam, suffixSilenceFrames = 4000)
+            case 3L => Multimodal.encodeToneWav(fam, scaleShift = 1)
+            case _ => Multimodal.encodeToneWav(fam + 7000L)
+          }
+          (200L + v, bytes)
+        }.toDF("doc_id", "payload")
+      val spectralPairs = Dedup.nearDupHamming64(
+        Multimodal.audioSpectralHashes(tones, "payload", batchSize = 32),
+        "doc_id", "shash", maxDistance = 3, pieces = 4)
+      energyPairs.select(col("id_a"), col("id_b"))
+        .unionByName(spectralPairs.select(col("id_a"), col("id_b")))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2901,12 +2927,22 @@ object LlmQueries {
       """SELECT g.range AS id, (g.range % 3) < 2 AS img_near_dup
         |FROM range(0, 120) g ORDER BY id""".stripMargin,
 
-    // GENUINE replay of the planted audio-family construction: (3f, 3f+1)
-    // pairs exactly where the scaled copy exists (families with f % 3 = 2
-    // carry garbage in that slot instead — null hash, no pair).
+    // GENUINE replay of both planted audio constructions: energy leg —
+    // (3f, 3f+1) pairs exactly where the scaled copy exists (families
+    // with f % 3 = 2 carry garbage in that slot instead — null hash, no
+    // pair); spectral leg (r14) — ids 200+5f+slot, slots 0-3 (original,
+    // offset, padded, halved) pair completely within each family, the
+    // novel slot 4 pairs with nothing.
     "q_dedup_audio_hash" ->
-      """SELECT 3 * g.range AS id_a, 3 * g.range + 1 AS id_b
-        |FROM range(0, 40) g WHERE g.range % 3 <> 2
+      """WITH e AS (SELECT 3 * g.range AS id_a, 3 * g.range + 1 AS id_b
+        |    FROM range(0, 40) g WHERE g.range % 3 <> 2),
+        |f AS (SELECT g.range AS f FROM range(0, 20) g),
+        |sl AS (SELECT a.range AS a, b.range AS b
+        |  FROM range(0, 4) a, range(0, 4) b WHERE a.range < b.range),
+        |sp AS (SELECT 200 + 5 * f + a AS id_a, 200 + 5 * f + b AS id_b
+        |  FROM f, sl)
+        |SELECT id_a, id_b FROM e
+        |UNION ALL SELECT id_a, id_b FROM sp
         |ORDER BY id_a, id_b""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented

@@ -130,6 +130,37 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- spectral audio fingerprint
+
+  test("spectral audio hash: shift/pad/scale-invariant, distinct, null on garbage") {
+    import graft.llm.Multimodal
+    def h(b: Array[Byte]): java.lang.Long = Multimodal.audioSpectralHashOne(b)
+    (0L until 6L).foreach { f =>
+      val orig = h(Multimodal.encodeToneWav(f)).longValue()
+      // Time offset (leading silence), padding (trailing silence), and
+      // amplitude halving — the transforms the energy-profile hash breaks
+      // under — must stay within the pairing radius.
+      val off = h(Multimodal.encodeToneWav(f, prefixSilenceFrames = 300)).longValue()
+      val pad = h(Multimodal.encodeToneWav(f, suffixSilenceFrames = 4000)).longValue()
+      val both = h(Multimodal.encodeToneWav(f, prefixSilenceFrames = 777,
+        suffixSilenceFrames = 1234)).longValue()
+      val half = h(Multimodal.encodeToneWav(f, scaleShift = 1)).longValue()
+      assert(java.lang.Long.bitCount(orig ^ off) <= 3, s"family $f offset")
+      assert(java.lang.Long.bitCount(orig ^ pad) <= 3, s"family $f pad")
+      assert(java.lang.Long.bitCount(orig ^ both) <= 3, s"family $f both")
+      assert(java.lang.Long.bitCount(orig ^ half) <= 3, s"family $f scale")
+      // Different tone families sit far apart (expected ~32 bits).
+      val other = h(Multimodal.encodeToneWav(f + 100L)).longValue()
+      assert(java.lang.Long.bitCount(orig ^ other) > 12, s"family $f vs ${f + 100L}")
+    }
+    assert(h("not audio at all".getBytes("UTF-8")) == null)
+    assert(h(null) == null)
+    assert(h(Array.emptyByteArray) == null)
+    // Shorter than one analysis window: no spectrum to hash.
+    assert(h(Multimodal.encodePatternWav(1L, sections = 8,
+      framesPerSection = 100)) == null)
+  }
+
   test("pHash is invariant to global brightness/contrast scaling") {
     import graft.llm.Multimodal
     // Scaling every pixel by 0.75 scales every AC coefficient AND their
