@@ -657,18 +657,70 @@ object Dedup {
     * as a ZERO-SHUFFLE projection against the driver-known MIH index:
     * no banded explode, no self-join, no bucket cap to silently lose
     * recall at scale. Complete for any radius (MIH query expansion) and
-    * exact-verified. Bounded by `maxCorpusImages` distinct hashes of
-    * driver/executor reference state (~32 B each at pieces=4: 8 B hash +
-    * 8 B id + 16 B bucket members — ≈1.6 GB at the 50M cap; r14, the old
-    * ~16 B estimate undercounted the members). Hashless rows (null
-    * sketch — undecodable payloads) are kept. */
+    * exact-verified. The MIH index costs `maxCorpusImages` distinct
+    * hashes of driver/executor reference state (~32 B each at pieces=4:
+    * 8 B hash + 8 B id + 16 B bucket members — ≈1.6 GB at the 50M cap;
+    * r14, the old ~16 B estimate undercounted the members).
+    *
+    * AUTO-SCALE past the driver bound (r14): a cheap
+    * `approx_count_distinct` pass sizes the corpus first; above ~90% of
+    * `maxCorpusImages` the call switches to HASH-RANGE MULTI-PASS MIH
+    * instead of `require`-failing — the distinct-hash space is split into
+    * `ceil(n / 0.9·cap)` shards by `pmod(xxhash64(hash), shards)` (a pure
+    * function of the hash, so every duplicate group lives in exactly one
+    * shard and the shard-local min-id IS the global one), each shard's
+    * id-carrying index is built and probed against the WHOLE corpus in
+    * turn, and the per-row minimum folds across passes
+    * (`least(acc, minIdWithin_s)`) through a slim `(id, phash, acc)`
+    * checkpoint per pass — materializing each pass retires its shard
+    * index before the next builds, so peak reference state stays ONE
+    * index regardless of corpus size. Result is row-for-row identical to
+    * the fused single-index path (a row is dropped iff some smaller-id
+    * sketch lies within the radius — pinned in Round14Spec), the probe
+    * stays exact and complete for any radius, and cost is
+    * shards × (one corpus projection + one bounded index build): LINEAR
+    * in the corpus, never the quadratic bucket blowup a banded self-join
+    * hits when 10⁸⁺ uniform sketches share 16-bit slice keys. A
+    * billion-image corpus runs the same call. Hashless rows (null sketch
+    * — undecodable payloads) are kept on both paths. */
   def dropNearDupsPHash(df: DataFrame, idCol: String, phashCol: String,
       maxDistance: Int = 10, pieces: Int = 4,
       maxCorpusImages: Long = 50000000L): DataFrame = {
-    val idx = pHashIdIndex(df, idCol, phashCol, pieces, maxCorpusImages)
-    df.where(col(phashCol).isNull ||
-      graft.functions.HammingIndexKernel.minIdWithin(
-        col(phashCol).cast("long"), idx, maxDistance) >= col(idCol).cast("long"))
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    val K = graft.functions.HammingIndexKernel
+    val h = col(phashCol).cast("long")
+    val est = df.where(col(phashCol).isNotNull)
+      .agg(approx_count_distinct(col(phashCol), 0.02)).collect()(0).getLong(0)
+    if (est <= (maxCorpusImages * 0.9).toLong) {
+      val idx = pHashIdIndex(df, idCol, phashCol, pieces, maxCorpusImages)
+      df.where(col(phashCol).isNull ||
+        K.minIdWithin(h, idx, maxDistance) >= col(idCol).cast("long"))
+    } else {
+      // +6% headroom over the HLL estimate (3σ at 2% rsd), shards sized
+      // to 90% of the cap so uniform xxhash64 shard skew can't overflow
+      // pHashIdIndex's hard bound.
+      val nShards = math.max(2L,
+        ((est * 1.06) / (maxCorpusImages * 0.9)).ceil.toLong).toInt
+      val shardOf = pmod(xxhash64(col("__h")), lit(nShards.toLong))
+      var acc = df.select(col(idCol).cast("long").as("__id"), h.as("__h"))
+        .withColumn("__min", lit(Long.MaxValue))
+        .localCheckpoint() // slim (id, hash) frame: passes never re-decode
+      (0 until nShards).foreach { s =>
+        val idx = pHashIdIndex(acc.where(col("__h").isNotNull &&
+          shardOf === s.toLong), "__id", "__h", pieces, maxCorpusImages)
+        val prev = acc
+        acc = acc.withColumn("__min", least(col("__min"),
+            coalesce(K.minIdWithin(col("__h"), idx, maxDistance),
+              lit(Long.MaxValue))))
+          .localCheckpoint() // retire this shard's index reference state
+        org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
+          .foreach(_.unpersist(blocking = false))
+      }
+      val keep = acc.where(col("__h").isNull || col("__min") >= col("__id"))
+        .select(col("__id").cast(df.schema(idCol).dataType).as(idCol))
+      df.join(keep, Seq(idCol), "left_semi")
+    }
   }
 
   /** STATELESS streaming image near-dup guard against a static corpus:

@@ -128,13 +128,17 @@ object Pipeline {
     *
     * with a per-stage `(ord, stage, rows_out, bytes_out, wall_sec)`
     * survival stats frame (bytes: payload volume surviving — the number
-    * a storage budget watches). The decode/hash/resize stages ride the
-    * batched `mapPartitions` codec shape (zero shuffle); near-dup removal
-    * is the fused multi-probe MIH expression ([[Dedup.dropNearDupsPHash]]
-    * — zero shuffle, exact, complete for any radius, bounded by
-    * `maxCorpusImages` distinct hashes per pass), so the only wide
-    * operation left is the content-hash dedup shuffle. Output docs carry
-    * `phash` and the resized payload column. */
+    * a storage budget watches; the resize row reports the RESIZED
+    * volume). The decode/hash/resize stages ride the batched
+    * `mapPartitions` codec shape (zero shuffle); near-dup removal is the
+    * fused multi-probe MIH expression ([[Dedup.dropNearDupsPHash]] —
+    * zero shuffle, exact, complete for any radius) up to
+    * `maxCorpusImages` distinct hashes, and AUTO-SWITCHES to the
+    * unbounded banded pigeonhole join past it (r14 — same keep-lowest-id
+    * survivors, shuffle-bound instead of driver-bound, so a
+    * billion-image corpus runs the same pipeline), so the only
+    * always-wide operation is the content-hash dedup shuffle. Output
+    * docs carry `phash` and the resized payload column. */
   def curateImages(docs: DataFrame, idCol: String, binCol: String,
       cfg: ImageConfig = ImageConfig()): Result = {
     val spark = docs.sparkSession

@@ -577,6 +577,36 @@ object DriveOpsScale {
         df => graft.llm.Multimodal.pHashImages(df, "payload").select("phash"))
     }
 
+    // Perceptual near-dup removal PAST the driver index bound (r14): 10M
+    // sketches (~9M distinct — every 10th row duplicates its neighbor)
+    // against a 2M-hash cap force the hash-range multi-pass MIH path
+    // (~6 shard passes, each a bounded index build + one zero-shuffle
+    // corpus probe); the fused single-index run over the same frame is
+    // the reference for survivors and the per-pass overhead ratio. The
+    // hashes are synthetic longs — the decode cost is phash_1m_images'
+    // subject; this measures the dedup machinery itself.
+    if (only.isEmpty || only("phash_dedup_multipass_10m")) {
+      val sketches = spark.range(10000000L).toDF("id")
+        .withColumn("ph", when(pmod(col("id"), lit(10)) === 9,
+          xxhash64(col("id") - 1)).otherwise(xxhash64(col("id"))))
+        .localCheckpoint()
+      val (fusedSec, fusedSteal) = minTimedBest {
+        mat(graft.llm.Dedup.dropNearDupsPHash(sketches, "id", "ph",
+          maxDistance = 3, maxCorpusImages = 50000000L))
+      }
+      val nFused = graft.llm.Dedup.dropNearDupsPHash(sketches, "id", "ph",
+        maxDistance = 3, maxCorpusImages = 50000000L).count()
+      val (shardSec, shardSteal) = minTimedBest {
+        mat(graft.llm.Dedup.dropNearDupsPHash(sketches, "id", "ph",
+          maxDistance = 3, maxCorpusImages = 2000000L))
+      }
+      val nShard = graft.llm.Dedup.dropNearDupsPHash(sketches, "id", "ph",
+        maxDistance = 3, maxCorpusImages = 2000000L).count()
+      val line = f"""{"bench":"phash_dedup_multipass_10m","rows":10000000,"cap":2000000,"fused_sec":$fusedSec%.2f,"multipass_sec":$shardSec%.2f,"survivors_fused":$nFused,"survivors_multipass":$nShard,"steal_sec":${math.max(fusedSteal, shardSteal)}%.2f}"""
+      println(s"CHECK $line"); out.append(line).append('\n')
+      sketches.unpersist()
+    }
+
     // Edit-distance join over 1M short titles (6 tokens ≈ 30 chars, d=1):
     // segment blocking + banded verify; the pair output is tiny (vocab
     // 5000 makes distance-1 title collisions rare), so the measured cost

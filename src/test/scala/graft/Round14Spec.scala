@@ -130,6 +130,42 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------- image near-dup auto-scale switch
+
+  test("dropNearDupsPHash: multi-pass sharded fallback == fused MIH path, survivor for survivor") {
+    // 40 families of 64-bit sketches: the original, a 2-bit perturbation
+    // (pairs at d<=3), an 11-bit perturbation (does not), plus a shared
+    // exact duplicate family and null sketches that must survive both
+    // paths untouched.
+    val rows = (0L until 40L).flatMap { f =>
+      val base = f * 0x9E3779B97F4A7C15L ^ (f << 17) // spread bits
+      Seq(
+        (4 * f, Some(base)),
+        (4 * f + 1, Some(base ^ 0x0000000000000081L)), // 2 bits, one piece
+        (4 * f + 2, Some(base ^ 0x0101010101010101L ^ 0x0000000000000700L)), // 11 bits
+        (4 * f + 3, if (f % 7 == 3) (None: Option[Long]) else Some(base)))
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "phash")
+    def ids(out: org.apache.spark.sql.DataFrame): Seq[Long] =
+      out.select("id").collect().map(_.getLong(0)).toSeq.sorted
+    // Large cap -> fused single-index MIH path; a 60-hash cap over ~119
+    // distinct hashes forces the multi-pass hash-range path (3 shards).
+    // Same call, same survivors.
+    val fused = ids(graft.llm.Dedup.dropNearDupsPHash(df, "id", "phash",
+      maxDistance = 3, maxCorpusImages = 1000000L))
+    val sharded = ids(graft.llm.Dedup.dropNearDupsPHash(df, "id", "phash",
+      maxDistance = 3, maxCorpusImages = 60L))
+    assert(fused === sharded)
+    // Sanity on the semantics themselves: per family the original (4f)
+    // survives, the 2-bit copy (4f+1) is dropped, the 11-bit variant
+    // survives, the exact duplicate (4f+3) is dropped where present and
+    // the null-sketch rows always survive.
+    val want = (0L until 40L).flatMap { f =>
+      Seq(4 * f, 4 * f + 2) ++ (if (f % 7 == 3) Seq(4 * f + 3) else Nil)
+    }.sorted
+    assert(fused === want)
+  }
+
   // ------------------------------------------- spectral audio fingerprint
 
   test("spectral audio hash: shift/pad/scale-invariant, distinct, null on garbage") {
