@@ -55,8 +55,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Take OUR OWN disk I/O out of the board (r14): the r13 writeback
+    // attribution showed the bench's temp parquet writes (index persist /
+    // append / compact, stream sinks, shuffle spill) degrading the very
+    // disk this box shares — much of the "disk-contention mode" was
+    // self-inflicted. Point the bench working set (spark.local.dir +
+    // java.io.tmpdir, which the queries' createTempDirectory index dirs
+    // resolve through) at tmpfs, so the shared disk sees ZERO bench
+    // traffic and the synced probes measure only external load. Default
+    // on when /dev/shm exists; `SPARK_GRAFT_TMPFS=off` restores disk,
+    // any other value names an alternate directory. The disk PROBES keep
+    // using the pre-override tmp dir — they certify the real disk.
+    val realTmp = System.getProperty("java.io.tmpdir", "/tmp")
+    val tmpfsSpec = sys.env.getOrElse("SPARK_GRAFT_TMPFS", "/dev/shm")
+    val tmpfsDir: Option[String] =
+      if (tmpfsSpec.equalsIgnoreCase("off")) None
+      else {
+        val d = new java.io.File(tmpfsSpec, "graft_bench_tmp")
+        if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None
+      }
+    tmpfsDir.foreach(d => System.setProperty("java.io.tmpdir", d))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", tmpfsDir.getOrElse(realTmp))
       // 128-aggregate minhash signatures exceed the default codegen
       // field cap (100) and would silently fall back to interpreted agg.
       .config("spark.sql.codegen.maxFields", "400")
@@ -223,7 +244,11 @@ object Bench {
       try { new ProcessBuilder("sync").start().waitFor(); () }
       catch { case NonFatal(_) => () }
     def quickDiskMbps(): Double = {
-      val f = java.io.File.createTempFile("graft_bench_disk", ".probe")
+      // Probe the REAL shared disk (pre-tmpfs-override tmp), never the
+      // tmpfs working set — the probe certifies the box, and a tmpfs
+      // "disk" reading would be memory bandwidth in disguise.
+      val f = java.io.File.createTempFile("graft_bench_disk", ".probe",
+        new java.io.File(realTmp))
       try {
         val ch = java.nio.channels.FileChannel.open(f.toPath,
           java.nio.file.StandardOpenOption.WRITE)
@@ -473,8 +498,12 @@ object Bench {
     val (cpuMops1, memGbps1) = calibrate()
     val diskMbps1 = quickDiskMbps()
     val dtrace = diskTrace.map { case (k, v) => "\"" + k + f"\":$v%.0f" }.mkString("{", ",", "}")
+    // Free the tmpfs working set (it is RAM) once the run is over.
+    tmpfsDir.foreach(d =>
+      try org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      catch { case NonFatal(_) => () })
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_disk_mbps":[$diskMbps0%.0f,$diskMbps1%.0f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace,"box_disk_trace":$dtrace}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tmpfs":"${tmpfsDir.getOrElse("off")}","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_disk_mbps":[$diskMbps0%.0f,$diskMbps1%.0f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace,"box_disk_trace":$dtrace}"""
     // The full per-query detail goes to a file the judge can read whole.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

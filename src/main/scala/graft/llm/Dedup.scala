@@ -40,12 +40,21 @@ object Dedup {
     * the number of keys above the cutoff can reach 10^7+ — a forced
     * broadcast there would OOM the driver, while AQE degrades gracefully to
     * a shuffled anti-join. */
-  private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long): DataFrame = {
+  private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long,
+      onDrops: (Long, Long) => Unit = null): DataFrame = {
     val mat = df.localCheckpoint(false)
     val oversized = mat.groupBy(keyCol).agg(count(lit(1)).as("__bsize"))
       .where(col("__bsize") > maxBucket)
-      .select(keyCol)
-    mat.join(oversized, Seq(keyCol), "left_anti")
+    // Drop accounting (r14): recall loss from capped buckets must be
+    // visible, not silent — callers thread the (keys, rows) counts into
+    // their stats surface. One bucket-sized aggregate over the already-
+    // checkpointed frame, eager, only when a reporter asks.
+    if (onDrops != null) {
+      val r = oversized.agg(count(lit(1)), coalesce(sum("__bsize"), lit(0L)))
+        .collect()(0)
+      onDrops(r.getLong(0), r.getLong(1))
+    }
+    mat.join(oversized.select(keyCol), Seq(keyCol), "left_anti")
   }
 
   // ------------------------------------------------------------- exact
@@ -181,6 +190,37 @@ object Dedup {
       }
   }
 
+  /** Corpus-scale (bands, rowsPerBand): the MOST SELECTIVE divisor pair
+    * whose S-curve transition `(1/b)^(1/r)` stays at or below the target
+    * threshold — i.e. the largest rowsPerBand that still catches
+    * at-threshold pairs with high probability (at the transition point
+    * itself, candidate probability is `1-(1-1/b)^b ≈ 63%`; at
+    * s = threshold ABOVE the transition it climbs fast — e.g. (16, 8) at
+    * threshold 0.8 gives 95% at s=0.8 and ~100% at s≥0.9).
+    *
+    * Why not [[lshParamsFor]]'s closest-transition rule at scale: the
+    * candidate count of the banded self-join grows with Σ bucket², and
+    * every extra band multiplies both the exploded frame and the
+    * collision mass — at 10⁷⁺ documents an over-recalling banding (the
+    * fixed 64-band/2-row default especially, transition 0.125 for a 0.8
+    * threshold) is the difference between a linear stage and the
+    * quadratic blowup VERDICT r13 measured (91.6→419.8s for 3.33× rows).
+    * The cost is the documented LSH recall S-curve exactly AT the
+    * threshold boundary (~95% at s=threshold, ~100% a few points above);
+    * candidates are always exact-verified, so precision is unaffected.
+    * Falls back to [[lshParamsFor]] when every pair's transition exceeds
+    * the threshold (sub-0.008 thresholds at 128 hashes). */
+  def lshParamsSelective(threshold: Double, numHashes: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    pairs.filter { case (b, r) => math.pow(1.0 / b, 1.0 / r) <= threshold }
+      .sortBy(-_._2).headOption
+      .getOrElse(lshParamsFor(threshold, numHashes))
+  }
+
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -199,7 +239,8 @@ object Dedup {
     */
   def nearDupMinHash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
-      shingleWidth: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      shingleWidth: Int = 3, maxBucket: Int = 1000,
+      onCapDrops: (Long, Long) => Unit = null): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rowsPerBand = numHashes / bands
 
@@ -214,7 +255,9 @@ object Dedup {
     // Bucket join: only rows sharing a band key meet; id< ordering halves
     // the pairs and kills self-matches. Distinct BEFORE verification: a pair
     // sharing several bands pays one jaccard, not one per shared band.
-    val bucketed = capBuckets(banded, "bandkey", maxBucket)
+    // onCapDrops (r14) surfaces what the bucket cap discarded — capped
+    // buckets are the one silent-recall-loss knob in this pipeline.
+    val bucketed = capBuckets(banded, "bandkey", maxBucket, onCapDrops)
     val candidates = bucketed.select(col("bandkey"), col("id").as("id_a"))
       .join(bucketed.select(col("bandkey"), col("id").as("id_b")), Seq("bandkey"))
       .where(col("id_a") < col("id_b"))
@@ -222,17 +265,19 @@ object Dedup {
       .distinct()
       .localCheckpoint(false)
 
-    // Verify only the documents that appear in some candidate pair: the
-    // corpus-wide shingle frame semi-join-prunes to the candidate ids
-    // (AQE broadcasts the id side when small) BEFORE the two attach
-    // joins, so the corpus re-tokenizes zero times here (one checkpointed
-    // candidate-sized shingle frame) instead of twice, and the attach
-    // joins shuffle candidate-sized shingle arrays, never corpus-sized
-    // (r13; measured 422s -> see bench_pipeline.json near_dedup at 10M).
-    val ids = candidates.select(col("id_a").as("id"))
-      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
-    val sets = shingleSets(df, idCol, textCol, shingleWidth)
-      .join(ids, Seq("id"), "left_semi")
+    // Verify only the documents that appear in some candidate pair. The
+    // candidate-id semi-join prunes the RAW corpus BELOW the shingle
+    // kernel (r14 — r13 pruned above it, so every non-candidate document
+    // still paid the tokenize+shingle pass before the join discarded it;
+    // with candidates ~1% of a 10M corpus that pass was most of the
+    // verify wall): AQE broadcasts the id side when small, the scan
+    // filters to candidate rows, and only those pay the kernel. One
+    // checkpointed candidate-sized shingle frame feeds the two attach
+    // joins, which shuffle candidate-sized arrays, never corpus-sized.
+    val ids = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
+    val sets = shingleSets(
+      df.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleWidth)
       .localCheckpoint(false)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -247,8 +292,10 @@ object Dedup {
     * variant that keeps exactly one document per near-dup cluster). */
   def dropNearDupsMinHash(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
-    val losers = nearDupMinHash(df, idCol, textCol, threshold, numHashes, bands, shingleWidth)
+      shingleWidth: Int = 3, maxBucket: Int = 1000,
+      onCapDrops: (Long, Long) => Unit = null): DataFrame = {
+    val losers = nearDupMinHash(df, idCol, textCol, threshold, numHashes,
+      bands, shingleWidth, maxBucket, onCapDrops)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   sampling (optional)
   *
   * — and emits, next to the curated corpus, a per-stage survival stats
-  * frame `(ord, stage, rows_out, tokens_out)`: the artifact a data team
-  * actually reviews (where did the corpus shrink, and by how much).
+  * frame `(ord, stage, rows_out, tokens_out, wall_sec, capped_rows)`:
+  * the artifact a data team actually reviews (where did the corpus
+  * shrink, by how much, and whether the near-dup bucket cap silently
+  * discarded candidate rows — `capped_rows` is nonzero exactly when
+  * recall was traded, r14).
   *
   * Scale shape: the three column stages (encoding, HTML, lines) are fused
   * zero-shuffle kernels; the filters are stateless projections; the only
@@ -26,6 +29,20 @@ import org.apache.spark.sql.functions._
   * chain per stage would be strictly worse; intermediate checkpoints are
   * unpersisted as soon as the next stage materializes. Stats cost one
   * count+token-sum aggregate per stage over that stage's output.
+  *
+  * Near-dup banding (r14): `bands = 0` (the default) derives
+  * `(bands, rowsPerBand)` from [[Dedup.lshParamsSelective]] — the most
+  * selective banding whose S-curve transition stays at or below
+  * `nearDupThreshold` (at the 0.8/128 defaults: 16 bands × 8 rows,
+  * transition 0.707). The old fixed 64-band default had its transition
+  * at 0.125 — at 10M+ documents its candidate explosion made the
+  * near-dup stage the whole pipeline's wall (VERDICT r13: 91.6→419.8s
+  * for 3.33× rows) and its banded-explode checkpoint the dominant disk
+  * artifact. Selective banding catches s ≥ threshold pairs with ~95%+
+  * probability (≈100% a few points above — the documented LSH S-curve)
+  * while collapsing both the exploded frame (4×) and the accidental
+  * bucket-collision mass; candidates stay exact-verified. Pass an
+  * explicit `bands` to pin any other operating point.
   */
 object Pipeline {
 
@@ -35,7 +52,7 @@ object Pipeline {
       minTokens: Int = 5,
       nearDupThreshold: Double = 0.8,
       numHashes: Int = 128,
-      bands: Int = 64,
+      bands: Int = 0, // 0 = auto: lshParamsSelective(nearDupThreshold)
       shingleWidth: Int = 3,
       decontaminateNgram: Int = 13,
       budgetTokens: Long = 0L,
@@ -49,14 +66,20 @@ object Pipeline {
       cfg: Config = Config()): Result = {
     val spark = docs.sparkSession
     require(cfg.minTokens >= 0 && cfg.budgetTokens >= 0L, s"bad config $cfg")
-    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
+    require(cfg.bands >= 0, s"bad bands ${cfg.bands} (0 = auto)")
+    val bands =
+      if (cfg.bands > 0) cfg.bands
+      else Dedup.lshParamsSelective(cfg.nearDupThreshold, cfg.numHashes)._1
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double, Long)]()
+    var pendingCapped = 0L // set by the near-dup stage's cap reporter
 
     var cur = docs.where(col(textCol).isNotNull).localCheckpoint()
     def measure(stage: String, wallSec: Double): Unit = {
       val r = cur.agg(count(lit(1)),
         coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)))
         .collect()(0)
-      stats += ((stats.size, stage, r.getLong(0), r.getLong(1), wallSec))
+      stats += ((stats.size, stage, r.getLong(0), r.getLong(1), wallSec, pendingCapped))
+      pendingCapped = 0L
     }
     def step(stage: String)(f: DataFrame => DataFrame): Unit = {
       val prev = cur
@@ -92,7 +115,8 @@ object Pipeline {
       df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("__fp"), idCol).drop("__fp"))
     step("near_dedup")(df => Dedup.dropNearDupsMinHash(df, idCol, textCol,
-      cfg.nearDupThreshold, cfg.numHashes, cfg.bands, cfg.shingleWidth))
+      cfg.nearDupThreshold, cfg.numHashes, bands, cfg.shingleWidth,
+      onCapDrops = (_, rows) => pendingCapped = rows))
     evalDocs.foreach { ev =>
       step("decontaminate")(df => Decontamination.decontaminate(df, ev,
         idCol, textCol, cfg.decontaminateNgram))
@@ -104,7 +128,8 @@ object Pipeline {
 
     import spark.implicits._
     Result(cur,
-      stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out", "wall_sec"))
+      stats.toSeq.toDF("ord", "stage", "rows_out", "tokens_out", "wall_sec",
+        "capped_rows"))
   }
 
   // ------------------------------------------------------ image pipeline
@@ -176,5 +201,135 @@ object Pipeline {
     import spark.implicits._
     Result(cur,
       stats.toSeq.toDF("ord", "stage", "rows_out", "bytes_out", "wall_sec"))
+  }
+
+  // ------------------------------------------------ interleaved pipeline
+
+  final case class InterleavedConfig(
+      text: Config = Config(),
+      image: ImageConfig = ImageConfig(),
+      maxImagesPerDoc: Int = 1000)
+
+  /** Interleaved multimodal curation (r14) — the LAION/OBELICS-style
+    * document shape: each row carries text AND an image array, and the
+    * curation composes [[curate]]'s text stages with [[curateImages]]'s
+    * image stages over ONE corpus:
+    *
+    *   text: fix encoding → HTML→text → langid filter → quality filter
+    *   (a dropped document takes its images with it) → images: explode
+    *   to (doc, idx, payload) → decode+pHash (undecodable dropped) →
+    *   byte-exact dedup → perceptual near-dup removal → bilinear resize
+    *   → reassemble per-doc arrays in original slot order.
+    *
+    * Image ids are `doc_id · maxImagesPerDoc + idx`, so keep-lowest-id
+    * dedup keeps the EARLIEST slot of the EARLIEST document — duplicate
+    * suppression is corpus-wide (a re-encoded copy in a later document
+    * dies against an earlier one), and documents whose images are all
+    * dropped keep their curated text with an empty array (the
+    * interleaved contract: text survival is decided by text stages
+    * only). Stats frame: `(ord, stage, docs_out, images_out, wall_sec)`.
+    * The image stages ride the exploded frame (one localCheckpoint per
+    * stage, same unpersist discipline); reassembly is one
+    * groupBy(doc) + sort_array — the only wide ops are that, the
+    * content-hash dedup shuffle, and the final left join. */
+  def curateInterleaved(docs: DataFrame, idCol: String, textCol: String,
+      imagesCol: String, cfg: InterleavedConfig = InterleavedConfig()): Result = {
+    val spark = docs.sparkSession
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
+    val tc = cfg.text
+    val ic = cfg.image
+
+    var curDocs = docs.where(col(textCol).isNotNull).localCheckpoint()
+    var curImgs: DataFrame = null // exploded (doc, idx, payload) once text settles
+    def nDocs(): Long = curDocs.count()
+    def nImgs(): Long =
+      if (curImgs == null)
+        curDocs.agg(coalesce(sum(coalesce(size(col(imagesCol)), lit(0))
+          .cast("long")), lit(0L))).collect()(0).getLong(0)
+      else curImgs.count()
+    def measure(stage: String, wallSec: Double): Unit =
+      stats += ((stats.size, stage, nDocs(), nImgs(), wallSec))
+    def retire(prev: DataFrame): Unit =
+      org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
+        .foreach(_.unpersist(blocking = false))
+    def stepDocs(stage: String)(f: DataFrame => DataFrame): Unit = {
+      val prev = curDocs
+      val t0 = System.nanoTime()
+      curDocs = f(prev).localCheckpoint()
+      measure(stage, (System.nanoTime() - t0) / 1e9)
+      retire(prev)
+    }
+    def stepImgs(stage: String)(f: DataFrame => DataFrame): Unit = {
+      val prev = curImgs
+      val t0 = System.nanoTime()
+      curImgs = f(prev).localCheckpoint()
+      measure(stage, (System.nanoTime() - t0) / 1e9)
+      if (prev != null) retire(prev)
+    }
+    measure("input", 0.0)
+
+    // Text stages — the [[curate]] chain's filter prefix; a document that
+    // dies here takes its image slots with it (visible in images_out).
+    stepDocs("fix_encoding")(df => df.withColumn(textCol,
+      graft.functions.NormalizeKernel.nfkc(
+        graft.functions.MojibakeKernel.fixMojibake(col(textCol)))))
+    stepDocs("html_extract")(df => df
+      .withColumn(textCol, graft.functions.HtmlKernel.htmlToText(col(textCol)))
+      .where(trim(col(textCol)) =!= ""))
+    stepDocs("langid_filter")(df => df.where(
+      TextAnalysis.languageId(col(textCol)).isin(tc.keepLangs.toSeq: _*)))
+    stepDocs("quality_filter")(df => df.where(
+      TextAnalysis.qualityScore(col(textCol)) >= tc.minQuality &&
+        TextAnalysis.tokenCount(col(textCol)) >= tc.minTokens))
+
+    // Image stages over the exploded frame; `__img_id` linearizes
+    // (doc, slot) so the shared keep-lowest-id rule prefers earlier
+    // documents, then earlier slots.
+    val t0x = System.nanoTime()
+    curImgs = curDocs
+      .select(col(idCol).cast("long").as("__doc"),
+        posexplode(coalesce(col(imagesCol),
+          array().cast(docs.schema(imagesCol).dataType))).as(Seq("__idx", "__img")))
+      .localCheckpoint()
+    measure("img_explode", (System.nanoTime() - t0x) / 1e9)
+    val over = curImgs.agg(coalesce(max("__idx"), lit(0)))
+      .collect()(0).getInt(0)
+    require(over < cfg.maxImagesPerDoc,
+      s"a document carries ${over + 1} image slots >= maxImagesPerDoc=${cfg.maxImagesPerDoc} — raise the knob")
+    stepImgs("img_decode")(df =>
+      Multimodal.pHashImages(
+        df.withColumn("__img_id",
+          col("__doc") * cfg.maxImagesPerDoc + col("__idx")),
+        "__img", ic.batchSize).where(col("phash").isNotNull))
+    stepImgs("img_exact_dedup")(df => Dedup.exactKeepFirst(
+      df.withColumn("__fp", xxhash64(col("__img"))), Seq("__fp"), "__img_id")
+      .drop("__fp"))
+    stepImgs("img_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__img_id",
+      "phash", ic.maxDistance, ic.pieces, ic.maxCorpusImages))
+    stepImgs("img_resize")(df =>
+      Multimodal.resizeImages(df, "__img", ic.targetW, ic.targetH,
+        ic.resizeFormat, ic.batchSize).where(col("resized").isNotNull))
+
+    // Reassembly: surviving images back into per-doc arrays in original
+    // slot order; image-less documents keep their curated text.
+    val t0r = System.nanoTime()
+    val arrays = curImgs.groupBy("__doc")
+      .agg(transform(sort_array(collect_list(struct(col("__idx"), col("resized")))),
+        e => e.getField("resized")).as("__imgs"))
+    val assembled = curDocs
+      .join(arrays, curDocs(idCol).cast("long") === arrays("__doc"), "left")
+      .drop("__doc")
+      .withColumn(imagesCol,
+        coalesce(col("__imgs"), array().cast("array<binary>")))
+      .drop("__imgs")
+      .withColumn("n_images", size(col(imagesCol)))
+      .localCheckpoint()
+    stats += ((stats.size, "reassemble", assembled.count(),
+      assembled.agg(coalesce(sum(col("n_images").cast("long")), lit(0L)))
+        .collect()(0).getLong(0), (System.nanoTime() - t0r) / 1e9))
+
+    import spark.implicits._
+    Result(assembled,
+      stats.toSeq.toDF("ord", "stage", "docs_out", "images_out", "wall_sec"))
   }
 }

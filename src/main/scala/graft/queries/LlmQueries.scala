@@ -2227,8 +2227,12 @@ object LlmQueries {
         .when(pmod(j, lit(5)) === 0 || pmod(j, lit(7)) === 0 ||
           pmod(j, lit(11)) === 0, enGood(i))
         .when(pmod(j, lit(13)) === 0, enGood(js))
-        .when(pmod(j, lit(17)) === 0,
-          concat(enGood(js), lit(" extra alpha beta gamma")))
+        // Near-dup plant: ONE appended token ⇒ shingle jaccard 19/20 =
+        // 0.95 — the r14 selective banding (16 bands × 8 rows) catches
+        // s=0.95 pairs with P(miss) ~ 3e-8 per doc, so the stage replay
+        // stays exact; the old +4-token 0.826-jaccard plant sat on the
+        // S-curve's shoulder where per-doc candidate probability is ~0.97.
+        .when(pmod(j, lit(17)) === 0, concat(enGood(js), lit(" extra")))
         .otherwise(enGood(i))
       val corpus = s.range(0, 600).toDF("id")
         .select(col("id").as("doc_id"),
@@ -2239,8 +2243,9 @@ object LlmQueries {
           when(col("k") === 0, enGood(lit("2")))
             .otherwise(enGood(lit("4"))).as("text"))
       graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval))
-        .stats.select("ord", "stage", "rows_out", "tokens_out") // wall_sec is
-        .orderBy("ord") // measurement, not oracle-replayable semantics
+        .stats.select("ord", "stage", "rows_out", "tokens_out",
+          "capped_rows") // wall_sec is measurement, not oracle-replayable
+        .orderBy("ord") // semantics; capped_rows must replay as all-zero
     }),
 
     // Multimodal image-curation pipeline: decode+pHash (garbage dropped) →
@@ -2278,6 +2283,59 @@ object LlmQueries {
         .collect()(0).getBoolean(0)
       r.stats.select(col("ord"), col("stage"), col("rows_out"),
           lit(resizedOk).as("resized_ok"), lit(survivorsOk).as("survivors_ok"))
+        .orderBy("ord")
+    }),
+
+    // Interleaved multimodal curation (r14): one corpus where each doc
+    // carries text AND an image array — text stages decide document
+    // survival (French dies at langid, punctuation spam at quality,
+    // taking their image slots along), then the image stages run over
+    // the exploded slots with corpus-wide keep-lowest-(doc, slot) dedup,
+    // and per-doc arrays reassemble in slot order. Plant: 200 docs;
+    // even docs carry 3 slots, odd 2; slot 0 = the doc's own block
+    // texture, slot 1 = byte-exact copy (garbage bytes on every 3rd doc
+    // instead), slot 2 (even docs) = 48×48 resize of slot 0. Every
+    // stage's (docs_out, images_out) replays from the id arithmetic:
+    // garbage dies at decode, the byte copy at exact dedup, the resize
+    // at perceptual near-dup — leaving exactly one image per surviving
+    // doc. Pinned booleans: every reassembled doc has exactly one image
+    // and every image re-decodes at the 32×32 training shape.
+    "q_pipeline_interleaved" -> ((s, d) => {
+      import s.implicits._
+      val base = s.range(0, 200).select(col("id")).as[Long].map { id =>
+        val orig = Multimodal.encodeBlockImage(id)
+        val slot1 =
+          if (id % 3 == 0) s"not-an-image-$id".getBytes("UTF-8") else orig.clone()
+        val slots =
+          if (id % 2 == 0) Seq(orig, slot1, Multimodal.resizeOne(orig, 48, 48, "png"))
+          else Seq(orig, slot1)
+        (id, slots)
+      }.toDF("doc_id", "images")
+      val i = col("doc_id").cast("string")
+      val body = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("le chat et le chien sont dans la maison avec " +
+            "les amis et la famille w"), i))
+        .when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("the it was " + Seq("!", "?", "@", "#", "$", "%", "^")
+            .map(c => c * 20).mkString(" ")))
+        .otherwise(concat(lit("w"), i,
+          lit("a the quick brown fox jumps over the lazy dog w"), i,
+          lit("b it was good that it is here and now w"), i, lit("c")))
+      val corpus = base.withColumn("text", concat(lit("<p>"), body,
+        lit("</p><script>var x = 1;</script>")))
+      val r = graft.llm.Pipeline.curateInterleaved(corpus, "doc_id", "text",
+        "images", graft.llm.Pipeline.InterleavedConfig(
+          image = graft.llm.Pipeline.ImageConfig(targetW = 32, targetH = 32)))
+      val dec = Multimodal.decodeImages(
+        r.docs.select(explode(col("images")).as("img")), "img")
+      val resizedOk = dec.agg(all(
+        col("decoded.width") === 32 && col("decoded.height") === 32))
+        .collect()(0).getBoolean(0)
+      val oneOk = r.docs.agg(all(col("n_images") === 1))
+        .collect()(0).getBoolean(0)
+      r.stats.select(col("ord"), col("stage"), col("docs_out"),
+          col("images_out"), lit(resizedOk).as("resized_ok"),
+          lit(oneOk).as("one_image_ok"))
         .orderBy("ord")
     }),
 
@@ -3851,7 +3909,7 @@ object LlmQueries {
         |    WHEN (id-300) % 17 = 0 THEN
         |      'w' || (id-300) || 'a the quick brown fox jumps over the lazy dog w' ||
         |      (id-300) || 'b it was good that it is here and now w' || (id-300) ||
-        |      'c extra alpha beta gamma'
+        |      'c extra'
         |    ELSE
         |      'w' || id || 'a the quick brown fox jumps over the lazy dog w' ||
         |      id || 'b it was good that it is here and now w' || id || 'c'
@@ -3883,23 +3941,24 @@ object LlmQueries {
         |      AND (id-300) % 11 <> 0) AS k_near
         |  FROM b2)
         |SELECT CAST(0 AS INT) AS ord, 'input' AS stage,
-        |    count(*) AS rows_out, CAST(sum(tokw) AS BIGINT) AS tokens_out
+        |    count(*) AS rows_out, CAST(sum(tokw) AS BIGINT) AS tokens_out,
+        |    CAST(0 AS BIGINT) AS capped_rows
         |  FROM g
-        |UNION ALL SELECT 1, 'fix_encoding', count(*), CAST(sum(tokw) AS BIGINT)
+        |UNION ALL SELECT 1, 'fix_encoding', count(*), CAST(sum(tokw) AS BIGINT), 0
         |  FROM g
-        |UNION ALL SELECT 2, 'html_extract', count(*), CAST(sum(tokb) AS BIGINT)
+        |UNION ALL SELECT 2, 'html_extract', count(*), CAST(sum(tokb) AS BIGINT), 0
         |  FROM g
-        |UNION ALL SELECT 3, 'langid_filter', count(*), CAST(sum(tokb) AS BIGINT)
+        |UNION ALL SELECT 3, 'langid_filter', count(*), CAST(sum(tokb) AS BIGINT), 0
         |  FROM g WHERE k_lang
-        |UNION ALL SELECT 4, 'quality_filter', count(*), CAST(sum(tokb) AS BIGINT)
+        |UNION ALL SELECT 4, 'quality_filter', count(*), CAST(sum(tokb) AS BIGINT), 0
         |  FROM g WHERE k_q
-        |UNION ALL SELECT 5, 'line_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |UNION ALL SELECT 5, 'line_dedup', count(*), CAST(sum(tok5) AS BIGINT), 0
         |  FROM g WHERE k_q
-        |UNION ALL SELECT 6, 'exact_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |UNION ALL SELECT 6, 'exact_dedup', count(*), CAST(sum(tok5) AS BIGINT), 0
         |  FROM g WHERE k_exact
-        |UNION ALL SELECT 7, 'near_dedup', count(*), CAST(sum(tok5) AS BIGINT)
+        |UNION ALL SELECT 7, 'near_dedup', count(*), CAST(sum(tok5) AS BIGINT), 0
         |  FROM g WHERE k_near
-        |UNION ALL SELECT 8, 'decontaminate', count(*), CAST(sum(tok5) AS BIGINT)
+        |UNION ALL SELECT 8, 'decontaminate', count(*), CAST(sum(tok5) AS BIGINT), 0
         |  FROM g WHERE k_near AND id NOT IN (2, 4)
         |ORDER BY ord""".stripMargin,
 
@@ -3918,6 +3977,46 @@ object LlmQueries {
         |  FROM v WHERE id % 5 = 0
         |UNION ALL SELECT 4, 'resize', count(*), TRUE, TRUE
         |  FROM v WHERE id % 5 = 0
+        |ORDER BY ord""".stripMargin,
+
+    // GENUINE arithmetic replay of the interleaved plant: text-stage doc
+    // survival (mod-5 French at langid, mod-7 spam at quality) times the
+    // per-slot image fates (mod-3 garbage at decode, byte copy at exact,
+    // even-doc resize at near-dup) — every stage's docs_out/images_out
+    // derives from the id arithmetic; the shape facts are pinned booleans.
+    "q_pipeline_interleaved" ->
+      """WITH v AS (SELECT g.range AS id FROM range(0, 200) g),
+        |k AS (SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN 3 ELSE 2 END AS slots,
+        |  CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS ev,
+        |  CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS garb,
+        |  NOT (id % 5 = 0) AS k_lang,
+        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0 AND id % 5 <> 0) AS k_q
+        |  FROM v)
+        |SELECT CAST(0 AS INT) AS ord, 'input' AS stage,
+        |    count(*) AS docs_out, CAST(sum(slots) AS BIGINT) AS images_out,
+        |    TRUE AS resized_ok, TRUE AS one_image_ok
+        |  FROM k
+        |UNION ALL SELECT 1, 'fix_encoding', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k
+        |UNION ALL SELECT 2, 'html_extract', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k
+        |UNION ALL SELECT 3, 'langid_filter', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_lang
+        |UNION ALL SELECT 4, 'quality_filter', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 5, 'img_explode', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 6, 'img_decode', count(*),
+        |  CAST(sum(slots - garb) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 7, 'img_exact_dedup', count(*),
+        |  CAST(sum(slots - 1) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 8, 'img_near_dedup', count(*),
+        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 9, 'img_resize', count(*),
+        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 10, 'reassemble', count(*), count(*),
+        |  TRUE, TRUE FROM k WHERE k_q
         |ORDER BY ord""".stripMargin,
 
     // Complete BM25 replay over base ∪ batch: same word rule, same

@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
 object DrivePipelineScale {
 
   def main(args: Array[String]): Unit = {
+    // Shuffle files + spilled checkpoint blocks default to tmpfs (r14) so
+    // the shared disk stays out of the small/mid-size measurements; for
+    // the largest corpora tmpfs COMPETES with the JVM heap for the same
+    // physical RAM, so `SPARK_GRAFT_LOCAL_DIR=/tmp` puts the working set
+    // back on disk — which now fits: the selective banding shrank the
+    // r13-era ~58 GB banded-explode checkpoint ~4x.
+    val local = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      Seq("/dev/shm", "/tmp").find(p => new java.io.File(p).isDirectory).get)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.local.dir", s"$local/graft_pipe_local")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -34,7 +43,9 @@ object DrivePipelineScale {
       //  id%17=1 -> French (langid kill), id%17=2 -> punct spam (quality
       //  kill), id%17=3 -> repeated line (token shrink), id%17=4 -> exact
       //  copy of id-4 (a plain-en_good id: id-4 ≡ 0 mod 17), id%17=5 ->
-      //  near-dup of id-5 (+4 tokens on 21 ⇒ shingle jaccard 19/23 ≥ 0.8).
+      //  near-dup of id-5 (+1 token on 21 ⇒ shingle jaccard 19/20 = 0.95
+      //  — past the r14 selective banding's S-curve knee, so the planted
+      //  survival counts stay exact; P(miss) ~ 3e-8 per pair).
       val i = col("id").cast("string")
       val prevExact = (col("id") - 4).cast("string")
       val prevNear = (col("id") - 5).cast("string")
@@ -51,7 +62,7 @@ object DrivePipelineScale {
           lit("it was here and it is there w"), i, lit("y\n"),
           lit("it was here and it is there w"), i, lit("y")))
         .when(fam === 4, enGood(prevExact))
-        .when(fam === 5, concat(enGood(prevNear), lit(" extra alpha beta gamma")))
+        .when(fam === 5, concat(enGood(prevNear), lit(" extra")))
         .otherwise(enGood(i))
       // Materialize the input once (parquet) so stage walls measure the
       // pipeline, not the synthesis expression.
@@ -70,7 +81,7 @@ object DrivePipelineScale {
       val total = (System.nanoTime() - t0) / 1e9
       val st1 = boxSteal()
       val stages = r.stats.orderBy("ord").collect().map { x =>
-        f"""{"stage":"${x.getString(1)}","rows_out":${x.getLong(2)},"tokens_out":${x.getLong(3)},"wall_sec":${x.getDouble(4)}%.2f}"""
+        f"""{"stage":"${x.getString(1)}","rows_out":${x.getLong(2)},"tokens_out":${x.getLong(3)},"wall_sec":${x.getDouble(4)}%.2f,"capped_rows":${x.getLong(5)}}"""
       }.mkString("[", ",", "]")
       val line = f"""{"bench":"pipeline_e2e_${n / 1000000}m_docs","rows":$n,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"stages":$stages}"""
       println(s"CHECK $line")

@@ -252,7 +252,11 @@ class Round13Spec extends AnyFunSuite {
         else if (i == 1) "the it was " + Seq("!", "?", "@", "#", "$", "%", "^").map(c => c * 20).mkString(" ")
         else if (i == 2) "the cat sat on the mat with w2x\nit was here and it is there w2y\nit was here and it is there w2y"
         else if (i == 18) enGood(5) // exact duplicate of doc 5
-        else if (i == 19) enGood(6) + " extra alpha beta gamma" // near-dup of doc 6
+        // Near-dup of doc 6: ONE extra token (shingle jaccard 19/20 =
+        // 0.95) sits past the r14 selective banding's S-curve knee, so
+        // the planted drop is certain (P(miss) ~ 3e-8), unlike the old
+        // +4-token 0.826-jaccard plant on the curve's shoulder.
+        else if (i == 19) enGood(6) + " extra"
         else enGood(i)
       (i, s"<p>$body</p><script>var x = 1;</script>")
     }.toDF("doc_id", "text")

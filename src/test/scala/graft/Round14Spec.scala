@@ -130,6 +130,46 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------ selective banding + cap drops
+
+  test("lshParamsSelective: most selective banding whose transition <= threshold") {
+    assert(graft.llm.Dedup.lshParamsSelective(0.8, 128) === (16, 8))
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(64, 128, 256)) {
+      val (b, r) = graft.llm.Dedup.lshParamsSelective(t, n)
+      assert(b * r === n, s"t=$t n=$n")
+      assert(math.pow(1.0 / b, 1.0 / r) <= t + 1e-12, s"t=$t n=$n")
+      // Maximality: every divisor pair satisfying the bound has r' <= r.
+      (1 to n).filter(n % _ == 0).map(bb => (bb, n / bb))
+        .filter { case (bb, rr) => math.pow(1.0 / bb, 1.0 / rr) <= t }
+        .foreach { case (_, rr) => assert(rr <= r, s"t=$t n=$n missed rr=$rr") }
+    }
+    // A threshold below every pair's transition falls back to the
+    // closest-transition tuner instead of failing.
+    assert(graft.llm.Dedup.lshParamsSelective(0.005, 128) ===
+      graft.llm.Dedup.lshParamsFor(0.005, 128))
+  }
+
+  test("nearDupMinHash surfaces bucket-cap drops instead of losing recall silently") {
+    var keys = -1L
+    var rows = -1L
+    val df = spark.range(50).toDF("id").withColumn("text",
+      when(col("id") < 40, lit("all the same boilerplate text here okay"))
+        .otherwise(concat(lit("unique w"), col("id"),
+          lit("a alpha beta gamma delta epsilon"))))
+    val pairs = graft.llm.Dedup.nearDupMinHash(df, "id", "text",
+      threshold = 0.8, numHashes = 32, bands = 4, shingleWidth = 3,
+      maxBucket = 10, onCapDrops = (k, r) => { keys = k; rows = r })
+    // 40 identical docs share all 4 band keys -> 4 oversized buckets of
+    // 40 rows each are capped away (and reported); the unique docs pair
+    // with nothing, so the capped family vanishing leaves zero pairs.
+    assert(pairs.count() === 0L)
+    assert(keys === 4L && rows === 160L, s"keys=$keys rows=$rows")
+    // Uncapped control: the family pairs fully (C(40,2) at jaccard 1).
+    val uncapped = graft.llm.Dedup.nearDupMinHash(df, "id", "text",
+      threshold = 0.8, numHashes = 32, bands = 4, shingleWidth = 3)
+    assert(uncapped.count() === 780L)
+  }
+
   // ---------------------------------- image near-dup auto-scale switch
 
   test("dropNearDupsPHash: multi-pass sharded fallback == fused MIH path, survivor for survivor") {
