@@ -54,6 +54,15 @@ object Pipeline {
       numHashes: Int = 128,
       bands: Int = 0, // 0 = auto: lshParamsSelective(nearDupThreshold)
       shingleWidth: Int = 3,
+      // The near-dup LINEARITY backstop: each of a document's band rows
+      // meets at most maxBucket-1 others, so total candidate pairs are
+      // ≤ rows · bands · maxBucket — linear in the corpus for a fixed
+      // cap. Buckets above the cap are skew (boilerplate-dominated band
+      // keys) and are dropped WITH accounting (the stats frame's
+      // capped_rows). On template-heavy corpora at 10⁸ docs, tighten it
+      // (near-dup pairs share document-specific band keys in tiny
+      // buckets; the mega-buckets they also share carry no information).
+      maxBucket: Int = 1000,
       decontaminateNgram: Int = 13,
       budgetTokens: Long = 0L,
       seed: Long = 42L)
@@ -116,7 +125,7 @@ object Pipeline {
       Seq("__fp"), idCol).drop("__fp"))
     step("near_dedup")(df => Dedup.dropNearDupsMinHash(df, idCol, textCol,
       cfg.nearDupThreshold, cfg.numHashes, bands, cfg.shingleWidth,
-      onCapDrops = (_, rows) => pendingCapped = rows))
+      cfg.maxBucket, onCapDrops = (_, rows) => pendingCapped = rows))
     evalDocs.foreach { ev =>
       step("decontaminate")(df => Decontamination.decontaminate(df, ev,
         idCol, textCol, cfg.decontaminateNgram))

@@ -22,8 +22,14 @@ object DrivePipelineScale {
     // r13-era ~58 GB banded-explode checkpoint ~4x.
     val local = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       Seq("/dev/shm", "/tmp").find(p => new java.io.File(p).isDirectory).get)
+    // Shuffle-partition count scales with the corpus (the brief's sizing
+    // rule: partitions must fit executor memory at the target SF) — at
+    // 100M docs the 32-partition default puts ~3M rows in each
+    // hash-aggregate task and trips UNABLE_TO_ACQUIRE_MEMORY; 256 keeps
+    // per-task state spillable. Env-tunable for the biggest runs.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.local.dir", s"$local/graft_pipe_local")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -75,9 +81,19 @@ object DrivePipelineScale {
       val eval = spark.range(64).toDF("k")
         .select((col("k") + n + 7L).as("doc_id"),
           enGood((col("k") * 17 + 6).cast("string")).as("text"))
+      // The near-dup bucket cap (linearity backstop) tightens for the
+      // biggest runs: this plant shares 13 template shingles across the
+      // WHOLE corpus, so sub-cap boilerplate buckets grow linearly with n
+      // and their pair mass quadratically until the cap bites. Planted
+      // near-dup pairs share document-specific band keys (tiny buckets),
+      // so recall on them is cap-independent — verified by the exact
+      // stage counts.
+      val maxBucket = sys.env.get("SPARK_GRAFT_MAXBUCKET").map(_.toInt)
+        .getOrElse(1000)
       val st0 = boxSteal()
       val t0 = System.nanoTime()
-      val r = graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval))
+      val r = graft.llm.Pipeline.curate(corpus, "doc_id", "text", Some(eval),
+        graft.llm.Pipeline.Config(maxBucket = maxBucket))
       val total = (System.nanoTime() - t0) / 1e9
       val st1 = boxSteal()
       val stages = r.stats.orderBy("ord").collect().map { x =>
