@@ -193,9 +193,91 @@ object HammingIndexKernel {
       copy(child = c)
   }
 
+  /** Broadcast-backed twin of [[HammingAnyWithin]] (r14 — ADVICE): the
+    * plain expressions embed the index as a codegen reference object, so
+    * it rides EVERY stage's serialized task binary — ~1.2 GB re-shipped
+    * per stage (and per streaming micro-batch) at the 50M-hash cap. Here
+    * the task binary carries only the `Broadcast` handle; TorrentBroadcast
+    * serializes the index ONCE at creation and each executor fetches and
+    * caches it once for the broadcast's lifetime, across stages and
+    * micro-batches. The deserialized index is bound to a per-partition
+    * mutable slot at codegen init (one `value()` call per task, not per
+    * row). */
+  case class HammingAnyWithinBc(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int)
+      extends UnaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    override def prettyName: String = "graft_hamming_any_within_bc"
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects bigint, got ${other.simpleString}")
+    }
+    @transient private lazy val idx = bc.value
+    override def nullSafeEval(input: Any): Any =
+      idx.anyWithin(input.asInstanceOf[Long], maxDistance)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihIndex"
+      val bcRef = ctx.addReferenceObj("mihBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "mihIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, h =>
+        s"${ev.value} = $idxTerm.anyWithin($h, $maxDistance);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Broadcast-backed twin of [[HammingMinIdWithin]] — see
+    * [[HammingAnyWithinBc]] for the shipping rationale. */
+  case class HammingMinIdWithinBc(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int)
+      extends UnaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    // Driver-side check only: `bc.value` on the driver returns the local
+    // copy (no fetch) — executors never re-run this constructor body's
+    // requirement because the expression arrives there deserialized.
+    require(bc.value.ids != null, "HammingMinIdWithinBc needs an id-carrying MihIndex")
+    override def prettyName: String = "graft_hamming_min_id_within_bc"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects bigint, got ${other.simpleString}")
+    }
+    @transient private lazy val idx = bc.value
+    override def nullSafeEval(input: Any): Any =
+      idx.minIdWithin(input.asInstanceOf[Long], maxDistance)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihIndex"
+      val bcRef = ctx.addReferenceObj("mihBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "mihIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, h =>
+        s"${ev.value} = $idxTerm.minIdWithin($h, $maxDistance);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   def anyWithin(sketch: Column, index: MihIndex, maxDistance: Int): Column =
     GraftSql.column(HammingAnyWithin(GraftSql.expression(sketch), index, maxDistance))
 
   def minIdWithin(sketch: Column, index: MihIndex, maxDistance: Int): Column =
     GraftSql.column(HammingMinIdWithin(GraftSql.expression(sketch), index, maxDistance))
+
+  def anyWithin(sketch: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int): Column =
+    GraftSql.column(HammingAnyWithinBc(GraftSql.expression(sketch), bc, maxDistance))
+
+  def minIdWithin(sketch: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int): Column =
+    GraftSql.column(HammingMinIdWithinBc(GraftSql.expression(sketch), bc, maxDistance))
 }

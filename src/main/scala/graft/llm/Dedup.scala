@@ -660,10 +660,11 @@ object Dedup {
     * `maxCorpusImages`. True footprint at pieces=4 (r14 — the old
     * estimate undercounted): 8 B hash + 16 B bucket members (4 ints) per
     * hash plus ~1 MB of fixed offsets — ~24 B/hash, ≈1.2 GB at the 50M
-    * cap; the structure ships to executors inside each stage's broadcast
-    * task binary (once per stage, not per task). Past the cap, shard the
-    * corpus into several guards or use the batch pigeonhole join
-    * ([[nearDupHamming64]]). */
+    * cap; the probe call sites wrap it in a `Broadcast`, so executors
+    * fetch it ONCE for the broadcast's lifetime (across stages and
+    * micro-batches) instead of once per stage inside the task binary.
+    * Past the cap, shard the corpus into several guards or use the batch
+    * pigeonhole join ([[nearDupHamming64]]). */
   def pHashIndex(corpus: DataFrame, phashCol: String, pieces: Int = 4,
       maxCorpusImages: Long = 50000000L)
       : graft.functions.HammingIndexKernel.MihIndex = {
@@ -740,9 +741,16 @@ object Dedup {
     val est = df.where(col(phashCol).isNotNull)
       .agg(approx_count_distinct(col(phashCol), 0.02)).collect()(0).getLong(0)
     if (est <= (maxCorpusImages * 0.9).toLong) {
-      val idx = pHashIdIndex(df, idCol, phashCol, pieces, maxCorpusImages)
+      // Broadcast, don't embed (r14 — ADVICE): as a plain codegen
+      // reference object the index rides every stage's serialized task
+      // binary (~1.2 GB/stage at the cap); as a Broadcast the task binary
+      // carries a handle and each executor fetches the index once. The
+      // handle stays referenced by the returned plan; the ContextCleaner
+      // reclaims the broadcast when the plan is garbage-collected.
+      val bc = df.sparkSession.sparkContext.broadcast(
+        pHashIdIndex(df, idCol, phashCol, pieces, maxCorpusImages))
       df.where(col(phashCol).isNull ||
-        K.minIdWithin(h, idx, maxDistance) >= col(idCol).cast("long"))
+        K.minIdWithin(h, bc, maxDistance) >= col(idCol).cast("long"))
     } else {
       // +6% headroom over the HLL estimate (3σ at 2% rsd), shards sized
       // to 90% of the cap so uniform xxhash64 shard skew can't overflow
@@ -754,13 +762,19 @@ object Dedup {
         .withColumn("__min", lit(Long.MaxValue))
         .localCheckpoint() // slim (id, hash) frame: passes never re-decode
       (0 until nShards).foreach { s =>
-        val idx = pHashIdIndex(acc.where(col("__h").isNotNull &&
-          shardOf === s.toLong), "__id", "__h", pieces, maxCorpusImages)
+        // Per-pass broadcast: executors fetch this shard's index once;
+        // the eager localCheckpoint below materializes the pass, after
+        // which the explicit unpersist frees the executor copies before
+        // the next shard's index builds (peak = ONE index, as documented).
+        val bc = df.sparkSession.sparkContext.broadcast(
+          pHashIdIndex(acc.where(col("__h").isNotNull &&
+            shardOf === s.toLong), "__id", "__h", pieces, maxCorpusImages))
         val prev = acc
         acc = acc.withColumn("__min", least(col("__min"),
-            coalesce(K.minIdWithin(col("__h"), idx, maxDistance),
+            coalesce(K.minIdWithin(col("__h"), bc, maxDistance),
               lit(Long.MaxValue))))
           .localCheckpoint() // retire this shard's index reference state
+        bc.unpersist(blocking = false)
         org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
           .foreach(_.unpersist(blocking = false))
       }
@@ -782,10 +796,17 @@ object Dedup {
     * sketch (undecodable payloads) pass unflagged. Batch-replayable. */
   def streamPHashGuard(stream: DataFrame,
       index: graft.functions.HammingIndexKernel.MihIndex,
-      phashCol: String, maxDistance: Int = 3): DataFrame =
+      phashCol: String, maxDistance: Int = 3): DataFrame = {
+    // Broadcast once here (r14 — ADVICE): the guard's plan is reused by
+    // EVERY micro-batch, so an embedded index would re-ship inside each
+    // micro-batch's task binary (~1.2 GB at the 50M-hash cap); the
+    // broadcast is fetched and cached once per executor for the life of
+    // the streaming query.
+    val bc = stream.sparkSession.sparkContext.broadcast(index)
     stream.withColumn("img_near_dup", coalesce(
       graft.functions.HammingIndexKernel.anyWithin(
-        col(phashCol).cast("long"), index, maxDistance), lit(false)))
+        col(phashCol).cast("long"), bc, maxDistance), lit(false)))
+  }
 
   /** STATELESS streaming near-dup guard against a static corpus: each
     * document's banded-LSH keys are probed against the driver-known corpus

@@ -28,9 +28,18 @@ object DrivePipelineScale {
     // hash-aggregate task and trips UNABLE_TO_ACQUIRE_MEMORY; 256 keeps
     // per-task state spillable. Env-tunable for the biggest runs.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "32")
-    val spark = SparkSession.builder().master("local[32]")
+    // The biggest single-JVM runs are bounded by 32 threads' simultaneous
+    // task state sharing one heap with all block storage (BENCH_NOTES r14
+    // 100M attempts 1-3). Two geometry knobs: fewer executor threads
+    // (each task keeps its state longer but holds less heap at once), and
+    // a small protected-storage fraction so execution pressure can evict
+    // checkpointed stage blocks to disk instead of OOMing around them.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "32")
+    val storageFrac = sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5")
+    val spark = SparkSession.builder().master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.memory.storageFraction", storageFrac)
       .config("spark.local.dir", s"$local/graft_pipe_local")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
