@@ -333,6 +333,12 @@ object Pipeline {
       .drop("__imgs")
       .withColumn("n_images", size(col(imagesCol)))
       .localCheckpoint()
+    // assembled is materialized (eager checkpoint): the final text- and
+    // image-stage blocks retire like every earlier stage's — without this
+    // each interleaved run would pin two corpus-sized block sets for the
+    // session's lifetime (only `assembled` is handed to the caller).
+    retire(curDocs)
+    retire(curImgs)
     stats += ((stats.size, "reassemble", assembled.count(),
       assembled.agg(coalesce(sum(col("n_images").cast("long")), lit(0L)))
         .collect()(0).getLong(0), (System.nanoTime() - t0r) / 1e9))
