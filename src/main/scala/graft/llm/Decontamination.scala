@@ -87,13 +87,30 @@ object Decontamination {
 
   /** The keep-side: training rows sharing fewer than `minHits` n-grams
     * with the evaluation corpus (rows with null text carry no grams and
-    * are always kept). One left_anti against the flagged id set. */
+    * are always kept). One left_anti against the flagged id set.
+    *
+    * Unlike [[contaminationReport]] (which must emit every id with its
+    * total gram count), the keep/drop decision needs only the HIT
+    * aggregate — ids with zero hits are decided by their absence. So the
+    * flagged set is built directly from one shingle pass feeding the
+    * broadcast gram join: the report's second shingle pass (the
+    * `n_grams` side) and its corpus-wide id-join are skipped. At the
+    * 30M-doc pipeline bench that second pass + join were most of the
+    * decontaminate stage's wall; the hit aggregate itself only ever
+    * carries MATCHED grams, so the flagged frame stays benchmark-sized
+    * and the final left_anti broadcasts under AQE. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 13, minHits: Long = 1L): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
     require(minHits >= 1,
       s"minHits must be >= 1, got $minHits (0 would flag EVERY document — " +
         "n_hits >= 0 is vacuously true — and drop the whole corpus)")
-    val flagged = contaminationReport(train, eval, idCol, textCol, n)
+    val evalGrams = Dedup.shingleSets(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+    val flagged = Dedup.shingleSets(train, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
       .select(col("id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")

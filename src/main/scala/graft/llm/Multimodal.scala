@@ -1387,4 +1387,315 @@ object Multimodal {
     val moov = box("moov", mvhd ++ traks.flatten)
     ftyp ++ moov
   }
+
+  /** Batched per-partition VIDEO near-dup fingerprint — the third leg of
+    * the modality triple (image pHash, audio energy/spectral, video).
+    * Real frame decode needs a codec stack this container deliberately
+    * lacks, so the certified invariance class is the one the container
+    * math makes exact: RE-MUXING. The hash is computed from the CODED
+    * FRAME PAYLOADS located through the sample tables (stsz sizes +
+    * stsc/stco chunk map → per-sample mdat offsets), so any transform
+    * that rearranges the container while preserving the coded stream —
+    * re-chunking/re-interleaving, timestamp/timescale rewrites, box
+    * reordering, metadata edits, faststart moov relocation — yields the
+    * IDENTICAL 64-bit hash, and a copy with a few replaced frames (ad
+    * splice, re-encoded intro) lands within a few bits: 16 evenly-spaced
+    * samples contribute 4 bits each (top nibble of the frame payload's
+    * xxhash64), so one replaced frame moves at most its sampled nibbles.
+    * Pairs via [[Dedup.nearDupHamming64]] exactly like the image/audio
+    * hashes; a re-ENCODE changes every payload byte and is out of scope
+    * (that upgrade slots a codec behind [[videoHashOne]]'s same
+    * signature). Bytes that are not an MP4 with a complete, in-bounds
+    * sample table hash to null. */
+  def videoHashes(df: DataFrame, binCol: String, batchSize: Int = 64,
+      outCol: String = "vhash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          Row.fromSeq(row.toSeq :+ videoHashOne(bytes))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** 64-bit frame-payload fingerprint of one MP4, or null unless the
+    * first track carrying a COMPLETE sample-location table (per-sample
+    * stsz sizes + stsc runs + stco/co64 offsets, runs consistent with
+    * the sample count, every located payload inside the file) exists.
+    * 16 sample indices floor(k·n/16) are hashed (XXH64 over the coded
+    * payload bytes, seed 0x5EED); sample k's top nibble lands at bits
+    * [4k, 4k+4). Deterministic across JVMs — pure byte arithmetic. */
+  private[graft] def videoHashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var pos = lo
+          def hasNext: Boolean = pos + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size32 = bb.getInt(pos).toLong & 0xFFFFFFFFL
+            val typ = fourcc(pos + 4)
+            val (payload, end) =
+              if (size32 == 1L && pos + 16 <= hi) {
+                val size64 = bb.getLong(pos + 8)
+                (pos + 16, pos + math.min(size64, (hi - pos).toLong).toInt)
+              } else if (size32 == 0L) (pos + 8, hi)
+              else (pos + 8, pos + math.min(size32, (hi - pos).toLong).toInt)
+            val safeEnd = math.max(payload, math.min(end, hi))
+            pos = if (safeEnd > pos) safeEnd else hi
+            (typ, payload, safeEnd)
+          }
+        }
+      // First track with a complete sample-location table wins.
+      var sizes: Array[Long] = null
+      var offsets: Array[Long] = null // per-CHUNK offsets
+      var stscRuns: Array[(Long, Long)] = null
+      boxes(0, bytes.length).foreach {
+        case ("moov", mp, me) => boxes(mp, me).foreach {
+          case ("trak", tp, te) if sizes == null || offsets == null || stscRuns == null =>
+            var tSizes: Array[Long] = null
+            var tOffs: Array[Long] = null
+            var tRuns: Array[(Long, Long)] = null
+            boxes(tp, te).foreach {
+              case ("mdia", dp, de) => boxes(dp, de).foreach {
+                case ("minf", ip, ie) => boxes(ip, ie).foreach {
+                  case ("stbl", sp, se) => boxes(sp, se).foreach {
+                    case ("stsz", p, e) if e - p >= 12 =>
+                      val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+                      if (uniform != 0L && cnt <= Int.MaxValue.toLong)
+                        tSizes = Array.fill(cnt.toInt)(uniform)
+                      else if (uniform == 0L && cnt <= (e - p - 12L) / 4L) {
+                        tSizes = new Array[Long](cnt.toInt)
+                        var j = 0
+                        while (j < cnt.toInt) {
+                          tSizes(j) = bb.getInt(p + 12 + 4 * j).toLong & 0xFFFFFFFFL
+                          j += 1
+                        }
+                      }
+                    case ("stco", p, e) if e - p >= 8 =>
+                      val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      if (cnt <= (e - p - 8L) / 4L) {
+                        tOffs = new Array[Long](cnt.toInt)
+                        var j = 0
+                        while (j < cnt.toInt) {
+                          tOffs(j) = bb.getInt(p + 8 + 4 * j).toLong & 0xFFFFFFFFL
+                          j += 1
+                        }
+                      }
+                    case ("co64", p, e) if e - p >= 8 =>
+                      val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      if (cnt <= (e - p - 8L) / 8L) {
+                        tOffs = new Array[Long](cnt.toInt)
+                        var j = 0
+                        while (j < cnt.toInt) {
+                          tOffs(j) = bb.getLong(p + 8 + 8 * j)
+                          j += 1
+                        }
+                      }
+                    case ("stsc", p, e) if e - p >= 8 =>
+                      val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      if (cnt <= (e - p - 8L) / 12L) {
+                        tRuns = new Array[(Long, Long)](cnt.toInt)
+                        var j = 0
+                        while (j < cnt.toInt) {
+                          tRuns(j) = ((bb.getInt(p + 8 + 12 * j).toLong & 0xFFFFFFFFL),
+                            (bb.getInt(p + 12 + 12 * j).toLong & 0xFFFFFFFFL))
+                          j += 1
+                        }
+                      }
+                    case _ => ()
+                  }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            if (tSizes != null && tOffs != null && tRuns != null) {
+              sizes = tSizes; offsets = tOffs; stscRuns = tRuns
+            }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (sizes == null || offsets == null || stscRuns == null ||
+          sizes.isEmpty || stscRuns.isEmpty || stscRuns(0)._1 != 1L) return null
+      // Expand the chunk map to per-SAMPLE absolute offsets; any
+      // inconsistency (run bounds, count mismatch, out-of-file payload)
+      // nulls the hash — never garbage bits.
+      val n = sizes.length
+      val sampleOff = new Array[Long](n)
+      var si = 0
+      var ri = 0
+      var c = 1L // 1-based chunk index
+      while (c <= offsets.length && si < n) {
+        while (ri + 1 < stscRuns.length && stscRuns(ri + 1)._1 <= c) ri += 1
+        if (stscRuns(ri)._1 > c) return null // runs skip this chunk: malformed
+        var off = offsets((c - 1).toInt)
+        var j = 0L
+        val spc = stscRuns(ri)._2
+        while (j < spc && si < n) {
+          sampleOff(si) = off
+          off += sizes(si)
+          si += 1
+          j += 1
+        }
+        c += 1
+      }
+      if (si != n) return null // chunk map does not cover the sample count
+      var k = 0
+      while (k < n) {
+        if (sampleOff(k) < 0 || sizes(k) > Int.MaxValue ||
+            sampleOff(k) + sizes(k) > bytes.length) return null
+        k += 1
+      }
+      var bits = 0L
+      k = 0
+      while (k < 16) {
+        val idx = ((k.toLong * n) / 16L).toInt
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + sampleOff(idx),
+          sizes(idx).toInt, 0x5EEDL)
+        bits |= ((h >>> 60) & 0xFL) << (4 * k)
+        k += 1
+      }
+      java.lang.Long.valueOf(bits)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Encode an MP4 WITH media payload — the video-fingerprint sibling of
+    * [[encodeToneWav]]/[[encodeBlockImage]]: ftyp + moov (mvhd + one
+    * trak with tkhd + mdia(mdhd + minf(stbl(stsd + stsz + stsc + stco))))
+    * + an mdat whose coded frame bytes are a pure splitmix64 function of
+    * (family, frame index), so generated corpora are oracle-checkable and
+    * copies are plantable by construction:
+    *   - same family, different `chunkSamples` split / `timescale` =
+    *     a RE-MUXED copy — identical payload stream, different container
+    *     layout, [[videoHashOne]]-identical;
+    *   - same family with `alteredFrames` = a splice copy — those frames'
+    *     payloads come from an independent stream, moving only their
+    *     sampled nibbles (≤ 4 bits per sampled frame);
+    *   - different family = independent content (~32 bits apart).
+    * stco offsets are REAL file offsets into the mdat (computed from the
+    * assembled header length — entry counts fix the length, so a single
+    * second pass patches them exactly). */
+  def encodeMp4Media(family: Long, frameSizes: Seq[Int],
+      chunkSamples: Seq[Int], timescale: Int = 600,
+      width: Int = 320, height: Int = 240, codec: String = "avc1",
+      alteredFrames: Set[Int] = Set.empty): Array[Byte] = {
+    require(frameSizes.nonEmpty && frameSizes.forall(s => s >= 0 && s <= 65536),
+      s"frameSizes must be non-empty, each in [0, 65536]")
+    require(chunkSamples.nonEmpty && chunkSamples.forall(_ >= 1) &&
+      chunkSamples.sum == frameSizes.length,
+      s"chunkSamples ${chunkSamples} must partition ${frameSizes.length} samples")
+    require(codec != null && codec.length == 4, s"bad fourcc '$codec'")
+    require(timescale > 0, s"bad timescale $timescale")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val nFrames = frameSizes.length
+    val durationUnits = nFrames * 20
+    def header(chunkOffsets: Seq[Int]): Array[Byte] = {
+      val ftyp = box("ftyp", {
+        val b = java.nio.ByteBuffer.allocate(16)
+        b.put("isom".getBytes("US-ASCII")).putInt(512)
+          .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+        b.array()
+      })
+      val mvhd = box("mvhd", {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durationUnits)
+        b.putInt(0x00010000).putShort(0x0100.toShort).position(b.position() + 10)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+        b.position(b.position() + 24)
+        b.putInt(2)
+        b.array()
+      })
+      val tkhd = box("tkhd", {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(durationUnits)
+        b.position(b.position() + 8)
+        b.putShort(0).putShort(0).putShort(0).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+        b.putInt(width << 16).putInt(height << 16)
+        b.array()
+      })
+      val mdhd = box("mdhd", {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durationUnits).putInt(0)
+        b.array()
+      })
+      val stsd = box("stsd", {
+        val b = java.nio.ByteBuffer.allocate(8 + 16)
+        b.putInt(0).putInt(1).putInt(16).put(codec.getBytes("US-ASCII"))
+        b.array()
+      })
+      val stsz = box("stsz", {
+        val uniform = frameSizes.distinct.length == 1
+        val b = java.nio.ByteBuffer.allocate(12 + (if (uniform) 0 else 4 * nFrames))
+        b.putInt(0).putInt(if (uniform) frameSizes.head else 0).putInt(nFrames)
+        if (!uniform) frameSizes.foreach(b.putInt)
+        b.array()
+      })
+      val stsc = box("stsc", {
+        val runs = chunkSamples.zipWithIndex.foldLeft(List.empty[(Int, Int)]) {
+          case (acc @ ((_, spc) :: _), (v, _)) if spc == v => acc
+          case (acc, (v, i)) => (i + 1, v) :: acc
+        }.reverse
+        val b = java.nio.ByteBuffer.allocate(8 + 12 * runs.length)
+        b.putInt(0).putInt(runs.length)
+        runs.foreach { case (first, spc) => b.putInt(first).putInt(spc).putInt(1) }
+        b.array()
+      })
+      val stco = box("stco", {
+        val b = java.nio.ByteBuffer.allocate(8 + 4 * chunkOffsets.length)
+        b.putInt(0).putInt(chunkOffsets.length)
+        chunkOffsets.foreach(b.putInt)
+        b.array()
+      })
+      val trak = box("trak", tkhd ++ box("mdia",
+        mdhd ++ box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stco))))
+      ftyp ++ box("moov", mvhd ++ trak)
+    }
+    // Pass 1 with zeroed offsets fixes the header length (entry counts,
+    // not values, determine it); pass 2 writes the real mdat offsets.
+    val headerLen = header(Seq.fill(chunkSamples.length)(0)).length
+    val mdatPayloadStart = headerLen + 8
+    val chunkOffsets = chunkSamples.scanLeft(0) { (acc, spc) => acc + spc }
+      .dropRight(1)
+      .map { firstSample =>
+        mdatPayloadStart + frameSizes.take(firstSample).map(_.toLong).sum.toInt
+      }
+    val mdat = new Array[Byte](frameSizes.map(_.toLong).sum.toInt)
+    var pos = 0
+    frameSizes.zipWithIndex.foreach { case (sz, i) =>
+      val seed = mix(family * 0x100000001B3L + i +
+        (if (alteredFrames.contains(i)) 0x517CC1B727220A95L else 0L))
+      var j = 0
+      var z = seed
+      while (j < sz) {
+        if (j % 8 == 0) z = mix(z + j)
+        mdat(pos + j) = (z >>> ((j % 8) * 8)).toByte
+        j += 1
+      }
+      pos += sz
+    }
+    header(chunkOffsets) ++ box("mdat", mdat)
+  }
 }

@@ -206,6 +206,45 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Video near-dup dedup (r14): the third modality leg. The certified
+    // invariance class is RE-MUXING — the fingerprint hashes the coded
+    // frame payloads located through the sample tables, so container
+    // rewrites (re-chunking, timescale changes, metadata edits) preserve
+    // it exactly, and a splice copy (one replaced frame) moves at most
+    // its sampled nibble (≤ 4 bits). Planted construction with a
+    // SQL-derivable answer: 40 content families × 4 slots at ids 4f+s —
+    // s0 original (24 frames, varying sizes, 4-sample chunks), s1 a
+    // re-muxed copy (3-sample chunks, different timescale; every 3rd
+    // family carries garbage bytes instead — null hash, pairs nothing),
+    // s2 a splice copy (frame 7 replaced — sampled exactly once at 24
+    // frames, Hamming ≤ 4), s3 novel content (~32 bits from everything,
+    // deterministic for the fixed corpus — the image-pHash plant
+    // contract). maxDistance 4 < pieces 8 keeps the pigeonhole exact.
+    "q_dedup_video_hash" -> ((s, d) => {
+      import s.implicits._
+      val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+      val media = s.range(0, 160).select(col("id")).as[Long]
+        .map { id =>
+          val fam = id / 4
+          val bytes = (id % 4) match {
+            case 0L => Multimodal.encodeMp4Media(fam, sizes, Seq.fill(6)(4))
+            case 1L =>
+              if (fam % 3 == 2) s"not-an-mp4-$id".getBytes("UTF-8")
+              else Multimodal.encodeMp4Media(fam, sizes, Seq.fill(8)(3),
+                timescale = 90000)
+            case 2L => Multimodal.encodeMp4Media(fam, sizes, Seq.fill(6)(4),
+              alteredFrames = Set(7))
+            case _ => Multimodal.encodeMp4Media(fam + 9000L, sizes, Seq.fill(6)(4))
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      Dedup.nearDupHamming64(
+        Multimodal.videoHashes(media, "payload", batchSize = 32),
+        "doc_id", "vhash", maxDistance = 4, pieces = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------------------------------------- substring-level dedup
     // RefinedWeb/exact-substring granularity: every 50th doc gets the same
     // 11-token boilerplate tail, so each planted doc carries >= 4 repeated
@@ -3002,6 +3041,20 @@ object LlmQueries {
         |SELECT id_a, id_b FROM e
         |UNION ALL SELECT id_a, id_b FROM sp
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // GENUINE replay of the planted video construction: within family f
+    // (ids 4f+s), the original (s0), re-muxed copy (s1) and splice copy
+    // (s2) pair completely — except every 3rd family, whose s1 slot is
+    // garbage (null hash, no pairs); the novel slot s3 never pairs.
+    "q_dedup_video_hash" ->
+      """WITH fams AS (SELECT g.range AS f FROM range(0, 40) g),
+        |p AS (
+        |  SELECT 4 * f AS id_a, 4 * f + 1 AS id_b FROM fams WHERE f % 3 <> 2
+        |  UNION ALL SELECT 4 * f, 4 * f + 2 FROM fams WHERE f % 3 <> 2
+        |  UNION ALL SELECT 4 * f + 1, 4 * f + 2 FROM fams WHERE f % 3 <> 2
+        |  UNION ALL SELECT 4 * f, 4 * f + 2 FROM fams WHERE f % 3 = 2)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB

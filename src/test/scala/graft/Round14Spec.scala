@@ -294,4 +294,69 @@ class Round14Spec extends AnyFunSuite {
       .exists(_.isInstanceOf[org.apache.spark.broadcast.Broadcast[_]]))
     bc.unpersist(blocking = false)
   }
+
+  // --------------------------------------------------- video fingerprint
+
+  test("videoHashOne: remux-invariant, splice <= 4 bits, distinct families, null on garbage") {
+    import graft.llm.Multimodal
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    val orig = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4)))
+    assert(orig != null)
+    // Re-mux sweep: chunking, timescale, dims, and codec fourcc all
+    // change; the coded payload stream does not — hash identical.
+    val remux = Multimodal.videoHashOne(Multimodal.encodeMp4Media(5L, sizes,
+      Seq.fill(8)(3), timescale = 90000, width = 640, height = 480, codec = "hev1"))
+    assert(remux == orig)
+    val oneChunk = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(5L, sizes, Seq(24)))
+    assert(oneChunk == orig)
+    // Splice copy: frame 7 replaced — sampled exactly once at 24 frames,
+    // so at most its one nibble moves.
+    val splice = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4), alteredFrames = Set(7)))
+    assert(splice != null && java.lang.Long.bitCount(orig ^ splice) <= 4)
+    val novel = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(9005L, sizes, Seq.fill(6)(4)))
+    assert(java.lang.Long.bitCount(orig ^ novel) > 10)
+    assert(Multimodal.videoHashOne("not-an-mp4-at-all".getBytes("UTF-8")) == null)
+    assert(Multimodal.videoHashOne(null) == null)
+    // The header-only stub carries no sample-location tables: null, never
+    // a confident hash over absent media.
+    assert(Multimodal.videoHashOne(
+      Multimodal.encodeMp4Stub(600, 1200, Seq((320, 240)))) == null)
+  }
+
+  test("videoHashOne: short corpora hash (sampling repeats frames); truncated mdat nulls") {
+    import graft.llm.Multimodal
+    val sizes5 = Seq(10, 20, 30, 40, 50)
+    val full = Multimodal.encodeMp4Media(1L, sizes5, Seq(2, 3))
+    assert(Multimodal.videoHashOne(full) != null)
+    // Truncation drops the tail of the mdat: a located payload now exits
+    // the file, which must null the hash (out-of-bounds, not garbage bits).
+    assert(Multimodal.videoHashOne(full.take(full.length - 10)) == null)
+  }
+
+  // ------------------------------------------ decontaminate fast path
+
+  test("decontaminate == contaminationReport-derived keep set (both minHits legs, nulls kept)") {
+    val train = docs(0, 400).unionByName(
+      Seq((9999L, null: String)).toDF("id", "text"))
+    val eval = docs(390, 410)
+    val rep = graft.llm.Decontamination.contaminationReport(
+      train, eval, "id", "text", n = 5)
+    Seq(1L, 3L).foreach { minHits =>
+      val kept = graft.llm.Decontamination.decontaminate(
+          train, eval, "id", "text", n = 5, minHits = minHits)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = rep.where(col("n_hits") < minHits)
+        .select("id").collect().map(_.getLong(0)).toSet + 9999L
+      assert(kept == expected, s"minHits=$minHits")
+    }
+    // The planted overlap (ids 390-399 verbatim in eval) must be dropped.
+    val kept1 = graft.llm.Decontamination.decontaminate(
+        train, eval, "id", "text", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((390L until 400L).forall(!kept1.contains(_)))
+  }
 }
