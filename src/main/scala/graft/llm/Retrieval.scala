@@ -147,32 +147,48 @@ object Retrieval {
     * finished, drop leftovers and refresh the sidecar. Called by both
     * [[loadIndex]] and [[appendToBm25Index]], so a crashed append is
     * healed by whichever touches the index next. */
-  private def healDfSwap(spark: SparkSession, path: String): Unit = {
-    val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
-    val fs = dfDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/df._graft_append_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/df.__old")
+  private def healDfSwap(spark: SparkSession, path: String): Unit =
+    healSwap(spark, path, "df", "df._graft_append_tmp", refreshMeta = true)
+
+  /** Heal the COMPACTION swaps the same way (r14 self-review): a crash
+    * between [[compactBm25Index]]'s two renames leaves the index with no
+    * `tf` (or `dl`) directory — which a subsequent [[appendToBm25Index]]
+    * would otherwise recreate holding ONLY its delta, silently dropping
+    * the corpus (parquet append to a missing path just creates it).
+    * Same forward/restore rule as the df heal, minus the sidecar refresh
+    * (compaction moves bytes, not statistics). */
+  private def healCompactSwaps(spark: SparkSession, path: String): Unit =
+    Seq("tf", "dl").foreach(sub =>
+      healSwap(spark, path, sub, s"$sub._graft_compact_tmp", refreshMeta = false))
+
+  private def healSwap(spark: SparkSession, path: String, sub: String,
+      tmpName: String, refreshMeta: Boolean): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/$tmpName")
+    val old = new org.apache.hadoop.fs.Path(s"$path/$sub.__old")
     val haveOld = fs.exists(old)
-    if (!haveOld) return // tmp-only residue is inert; append deletes it
-    val haveDf = fs.exists(dfDir)
-    if (!haveDf) {
+    if (!haveOld) return // tmp-only residue is inert; the writer deletes it
+    val haveDir = fs.exists(dir)
+    if (!haveDir) {
       val tmpComplete = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
       if (tmpComplete) {
-        if (!fs.rename(tmp, dfDir))
+        if (!fs.rename(tmp, dir))
           throw new java.io.IOException(
-            s"healDfSwap: rename $tmp -> $dfDir failed — original at $old")
+            s"healSwap: rename $tmp -> $dir failed — original at $old")
         fs.delete(old, true)
-        writeMeta(spark, path, readMetaBuckets(spark, path))
+        if (refreshMeta) writeMeta(spark, path, readMetaBuckets(spark, path))
       } else {
-        if (!fs.rename(old, dfDir))
-          throw new java.io.IOException(s"healDfSwap: restore $old -> $dfDir failed")
+        if (!fs.rename(old, dir))
+          throw new java.io.IOException(s"healSwap: restore $old -> $dir failed")
         fs.delete(tmp, true)
       }
     } else {
-      // Swap completed; cleanup/meta-refresh may not have. Idempotent.
+      // Swap completed; cleanup (and meta refresh, for the df append
+      // swap) may not have. Idempotent.
       fs.delete(old, true)
       fs.delete(tmp, true)
-      writeMeta(spark, path, readMetaBuckets(spark, path))
+      if (refreshMeta) writeMeta(spark, path, readMetaBuckets(spark, path))
     }
   }
 
@@ -182,6 +198,7 @@ object Retrieval {
     * load with `nBuckets = 0` and score unpruned. */
   def loadIndex(spark: SparkSession, path: String): Bm25Index = {
     healDfSwap(spark, path)
+    healCompactSwaps(spark, path)
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json"))
@@ -208,6 +225,8 @@ object Retrieval {
       path: String, checkIds: Boolean = true): Bm25Index = {
     val spark = newDocs.sparkSession
     healDfSwap(spark, path) // a crashed prior append must not be read as-is
+    healCompactSwaps(spark, path) // nor may a crashed compaction's missing
+    // tf/dl be recreated by this append's parquet-append as delta-only dirs
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json — not a graft BM25 index"))
@@ -280,8 +299,11 @@ object Retrieval {
     * pushdown keeps its skip rate), and `dl` to `dlFiles` files, each
     * through a SIBLING temp directory + rename swap (write-over-read
     * would corrupt the lazily-scanned index mid-job; a crash leaves a
-    * complete index at the path or recoverable `.__old` residue, healed
-    * by the same idiom). `df` never accretes — each append rewrites it
+    * complete index at the path or recoverable `.__old` residue, and
+    * [[healCompactSwaps]] finishes-forward or restores it on the next
+    * load/append/compact — in particular BEFORE any append can recreate
+    * a missing tf/dl directory as a delta-only shell).
+    * `df` never accretes — each append rewrites it
     * whole through its own swap — and the meta sidecar is untouched
     * (compaction moves bytes, not statistics). Must be the index's only
     * writer while it runs.
@@ -292,6 +314,7 @@ object Retrieval {
     require(filesPerBucket >= 1 && dlFiles >= 1,
       s"bad filesPerBucket=$filesPerBucket / dlFiles=$dlFiles")
     healDfSwap(spark, path)
+    healCompactSwaps(spark, path)
     require(readMetaBuckets(spark, path) >= 1,
       s"index at $path predates the bucketed layout — rebuild with buildAndWriteIndex")
     val conf = spark.sparkContext.hadoopConfiguration

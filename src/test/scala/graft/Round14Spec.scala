@@ -112,6 +112,46 @@ class Round14Spec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("healCompactSwaps: a crashed tf compaction heals before load OR append") {
+    val qs = Seq((1L, "t1 t7 t13 t25")).toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("r14_bm25_heal_tf")
+    try {
+      graft.llm.Retrieval.buildAndWriteIndex(docs(0, 300), "id", "text",
+        dir.toString, nBuckets = 8)
+      val want = scoreMap(graft.llm.Retrieval.loadIndex(spark, dir.toString), qs)
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tf = new org.apache.hadoop.fs.Path(s"$dir/tf")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/tf._graft_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/tf.__old")
+      // Crash window A: between the two renames with a COMPLETE rewrite
+      // at the tmp name — heal must finish forward.
+      assert(fs.rename(tf, tmp)) // the rewrite is complete (has _SUCCESS)
+      assert(fs.mkdirs(old))
+      val healed = graft.llm.Retrieval.loadIndex(spark, dir.toString)
+      assert(fs.exists(tf) && !fs.exists(tmp) && !fs.exists(old))
+      val got = scoreMap(healed, qs)
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"$k") }
+      // Crash window B: rewrite incomplete (no _SUCCESS), tf moved aside.
+      // Without healing, the subsequent APPEND would recreate tf holding
+      // only its delta — the silent-corpus-drop path the heal closes.
+      assert(fs.rename(tf, old))
+      assert(fs.mkdirs(tmp))
+      graft.llm.Retrieval.appendToBm25Index(docs(300, 350), "id", "text",
+        dir.toString)
+      assert(fs.exists(tf) && !fs.exists(tmp) && !fs.exists(old))
+      val full = scoreMap(graft.llm.Retrieval.loadIndex(spark, dir.toString), qs)
+      val dirR = java.nio.file.Files.createTempDirectory("r14_bm25_heal_tf_ref")
+      try {
+        val ref = scoreMap(graft.llm.Retrieval.buildAndWriteIndex(
+          docs(0, 350), "id", "text", dirR.toString, nBuckets = 8), qs)
+        assert(full.keySet === ref.keySet)
+        full.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-9, s"$k") }
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dirR.toFile)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   // ------------------------------------------------- pHash: 64 AC bits
 
   test("pHash carries 64 discriminating AC bits (no constant DC bit)") {
