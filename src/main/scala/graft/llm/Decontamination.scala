@@ -116,6 +116,36 @@ object Decontamination {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] with automatic plan selection (r14): the eval
+    * corpus is benchmark-sized by contract, and at that size the
+    * join-based keep side is beatable — its gram explode materializes
+    * `~tokens` rows per corpus pass just to probe a set that fits in one
+    * array. When the eval gram set is within `maxFusedGrams` (counted
+    * first — one tiny job over the eval pipeline), the drop compiles to
+    * the [[graft.functions.SetKernels]] membership probe over the fused
+    * shingle sketch: ONE corpus pass, a pure projection+filter, zero
+    * joins, zero shuffles — the [[streamDecontaminate]] kernel applied
+    * batch-side (measured ~2× the join plan at 30M docs). Past the cap it
+    * falls back to [[decontaminate]], which never collects. Fused
+    * semantics are the `minHits = 1` contract (any shared gram drops the
+    * document); callers needing a higher hit threshold use
+    * [[decontaminate]] directly. */
+  def decontaminateAuto(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 13,
+      maxFusedGrams: Long = 50000000L): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    require(!eval.isStreaming, "eval corpus must be a static frame")
+    val grams = Dedup.shingleSets(eval, idCol, textCol, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+    if (grams.count() <= maxFusedGrams) {
+      val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
+      val toks = split(trim(lower(col(textCol))), "\\s+")
+      val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
+      val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)
+      train.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
+    } else decontaminate(train, eval, idCol, textCol, n)
+  }
+
   /** Streaming decontamination: drop in-flight documents sharing an
     * n-gram with a STATIC evaluation corpus — the ingest-time guard that
     * keeps fresh benchmark material out of a continuously-built training

@@ -39,10 +39,19 @@ object Dedup {
     * it is usually tiny (AQE broadcasts it), but on a Zipf-shaped web corpus
     * the number of keys above the cutoff can reach 10^7+ — a forced
     * broadcast there would OOM the driver, while AQE degrades gracefully to
-    * a shuffled anti-join. */
+    * a shuffled anti-join.
+    *
+    * Stored SERIALIZED (r14): the banded frame is rows × bands tiny
+    * tuples — at 10⁸ docs × 16 bands that is over a billion row OBJECTS
+    * under the default deserialized MEMORY_AND_DISK, and the 100M-doc
+    * pipeline attempts died in exactly that GC storm (BENCH_NOTES r14).
+    * MEMORY_AND_DISK_SER keeps each partition as a handful of byte
+    * chunks instead; the frame is read exactly twice, sequentially, so
+    * the deserialize-on-read cost is two cheap streaming passes. */
   private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long,
       onDrops: (Long, Long) => Unit = null): DataFrame = {
-    val mat = df.localCheckpoint(false)
+    val mat = df.localCheckpoint(false,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val oversized = mat.groupBy(keyCol).agg(count(lit(1)).as("__bsize"))
       .where(col("__bsize") > maxBucket)
     // Drop accounting (r14): recall loss from capped buckets must be
@@ -263,7 +272,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint(false)
+      // Serialized like the banded frame: pair lists on dirty corpora are
+      // candidate-mass-sized (rows·bands·maxBucket worst case).
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // Verify only the documents that appear in some candidate pair. The
     // candidate-id semi-join prunes the RAW corpus BELOW the shingle
@@ -278,7 +290,8 @@ object Dedup {
       .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
     val sets = shingleSets(
       df.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleWidth)
-      .localCheckpoint(false)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -760,7 +773,9 @@ object Dedup {
       val shardOf = pmod(xxhash64(col("__h")), lit(nShards.toLong))
       var acc = df.select(col(idCol).cast("long").as("__id"), h.as("__h"))
         .withColumn("__min", lit(Long.MaxValue))
-        .localCheckpoint() // slim (id, hash) frame: passes never re-decode
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // slim (id, hash) frame: passes never re-decode
       (0 until nShards).foreach { s =>
         // Per-pass broadcast: executors fetch this shard's index once;
         // the eager localCheckpoint below materializes the pass, after
@@ -773,7 +788,9 @@ object Dedup {
         acc = acc.withColumn("__min", least(col("__min"),
             coalesce(K.minIdWithin(col("__h"), bc, maxDistance),
               lit(Long.MaxValue))))
-          .localCheckpoint() // retire this shard's index reference state
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        // retire this shard's index reference state
         bc.unpersist(blocking = false)
         org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
           .foreach(_.unpersist(blocking = false))

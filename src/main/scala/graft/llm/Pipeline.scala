@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  // Stage checkpoints are corpus-sized and read exactly twice (stats +
+  // next stage); serialized block storage keeps them as byte chunks
+  // instead of hundreds of millions of row objects (the 100M-doc GC
+  // ceiling — BENCH_NOTES r14), at the cost of two cheap streaming
+  // deserializes.
+  private val CkptSer = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+
   final case class Config(
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.7,
@@ -82,7 +90,7 @@ object Pipeline {
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double, Long)]()
     var pendingCapped = 0L // set by the near-dup stage's cap reporter
 
-    var cur = docs.where(col(textCol).isNotNull).localCheckpoint()
+    var cur = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
     def measure(stage: String, wallSec: Double): Unit = {
       val r = cur.agg(count(lit(1)),
         coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L)))
@@ -93,7 +101,7 @@ object Pipeline {
     def step(stage: String)(f: DataFrame => DataFrame): Unit = {
       val prev = cur
       val t0 = System.nanoTime()
-      cur = f(prev).localCheckpoint() // eager: the stage materializes here
+      cur = f(prev).localCheckpoint(true, CkptSer) // eager: the stage materializes here
       measure(stage, (System.nanoTime() - t0) / 1e9)
       // prev's blocks free IMMEDIATELY once cur is materialized — holding
       // them to the end would stack every stage's full corpus in executor
@@ -127,7 +135,11 @@ object Pipeline {
       cfg.nearDupThreshold, cfg.numHashes, bands, cfg.shingleWidth,
       cfg.maxBucket, onCapDrops = (_, rows) => pendingCapped = rows))
     evalDocs.foreach { ev =>
-      step("decontaminate")(df => Decontamination.decontaminate(df, ev,
+      // Auto plan: benchmark-sized eval gram sets fuse to a single
+      // projection+filter pass (r14 — one corpus pass instead of the
+      // join plan's gram explode + anti-join); oversized ones fall back
+      // to the join path. Same minHits=1 keep set either way.
+      step("decontaminate")(df => Decontamination.decontaminateAuto(df, ev,
         idCol, textCol, cfg.decontaminateNgram))
     }
     if (cfg.budgetTokens > 0L)
@@ -177,7 +189,7 @@ object Pipeline {
       cfg: ImageConfig = ImageConfig()): Result = {
     val spark = docs.sparkSession
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double)]()
-    var cur = docs.where(col(binCol).isNotNull).localCheckpoint()
+    var cur = docs.where(col(binCol).isNotNull).localCheckpoint(true, CkptSer)
     // bytes_out sums the stage's OWN payload column: the resize stage
     // reports the RESIZED volume (the number a storage budget watches),
     // not the source payload it still carries alongside (r14 — ADVICE).
@@ -189,7 +201,7 @@ object Pipeline {
     def step(stage: String, bytesCol: String = binCol)(f: DataFrame => DataFrame): Unit = {
       val prev = cur
       val t0 = System.nanoTime()
-      cur = f(prev).localCheckpoint()
+      cur = f(prev).localCheckpoint(true, CkptSer)
       measure(stage, (System.nanoTime() - t0) / 1e9, bytesCol)
       org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(prev)
         .foreach(_.unpersist(blocking = false))
@@ -248,7 +260,7 @@ object Pipeline {
     val tc = cfg.text
     val ic = cfg.image
 
-    var curDocs = docs.where(col(textCol).isNotNull).localCheckpoint()
+    var curDocs = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
     var curImgs: DataFrame = null // exploded (doc, idx, payload) once text settles
     def nDocs(): Long = curDocs.count()
     def nImgs(): Long =
@@ -264,14 +276,14 @@ object Pipeline {
     def stepDocs(stage: String)(f: DataFrame => DataFrame): Unit = {
       val prev = curDocs
       val t0 = System.nanoTime()
-      curDocs = f(prev).localCheckpoint()
+      curDocs = f(prev).localCheckpoint(true, CkptSer)
       measure(stage, (System.nanoTime() - t0) / 1e9)
       retire(prev)
     }
     def stepImgs(stage: String)(f: DataFrame => DataFrame): Unit = {
       val prev = curImgs
       val t0 = System.nanoTime()
-      curImgs = f(prev).localCheckpoint()
+      curImgs = f(prev).localCheckpoint(true, CkptSer)
       measure(stage, (System.nanoTime() - t0) / 1e9)
       if (prev != null) retire(prev)
     }
@@ -299,7 +311,7 @@ object Pipeline {
       .select(col(idCol).cast("long").as("__doc"),
         posexplode(coalesce(col(imagesCol),
           array().cast(docs.schema(imagesCol).dataType))).as(Seq("__idx", "__img")))
-      .localCheckpoint()
+      .localCheckpoint(true, CkptSer)
     measure("img_explode", (System.nanoTime() - t0x) / 1e9)
     val over = curImgs.agg(coalesce(max("__idx"), lit(0)))
       .collect()(0).getInt(0)
@@ -332,7 +344,7 @@ object Pipeline {
         coalesce(col("__imgs"), array().cast("array<binary>")))
       .drop("__imgs")
       .withColumn("n_images", size(col(imagesCol)))
-      .localCheckpoint()
+      .localCheckpoint(true, CkptSer)
     // assembled is materialized (eager checkpoint): the final text- and
     // image-stage blocks retire like every earlier stage's — without this
     // each interleaved run would pin two corpus-sized block sets for the

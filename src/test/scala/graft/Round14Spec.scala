@@ -398,5 +398,13 @@ class Round14Spec extends AnyFunSuite {
         train, eval, "id", "text", n = 5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert((390L until 400L).forall(!kept1.contains(_)))
+    // decontaminateAuto: the fused single-pass plan and the forced join
+    // fallback (cap 1 gram) must both equal the join path's keep set.
+    Seq(50000000L, 1L).foreach { cap =>
+      val auto = graft.llm.Decontamination.decontaminateAuto(
+          train, eval, "id", "text", n = 5, maxFusedGrams = cap)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(auto == kept1, s"maxFusedGrams=$cap")
+    }
   }
 }
