@@ -40,6 +40,11 @@ object DrivePipelineScale {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.memory.storageFraction", storageFrac)
+      // The stage checkpoints store serialized (r14); lz4 on those blocks
+      // trades CPU for the disk that bounds the biggest single-box runs.
+      // Default off so the core 3M/10M/30M numbers stay comparable.
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
       .config("spark.local.dir", s"$local/graft_pipe_local")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
