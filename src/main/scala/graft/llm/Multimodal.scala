@@ -1469,7 +1469,13 @@ object Multimodal {
                     case ("stsz", p, e) if e - p >= 12 =>
                       val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
                       val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
-                      if (uniform != 0L && cnt <= Int.MaxValue.toLong)
+                      // Compact-form bound: a genuine file cannot hold more
+                      // nonzero-size samples than it has bytes, so a crafted
+                      // count (stsz claiming 2^31 samples in a 1 KB header)
+                      // must fall out HERE — allocating cnt longs first
+                      // would be a heap crash on garbage input, breaking
+                      // the null-never-throw contract.
+                      if (uniform != 0L && cnt <= bytes.length.toLong)
                         tSizes = Array.fill(cnt.toInt)(uniform)
                       else if (uniform == 0L && cnt <= (e - p - 12L) / 4L) {
                         tSizes = new Array[Long](cnt.toInt)
@@ -1589,7 +1595,8 @@ object Multimodal {
   def encodeMp4Media(family: Long, frameSizes: Seq[Int],
       chunkSamples: Seq[Int], timescale: Int = 600,
       width: Int = 320, height: Int = 240, codec: String = "avc1",
-      alteredFrames: Set[Int] = Set.empty): Array[Byte] = {
+      alteredFrames: Set[Int] = Set.empty,
+      useCo64: Boolean = false): Array[Byte] = {
     require(frameSizes.nonEmpty && frameSizes.forall(s => s >= 0 && s <= 65536),
       s"frameSizes must be non-empty, each in [0, 65536]")
     require(chunkSamples.nonEmpty && chunkSamples.forall(_ >= 1) &&
@@ -1663,12 +1670,22 @@ object Multimodal {
         runs.foreach { case (first, spc) => b.putInt(first).putInt(spc).putInt(1) }
         b.array()
       })
-      val stco = box("stco", {
-        val b = java.nio.ByteBuffer.allocate(8 + 4 * chunkOffsets.length)
-        b.putInt(0).putInt(chunkOffsets.length)
-        chunkOffsets.foreach(b.putInt)
-        b.array()
-      })
+      // useCo64 exercises the 64-bit chunk-offset table (files past
+      // 4 GiB use co64 in the wild; the parse path deserves a plantable
+      // twin) — offsets here still fit an int, the WIDTH is the point.
+      val stco =
+        if (useCo64) box("co64", {
+          val b = java.nio.ByteBuffer.allocate(8 + 8 * chunkOffsets.length)
+          b.putInt(0).putInt(chunkOffsets.length)
+          chunkOffsets.foreach(o => b.putLong(o.toLong))
+          b.array()
+        })
+        else box("stco", {
+          val b = java.nio.ByteBuffer.allocate(8 + 4 * chunkOffsets.length)
+          b.putInt(0).putInt(chunkOffsets.length)
+          chunkOffsets.foreach(b.putInt)
+          b.array()
+        })
       val trak = box("trak", tkhd ++ box("mdia",
         mdhd ++ box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stco))))
       ftyp ++ box("moov", mvhd ++ trak)

@@ -377,6 +377,36 @@ class Round14Spec extends AnyFunSuite {
     assert(Multimodal.videoHashOne(full.take(full.length - 10)) == null)
   }
 
+  test("videoHashOne: co64 chunk table == stco (the >4GiB offset width); crafted stsz count nulls") {
+    import graft.llm.Multimodal
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    val viaStco = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4)))
+    val viaCo64 = Multimodal.videoHashOne(
+      Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4), useCo64 = true))
+    assert(viaCo64 != null && viaCo64 == viaStco)
+    // Crafted compact-form stsz: patch the sample count to ~2^31-ish.
+    // The hash must NULL (count exceeds the file's byte count) instead of
+    // attempting a multi-GB allocation on garbage input.
+    val f = Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4))
+    var crafted: Array[Byte] = null
+    var i = 0
+    while (i + 8 <= f.length && crafted == null) {
+      if (new String(f, i, 4, "US-ASCII") == "stsz") {
+        val c = f.clone()
+        // stsz payload: ver/flags(4), sample_size(4), sample_count(4)
+        java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+          .putInt(i + 4 + 4, 0x10) // force the compact form (uniform 16)
+        java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+          .putInt(i + 4 + 8, Int.MaxValue)
+        crafted = c
+      }
+      i += 1
+    }
+    assert(crafted != null, "stsz box not found in the stub")
+    assert(Multimodal.videoHashOne(crafted) == null)
+  }
+
   // ------------------------------------------ decontaminate fast path
 
   test("decontaminate == contaminationReport-derived keep set (both minHits legs, nulls kept)") {
