@@ -137,13 +137,14 @@ object Decontamination {
     require(!eval.isStreaming, "eval corpus must be a static frame")
     val grams = Dedup.shingleSets(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("gram")).distinct()
-    if (grams.count() <= maxFusedGrams) {
-      val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
-      val toks = split(trim(lower(col(textCol))), "\\s+")
-      val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
-      val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)
-      train.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
-    } else decontaminate(train, eval, idCol, textCol, n)
+    if (grams.count() <= maxFusedGrams)
+      // Delegate to the streaming guard's kernel path (it works
+      // identically on batch frames) rather than re-spell it — one
+      // tokenization/probe construction to maintain, not two. The count
+      // inside recomputes over the benchmark-sized eval frame (cheap) and
+      // its cap requirement is satisfied by the gate above.
+      streamDecontaminate(train, eval, idCol, textCol, n, maxFusedGrams)
+    else decontaminate(train, eval, idCol, textCol, n)
   }
 
   /** Streaming decontamination: drop in-flight documents sharing an

@@ -1469,13 +1469,15 @@ object Multimodal {
                     case ("stsz", p, e) if e - p >= 12 =>
                       val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
                       val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
-                      // Compact-form bound: a genuine file cannot hold more
-                      // nonzero-size samples than it has bytes, so a crafted
-                      // count (stsz claiming 2^31 samples in a 1 KB header)
-                      // must fall out HERE — allocating cnt longs first
-                      // would be a heap crash on garbage input, breaking
-                      // the null-never-throw contract.
-                      if (uniform != 0L && cnt <= bytes.length.toLong)
+                      // Compact-form bound: every in-bounds sample needs
+                      // `uniform` bytes of file, so cnt ≤ len/uniform is a
+                      // necessary condition — checked BEFORE the array
+                      // allocation, else a crafted count (2^31 samples in a
+                      // 1 KB header, or len/4096 samples of size 4096 in a
+                      // 512 MB file) forces a multi-GB allocation whose
+                      // OutOfMemoryError is not NonFatal and kills the task
+                      // instead of nulling the hash.
+                      if (uniform != 0L && cnt <= bytes.length.toLong / uniform)
                         tSizes = Array.fill(cnt.toInt)(uniform)
                       else if (uniform == 0L && cnt <= (e - p - 12L) / 4L) {
                         tSizes = new Array[Long](cnt.toInt)
@@ -1558,8 +1560,13 @@ object Multimodal {
       if (si != n) return null // chunk map does not cover the sample count
       var k = 0
       while (k < n) {
+        // Overflow-safe form: `sampleOff + size > len` wraps negative for
+        // a crafted co64 offset near Long.MaxValue and would PASS, sending
+        // hashUnsafeBytes into a wild native read (SIGSEGV, not an
+        // exception). sizes(k) ≤ Int.MaxValue is established first, so the
+        // subtraction below cannot itself overflow.
         if (sampleOff(k) < 0 || sizes(k) > Int.MaxValue ||
-            sampleOff(k) + sizes(k) > bytes.length) return null
+            sampleOff(k) > bytes.length.toLong - sizes(k)) return null
         k += 1
       }
       var bits = 0L

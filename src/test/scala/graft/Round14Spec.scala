@@ -405,6 +405,30 @@ class Round14Spec extends AnyFunSuite {
     }
     assert(crafted != null, "stsz box not found in the stub")
     assert(Multimodal.videoHashOne(crafted) == null)
+    // Allocation-amplification form: uniform 4096 with cnt = file length
+    // passes a naive cnt<=len bound but needs len/4096 to be sound.
+    val c2 = f.clone()
+    java.nio.ByteBuffer.wrap(c2).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(i - 1 + 8, 4096).putInt(i - 1 + 12, f.length)
+    assert(Multimodal.videoHashOne(c2) == null)
+    // Crafted co64 offset near Long.MaxValue: the naive bounds check
+    // `off + size > len` wraps negative and would pass, handing
+    // hashUnsafeBytes a wild native address — must null, not read.
+    val g = Multimodal.encodeMp4Media(5L, sizes, Seq.fill(6)(4), useCo64 = true)
+    var j = 0
+    var patched: Array[Byte] = null
+    while (j + 8 <= g.length && patched == null) {
+      if (new String(g, j, 4, "US-ASCII") == "co64") {
+        val c = g.clone()
+        // co64 payload: ver/flags(4), count(4), then 8-byte offsets.
+        java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+          .putLong(j + 4 + 8, Long.MaxValue - 7L)
+        patched = c
+      }
+      j += 1
+    }
+    assert(patched != null, "co64 box not found")
+    assert(Multimodal.videoHashOne(patched) == null)
   }
 
   // ------------------------------------------ decontaminate fast path
