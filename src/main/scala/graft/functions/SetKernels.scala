@@ -122,10 +122,11 @@ object SetKernels {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("longSet", set,
         "graft.functions.SetKernels.LongSortedSet")
+      val r = ctx.freshName("setRes")
       nullSafeCodeGen(ctx, ev, arr => s"""
-        Object r = $ref.containsAny($arr);
-        ${ev.isNull} = (r == null);
-        if (!${ev.isNull}) ${ev.value} = ((Boolean) r).booleanValue();""")
+        Object $r = $ref.containsAny($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Boolean) $r).booleanValue();""")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -140,10 +141,11 @@ object SetKernels {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("longSet", set,
         "graft.functions.SetKernels.LongSortedSet")
+      val r = ctx.freshName("setRes")
       nullSafeCodeGen(ctx, ev, arr => s"""
-        Object r = $ref.countIn($arr);
-        ${ev.isNull} = (r == null);
-        if (!${ev.isNull}) ${ev.value} = ((Long) r).longValue();""")
+        Object $r = $ref.countIn($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Long) $r).longValue();""")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -326,10 +328,11 @@ object SetKernels {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("bloomSet", set,
         "graft.functions.SetKernels.LongBloomSet")
+      val r = ctx.freshName("setRes")
       nullSafeCodeGen(ctx, ev, arr => s"""
-        Object r = $ref.containsAny($arr);
-        ${ev.isNull} = (r == null);
-        if (!${ev.isNull}) ${ev.value} = ((Boolean) r).booleanValue();""")
+        Object $r = $ref.containsAny($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Boolean) $r).booleanValue();""")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -342,4 +345,181 @@ object SetKernels {
     * the bloom without ever holding the key array (streamed builds). */
   def anyInBloomSet(arr: Column, set: LongBloomSet): Column =
     GraftSql.column(ArrayAnyInBloom(GraftSql.expression(arr), set))
+
+  // ------------------------------------------------- broadcast twins (r15)
+
+  /** Payload size at/above which the `*Auto` builders switch from
+    * embedding the set in the expression tree to a TorrentBroadcast
+    * handle. An embedded set rides `addReferenceObj`, i.e. EVERY stage's
+    * (and every streaming micro-batch's) serialized task binary re-ships
+    * it — ~400 MB per stage at the documented 50M-gram decontamination
+    * cap, the exact defect class the MihIndex broadcast twins closed in
+    * r14. A broadcast serializes once and is fetched+cached once per
+    * executor for its lifetime. Below the threshold the embedded form
+    * wins: no broadcast bookkeeping, and task binaries are small anyway
+    * (kernel benches live at 10^3..10^6 elements). 8 MB = 1M longs. */
+  val BroadcastThresholdBytes: Long = 8L << 20
+
+  type SetBc = org.apache.spark.broadcast.Broadcast[LongSortedSet]
+  type BloomBc = org.apache.spark.broadcast.Broadcast[LongBloomSet]
+
+  /** Broadcast-backed twin of [[ArrayAnyInSet]]: the task binary carries
+    * only the broadcast handle; the deserialized set binds to a
+    * per-partition mutable slot at codegen init (one `value()` call per
+    * task, not per row — the [[graft.functions.HammingIndexKernel]]
+    * pattern). */
+  case class ArrayAnyInSetBc(child: Expression, bc: SetBc)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_any_in_set_bc"
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${other.simpleString}")
+    }
+    @transient private lazy val set = bc.value
+    override def nullSafeEval(input: Any): Any =
+      set.containsAny(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = "graft.functions.SetKernels.LongSortedSet"
+      val bcRef = ctx.addReferenceObj("setBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val term = ctx.addMutableState(cls, "longSet",
+        v => s"$v = ($cls) $bcRef.value();")
+      val r = ctx.freshName("setRes")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        Object $r = $term.containsAny($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Boolean) $r).booleanValue();""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Broadcast-backed twin of [[ArrayCountInSet]]. */
+  case class ArrayCountInSetBc(child: Expression, bc: SetBc)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_count_in_set_bc"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${other.simpleString}")
+    }
+    @transient private lazy val set = bc.value
+    override def nullSafeEval(input: Any): Any =
+      set.countIn(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = "graft.functions.SetKernels.LongSortedSet"
+      val bcRef = ctx.addReferenceObj("setBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val term = ctx.addMutableState(cls, "longSet",
+        v => s"$v = ($cls) $bcRef.value();")
+      val r = ctx.freshName("setRes")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        Object $r = $term.countIn($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Long) $r).longValue();""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Broadcast-backed twin of [[StripLinesInSet]]. */
+  case class StripLinesInSetBc(child: Expression, bc: SetBc)
+      extends UnaryExpression {
+    import org.apache.spark.unsafe.types.UTF8String
+    override def prettyName: String = "graft_strip_lines_in_set_bc"
+    override def nullable: Boolean = child.nullable
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.simpleString}")
+    }
+    @transient private lazy val set = bc.value
+    override def nullSafeEval(input: Any): Any =
+      set.stripLines(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = "graft.functions.SetKernels.LongSortedSet"
+      val bcRef = ctx.addReferenceObj("stripBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val term = ctx.addMutableState(cls, "stripSet",
+        v => s"$v = ($cls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $term.stripLines($t);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Broadcast-backed twin of [[ArrayAnyInBloom]]. */
+  case class ArrayAnyInBloomBc(child: Expression, bc: BloomBc)
+      extends UnaryExpression {
+    override def prettyName: String = "graft_any_in_bloom_bc"
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${other.simpleString}")
+    }
+    @transient private lazy val set = bc.value
+    override def nullSafeEval(input: Any): Any =
+      set.containsAny(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cls = "graft.functions.SetKernels.LongBloomSet"
+      val bcRef = ctx.addReferenceObj("bloomBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val term = ctx.addMutableState(cls, "bloomSet",
+        v => s"$v = ($cls) $bcRef.value();")
+      val r = ctx.freshName("setRes")
+      nullSafeCodeGen(ctx, ev, arr => s"""
+        Object $r = $term.containsAny($arr);
+        ${ev.isNull} = ($r == null);
+        if (!${ev.isNull}) ${ev.value} = ((Boolean) $r).booleanValue();""")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  import org.apache.spark.sql.SparkSession
+
+  def broadcastSet(spark: SparkSession, values: Array[Long]): SetBc =
+    spark.sparkContext.broadcast(new LongSortedSet(values.clone().sorted))
+
+  def anyInSetBc(arr: Column, bc: SetBc): Column =
+    GraftSql.column(ArrayAnyInSetBc(GraftSql.expression(arr), bc))
+
+  def countInSetBc(arr: Column, bc: SetBc): Column =
+    GraftSql.column(ArrayCountInSetBc(GraftSql.expression(arr), bc))
+
+  def stripLinesInBc(text: Column, bc: SetBc): Column =
+    GraftSql.column(StripLinesInSetBc(GraftSql.expression(text), bc))
+
+  def anyInBloomBc(arr: Column, bc: BloomBc): Column =
+    GraftSql.column(ArrayAnyInBloomBc(GraftSql.expression(arr), bc))
+
+  private def bigSet(values: Array[Long]): Boolean =
+    values.length.toLong * 8L >= BroadcastThresholdBytes
+
+  /** [[anyInSet]] that broadcasts the set past [[BroadcastThresholdBytes]]
+    * (row-identical either way — the probe body is the same
+    * [[LongSortedSet]] method). Prefer these Auto forms at every call
+    * site whose set size is data-dependent. */
+  def anyInSetAuto(spark: SparkSession, arr: Column, values: Array[Long]): Column =
+    if (bigSet(values)) anyInSetBc(arr, broadcastSet(spark, values))
+    else anyInSet(arr, values)
+
+  def countInSetAuto(spark: SparkSession, arr: Column, values: Array[Long]): Column =
+    if (bigSet(values)) countInSetBc(arr, broadcastSet(spark, values))
+    else countInSet(arr, values)
+
+  def stripLinesInAuto(spark: SparkSession, text: Column, lineHashes: Array[Long]): Column =
+    if (bigSet(lineHashes)) stripLinesInBc(text, broadcastSet(spark, lineHashes))
+    else stripLinesIn(text, lineHashes)
+
+  /** [[anyInBloomSet]] that broadcasts the prebuilt filter past
+    * [[BroadcastThresholdBytes]] of bit-array payload. */
+  def anyInBloomSetAuto(spark: SparkSession, arr: Column, set: LongBloomSet): Column =
+    if (set.words.length.toLong * 8L >= BroadcastThresholdBytes)
+      anyInBloomBc(arr, spark.sparkContext.broadcast(set))
+    else anyInBloomSet(arr, set)
 }

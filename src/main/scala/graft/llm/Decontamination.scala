@@ -135,16 +135,31 @@ object Decontamination {
       maxFusedGrams: Long = 50000000L): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
     require(!eval.isStreaming, "eval corpus must be a static frame")
+    // ONE Spark job decides the plan AND feeds the fused path: collect at
+    // most cap+1 grams — overflow means "too big, fall back to the join
+    // plan" without a separate count job (the old delegate-to-
+    // streamDecontaminate shape ran the eval shingle/distinct pipeline
+    // twice per call — r14 ADVICE). The limit bounds driver memory to the
+    // cap regardless of the true gram count.
+    val cap = math.min(maxFusedGrams, Int.MaxValue.toLong - 8L).toInt
     val grams = Dedup.shingleSets(eval, idCol, textCol, n)
       .select(explode(col("sh")).as("gram")).distinct()
-    if (grams.count() <= maxFusedGrams)
-      // Delegate to the streaming guard's kernel path (it works
-      // identically on batch frames) rather than re-spell it — one
-      // tokenization/probe construction to maintain, not two. The count
-      // inside recomputes over the benchmark-sized eval frame (cheap) and
-      // its cap requirement is satisfied by the gate above.
-      streamDecontaminate(train, eval, idCol, textCol, n, maxFusedGrams)
+      .limit(cap + 1).collect().map(_.getLong(0))
+    if (grams.length <= cap) applyGramGuard(train, grams, textCol, n)
     else decontaminate(train, eval, idCol, textCol, n)
+  }
+
+  /** The fused keep side shared by [[decontaminateAuto]] and
+    * [[streamDecontaminate]]: drop rows sharing any gram with the
+    * driver-known eval set — a pure projection+filter over the fused
+    * shingle sketch (minHits = 1 semantics; null-text rows kept). */
+  private def applyGramGuard(df: DataFrame, evalGrams: Array[Long],
+      textCol: String, n: Int): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
+    val contaminated = graft.functions.SetKernels.anyInSetAuto(
+      df.sparkSession, sh, evalGrams)
+    df.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
   }
 
   /** Streaming decontamination: drop in-flight documents sharing an
@@ -183,10 +198,7 @@ object Decontamination {
         "maxEvalGrams, or use the join-based batch path " +
         "Decontamination.decontaminate, which never collects grams.")
     val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
-    val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
-    val contaminated = graft.functions.SetKernels.anyInSet(sh, evalGrams)
-    stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
+    applyGramGuard(stream, evalGrams, textCol, n)
   }
 
   /** [[streamDecontaminate]] with a BLOOM-FILTER gram set: `bitsPerKey`
@@ -214,7 +226,9 @@ object Decontamination {
     val evalGrams: Array[Long] = grams.collect().map(_.getLong(0))
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sh = graft.functions.ShingleSketch.sketch(toks, n, 0).getField("sh")
-    val contaminated = graft.functions.SetKernels.anyInBloom(sh, evalGrams, bitsPerKey)
+    val contaminated = graft.functions.SetKernels.anyInBloomSetAuto(
+      stream.sparkSession, sh,
+      graft.functions.SetKernels.LongBloomSet.build(evalGrams, bitsPerKey))
     stream.where(col(textCol).isNull || !coalesce(contaminated, lit(false)))
   }
 

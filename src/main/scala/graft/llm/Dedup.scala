@@ -847,7 +847,9 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")
-    val hits = graft.functions.SetKernels.countInSet(
+    // Auto form (r15): a corpus-scale band index past the 8 MB threshold
+    // rides a broadcast handle instead of every micro-batch's task binary.
+    val hits = graft.functions.SetKernels.countInSetAuto(stream.sparkSession,
       lshBandKeys(sig, bands, rowsPerBand), bandIndex)
     stream
       .withColumn("nd_bands_hit", coalesce(hits, lit(0L)))
@@ -899,7 +901,9 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sig = graft.functions.ShingleSketch.sketch(toks, shingleWidth, numHashes)
       .getField("sig")
-    val hit = graft.functions.SetKernels.anyInBloomSet(
+    // Auto form (r15): a guard bloom is ~750 MB at its 300M-key ceiling —
+    // broadcast past the threshold rather than re-shipped per micro-batch.
+    val hit = graft.functions.SetKernels.anyInBloomSetAuto(stream.sparkSession,
       lshBandKeys(sig, bands, rowsPerBand), bloom)
     stream.withColumn("nd_candidate", coalesce(hit, lit(false)))
   }
@@ -1284,7 +1288,8 @@ object Dedup {
   def stripFrequentLinesWith(df: DataFrame, textCol: String,
       lineHashes: Array[Long]): DataFrame =
     df.withColumn(textCol,
-      graft.functions.SetKernels.stripLinesIn(col(textCol), lineHashes))
+      graft.functions.SetKernels.stripLinesInAuto(df.sparkSession,
+        col(textCol), lineHashes))
 
   // -------------------------------------------------- embedding near-dup
 

@@ -1407,16 +1407,18 @@ object Multimodal {
     * (that upgrade slots a codec behind [[videoHashOne]]'s same
     * signature). Bytes that are not an MP4 with a complete, in-bounds
     * sample table hash to null. */
-  def videoHashes(df: DataFrame, binCol: String, batchSize: Int = 64,
+  def videoHashes(df: DataFrame, binCol: String,
       outCol: String = "vhash"): DataFrame = {
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
     val binIdx = df.schema.fieldIndex(binCol)
+    // No batch knob, unlike the image/audio codecs: those amortize a
+    // per-batch scratch decoder, but the MP4 walk is a pure in-place byte
+    // scan with nothing to reuse across rows (a grouped() here would be a
+    // no-op dressed as amortization — r14 ADVICE).
     val rdd = df.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { row =>
-          val bytes = row.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(row.toSeq :+ videoHashOne(bytes))
-        }
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq :+ videoHashOne(bytes))
       }
     }
     df.sparkSession.createDataFrame(rdd, outSchema)
@@ -1429,6 +1431,14 @@ object Multimodal {
     * 16 sample indices floor(k·n/16) are hashed (XXH64 over the coded
     * payload bytes, seed 0x5EED); sample k's top nibble lands at bits
     * [4k, 4k+4). Deterministic across JVMs — pure byte arithmetic. */
+  /** Absolute sample/chunk-count ceiling for [[videoHashOne]]'s table
+    * allocations (2^24 ≈ 16.7M — ~155 hours at 30 fps). The per-branch
+    * length bounds already tie counts to bytes PRESENT, but the compact
+    * stsz form at uniform=1 still admits cnt ≈ file length (~16× Long-array
+    * amplification on a crafted file — r14 ADVICE); this cap closes that
+    * residue for every branch at once. */
+  private val MaxSamples: Long = 1L << 24
+
   private[graft] def videoHashOne(bytes: Array[Byte]): java.lang.Long = {
     if (bytes == null || bytes.length < 16) return null
     try {
@@ -1476,8 +1486,14 @@ object Multimodal {
                       // 1 KB header, or len/4096 samples of size 4096 in a
                       // 512 MB file) forces a multi-GB allocation whose
                       // OutOfMemoryError is not NonFatal and kills the task
-                      // instead of nulling the hash.
-                      if (uniform != 0L && cnt <= bytes.length.toLong / uniform)
+                      // instead of nulling the hash. The len/uniform bound
+                      // alone still leaks at uniform=1 (cnt ≈ len ⇒ ~16·len
+                      // of Long arrays — r14 ADVICE), so MaxSamples caps the
+                      // count ABSOLUTELY on every table branch: 2^24 frames
+                      // is ~155 h at 30 fps, far above any real clip, and
+                      // bounds the per-task scratch at ~256 MB worst-case.
+                      if (cnt > MaxSamples) ()
+                      else if (uniform != 0L && cnt <= bytes.length.toLong / uniform)
                         tSizes = Array.fill(cnt.toInt)(uniform)
                       else if (uniform == 0L && cnt <= (e - p - 12L) / 4L) {
                         tSizes = new Array[Long](cnt.toInt)
@@ -1489,7 +1505,7 @@ object Multimodal {
                       }
                     case ("stco", p, e) if e - p >= 8 =>
                       val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
-                      if (cnt <= (e - p - 8L) / 4L) {
+                      if (cnt <= MaxSamples && cnt <= (e - p - 8L) / 4L) {
                         tOffs = new Array[Long](cnt.toInt)
                         var j = 0
                         while (j < cnt.toInt) {
@@ -1499,7 +1515,7 @@ object Multimodal {
                       }
                     case ("co64", p, e) if e - p >= 8 =>
                       val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
-                      if (cnt <= (e - p - 8L) / 8L) {
+                      if (cnt <= MaxSamples && cnt <= (e - p - 8L) / 8L) {
                         tOffs = new Array[Long](cnt.toInt)
                         var j = 0
                         while (j < cnt.toInt) {
@@ -1509,7 +1525,7 @@ object Multimodal {
                       }
                     case ("stsc", p, e) if e - p >= 8 =>
                       val cnt = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
-                      if (cnt <= (e - p - 8L) / 12L) {
+                      if (cnt <= MaxSamples && cnt <= (e - p - 8L) / 12L) {
                         tRuns = new Array[(Long, Long)](cnt.toInt)
                         var j = 0
                         while (j < cnt.toInt) {
@@ -1606,6 +1622,13 @@ object Multimodal {
       useCo64: Boolean = false): Array[Byte] = {
     require(frameSizes.nonEmpty && frameSizes.forall(s => s >= 0 && s <= 65536),
       s"frameSizes must be non-empty, each in [0, 65536]")
+    // Total, not just per-frame: a long frame list would otherwise wrap the
+    // mdat length Int silently (NegativeArraySizeException instead of a
+    // named failure — r14 ADVICE). 1 MB of header slack is far above the
+    // assembled moov's real size.
+    require(frameSizes.map(_.toLong).sum <= Int.MaxValue.toLong - (1 << 20),
+      s"total media payload ${frameSizes.map(_.toLong).sum} bytes exceeds a " +
+        "single-array MP4 (Int.MaxValue minus header slack)")
     require(chunkSamples.nonEmpty && chunkSamples.forall(_ >= 1) &&
       chunkSamples.sum == frameSizes.length,
       s"chunkSamples ${chunkSamples} must partition ${frameSizes.length} samples")

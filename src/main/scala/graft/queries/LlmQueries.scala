@@ -239,7 +239,7 @@ object LlmQueries {
           (id, bytes)
         }.toDF("doc_id", "payload")
       Dedup.nearDupHamming64(
-        Multimodal.videoHashes(media, "payload", batchSize = 32),
+        Multimodal.videoHashes(media, "payload"),
         "doc_id", "vhash", maxDistance = 4, pieces = 8)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
@@ -2325,20 +2325,30 @@ object LlmQueries {
         .orderBy("ord")
     }),
 
-    // Interleaved multimodal curation (r14): one corpus where each doc
-    // carries text AND an image array — text stages decide document
-    // survival (French dies at langid, punctuation spam at quality,
-    // taking their image slots along), then the image stages run over
-    // the exploded slots with corpus-wide keep-lowest-(doc, slot) dedup,
-    // and per-doc arrays reassemble in slot order. Plant: 200 docs;
-    // even docs carry 3 slots, odd 2; slot 0 = the doc's own block
-    // texture, slot 1 = byte-exact copy (garbage bytes on every 3rd doc
-    // instead), slot 2 (even docs) = 48×48 resize of slot 0. Every
-    // stage's (docs_out, images_out) replays from the id arithmetic:
-    // garbage dies at decode, the byte copy at exact dedup, the resize
-    // at perceptual near-dup — leaving exactly one image per surviving
-    // doc. Pinned booleans: every reassembled doc has exactly one image
-    // and every image re-decodes at the 32×32 training shape.
+    // Interleaved multimodal curation (r14, full text chain r15): one
+    // corpus where each doc carries text AND an image array — text
+    // stages decide document survival (French dies at langid,
+    // punctuation spam at quality, text byte-copies at exact dedup,
+    // +1-token near-copies at minhash near-dup, eval-overlapping docs at
+    // decontamination — each taking its image slots along), then the
+    // image stages run over the exploded slots with corpus-wide
+    // keep-lowest-(doc, slot) dedup, and per-doc arrays reassemble in
+    // slot order. Plant: 200 docs; even docs carry 3 slots, odd 2;
+    // slot 0 = the doc's own block texture, slot 1 = byte-exact copy
+    // (garbage bytes on every 3rd doc instead), slot 2 (even docs) =
+    // 48×48 resize of slot 0. Text copies (r15): id ≡ 2 mod 35 carries a
+    // byte-identical copy of doc id-1's body (dies at exact_dedup —
+    // keep-lowest-id keeps the base); id ≡ 4 mod 35 carries doc id-1's
+    // body plus one appended token (19 of 20 shingles shared, J = 0.95 ≥
+    // 0.8 — dies at near_dedup); both residues are never ≡ 0 mod 5/7, so
+    // base and copy always reach the dedup stages. Docs 41 and 76 share
+    // their first 13-token window with the planted eval corpus and die
+    // at decontaminate. Every stage's (docs_out, images_out) replays
+    // from the id arithmetic: image garbage dies at decode, the byte
+    // copy at exact dedup, the resize at perceptual near-dup — leaving
+    // exactly one image per surviving doc. Pinned booleans: every
+    // reassembled doc has exactly one image and every image re-decodes
+    // at the 32×32 training shape.
     "q_pipeline_interleaved" -> ((s, d) => {
       import s.implicits._
       val base = s.range(0, 200).select(col("id")).as[Long].map { id =>
@@ -2350,21 +2360,34 @@ object LlmQueries {
           else Seq(orig, slot1)
         (id, slots)
       }.toDF("doc_id", "images")
-      val i = col("doc_id").cast("string")
-      val body = when(pmod(col("doc_id"), lit(5)) === 0,
+      // Copy families: ≡2/≡4 mod 35 docs take doc id-1's body tokens.
+      val isCopy = pmod(col("doc_id"), lit(35)).isin(2, 4)
+      val fam = when(isCopy, col("doc_id") - 1)
+        .otherwise(col("doc_id")).cast("string")
+      val body0 = when(pmod(col("doc_id"), lit(5)) === 0,
           concat(lit("le chat et le chien sont dans la maison avec " +
-            "les amis et la famille w"), i))
+            "les amis et la famille w"), col("doc_id").cast("string")))
         .when(pmod(col("doc_id"), lit(7)) === 0,
           lit("the it was " + Seq("!", "?", "@", "#", "$", "%", "^")
             .map(c => c * 20).mkString(" ")))
-        .otherwise(concat(lit("w"), i,
-          lit("a the quick brown fox jumps over the lazy dog w"), i,
-          lit("b it was good that it is here and now w"), i, lit("c")))
+        .otherwise(concat(lit("w"), fam,
+          lit("a the quick brown fox jumps over the lazy dog w"), fam,
+          lit("b it was good that it is here and now w"), fam, lit("c")))
+      val body = when(pmod(col("doc_id"), lit(35)) === 4,
+        concat(body0, lit(" extra"))).otherwise(body0)
       val corpus = base.withColumn("text", concat(lit("<p>"), body,
         lit("</p><script>var x = 1;</script>")))
+      // Eval corpus: each row is EXACTLY the first 13-token window of its
+      // target doc (n = 13 decontamination default), so precisely docs 41
+      // and 76 are contaminated.
+      val evalCorpus = Seq(41L, 76L).toDF("doc_id").withColumn("text",
+        concat(lit("w"), col("doc_id").cast("string"),
+          lit("a the quick brown fox jumps over the lazy dog w"),
+          col("doc_id").cast("string"), lit("b it was")))
       val r = graft.llm.Pipeline.curateInterleaved(corpus, "doc_id", "text",
         "images", graft.llm.Pipeline.InterleavedConfig(
-          image = graft.llm.Pipeline.ImageConfig(targetW = 32, targetH = 32)))
+          image = graft.llm.Pipeline.ImageConfig(targetW = 32, targetH = 32)),
+        evalDocs = Some(evalCorpus))
       val dec = Multimodal.decodeImages(
         r.docs.select(explode(col("images")).as("img")), "img")
       val resizedOk = dec.agg(all(
@@ -4033,7 +4056,9 @@ object LlmQueries {
         |ORDER BY ord""".stripMargin,
 
     // GENUINE arithmetic replay of the interleaved plant: text-stage doc
-    // survival (mod-5 French at langid, mod-7 spam at quality) times the
+    // survival (mod-5 French at langid, mod-7 spam at quality, ≡2-mod-35
+    // byte-copies at exact dedup, ≡4-mod-35 +1-token near-copies at
+    // minhash near-dup, docs 41/76 at decontamination — r15) times the
     // per-slot image fates (mod-3 garbage at decode, byte copy at exact,
     // even-doc resize at near-dup) — every stage's docs_out/images_out
     // derives from the id arithmetic; the shape facts are pinned booleans.
@@ -4044,7 +4069,12 @@ object LlmQueries {
         |  CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS ev,
         |  CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS garb,
         |  NOT (id % 5 = 0) AS k_lang,
-        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0 AND id % 5 <> 0) AS k_q
+        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0) AS k_q,
+        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0) AND NOT (id % 35 = 2) AS k_ex,
+        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0) AND NOT (id % 35 = 2)
+        |    AND NOT (id % 35 = 4) AS k_nr,
+        |  NOT (id % 5 = 0) AND NOT (id % 7 = 0) AND NOT (id % 35 = 2)
+        |    AND NOT (id % 35 = 4) AND id NOT IN (41, 76) AS k_dc
         |  FROM v)
         |SELECT CAST(0 AS INT) AS ord, 'input' AS stage,
         |    count(*) AS docs_out, CAST(sum(slots) AS BIGINT) AS images_out,
@@ -4058,18 +4088,26 @@ object LlmQueries {
         |  TRUE, TRUE FROM k WHERE k_lang
         |UNION ALL SELECT 4, 'quality_filter', count(*), CAST(sum(slots) AS BIGINT),
         |  TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 5, 'img_explode', count(*), CAST(sum(slots) AS BIGINT),
+        |UNION ALL SELECT 5, 'line_dedup', count(*), CAST(sum(slots) AS BIGINT),
         |  TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 6, 'img_decode', count(*),
-        |  CAST(sum(slots - garb) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 7, 'img_exact_dedup', count(*),
-        |  CAST(sum(slots - 1) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 8, 'img_near_dedup', count(*),
-        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 9, 'img_resize', count(*),
-        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_q
-        |UNION ALL SELECT 10, 'reassemble', count(*), count(*),
-        |  TRUE, TRUE FROM k WHERE k_q
+        |UNION ALL SELECT 6, 'exact_dedup', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_ex
+        |UNION ALL SELECT 7, 'near_dedup', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_nr
+        |UNION ALL SELECT 8, 'decontaminate', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 9, 'img_explode', count(*), CAST(sum(slots) AS BIGINT),
+        |  TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 10, 'img_decode', count(*),
+        |  CAST(sum(slots - garb) AS BIGINT), TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 11, 'img_exact_dedup', count(*),
+        |  CAST(sum(slots - 1) AS BIGINT), TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 12, 'img_near_dedup', count(*),
+        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 13, 'img_resize', count(*),
+        |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_dc
+        |UNION ALL SELECT 14, 'reassemble', count(*), count(*),
+        |  TRUE, TRUE FROM k WHERE k_dc
         |ORDER BY ord""".stripMargin,
 
     // Complete BM25 replay over base ∪ batch: same word rule, same

@@ -32,7 +32,7 @@ object DriveVideoDedup {
         }
         (id, bytes)
       }.toDF("doc_id", "payload")
-    val hashed = Multimodal.videoHashes(media, "payload", batchSize = 32)
+    val hashed = Multimodal.videoHashes(media, "payload")
     val nNull = hashed.where(col("vhash").isNull).count()
     println(s"CHECK video_null_hashes=$nNull (expect 13: garbage slot of every 3rd family)")
     val pairs = Dedup.nearDupHamming64(hashed, "doc_id", "vhash",

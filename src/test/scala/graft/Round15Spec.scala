@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 additions: broadcast twins for the fused set guards, the
+  * interleaved pipeline's text-dedup chain + numeric-id contract, and the
+  * video-fingerprint allocation caps. */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------- set-guard broadcast twins
+
+  test("SetKernels broadcast twins: probe-identical to the embedded forms, handle-only tree") {
+    import graft.functions.SetKernels
+    val members = Array(3L, 17L, 99L, -5L, 1234567L)
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("arr", array(
+        pmod(xxhash64(col("id")), lit(200)).cast("long"),
+        col("id") % 7,
+        when(col("id") % 13 === 0, lit(null).cast("long")).otherwise(lit(98L))))
+    val bc = SetKernels.broadcastSet(spark, members)
+    try {
+      val both = df.select(
+        SetKernels.anyInSet(col("arr"), members).as("any_e"),
+        SetKernels.anyInSetBc(col("arr"), bc).as("any_b"),
+        SetKernels.countInSet(col("arr"), members).as("cnt_e"),
+        SetKernels.countInSetBc(col("arr"), bc).as("cnt_b")).collect()
+      both.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getBoolean(0) == r.getBoolean(1)), s"anyInSet: $r")
+        assert(r.isNullAt(2) == r.isNullAt(3) &&
+          (r.isNullAt(2) || r.getLong(2) == r.getLong(3)), s"countInSet: $r")
+      }
+      // Sanity on content: the set must actually hit sometimes.
+      assert(both.exists(r => !r.isNullAt(0) && r.getBoolean(0)))
+      assert(both.exists(r => !r.isNullAt(0) && !r.getBoolean(0)))
+      // The Bc expression tree carries ONLY the broadcast handle — the
+      // point of the twin: no LongSortedSet rides the task binary.
+      val expr = org.apache.spark.sql.graftshim.GraftSql.expression(
+        SetKernels.anyInSetBc(col("arr"), bc))
+      assert(!expr.asInstanceOf[Product].productIterator
+        .exists(_.isInstanceOf[SetKernels.LongSortedSet]))
+      assert(expr.asInstanceOf[Product].productIterator
+        .exists(_.isInstanceOf[org.apache.spark.broadcast.Broadcast[_]]))
+    } finally bc.unpersist(blocking = false)
+  }
+
+  test("SetKernels stripLinesInBc + anyInBloomBc: identical to the embedded forms") {
+    import graft.functions.SetKernels
+    val texts = Seq("keep a\ndrop me\nkeep b", "drop me", "all kept\nlines here",
+      null, "", "drop me\ndrop me")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val lineHashes = Seq("drop me").toDF("l")
+      .select(xxhash64(col("l"))).collect().map(_.getLong(0))
+    val bcStrip = SetKernels.broadcastSet(spark, lineHashes)
+    val bloom = SetKernels.LongBloomSet.build(Array(3L, 17L, 99L), 20)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    try {
+      val rows = df.withColumn("arr", array(col("id") % 5, lit(99L))).select(
+        SetKernels.stripLinesIn(col("text"), lineHashes).as("s_e"),
+        SetKernels.stripLinesInBc(col("text"), bcStrip).as("s_b"),
+        SetKernels.anyInBloomSet(col("arr"), bloom).as("bl_e"),
+        SetKernels.anyInBloomBc(col("arr"), bcBloom).as("bl_b")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getString(0) == r.getString(1)), s"strip: $r")
+        assert(r.getBoolean(2) == r.getBoolean(3), s"bloom: $r")
+      }
+      assert(rows.exists(r => !r.isNullAt(0) && !r.getString(0).contains("drop me")))
+    } finally {
+      bcStrip.unpersist(blocking = false)
+      bcBloom.unpersist(blocking = false)
+    }
+  }
+
+  test("SetKernels Auto builders: embed small sets, broadcast past the byte threshold") {
+    import graft.functions.SetKernels
+    def tree(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.GraftSql.expression(c)
+        .asInstanceOf[Product].productIterator.toList
+    val small = Array(1L, 2L, 3L)
+    assert(tree(SetKernels.anyInSetAuto(spark, col("a"), small))
+      .exists(_.isInstanceOf[SetKernels.LongSortedSet]))
+    // 1M longs = exactly the 8 MB threshold: must take the broadcast arm.
+    val big = Array.tabulate((SetKernels.BroadcastThresholdBytes / 8L).toInt)(_.toLong)
+    val autoBig = SetKernels.countInSetAuto(spark, col("a"), big)
+    assert(tree(autoBig).exists(_.isInstanceOf[org.apache.spark.broadcast.Broadcast[_]]))
+    assert(!tree(autoBig).exists(_.isInstanceOf[SetKernels.LongSortedSet]))
+  }
+
+  // ------------------------------- interleaved pipeline: text-dedup chain
+
+  private def blockImg(id: Long): Array[Byte] =
+    graft.llm.Multimodal.encodeBlockImage(id)
+
+  test("curateInterleaved: byte-copies die at exact_dedup, +1-token near-copies at near_dedup, eval overlap at decontaminate — slots die with the doc") {
+    val baseText = "the quick brown fox jumps over the lazy dog " +
+      "it was good that it is here and now doc"
+    // 5 docs x 2 slots. Doc 1 = byte-copy of doc 0's text; doc 2 = doc 0's
+    // text + one token (19/20 shingles shared, J = 0.95); docs 3, 4 unique;
+    // doc 4 shares a 13-token window with the eval corpus.
+    val rows = Seq(
+      (0L, baseText + "0", Seq(blockImg(100), blockImg(101))),
+      (1L, baseText + "0", Seq(blockImg(102), blockImg(103))),
+      (2L, baseText + "0 extra", Seq(blockImg(104), blockImg(105))),
+      (3L, baseText + "3 three even more distinct words here now", Seq(blockImg(106), blockImg(107))),
+      (4L, "w4a unique opening line that only this document carries onward " +
+        baseText + "4", Seq(blockImg(108), blockImg(109))))
+    val docs = rows.toDF("doc_id", "text", "images")
+    val eval = Seq((900L,
+      "w4a unique opening line that only this document carries onward the quick brown"))
+      .toDF("doc_id", "text")
+    val r = graft.llm.Pipeline.curateInterleaved(docs, "doc_id", "text",
+      "images", evalDocs = Some(eval))
+    val survivors = r.docs.select("doc_id").as[Long].collect().sorted
+    assert(survivors === Array(0L, 3L), s"got ${survivors.toSeq}")
+    val stats = r.stats.collect()
+      .map(row => row.getString(1) -> (row.getLong(2), row.getLong(3))).toMap
+    assert(stats("quality_filter") === ((5L, 10L)))
+    assert(stats("line_dedup") === ((5L, 10L)))
+    assert(stats("exact_dedup") === ((4L, 8L)), "doc 1 (byte copy) dies here")
+    assert(stats("near_dedup") === ((3L, 6L)), "doc 2 (+1 token) dies here")
+    assert(stats("decontaminate") === ((2L, 4L)), "doc 4 (eval 13-gram) dies here")
+    assert(stats("reassemble")._1 === 2L)
+    // Stage order is the curate contract: dedup chain strictly between
+    // quality_filter and img_explode.
+    val order = r.stats.orderBy("ord").collect().map(_.getString(1)).toSeq
+    assert(order.indexOf("line_dedup") > order.indexOf("quality_filter"))
+    assert(order.indexOf("decontaminate") < order.indexOf("img_explode"))
+    assert(r.stats.columns.toSeq ===
+      Seq("ord", "stage", "docs_out", "images_out", "wall_sec", "capped_rows"))
+  }
+
+  test("curateInterleaved: numeric-string ids work; non-numeric ids fail fast with a named error") {
+    val img = Seq(blockImg(1L))
+    val ok = Seq(("0", "the quick brown fox jumps over the lazy dog now", Seq(blockImg(1L))),
+      ("1", "it was good that it is here and now again today", Seq(blockImg(2L))))
+      .toDF("doc_id", "text", "images")
+    val r = graft.llm.Pipeline.curateInterleaved(ok, "doc_id", "text", "images")
+    assert(r.docs.count() == 2L &&
+      r.docs.agg(min(col("n_images"))).collect()(0).getInt(0) == 1)
+    val bad = Seq(("doc-x", "the quick brown fox jumps over the lazy dog", img))
+      .toDF("doc_id", "text", "images")
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Pipeline.curateInterleaved(bad, "doc_id", "text", "images")
+    }
+    assert(e.getMessage.contains("numeric doc ids"), e.getMessage)
+    val withNull = Seq((java.lang.Long.valueOf(1L), "a b c d e f g h", img),
+      (null.asInstanceOf[java.lang.Long], "i j k l m n o p", img))
+      .toDF("doc_id", "text", "images")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Pipeline.curateInterleaved(withNull, "doc_id", "text", "images")
+    }
+    assert(e2.getMessage.contains("numeric doc ids"), e2.getMessage)
+  }
+
+  // --------------------------------------------- video allocation bounds
+
+  test("videoHashOne: compact stsz at uniform=1 with cnt ~ file length nulls (absolute sample cap)") {
+    import graft.llm.Multimodal
+    // A file big enough that cnt = len clears the len/uniform bound at
+    // uniform=1 AND exceeds MaxSamples (2^24): 320 frames x 65536 = ~21 MB.
+    val f = Multimodal.encodeMp4Media(5L, Seq.fill(320)(65536), Seq.fill(32)(10))
+    assert(f.length > (1 << 24))
+    assert(Multimodal.videoHashOne(f) != null)
+    var i = 0
+    var crafted: Array[Byte] = null
+    while (i + 8 <= f.length && crafted == null) {
+      if (new String(f, i, 4, "US-ASCII") == "stsz") {
+        val c = f.clone()
+        val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(i + 4 + 4, 1) // compact form, uniform = 1 byte
+        bb.putInt(i + 4 + 8, f.length) // cnt = file length: passes len/uniform
+        crafted = c
+      }
+      i += 1
+    }
+    assert(crafted != null, "stsz box not found")
+    assert(Multimodal.videoHashOne(crafted) == null)
+  }
+
+  test("encodeMp4Media: total payload past the mdat Int bound fails with a named require") {
+    import graft.llm.Multimodal
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.encodeMp4Media(1L, Seq.fill(40000)(65536), Seq(40000))
+    }
+    assert(e.getMessage.contains("total media payload"), e.getMessage)
+  }
+}
