@@ -121,4 +121,25 @@ object Dsir {
       alpha: Double = 1.0, seed: Long = 42L): DataFrame =
     gumbelTopK(scoreAgainst(raw, target, textCol, dim, ngrams, alpha),
       keyCols, "dsir_logw", n, seed)
+
+  /** [[resampleN]] with a SLIM top-k pass for corpus-scale frames (r15):
+    * `gumbelTopK`'s orderBy+limit compiles to TakeOrdered, which holds the
+    * n winners on the driver — n FULL documents (texts and all) in the
+    * direct form. Here the top-k runs over the `(keyCols, dsir_logw)`
+    * projection only (n ids × ~16 bytes on the driver) and the full rows
+    * come back through one semi-join on the keys, which AQE broadcasts at
+    * any realistic n. The log-ratio table fits ONCE (scoreAgainst builds
+    * it eagerly); the raw corpus is scanned twice (slim scoring pass +
+    * semi-join pass) — both pure projections, the price of never holding
+    * documents on the driver. Same winners as [[resampleN]]: identical
+    * weights, identical hash-Gumbel draws, identical tie-break. */
+  def resampleNSlim(raw: DataFrame, target: DataFrame, textCol: String,
+      keyCols: Seq[String], n: Int, dim: Int = 1 << 16, ngrams: Int = 2,
+      alpha: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val scored = scoreAgainst(raw, target, textCol, dim, ngrams, alpha)
+    val winners = gumbelTopK(
+      scored.select((keyCols.map(col) :+ col("dsir_logw")): _*),
+      keyCols, "dsir_logw", n, seed).select(keyCols.map(col): _*)
+    scored.join(winners, keyCols, "left_semi")
+  }
 }

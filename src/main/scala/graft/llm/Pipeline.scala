@@ -73,7 +73,24 @@ object Pipeline {
       maxBucket: Int = 1000,
       decontaminateNgram: Int = 13,
       budgetTokens: Long = 0L,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // Optional MODEL-based stages (r15), both between quality_filter and
+      // line_dedup — score cheap-to-drop rows before paying dedup's wide
+      // stages. `qualityModel`: a pretrained [[QualityClassifier.Model]];
+      // keep rule is `score >= qualityModelMin`, or the Pareto soft
+      // threshold (score > 1 - Pareto(alpha) exceedance — keeps a
+      // heavy-tailed trickle of low scorers for distributional coverage)
+      // when qualityModelPareto is set. `dsirTarget`: a target-domain
+      // corpus; the stage keeps `dsirN` documents Gumbel-top-k-selected
+      // with probability ∝ their DSIR importance weight against that
+      // target (the slim form — documents never ride the driver).
+      qualityModel: Option[QualityClassifier.Model] = None,
+      qualityModelMin: Double = 0.5,
+      qualityModelPareto: Boolean = false,
+      qualityParetoAlpha: Double = 9.0,
+      dsirTarget: Option[DataFrame] = None,
+      dsirN: Int = 0,
+      dsirNgrams: Int = 2)
 
   /** Curated corpus + the per-stage stats frame. */
   final case class Result(docs: DataFrame, stats: DataFrame)
@@ -122,6 +139,27 @@ object Pipeline {
     step("quality_filter")(df => df.where(
       TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality &&
         TextAnalysis.tokenCount(col(textCol)) >= cfg.minTokens))
+    // Model-based stages (r15) — optional, before the wide dedup stages so
+    // model-rejected rows never pay a shuffle. Both are zero-shuffle row
+    // scorers (hashed features / log-ratio table ride the closure once);
+    // DSIR's top-k is the slim id-projected form.
+    cfg.qualityModel.foreach { m =>
+      step("model_quality_filter") { df =>
+        val s = QualityClassifier.score(col(textCol), m)
+        if (cfg.qualityModelPareto)
+          df.where(QualityClassifier.paretoKeep(s, col(idCol),
+            cfg.qualityParetoAlpha, cfg.seed))
+        else df.where(s >= cfg.qualityModelMin)
+      }
+    }
+    cfg.dsirTarget.foreach { target =>
+      require(cfg.dsirN > 0,
+        s"dsirTarget is set but dsirN=${cfg.dsirN} — the DSIR stage needs a " +
+          "positive selection size")
+      step("dsir_resample")(df => Dsir.resampleNSlim(df, target, textCol,
+        Seq(idCol), cfg.dsirN, ngrams = cfg.dsirNgrams, seed = cfg.seed)
+        .drop("dsir_logw"))
+    }
     step("line_dedup")(df => df
       .withColumn(textCol, TextAnalysis.removeRepeatedLines(col(textCol)))
       .where(trim(col(textCol)) =!= ""))

@@ -88,14 +88,16 @@ object Retrieval {
       path: String, nBuckets: Int = 256): Bm25Index = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = docs.sparkSession
-    writeBucketSorted(tfRows(docs, idCol, textCol).withColumn("tb",
-      bucketOf(nBuckets)), s"$path/tf", overwrite = true)
-    val tfP = spark.read.parquet(s"$path/tf")
-    tfP.groupBy("doc_id").agg(max("dl").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/dl")
-    writeBucketSorted(tfP.groupBy("tb", "term").agg(count(lit(1)).as("df")),
-      s"$path/df", overwrite = true)
-    writeMeta(spark, path, nBuckets)
+    graft.io.WriterLock.withLock(spark, path, "buildAndWriteIndex") {
+      writeBucketSorted(tfRows(docs, idCol, textCol).withColumn("tb",
+        bucketOf(nBuckets)), s"$path/tf", overwrite = true)
+      val tfP = spark.read.parquet(s"$path/tf")
+      tfP.groupBy("doc_id").agg(max("dl").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/dl")
+      writeBucketSorted(tfP.groupBy("tb", "term").agg(count(lit(1)).as("df")),
+        s"$path/df", overwrite = true)
+      writeMeta(spark, path, nBuckets)
+    }
     loadIndex(spark, path)
   }
 
@@ -197,8 +199,14 @@ object Retrieval {
     * Indexes written before the bucketed layout (no `n_buckets` field)
     * load with `nBuckets = 0` and score unpruned. */
   def loadIndex(spark: SparkSession, path: String): Bm25Index = {
-    healDfSwap(spark, path)
-    healCompactSwaps(spark, path)
+    // Heal only when no LIVE writer holds the index (r15): a held lock
+    // means the transitional tf/df/dl state belongs to an in-flight
+    // append/compaction, and "healing" it here would race that writer's
+    // own renames. A crashed writer's stale lock self-breaks.
+    graft.io.WriterLock.ifAcquired(spark, path, "loadIndex-heal") {
+      healDfSwap(spark, path)
+      healCompactSwaps(spark, path)
+    }
     val meta = graft.io.FsText.read(spark, s"$path/meta.json")
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no BM25 index meta at $path/meta.json"))
@@ -224,6 +232,7 @@ object Retrieval {
   def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, checkIds: Boolean = true): Bm25Index = {
     val spark = newDocs.sparkSession
+    graft.io.WriterLock.withLock(spark, path, "appendToBm25Index") {
     healDfSwap(spark, path) // a crashed prior append must not be read as-is
     healCompactSwaps(spark, path) // nor may a crashed compaction's missing
     // tf/dl be recreated by this append's parquet-append as delta-only dirs
@@ -285,6 +294,7 @@ object Retrieval {
       writeMeta(spark, path, nBuckets)
       loadIndex(spark, path)
     } finally delta.unpersist()
+    }
   }
 
   /** Compact a persisted BM25 index in place (r14 — the IVF+PQ
@@ -305,14 +315,19 @@ object Retrieval {
     * a missing tf/dl directory as a delta-only shell).
     * `df` never accretes — each append rewrites it
     * whole through its own swap — and the meta sidecar is untouched
-    * (compaction moves bytes, not statistics). Must be the index's only
-    * writer while it runs.
+    * (compaction moves bytes, not statistics). Single-writer-ness is
+    * ENFORCED (r15): build/append/compact all run under the sibling
+    * [[graft.io.WriterLock]] lock file, so a racing second writer fails
+    * fast with [[graft.io.WriterLock.ConcurrentWriterException]] instead
+    * of silently losing a batch's merge; a crashed writer's stale lock
+    * self-breaks after its horizon.
     *
     * @return (dataFilesBefore, dataFilesAfter) across tf + dl. */
   def compactBm25Index(spark: SparkSession, path: String,
       filesPerBucket: Int = 1, dlFiles: Int = 8): (Long, Long) = {
     require(filesPerBucket >= 1 && dlFiles >= 1,
       s"bad filesPerBucket=$filesPerBucket / dlFiles=$dlFiles")
+    graft.io.WriterLock.withLock(spark, path, "compactBm25Index") {
     healDfSwap(spark, path)
     healCompactSwaps(spark, path)
     require(readMetaBuckets(spark, path) >= 1,
@@ -364,6 +379,7 @@ object Retrieval {
     swapIn(dlDir, tmp =>
       dl.repartition(dlFiles).write.mode("overwrite").parquet(tmp))
     (before, dataFiles(tfDir) + dataFiles(dlDir))
+    }
   }
 
   /** BM25 scores for every (query, candidate) pair — candidates are the

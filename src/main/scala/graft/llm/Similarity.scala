@@ -777,6 +777,7 @@ object Similarity {
   def appendToIvfPqIndex(newRows: DataFrame, idCol: String, vecCol: String,
       meta: IvfPqMeta, dir: String): Unit = {
     val spark = newRows.sparkSession
+    graft.io.WriterLock.withLock(spark, dir, "appendToIvfPqIndex") {
     val adopted = readMetaSidecar(spark, dir) match {
       case Some(e) => Some(e)
       case None =>
@@ -795,6 +796,7 @@ object Similarity {
     }
     encodeIndexRows(newRows, idCol, vecCol, meta)
       .write.mode("append").partitionBy("centroid_idx").parquet(dir)
+    }
   }
 
   /** Compact a persisted index in place: every [[appendToIvfPqIndex]]
@@ -813,12 +815,15 @@ object Similarity {
     * recoverable from the `.__old`/`._graft_compact_tmp` sibling) — never
     * an empty serving path. Renames are atomic on rename-capable
     * filesystems (HDFS, local); object stores with copy-based renames
-    * widen the windows. Compaction must be the directory's only WRITER
-    * while it runs: an appendToIvfPqIndex racing it lands in the old dir
-    * after the listing snapshot and is discarded with it; probes racing
-    * it should read a snapshot path. Meta is byte-identical after the
-    * swap (the sidecar is rewritten from the parsed meta, whose JSON
-    * round-trips exactly).
+    * widen the windows. Single-writer-ness is ENFORCED (r15): append and
+    * compact both run under the sibling [[graft.io.WriterLock]] lock
+    * file, so an appendToIvfPqIndex racing a compaction fails fast with a
+    * named [[graft.io.WriterLock.ConcurrentWriterException]] instead of
+    * landing its batch in the old dir after the listing snapshot and
+    * being discarded with it (a crashed writer's stale lock self-breaks).
+    * Probes racing a compaction should still read a snapshot path. Meta
+    * is byte-identical after the swap (the sidecar is rewritten from the
+    * parsed meta, whose JSON round-trips exactly).
     *
     * Measured (`bench_ops_scale.json` index_compact_10m, steal 0.03s): a
     * 10M-row 64-cell index plus 8 append batches of 500k accumulates
@@ -830,6 +835,7 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, filesPerCell: Int = 1): (Long, Long) = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    graft.io.WriterLock.withLock(spark, dir, "compactIvfPqIndex") {
     val (indexed, meta) = readIvfPqIndex(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -867,6 +873,7 @@ object Similarity {
     }
     fs.delete(old, true)
     (before, dataFiles(dirPath))
+    }
   }
 
   /** Persist an index: parquet PARTITIONED BY the cell — a probe then

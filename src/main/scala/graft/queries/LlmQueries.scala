@@ -2287,6 +2287,58 @@ object LlmQueries {
         .orderBy("ord") // semantics; capped_rows must replay as all-zero
     }),
 
+    // Model-based pipeline stages (r15): the pretrained quality classifier
+    // and DSIR resampling riding the flagship curate call through the new
+    // Config hooks. Plant: 240 docs in three 21-token theme classes by
+    // id%3 (cooking / sports / promo-spam — all heuristically fine prose,
+    // so ONLY the model can separate them); a 300-doc labeled frame
+    // (disjoint t{id} tokens, promo = negative) trains the classifier
+    // in-query, and the model stage drops exactly the promo class. The
+    // DSIR stage then selects 40 of the 160 survivors against a
+    // cooking-theme target corpus — the importance-weight gap between the
+    // classes (target-seen vs unseen bigrams) dwarfs the Gumbel noise, so
+    // all 40 land in the cooking class (pinned boolean) and the count is
+    // exact by construction (top-k). Every stage's rows_out/tokens_out
+    // replays from id arithmetic (21 tokens per doc, every class).
+    "q_pipeline_model_stages" -> ((s, d) => {
+      val cooking = (i: Column) => concat(lit("w"), i,
+        lit("a stir the fresh garlic and onion in warm oil w"), i,
+        lit("b simmer the tomato sauce with basil and sea salt w"), i, lit("c"))
+      val sports = (i: Column) => concat(lit("w"), i,
+        lit("a kick the fast ball across the green field now w"), i,
+        lit("b the team ran hard and won the final game w"), i, lit("c"))
+      val promo = (i: Column) => concat(lit("w"), i,
+        lit("a click the best casino bonus offer here for you w"), i,
+        lit("b you can win the big prize and cash now w"), i, lit("c"))
+      val i = col("id").cast("string")
+      val corpus = s.range(0, 240).toDF("id")
+        .select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(3)) === 0, cooking(i))
+            .when(pmod(col("id"), lit(3)) === 1, sports(i))
+            .otherwise(promo(i)).as("text"))
+      val ti = concat(lit("t"), col("id").cast("string"))
+      val labeled = s.range(0, 300).toDF("id")
+        .select(
+          when(pmod(col("id"), lit(3)) === 0, cooking(ti))
+            .when(pmod(col("id"), lit(3)) === 1, sports(ti))
+            .otherwise(promo(ti)).as("text"),
+          (pmod(col("id"), lit(3)) =!= 2).as("label"))
+      val model = graft.llm.QualityClassifier.train(labeled, "text", "label")
+      val qi = concat(lit("q"), col("id").cast("string"))
+      val target = s.range(0, 20).toDF("id")
+        .select(col("id").as("doc_id"), cooking(qi).as("text"))
+      val r = graft.llm.Pipeline.curate(corpus, "doc_id", "text",
+        cfg = graft.llm.Pipeline.Config(
+          qualityModel = Some(model), qualityModelMin = 0.5,
+          dsirTarget = Some(target), dsirN = 40))
+      val allCooking = r.docs.agg(all(pmod(col("doc_id"), lit(3)) === 0))
+        .collect()(0).getBoolean(0)
+      r.stats.select(col("ord"), col("stage"), col("rows_out"),
+          col("tokens_out"), col("capped_rows"),
+          lit(allCooking).as("dsir_all_target_class"))
+        .orderBy("ord")
+    }),
+
     // Multimodal image-curation pipeline: decode+pHash (garbage dropped) →
     // byte-exact dedup → perceptual near-dup removal → bilinear resize,
     // as ONE curateImages call over a planted corpus: 30 families × 5
@@ -3954,6 +4006,31 @@ object LlmQueries {
         |FROM f
         |QUALIFY rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // Model-stage replay: every class is 21 tokens/doc, so each stage is
+    // (rows, 21*rows). Model stage drops the promo third (160 survive),
+    // DSIR keeps exactly its top-k 40; the class identity of the DSIR
+    // winners is the pinned boolean (classifier weights and importance
+    // ratios are in-engine models — their EFFECT is what the id
+    // arithmetic replays).
+    "q_pipeline_model_stages" ->
+      """WITH k AS (SELECT g.range AS id FROM range(0, 240) g),
+        |s AS (
+        |  SELECT 0 AS ord, 'input' AS stage, count(*) AS n FROM k
+        |  UNION ALL SELECT 1, 'fix_encoding', count(*) FROM k
+        |  UNION ALL SELECT 2, 'html_extract', count(*) FROM k
+        |  UNION ALL SELECT 3, 'langid_filter', count(*) FROM k
+        |  UNION ALL SELECT 4, 'quality_filter', count(*) FROM k
+        |  UNION ALL SELECT 5, 'model_quality_filter', count(*) FROM k
+        |    WHERE id % 3 <> 2
+        |  UNION ALL SELECT 6, 'dsir_resample', 40
+        |  UNION ALL SELECT 7, 'line_dedup', 40
+        |  UNION ALL SELECT 8, 'exact_dedup', 40
+        |  UNION ALL SELECT 9, 'near_dedup', 40)
+        |SELECT CAST(ord AS INT) AS ord, stage, CAST(n AS BIGINT) AS rows_out,
+        |  CAST(n * 21 AS BIGINT) AS tokens_out, CAST(0 AS BIGINT) AS capped_rows,
+        |  TRUE AS dsir_all_target_class
+        |FROM s ORDER BY ord""".stripMargin,
 
     // STAGE-BY-STAGE replay of the whole curation pipeline: DuckDB
     // reconstructs the same 600 planted documents and applies each

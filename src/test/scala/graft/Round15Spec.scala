@@ -156,6 +156,66 @@ class Round15Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("numeric doc ids"), e2.getMessage)
   }
 
+  // ------------------------------------------- persisted-index writer lock
+
+  private def lockDocs(lo: Int, hi: Int) = spark.range(lo, hi).toDF("id")
+    .withColumn("text", concat_ws(" ",
+      (0 until 12).map(k => concat(lit("t"),
+        pmod(xxhash64(col("id"), lit(k)), lit(50)).cast("string"))): _*))
+
+  test("WriterLock: a second live writer fails fast with a named error; stale locks self-break; heal skips under a held lock") {
+    import graft.io.WriterLock
+    val dir = java.nio.file.Files.createTempDirectory("r15_bm25_lock")
+    val path = dir.toString + "/idx"
+    try {
+      graft.llm.Retrieval.buildAndWriteIndex(lockDocs(0, 200), "id", "text",
+        path, nBuckets = 8)
+      // Simulate a LIVE concurrent writer: hold the lock, then append.
+      val e = intercept[WriterLock.ConcurrentWriterException] {
+        WriterLock.withLock(spark, path, "simulated-writer") {
+          graft.llm.Retrieval.appendToBm25Index(lockDocs(200, 250), "id",
+            "text", path)
+        }
+      }
+      assert(e.getMessage.contains("another writer holds"), e.getMessage)
+      assert(e.getMessage.contains("appendToBm25Index"), e.getMessage)
+      // The lock released with the simulated writer: the append now lands.
+      val idx = graft.llm.Retrieval.appendToBm25Index(lockDocs(200, 250),
+        "id", "text", path)
+      assert(idx.nDocs == 250L)
+      // Crashed-writer recovery: a stale lock (old mtime) breaks and the
+      // writer proceeds.
+      val lock = WriterLock.lockPath(path)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(lock, false).close()
+      fs.setTimes(lock, System.currentTimeMillis() - 3600L * 1000L, -1)
+      val (nB, nA) = graft.llm.Retrieval.compactBm25Index(spark, path, dlFiles = 2)
+      assert(nA < nB)
+      assert(!fs.exists(lock), "compaction must release the broken-then-held lock")
+      // loadIndex under a HELD lock must skip healing (not hang, not
+      // throw) and still read the consistent index.
+      WriterLock.withLock(spark, path, "held-for-load") {
+        assert(graft.llm.Retrieval.loadIndex(spark, path).nDocs == 250L)
+      }
+      // IVF+PQ side: compaction under a held lock fails fast too.
+      val ivfDir = dir.toString + "/ivf"
+      val vecs = spark.range(0, 500).toDF("id").withColumn("v",
+        array((0 until 8).map(k =>
+          (pmod(xxhash64(col("id"), lit(k)), lit(100)) / 50.0 - 1.0)): _*))
+      val (_, meta) = graft.llm.Similarity.buildIvfPqIndex(vecs, "id", "v",
+        nCentroids = 4, m = 2, ksub = 8)
+      graft.llm.Similarity.appendToIvfPqIndex(vecs, "id", "v", meta, ivfDir)
+      val e2 = intercept[WriterLock.ConcurrentWriterException] {
+        WriterLock.withLock(spark, ivfDir, "simulated-writer") {
+          graft.llm.Similarity.compactIvfPqIndex(spark, ivfDir)
+        }
+      }
+      assert(e2.getMessage.contains("compactIvfPqIndex"), e2.getMessage)
+      val (ivfB, ivfA) = graft.llm.Similarity.compactIvfPqIndex(spark, ivfDir)
+      assert(ivfA <= ivfB)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   // --------------------------------------------- video allocation bounds
 
   test("videoHashOne: compact stsz at uniform=1 with cnt ~ file length nulls (absolute sample cap)") {
