@@ -48,10 +48,21 @@ object Dedup {
     * MEMORY_AND_DISK_SER keeps each partition as a handful of byte
     * chunks instead; the frame is read exactly twice, sequentially, so
     * the deserialize-on-read cost is two cheap streaming passes. */
+  /** Storage level for the candidate-mass checkpoints (banded frame,
+    * candidate pairs, verify shingles): serialized by default — the 100M-doc
+    * GC-ceiling decision (r14, scaladoc below). The system property
+    * `graft.dedup.deserializedCheckpoints=true` flips them to plain
+    * MEMORY_AND_DISK: the measurement lever behind the r14→r15
+    * `q_dedup_minhash_cc` investigation (BENCH_NOTES r15) — at bench scale
+    * the ser/deser CPU is visible while heap never was the constraint. */
+  private val CandLevel: org.apache.spark.storage.StorageLevel =
+    if (java.lang.Boolean.getBoolean("graft.dedup.deserializedCheckpoints"))
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   private def capBuckets(df: DataFrame, keyCol: String, maxBucket: Long,
       onDrops: (Long, Long) => Unit = null): DataFrame = {
-    val mat = df.localCheckpoint(false,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val mat = df.localCheckpoint(false, CandLevel)
     val oversized = mat.groupBy(keyCol).agg(count(lit(1)).as("__bsize"))
       .where(col("__bsize") > maxBucket)
     // Drop accounting (r14): recall loss from capped buckets must be
@@ -274,8 +285,7 @@ object Dedup {
       .distinct()
       // Serialized like the banded frame: pair lists on dirty corpora are
       // candidate-mass-sized (rows·bands·maxBucket worst case).
-      .localCheckpoint(false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, CandLevel)
 
     // Verify only the documents that appear in some candidate pair. The
     // candidate-id semi-join prunes the RAW corpus BELOW the shingle
@@ -290,8 +300,7 @@ object Dedup {
       .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
     val sets = shingleSets(
       df.join(ids, Seq(idCol), "left_semi"), idCol, textCol, shingleWidth)
-      .localCheckpoint(false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(false, CandLevel)
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -778,6 +778,8 @@ object Similarity {
       meta: IvfPqMeta, dir: String): Unit = {
     val spark = newRows.sparkSession
     graft.io.WriterLock.withLock(spark, dir, "appendToIvfPqIndex") {
+    healIvfCompactSwap(spark, dir) // a crashed compaction's missing dir must
+    // not be recreated by this append as a delta-only shell
     val adopted = readMetaSidecar(spark, dir) match {
       case Some(e) => Some(e)
       case None =>
@@ -836,6 +838,8 @@ object Similarity {
       dir: String, filesPerCell: Int = 1): (Long, Long) = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
     graft.io.WriterLock.withLock(spark, dir, "compactIvfPqIndex") {
+    healIvfCompactSwap(spark, dir) // explicit: readIvfPqIndex's own heal
+    // skips under the lock we hold
     val (indexed, meta) = readIvfPqIndex(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -909,10 +913,55 @@ object Similarity {
       dir: String): Option[IvfPqMeta] =
     graft.io.FsText.read(spark, sidecarPath(dir)).map(IvfPqMeta.fromJson)
 
+  /** Self-heal a [[compactIvfPqIndex]] swap interrupted by a crash (r15 —
+    * the [[graft.llm.Retrieval]] healCompactSwaps symmetry this side was
+    * missing): a crash between the two renames leaves NO directory at the
+    * serving path (readIvfPqIndex throws, appends would recreate a
+    * delta-only shell), with the original preserved at `.__old`. The
+    * rewrite at `._graft_compact_tmp` is COMPLETE exactly when it carries
+    * the meta sidecar ([[writeIvfPqIndex]] writes it after the parquet
+    * commit): complete tmp ⇒ finish the swap forward; incomplete ⇒
+    * restore the original. Both-present ⇒ the swap finished, drop
+    * leftovers. Runs under the writer lock at every entry point (held by
+    * append/compact; opportunistic on read), so it never races a LIVE
+    * writer's own renames. */
+  private def healIvfCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dirPath.getParent,
+      dirPath.getName + "._graft_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dirPath.getParent,
+      dirPath.getName + ".__old")
+    if (!fs.exists(old)) return // tmp-only residue is inert; compact deletes it
+    if (!fs.exists(dirPath)) {
+      val tmpComplete = fs.exists(
+        new org.apache.hadoop.fs.Path(tmp, "_graft_ivfpq_meta.json"))
+      if (tmpComplete) {
+        if (!fs.rename(tmp, dirPath))
+          throw new java.io.IOException(
+            s"healIvfCompactSwap: rename $tmp -> $dirPath failed — original at $old")
+        fs.delete(old, true)
+      } else {
+        if (!fs.rename(old, dirPath))
+          throw new java.io.IOException(
+            s"healIvfCompactSwap: restore $old -> $dirPath failed")
+        fs.delete(tmp, true)
+      }
+    } else {
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+    }
+  }
+
   /** Reload a persisted index: the `(neighbor_id, centroid_idx, pq_codes)`
-    * table (cell as partition column) + metadata. */
+    * table (cell as partition column) + metadata. Heals a crashed
+    * compaction swap first when no live writer holds the index. */
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IvfPqMeta) = {
+    graft.io.WriterLock.ifAcquired(spark, dir, "readIvfPqIndex-heal") {
+      healIvfCompactSwap(spark, dir)
+    }
     val meta = readMetaSidecar(spark, dir).getOrElse(throw new
       java.io.FileNotFoundException(
         s"no _graft_ivfpq_meta.json sidecar under $dir — not a graft IVF+PQ index"))

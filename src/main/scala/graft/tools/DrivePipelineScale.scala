@@ -66,35 +66,77 @@ object DrivePipelineScale {
       //  near-dup of id-5 (+1 token on 21 ⇒ shingle jaccard 19/20 = 0.95
       //  — past the r14 selective banding's S-curve knee, so the planted
       //  survival counts stay exact; P(miss) ~ 3e-8 per pair).
+      //
+      // HETEROGENEOUS templates (r15 — VERDICT r14 Next #3): the old plant
+      // gave every en_good doc the SAME 14 interior shingles, so sub-cap
+      // boilerplate buckets grew linearly with n and their pair mass
+      // quadratically until the cap bit — the measured 10M→30M
+      // superlinearity rested on the cap, not the plan. Here the interior
+      // words come from Zipf-weighted TEMPLATE FAMILIES, bounded per
+      // 2000-doc block: rank = floor(1000^u) (u hash-uniform ⇒ Zipf(1)
+      // over 1000 ranks — the head rank holds ~10% of its block), family
+      // = (block, rank). Family-mates share 14 of 19 shingles (jaccard
+      // 0.583 < 0.8 — exact-verify kills every non-planted candidate),
+      // and a family-canonical band key captures (14/19)^8 ≈ 8.7% of a
+      // family, so the LARGEST bucket is ~0.087·200 ≈ 17 rows — two
+      // orders under the cap. Candidate mass per block is constant ⇒
+      // linear in n WITHOUT the cap (asserted: capped_rows == 0). The
+      // family words are letter-encoded (digits would sink alpha_ratio
+      // below the quality gate's 0.6).
       val i = col("id").cast("string")
-      val prevExact = (col("id") - 4).cast("string")
-      val prevNear = (col("id") - 5).cast("string")
-      def enGood(idc: org.apache.spark.sql.Column) = concat(lit("w"), idc,
-        lit("a the quick brown fox jumps over the lazy dog w"), idc,
-        lit("b it was good that it is here and now w"), idc, lit("c"))
+      def famWord(idc: org.apache.spark.sql.Column, tag: String) = {
+        val u = (pmod(xxhash64(idc, lit(31L)), lit(1000000L)).cast("double") + 0.5) /
+          1000000.0
+        val rank = floor(pow(lit(1000.0), u)).cast("long")
+        val fam = (idc.cast("long") / 2000L) * 1009L + rank
+        concat(lit("s"), translate(fam.cast("string"), "0123456789",
+          "abcdefghij"), lit(tag))
+      }
+      def enGood(idc: org.apache.spark.sql.Column) = {
+        val is = idc.cast("string")
+        concat(lit("w"), is,
+          lit("a the "), famWord(idc, "a"), lit(" "), famWord(idc, "b"),
+          lit(" "), famWord(idc, "c"), lit(" over the "), famWord(idc, "d"),
+          lit(" "), famWord(idc, "e"), lit(" "), famWord(idc, "f"),
+          lit(" w"), is,
+          lit("b it was "), famWord(idc, "g"), lit(" that it is "),
+          famWord(idc, "h"), lit(" and now w"), is, lit("c"))
+      }
+      val prevExact = col("id") - 4
+      val prevNear = col("id") - 5
       val fam = pmod(col("id"), lit(17))
       val body = when(fam === 1, concat(lit("le chat et le chien sont dans " +
           "la maison avec les amis et la famille w"), i))
         .when(fam === 2, lit("the it was " +
           Seq("!", "?", "@", "#", "$", "%", "^").map(c => c * 20).mkString(" ")))
         .when(fam === 3, concat(
-          lit("the cat sat on the mat with w"), i, lit("x\n"),
-          lit("it was here and it is there w"), i, lit("y\n"),
-          lit("it was here and it is there w"), i, lit("y")))
+          lit("the "), famWord(col("id"), "p"), lit(" sat on the "),
+          famWord(col("id"), "q"), lit(" with w"), i, lit("x\n"),
+          lit("it was "), famWord(col("id"), "r"), lit(" and it is "),
+          famWord(col("id"), "t"), lit(" w"), i, lit("y\n"),
+          lit("it was "), famWord(col("id"), "r"), lit(" and it is "),
+          famWord(col("id"), "t"), lit(" w"), i, lit("y")))
         .when(fam === 4, enGood(prevExact))
         .when(fam === 5, concat(enGood(prevNear), lit(" extra")))
-        .otherwise(enGood(i))
+        .otherwise(enGood(col("id")))
       // Materialize the input once (parquet) so stage walls measure the
       // pipeline, not the synthesis expression.
-      val dir = s"/tmp/graft_pipeline_scale_$n"
+      // Plant-versioned cache dir: the r14 homogeneous plant lives at
+      // graft_pipeline_scale_$n — reusing it would silently measure the
+      // old corpus.
+      val dir = s"/tmp/graft_pipeline_zipf_$n"
       if (!new java.io.File(dir, "_SUCCESS").exists())
         spark.range(n).toDF("id")
           .select(col("id").as("doc_id"), body.as("text"))
           .write.mode("overwrite").parquet(dir)
       val corpus = spark.read.parquet(dir)
+      // LONG id expression, not a string cast: famWord hashes the column
+      // value, and xxhash64(string) != xxhash64(long) — a string here
+      // would put the eval copies in phantom families and decontaminate
+      // nothing.
       val eval = spark.range(64).toDF("k")
         .select((col("k") + n + 7L).as("doc_id"),
-          enGood((col("k") * 17 + 6).cast("string")).as("text"))
+          enGood(col("k") * 17 + 6).as("text"))
       // The near-dup bucket cap (linearity backstop) tightens for the
       // biggest runs: this plant shares 13 template shingles across the
       // WHOLE corpus, so sub-cap boilerplate buckets grow linearly with n
@@ -110,10 +152,37 @@ object DrivePipelineScale {
         graft.llm.Pipeline.Config(maxBucket = maxBucket))
       val total = (System.nanoTime() - t0) / 1e9
       val st1 = boxSteal()
-      val stages = r.stats.orderBy("ord").collect().map { x =>
+      val collected = r.stats.orderBy("ord").collect()
+      // Planted-survival assertions (r15): every stage's row count derives
+      // from the id arithmetic — cnt(k) = |{id < n : id ≡ k (mod 17)}|.
+      // The linearity claim is only evidence if survival stays EXACT and
+      // the cap never bit.
+      def cnt(k: Long): Long = n / 17 + (if (k < n % 17) 1L else 0L)
+      val expected = {
+        val afterLang = n - cnt(1)
+        val afterQual = afterLang - cnt(2)
+        val afterExact = afterQual - cnt(4)
+        val afterNear = afterExact - cnt(5)
+        val afterDecon = afterNear - math.min(64L, cnt(6))
+        Map("langid_filter" -> afterLang, "quality_filter" -> afterQual,
+          "line_dedup" -> afterQual, "exact_dedup" -> afterExact,
+          "near_dedup" -> afterNear, "decontaminate" -> afterDecon)
+      }
+      collected.foreach { x =>
+        val stage = x.getString(1)
+        expected.get(stage).foreach { want =>
+          assert(x.getLong(2) == want,
+            s"$stage rows_out ${x.getLong(2)} != expected $want at n=$n")
+        }
+        assert(x.getLong(5) == 0L,
+          s"$stage capped_rows ${x.getLong(5)} != 0 at n=$n — the plant must " +
+            "not lean on the bucket cap")
+      }
+      println(s"CHECK survival exact at n=$n (capped_rows all zero)")
+      val stages = collected.map { x =>
         f"""{"stage":"${x.getString(1)}","rows_out":${x.getLong(2)},"tokens_out":${x.getLong(3)},"wall_sec":${x.getDouble(4)}%.2f,"capped_rows":${x.getLong(5)}}"""
       }.mkString("[", ",", "]")
-      val line = f"""{"bench":"pipeline_e2e_${n / 1000000}m_docs","rows":$n,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"stages":$stages}"""
+      val line = f"""{"bench":"pipeline_zipf_${n / 1000000}m_docs","rows":$n,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"stages":$stages}"""
       println(s"CHECK $line")
       out.append(line).append('\n')
       r.docs.unpersist()
