@@ -36,7 +36,18 @@ object DrivePipelineScale {
     // checkpointed stage blocks to disk instead of OOMing around them.
     val threads = sys.env.getOrElse("SPARK_GRAFT_THREADS", "32")
     val storageFrac = sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5")
+    // Split sizing (r15): the synthetic plant packs ~1.25M 200-char docs
+    // into each default 128 MB parquet split — 13-20M exploded band rows
+    // per map task at 30M docs, which shoves the near-dup bucket
+    // aggregate's map-side hash past its memory cliff (probed: the
+    // oversized_agg sub-step went 9.4s→82.5s for 3× rows while candidate
+    // counts stayed perfectly linear — DriveNdProbe). A real corpus at
+    // ~2 KB/doc carries ~60k docs per split; 16 MB splits on this dense
+    // plant restore that per-task geometry. This is the brief's
+    // "maxPartitionBytes sized to the SF" rule, not a plan change.
+    val maxSplit = sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m")
     val spark = SparkSession.builder().master(s"local[$threads]")
+      .config("spark.sql.files.maxPartitionBytes", maxSplit)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.memory.storageFraction", storageFrac)
