@@ -55,7 +55,7 @@ object Dedup {
     * MEMORY_AND_DISK: the measurement lever behind the r14→r15
     * `q_dedup_minhash_cc` investigation (BENCH_NOTES r15) — at bench scale
     * the ser/deser CPU is visible while heap never was the constraint. */
-  private val CandLevel: org.apache.spark.storage.StorageLevel =
+  private[llm] val CandLevel: org.apache.spark.storage.StorageLevel =
     if (java.lang.Boolean.getBoolean("graft.dedup.deserializedCheckpoints"))
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER

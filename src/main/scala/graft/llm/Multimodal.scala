@@ -1599,6 +1599,296 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
+  /** Batched per-partition RE-ENCODE-TOLERANT video signature — the
+    * coarse sibling of [[videoHashes]]. The payload hash certifies the
+    * re-MUX class exactly but a re-ENCODE rewrites every coded byte and
+    * defeats it; this signature never reads the payload at all. It hashes
+    * the per-sample SIZE profile from the stsz table: frame sizes track
+    * the content's bitrate-motion curve (complex/high-motion scenes cost
+    * more bits at any similar-settings encode), and that curve is the
+    * container-math-visible shadow of the content. 64 buckets over the
+    * NORMALIZED sample index (so a frame-rate change resamples the same
+    * curve), per-bucket MEDIAN frame size (the median of a bucket ignores
+    * its minority keyframe spikes, so GOP-structure changes between
+    * encodes do not move it), bit k = bucket-median k > the median of the
+    * 64 bucket medians (a rank test — invariant under ANY monotone
+    * per-frame size transform, which covers proportional bitrate scaling
+    * exactly). Measured on the planted two-pass model
+    * ([[bitrateProfileFrameSizes]], DriveVideoProfile): re-encodes at
+    * 0.6–1.8× bitrate with different GOP, rate-control noise and frame
+    * rate land at median 2–4 bits (p95 ≤ 7, max 10 over 400 pairs);
+    * independent content sits binomially around 32 with min 10–12 over
+    * 1000 pairs. The operating point is [[Dedup.nearDupHamming64]] at
+    * `maxDistance = 8, pieces = 16`: ≥97% re-encode recall, zero
+    * cross-content collisions measured — a COARSE candidate signature
+    * (low-entropy content can collide in the 8–11 tail; verify
+    * candidates downstream when precision matters, exactly the
+    * MinHash-then-exact-Jaccard contract). Not-an-MP4, fewer than 64 samples,
+    * or a FLAT size profile (compact uniform stsz — no curve to key on)
+    * hash to null: a flat profile carries no discriminating signal and
+    * would otherwise pair every constant-bitrate file with every other. */
+  def videoSizeProfileHashes(df: DataFrame, binCol: String,
+      outCol: String = "vphash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    // Same no-batch-knob rationale as videoHashes: a pure byte scan has
+    // no per-batch scratch to amortize.
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq :+ videoSizeProfileHashOne(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Video re-encode near-dup PAIRS — the candidates-then-verify
+    * composition over the size profile, exactly the MinHash →
+    * exact-Jaccard contract: [[videoSizeProfileHashes]]'s sign bits
+    * band into Hamming candidates (recall stage — re-encodes sit ≤ 10
+    * bits, so `maxDistance` 12 over-fetches), then each candidate pair
+    * is verified by the SPEARMAN RANK CORRELATION of the two full
+    * 64-bucket profiles (precision stage — measured over 59,700
+    * independent-content pairs: same-content ≥ 0.957, independent max
+    * 0.871, so `minSpearman` 0.92 splits the gap with margin both ways;
+    * DriveVideoProfile). One byte-parse pass computes both the bits and
+    * the zero-mean unit-norm rank vector, the correlation is a plain
+    * `zip_with`/`aggregate` dot product (codegen, no UDF), and the
+    * verify join touches only candidate ids — at corpus scale the
+    * shuffle is O(candidates), not O(rows²). Returns
+    * `(id_a, id_b, hamming, spearman)` for surviving pairs. */
+  def videoProfilePairs(df: DataFrame, idCol: String, binCol: String,
+      maxDistance: Int = 12, pieces: Int = 16, minSpearman: Double = 0.92,
+      maxBucket: Int = 10000): DataFrame = {
+    val featSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("__vphash", LongType),
+      StructField("__vpranks", ArrayType(DoubleType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val medians = videoBucketMedians(row.getAs[Array[Byte]](binIdx))
+        if (medians == null) Row(row.get(idIdx), null, null)
+        else Row(row.get(idIdx), profileBitsOf(medians), profileRanksOf(medians))
+      }
+    }
+    // Materialized once (lazy, serialized — the Dedup.CandLevel decision):
+    // read by the banding stage and BOTH sides of the verify join; without
+    // it the MP4 parse re-runs once per reference.
+    val feats = df.sparkSession.createDataFrame(rdd, featSchema)
+      .localCheckpoint(false, Dedup.CandLevel)
+    val cands = Dedup.nearDupHamming64(feats, idCol, "__vphash",
+      maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket)
+    val ranks = feats.where(col("__vpranks").isNotNull)
+      .select(col(idCol).as("__rid"), col("__vpranks"))
+    cands
+      .join(ranks.select(col("__rid").as("id_a"), col("__vpranks").as("__ra")), "id_a")
+      .join(ranks.select(col("__rid").as("id_b"), col("__vpranks").as("__rb")), "id_b")
+      .withColumn("spearman", aggregate(
+        zip_with(col("__ra"), col("__rb"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .where(col("spearman") >= minSpearman)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("spearman"))
+  }
+
+  /** Buckets in the size-profile signature; also the minimum sample count
+    * (fewer than one sample per bucket profiles nothing). */
+  private val ProfileBuckets = 64
+
+  /** 64-bit size-profile signature of one MP4 (see
+    * [[videoSizeProfileHashes]]), or null when no track carries a
+    * per-sample stsz with >= 64 in-bounds samples, or the profile is
+    * flat. Reads ONLY the stsz table — no chunk map, no payload — so it
+    * tolerates any transform that preserves the coarse bitrate-motion
+    * curve, including full re-encodes. Deterministic pure byte/StrictMath
+    * arithmetic. */
+  private[graft] def videoSizeProfileHashOne(bytes: Array[Byte]): java.lang.Long = {
+    val medians = videoBucketMedians(bytes)
+    if (medians == null) null else java.lang.Long.valueOf(profileBitsOf(medians))
+  }
+
+  private def profileBitsOf(medians: Array[Double]): Long = {
+    val sorted = medians.clone()
+    java.util.Arrays.sort(sorted)
+    val med = (sorted(ProfileBuckets / 2 - 1) + sorted(ProfileBuckets / 2)) / 2.0
+    var bits = 0L
+    var k = 0
+    while (k < ProfileBuckets) {
+      if (medians(k) > med) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** The 64 bucket-median frame sizes behind [[videoSizeProfileHashes]],
+    * or null on the same conditions (no per-sample stsz with >= 64
+    * in-bounds samples, or a flat profile). */
+  private[graft] def videoBucketMedians(bytes: Array[Byte]): Array[Double] = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var pos = lo
+          def hasNext: Boolean = pos + 8 <= hi
+          def next(): (String, Int, Int) = {
+            val size32 = bb.getInt(pos).toLong & 0xFFFFFFFFL
+            val typ = fourcc(pos + 4)
+            val (payload, end) =
+              if (size32 == 1L && pos + 16 <= hi) {
+                val size64 = bb.getLong(pos + 8)
+                (pos + 16, pos + math.min(size64, (hi - pos).toLong).toInt)
+              } else if (size32 == 0L) (pos + 8, hi)
+              else (pos + 8, pos + math.min(size32, (hi - pos).toLong).toInt)
+            val safeEnd = math.max(payload, math.min(end, hi))
+            pos = if (safeEnd > pos) safeEnd else hi
+            (typ, payload, safeEnd)
+          }
+        }
+      var sizes: Array[Long] = null
+      boxes(0, bytes.length).foreach {
+        case ("moov", mp, me) => boxes(mp, me).foreach {
+          case ("trak", tp, te) if sizes == null => boxes(tp, te).foreach {
+            case ("mdia", dp, de) => boxes(dp, de).foreach {
+              case ("minf", ip, ie) => boxes(ip, ie).foreach {
+                case ("stbl", sp, se) => boxes(sp, se).foreach {
+                  case ("stsz", p, e) if e - p >= 12 =>
+                    val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                    val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+                    // Uniform (compact) stsz IS a flat profile — skip
+                    // without allocating; the per-sample form gets the
+                    // same MaxSamples + bytes-present bounds as
+                    // videoHashOne (crafted counts must not allocate).
+                    if (uniform == 0L && cnt >= ProfileBuckets &&
+                        cnt <= MaxSamples && cnt <= (e - p - 12L) / 4L) {
+                      sizes = new Array[Long](cnt.toInt)
+                      var j = 0
+                      while (j < cnt.toInt) {
+                        sizes(j) = bb.getInt(p + 12 + 4 * j).toLong & 0xFFFFFFFFL
+                        j += 1
+                      }
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (sizes == null) return null
+      val n = sizes.length
+      val medians = new Array[Double](ProfileBuckets)
+      var k = 0
+      while (k < ProfileBuckets) {
+        val lo = (k.toLong * n / ProfileBuckets).toInt
+        val hi = ((k + 1).toLong * n / ProfileBuckets).toInt
+        val a = java.util.Arrays.copyOfRange(sizes, lo, hi)
+        java.util.Arrays.sort(a)
+        val m = a.length
+        medians(k) =
+          if (m % 2 == 1) a(m / 2).toDouble
+          else (a(m / 2 - 1) + a(m / 2)) / 2.0
+        k += 1
+      }
+      val sorted = medians.clone()
+      java.util.Arrays.sort(sorted)
+      if (sorted(0) == sorted(ProfileBuckets - 1)) return null // flat
+      medians
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Zero-mean unit-norm AVERAGE-RANK vector of the 64 bucket medians,
+    * or null on [[videoBucketMedians]]'s null conditions. The dot
+    * product of two of these IS the Spearman rank correlation of the two
+    * size profiles — the exact-verify leg behind the coarse signature
+    * bits (monotone-invariant like the bits, but using the full bucket
+    * ordering instead of one sign each, so independent smooth curves
+    * that collide in a few sign bits still separate cleanly). */
+  private[graft] def videoProfileRanks(bytes: Array[Byte]): Array[Double] = {
+    val medians = videoBucketMedians(bytes)
+    if (medians == null) null else profileRanksOf(medians)
+  }
+
+  private def profileRanksOf(medians: Array[Double]): Array[Double] = {
+    val n = ProfileBuckets
+    val idx = (0 until n).sortBy(medians(_)).toArray
+    val ranks = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      // Average rank over the tied run [i, j).
+      var j = i + 1
+      while (j < n && medians(idx(j)) == medians(idx(i))) j += 1
+      val avg = (i + j - 1) / 2.0
+      var k = i
+      while (k < j) { ranks(idx(k)) = avg; k += 1 }
+      i = j
+    }
+    val mean = (n - 1) / 2.0
+    var norm2 = 0.0
+    i = 0
+    while (i < n) {
+      ranks(i) -= mean
+      norm2 += ranks(i) * ranks(i)
+      i += 1
+    }
+    // norm2 = 0 only for an all-tied profile, which videoBucketMedians
+    // already nulls as flat.
+    val inv = 1.0 / StrictMath.sqrt(norm2)
+    i = 0
+    while (i < n) { ranks(i) *= inv; i += 1 }
+    ranks
+  }
+
+  /** Planted ENCODER MODEL for the size-profile signature's gates: frame
+    * sizes for one "encode" of family's content. The content is a smooth
+    * bitrate-motion curve — eight StrictMath sinusoids (1–8 cycles) with
+    * family-derived phases/weights, evaluated at the NORMALIZED frame
+    * time, so two encodes at different frame counts sample the same
+    * curve — times the encoder knobs a two-pass re-encode changes:
+    * `bitrateScale` (global rate factor), `gop` (a 3× keyframe spike
+    * every gop frames — different encoders place keyframes differently),
+    * and ±10% per-frame noise from `noiseSeed` (rate-control jitter).
+    * Two calls with the same family and different knobs are the planted
+    * "same content, independent encode" pair; different families are
+    * independent content. Pure function of its arguments. */
+  def bitrateProfileFrameSizes(family: Long, nFrames: Int,
+      bitrateScale: Double = 1.0, gop: Int = 12, noiseSeed: Long = 0L,
+      base: Int = 400): Seq[Int] = {
+    require(nFrames >= ProfileBuckets, s"nFrames $nFrames < $ProfileBuckets")
+    require(gop >= 1 && bitrateScale > 0 && base >= 32,
+      s"bad knobs gop=$gop scale=$bitrateScale base=$base")
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(z: Long): Double = mix(z).toDouble / Long.MaxValue // [-1, 1]
+    val phases = Array.tabulate(8)(j => unit(family * 31 + j) * StrictMath.PI)
+    val weights = Array.tabulate(8)(j => 0.5 + 0.5 * math.abs(unit(family * 37 + 100 + j)))
+    (0 until nFrames).map { i =>
+      val t = (i + 0.5) / nFrames
+      var c = 1.0
+      var j = 0
+      while (j < 8) {
+        c += 0.18 * weights(j) * StrictMath.sin(2.0 * StrictMath.PI * (j + 1) * t + phases(j))
+        j += 1
+      }
+      val curve = math.max(0.15, c)
+      val kf = if (i % gop == 0) 3.0 else 1.0
+      val noise = 1.0 + 0.10 * unit(noiseSeed * 0x517CC1B727220A95L + family * 131 + i)
+      math.max(16, math.min(65536,
+        (base * bitrateScale * curve * kf * noise).round.toInt))
+    }
+  }
+
   /** Encode an MP4 WITH media payload — the video-fingerprint sibling of
     * [[encodeToneWav]]/[[encodeBlockImage]]: ftyp + moov (mvhd + one
     * trak with tkhd + mdia(mdhd + minf(stbl(stsd + stsz + stsc + stco))))

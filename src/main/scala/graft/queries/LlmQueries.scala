@@ -245,6 +245,58 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Video RE-ENCODE near-dup (r15 stretch): the payload hash above is
+    // exact for re-muxes but a re-encode rewrites every coded byte; the
+    // size-profile signature reads ONLY the stsz table (the
+    // bitrate-motion curve), so independent encodes of the same content
+    // pair. Planted construction with a SQL-derivable answer: 40 content
+    // families × 5 slots at ids 5f+s — s0 original encode (640 frames,
+    // gop 12), s1 a two-pass re-encode at 0.6× bitrate / gop 8 /
+    // different rate-control noise (every 3rd family carries garbage
+    // bytes instead — null hash, pairs nothing), s2 a re-encode at 1.8×
+    // bitrate AND a frame-rate change (480 frames, gop 15), s3 a pure
+    // re-mux of s0 (identical stsz ⇒ identical signature), s4 novel
+    // content. Every slot's mdat payload family differs (slots share NO
+    // payload bytes — the signature must key on sizes alone). The
+    // operator is the full candidates-then-verify composition: sign-bit
+    // Hamming candidates (recall stage — re-encodes sit ≤ 10 bits), then
+    // Spearman rank correlation of the 64-bucket profiles (precision —
+    // same-content ≥ 0.957, independent ≤ 0.871 over 59,700 measured
+    // pairs, DriveVideoProfile; 0.92 splits the gap). Slots {0,1,2,3}
+    // pair completely within each family; s4/cross-family never pair.
+    "q_dedup_video_profile" -> ((s, d) => {
+      import s.implicits._
+      def chunksFor(n: Int): Seq[Int] =
+        Seq.fill(n / 64)(64) ++ (if (n % 64 > 0) Seq(n % 64) else Nil)
+      val media = s.range(0, 200).select(col("id")).as[Long]
+        .map { id =>
+          val fam = id / 5
+          val bytes = (id % 5) match {
+            case 0L => Multimodal.encodeMp4Media(fam * 10L,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+              chunksFor(640))
+            case 1L =>
+              if (fam % 3 == 2) s"not-an-mp4-$id".getBytes("UTF-8")
+              else Multimodal.encodeMp4Media(fam * 10L + 1,
+                Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L),
+                chunksFor(640))
+            case 2L => Multimodal.encodeMp4Media(fam * 10L + 2,
+              Multimodal.bitrateProfileFrameSizes(fam, 480, 1.8, gop = 15, noiseSeed = 3L),
+              chunksFor(480))
+            case 3L => Multimodal.encodeMp4Media(fam * 10L,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+              Seq.fill(20)(32), timescale = 90000)
+            case _ => Multimodal.encodeMp4Media(fam * 10L + 4,
+              Multimodal.bitrateProfileFrameSizes(fam + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
+              chunksFor(640))
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      Multimodal.videoProfilePairs(media, "doc_id", "payload")
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ------------------------------------- substring-level dedup
     // RefinedWeb/exact-substring granularity: every 50th doc gets the same
     // 11-token boilerplate tail, so each planted doc carries >= 4 repeated
@@ -3128,6 +3180,23 @@ object LlmQueries {
         |  UNION ALL SELECT 4 * f, 4 * f + 2 FROM fams WHERE f % 3 <> 2
         |  UNION ALL SELECT 4 * f + 1, 4 * f + 2 FROM fams WHERE f % 3 <> 2
         |  UNION ALL SELECT 4 * f, 4 * f + 2 FROM fams WHERE f % 3 = 2)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // GENUINE replay of the planted re-encode construction: within
+    // family f (ids 5f+s), the original (s0), both independent
+    // re-encodes (s1, s2) and the re-mux (s3) pair completely — except
+    // every 3rd family, whose s1 slot is garbage (null signature, no
+    // pairs); the novel slot s4 never pairs.
+    "q_dedup_video_profile" ->
+      """WITH fams AS (SELECT g.range AS f FROM range(0, 40) g),
+        |sl AS (SELECT a.range AS a, b.range AS b
+        |  FROM range(0, 4) a, range(0, 4) b WHERE a.range < b.range),
+        |p AS (
+        |  SELECT 5 * f + a AS id_a, 5 * f + b AS id_b FROM fams, sl
+        |    WHERE f % 3 <> 2
+        |  UNION ALL SELECT 5 * f + a, 5 * f + b FROM fams, sl
+        |    WHERE f % 3 = 2 AND a <> 1 AND b <> 1)
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
         |FROM p ORDER BY id_a, id_b""".stripMargin,
 

@@ -1,0 +1,132 @@
+package graft.tools
+
+import graft.llm.Multimodal
+
+/** Measurement drive for the re-encode-tolerant video size-profile
+  * signature (VERDICT r14 Next #8): prove or disprove that the
+  * bitrate-motion curve visible in stsz survives a two-pass re-encode.
+  * Pure-JVM (the signature is per-row byte arithmetic; the Spark leg is
+  * exercised by `q_dedup_video_profile`). Prints the same-content vs
+  * independent-content Hamming distributions over the planted encoder
+  * model, plus the degenerate cases (flat profile, uniform stsz,
+  * garbage bytes). */
+object DriveVideoProfile {
+  def main(args: Array[String]): Unit = {
+    val nFam = if (args.nonEmpty) args(0).toInt else 200
+    run(nFam, 640, 480)
+    run(nFam, 1280, 960)
+  }
+
+  def run(nFam: Int, framesA: Int, framesB: Int): Unit = {
+    println(s"== nFrames original=$framesA, fps-changed re-encode=$framesB ==")
+
+    def ham(a: java.lang.Long, b: java.lang.Long): Int =
+      java.lang.Long.bitCount(a.longValue ^ b.longValue)
+
+    def encode(payloadFamily: Long, sizes: Seq[Int]): Array[Byte] = {
+      // chunks of 64 keep the container small; payloadFamily varies per
+      // encode so the coded BYTES are fully independent between the two
+      // "encodes" of the same content — only the size curve is shared,
+      // exactly a re-encode's signature.
+      val chunks = {
+        val full = sizes.length / 64
+        val rem = sizes.length - full * 64
+        Seq.fill(full)(64) ++ (if (rem > 0) Seq(rem) else Seq.empty)
+      }
+      Multimodal.encodeMp4Media(payloadFamily, sizes, chunks)
+    }
+
+    // Arms per family: original; re-encode at lower bitrate + different
+    // GOP + different rate-control noise; re-encode at higher bitrate +
+    // different frame COUNT (frame-rate change); a pure re-mux twin.
+    val origH = new Array[java.lang.Long](nFam)
+    val lowH = new Array[java.lang.Long](nFam)
+    val fpsH = new Array[java.lang.Long](nFam)
+    val muxH = new Array[java.lang.Long](nFam)
+    var f = 0
+    while (f < nFam) {
+      val fam = f.toLong
+      val orig = Multimodal.bitrateProfileFrameSizes(fam, framesA, 1.0, gop = 12, noiseSeed = 1L)
+      val low = Multimodal.bitrateProfileFrameSizes(fam, framesA, 0.6, gop = 8, noiseSeed = 2L)
+      val fps = Multimodal.bitrateProfileFrameSizes(fam, framesB, 1.8, gop = 15, noiseSeed = 3L)
+      origH(f) = Multimodal.videoSizeProfileHashOne(encode(fam * 10L, orig))
+      lowH(f) = Multimodal.videoSizeProfileHashOne(encode(fam * 10L + 1, low))
+      fpsH(f) = Multimodal.videoSizeProfileHashOne(encode(fam * 10L + 2, fps))
+      muxH(f) = Multimodal.videoSizeProfileHashOne(
+        Multimodal.encodeMp4Media(fam * 10L + 3, orig, Seq.fill(orig.length / 32)(32),
+          timescale = 90000))
+      f += 1
+    }
+    require(origH.forall(_ != null) && lowH.forall(_ != null) && fpsH.forall(_ != null))
+
+    def stats(name: String, ds: Seq[Int]): Unit = {
+      val s = ds.sorted
+      println(f"CHECK $name%-28s n=${s.length}%5d min=${s.head}%2d p50=${s(s.length / 2)}%2d " +
+        f"p95=${s((s.length * 95) / 100 min (s.length - 1))}%2d max=${s.last}%2d " +
+        f"mean=${s.sum.toDouble / s.length}%5.2f")
+    }
+
+    stats("same_lowbr_gop_noise", (0 until nFam).map(i => ham(origH(i), lowH(i))))
+    stats("same_fpschange_highbr", (0 until nFam).map(i => ham(origH(i), fpsH(i))))
+    stats("same_remux", (0 until nFam).map(i => ham(origH(i), muxH(i))))
+    val cross = for (i <- 0 until nFam; j <- Seq((i + 1) % nFam, (i + 7) % nFam, (i + 31) % nFam)
+      if i != j) yield ham(origH(i), origH(j))
+    stats("cross_family", cross)
+    val crossRe = for (i <- 0 until nFam; j <- Seq((i + 1) % nFam, (i + 13) % nFam)
+      if i != j) yield ham(lowH(i), fpsH(j))
+    stats("cross_family_reencoded", crossRe)
+
+    // Degenerate inputs must null, not collide.
+    val flat = Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(1L, Seq.fill(128)(100), Seq.fill(4)(32)))
+    val short = Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(1L, (0 until 24).map(i => 32 + i), Seq.fill(6)(4)))
+    val junk = Multimodal.videoSizeProfileHashOne("not-an-mp4".getBytes("UTF-8"))
+    println(s"CHECK degenerate flat=$flat short=$short junk=$junk (expect null,null,null)")
+
+    val same = (0 until nFam).map(i => ham(origH(i), lowH(i))) ++
+      (0 until nFam).map(i => ham(origH(i), fpsH(i)))
+    val crossAll = cross ++ crossRe
+    val thr = 8
+    println(s"CHECK separation same_max=${same.max} cross_min=${crossAll.min} " +
+      s"${if (same.max < crossAll.min) "SEPARATED" else "OVERLAP"}")
+    println(f"CHECK at_maxDistance_$thr recall=${same.count(_ <= thr).toDouble / same.size}%.4f " +
+      f"cross_fp=${crossAll.count(_ <= thr)}/${crossAll.size}")
+
+    // Spearman verify leg: dot of rank vectors over EVERY pair — the
+    // sign-bit hash is the candidate stage, this is the precision stage.
+    def ranks(fam: Long, payload: Long, sizes: Seq[Int]): Array[Double] =
+      Multimodal.videoProfileRanks(encode(payload, sizes))
+    val origR = Array.tabulate(nFam) { i =>
+      ranks(i, i * 10L, Multimodal.bitrateProfileFrameSizes(i.toLong, framesA, 1.0, gop = 12, noiseSeed = 1L))
+    }
+    val lowR = Array.tabulate(nFam) { i =>
+      ranks(i, i * 10L + 1, Multimodal.bitrateProfileFrameSizes(i.toLong, framesA, 0.6, gop = 8, noiseSeed = 2L))
+    }
+    val fpsR = Array.tabulate(nFam) { i =>
+      ranks(i, i * 10L + 2, Multimodal.bitrateProfileFrameSizes(i.toLong, framesB, 1.8, gop = 15, noiseSeed = 3L))
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val sameDots = (0 until nFam).map(i => dot(origR(i), lowR(i))) ++
+      (0 until nFam).map(i => dot(origR(i), fpsR(i))) ++
+      (0 until nFam).map(i => dot(lowR(i), fpsR(i)))
+    val crossDots = for {
+      i <- 0 until nFam; j <- 0 until nFam if i < j
+      pair <- Seq(dot(origR(i), origR(j)), dot(origR(i), lowR(j)), dot(lowR(i), fpsR(j)))
+    } yield pair
+    def dstats(name: String, ds: Seq[Double]): Unit = {
+      val s = ds.sorted
+      println(f"CHECK $name%-28s n=${s.length}%6d min=${s.head}%6.3f p05=${s(s.length / 20)}%6.3f " +
+        f"p50=${s(s.length / 2)}%6.3f p95=${s((s.length * 95) / 100 min (s.length - 1))}%6.3f max=${s.last}%6.3f")
+    }
+    dstats("spearman_same", sameDots)
+    dstats("spearman_cross", crossDots)
+    println(s"CHECK spearman separation same_min=${f"${sameDots.min}%.3f"} " +
+      s"cross_max=${f"${crossDots.max}%.3f"} " +
+      s"${if (sameDots.min > crossDots.max) "SEPARATED" else "OVERLAP"}")
+  }
+}

@@ -286,4 +286,78 @@ class Round15Spec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("total media payload"), e.getMessage)
   }
+
+  // ------------------------------- re-encode-tolerant video signature
+
+  private def vpChunks(n: Int): Seq[Int] =
+    Seq.fill(n / 64)(64) ++ (if (n % 64 > 0) Seq(n % 64) else Nil)
+
+  test("videoSizeProfileHashOne: re-mux identical, monotone-scale identical, degenerate inputs null") {
+    import graft.llm.Multimodal
+    val sz = Multimodal.bitrateProfileFrameSizes(7L, 640, 1.0, gop = 12, noiseSeed = 1L)
+    val orig = Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(70L, sz, vpChunks(640)))
+    assert(orig != null)
+    // A re-mux rewrites chunking/timescale/payload but not stsz — the
+    // signature is a pure function of stsz, so it is EXACTLY preserved.
+    val remux = Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(71L, sz, Seq.fill(20)(32), timescale = 90000))
+    assert(remux == orig)
+    // The bit rule is a rank test: any monotone per-frame size transform
+    // (here exact 2x bitrate) preserves every bucket-median ordering.
+    val doubled = Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(72L, sz.map(s => math.min(65536, s * 2)), vpChunks(640)))
+    assert(doubled == orig)
+    // Flat profile (compact uniform stsz), < 64 samples, junk, null: all
+    // null — a flat profile would otherwise pair every CBR file with
+    // every other.
+    assert(Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(1L, Seq.fill(128)(100), Seq.fill(4)(32))) == null)
+    assert(Multimodal.videoSizeProfileHashOne(
+      Multimodal.encodeMp4Media(1L, (0 until 24).map(i => 32 + i), Seq.fill(6)(4))) == null)
+    assert(Multimodal.videoSizeProfileHashOne("junk".getBytes("UTF-8")) == null)
+    assert(Multimodal.videoSizeProfileHashOne(null) == null)
+  }
+
+  test("video size-profile plant: pair set is exactly the id-arithmetic expectation") {
+    import graft.llm.{Dedup, Multimodal}
+    // The q_dedup_video_profile corpus verbatim — asserting the full pair
+    // set here pins the oracle's arithmetic before the DuckDB replay runs.
+    val media = spark.range(0, 200).select(col("id")).as[Long]
+      .map { id =>
+        val fam = id / 5
+        val bytes = (id % 5) match {
+          case 0L => Multimodal.encodeMp4Media(fam * 10L,
+            Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+            Seq.fill(10)(64))
+          case 1L =>
+            if (fam % 3 == 2) s"not-an-mp4-$id".getBytes("UTF-8")
+            else Multimodal.encodeMp4Media(fam * 10L + 1,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L),
+              Seq.fill(10)(64))
+          case 2L => Multimodal.encodeMp4Media(fam * 10L + 2,
+            Multimodal.bitrateProfileFrameSizes(fam, 480, 1.8, gop = 15, noiseSeed = 3L),
+            Seq.fill(7)(64) :+ 32)
+          case 3L => Multimodal.encodeMp4Media(fam * 10L,
+            Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+            Seq.fill(20)(32), timescale = 90000)
+          case _ => Multimodal.encodeMp4Media(fam * 10L + 4,
+            Multimodal.bitrateProfileFrameSizes(fam + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
+            Seq.fill(10)(64))
+        }
+        (id, bytes)
+      }.toDF("doc_id", "payload")
+    val got = Multimodal.videoProfilePairs(media, "doc_id", "payload")
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      f <- 0 until 40
+      slots = if (f % 3 == 2) Seq(0, 2, 3) else Seq(0, 1, 2, 3)
+      a <- slots
+      b <- slots
+      if a < b
+    } yield (5L * f + a, 5L * f + b)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).toSeq.sorted.take(10)} extra=${(got -- expected).toSeq.sorted.take(10)}")
+  }
 }
