@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
@@ -30,13 +30,34 @@ object HammingIndexKernel {
   /** Immutable bucketed index over a corpus of 64-bit sketches: sketches
     * stored once, per-(piece, slice-value) buckets hold int offsets;
     * `ids`, when present (one per hash — callers pre-reduce duplicate
-    * hashes to their smallest id), enables [[MihIndex.minIdWithin]].
+    * hashes to their smallest id), enables [[MihIndex.minIdWithin]];
+    * the optional rank payload (`rankBytes`/`rankInv`) enables the fused
+    * candidate+verify probe [[MihIndex.idsBelowWithinRankDot]].
     * Serializable — ships to executors as one codegen reference object
-    * (8·n sketch [+8·n id] bytes + 4·pieces·n bucket bytes + offsets). */
+    * (8·n sketch [+8·n id] bytes + 4·pieces·n bucket bytes + offsets
+    * [+rankLen·n rank bytes + 8·n inverse norms]). */
   final class MihIndex(val hashes: Array[Long], val pieces: Int,
-      val ids: Array[Long]) extends Serializable {
+      val ids: Array[Long], val rankBytes: Array[Byte],
+      val rankInv: Array[Double]) extends Serializable {
 
-    def this(hashes: Array[Long], pieces: Int) = this(hashes, pieces, null)
+    def this(hashes: Array[Long], pieces: Int) =
+      this(hashes, pieces, null, null, null)
+    def this(hashes: Array[Long], pieces: Int, ids: Array[Long]) =
+      this(hashes, pieces, ids, null, null)
+
+    // Optional per-row rank payload for the IN-PROBE Spearman verify
+    // ([[idsBelowWithinRankDot]]): `rankBytes` holds each row's doubled
+    // average ranks (exact in a byte) flattened, `rankInv` the row's
+    // precomputed inverse norm — the caller supplies both from the SAME
+    // arithmetic its column-side rank vectors use, so the in-probe dot
+    // is bit-identical to the zip_with/aggregate one.
+    require(rankBytes == null ||
+      (hashes.length > 0 && rankBytes.length % hashes.length == 0 &&
+        rankInv != null && rankInv.length == hashes.length),
+      "rankBytes must be rankLen·n with a parallel rankInv")
+    private val rankLen =
+      if (rankBytes == null || hashes.isEmpty) 0 else rankBytes.length / hashes.length
+    private val rankMean = (rankLen - 1) / 2.0
 
     // pieces ∈ {4, 8}: the slice width bpp must be <= 16 (the 1 << bpp
     // bucket table — bpp of 32/64 would overflow the Int shift and index
@@ -140,6 +161,110 @@ object HammingIndexKernel {
     def minIdWithin(h: Long, d: Int): Long = {
       require(ids != null, "minIdWithin needs an id-carrying MihIndex")
       probe(h, d, earlyOut = false)
+    }
+
+    /** Distinct corpus ids STRICTLY below `selfId` within Hamming `d` of
+      * `h`, ascending — the PAIR-EMISSION probe: when every corpus row
+      * probes the index, each unordered pair is produced exactly once,
+      * by its larger-id side (and under hash-range multi-pass sharding,
+      * exactly once overall — by the shard holding the smaller id).
+      * Complete for any d via the same slice-perturbation expansion as
+      * the boolean/min-id probes; exact (every candidate XOR-verified).
+      * Requires an id-carrying index. */
+    def idsBelowWithin(h: Long, d: Int, selfId: Long): Array[Long] = {
+      require(ids != null, "idsBelowWithin needs an id-carrying MihIndex")
+      val acc = new java.util.TreeSet[java.lang.Long]
+      val e = d / pieces
+      var p = 0
+      while (p < pieces) {
+        collectPiece(p, ((h >>> (p * bpp)) & mask).toInt, e, 0, h, d, selfId, acc)
+        p += 1
+      }
+      val out = new Array[Long](acc.size)
+      val it = acc.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+
+    private def collectPiece(p: Int, v: Int, e: Int, from: Int, h: Long,
+        d: Int, selfId: Long, acc: java.util.TreeSet[java.lang.Long]): Unit = {
+      var j = offsets(p * nBuckets + v)
+      val end = offsets(p * nBuckets + v + 1)
+      while (j < end) {
+        val m = members(j)
+        if (ids(m) < selfId && java.lang.Long.bitCount(hashes(m) ^ h) <= d)
+          acc.add(ids(m))
+        j += 1
+      }
+      if (e > 0) {
+        var bit = from
+        while (bit < bpp) {
+          collectPiece(p, v ^ (1 << bit), e - 1, bit + 1, h, d, selfId, acc)
+          bit += 1
+        }
+      }
+    }
+
+    /** [[idsBelowWithin]] with the VERIFY FUSED IN: a candidate id is
+      * emitted only when the dot of the probing row's normalized rank
+      * vector `q` with the candidate's reconstructed one is >= `minDot`.
+      * This is the scale lever for signatures with fat Hamming tails
+      * (correlated bits): tail candidates die inside the probe — a pure
+      * in-memory rejection — instead of surviving to drag two rank
+      * payloads each through the verify join's shuffle. Reconstruction
+      * `(rankByte·0.5 − mean)·inv` and the left-fold dot replicate the
+      * column-side arithmetic operation-for-operation, so the surviving
+      * pair set is bit-identical to join-then-verify. Requires the rank
+      * payload (and `q.length == rankLen`). */
+    def idsBelowWithinRankDot(h: Long, d: Int, selfId: Long,
+        q: Array[Double], minDot: Double): Array[Long] = {
+      require(ids != null && rankBytes != null,
+        "idsBelowWithinRankDot needs an id- and rank-carrying MihIndex")
+      require(q.length == rankLen, s"rank vector length ${q.length} != $rankLen")
+      val acc = new java.util.TreeSet[java.lang.Long]
+      val e = d / pieces
+      var p = 0
+      while (p < pieces) {
+        collectPieceRankDot(p, ((h >>> (p * bpp)) & mask).toInt, e, 0, h, d,
+          selfId, q, minDot, acc)
+        p += 1
+      }
+      val out = new Array[Long](acc.size)
+      val it = acc.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+
+    private def collectPieceRankDot(p: Int, v: Int, e: Int, from: Int,
+        h: Long, d: Int, selfId: Long, q: Array[Double], minDot: Double,
+        acc: java.util.TreeSet[java.lang.Long]): Unit = {
+      var j = offsets(p * nBuckets + v)
+      val end = offsets(p * nBuckets + v + 1)
+      while (j < end) {
+        val m = members(j)
+        if (ids(m) < selfId && java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
+          val off = m * rankLen
+          val inv = rankInv(m)
+          var s = 0.0
+          var i = 0
+          while (i < rankLen) {
+            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+            i += 1
+          }
+          if (s >= minDot) acc.add(ids(m))
+        }
+        j += 1
+      }
+      if (e > 0) {
+        var bit = from
+        while (bit < bpp) {
+          collectPieceRankDot(p, v ^ (1 << bit), e - 1, bit + 1, h, d,
+            selfId, q, minDot, acc)
+          bit += 1
+        }
+      }
     }
   }
 
@@ -280,4 +405,107 @@ object HammingIndexKernel {
   def minIdWithin(sketch: Column,
       bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int): Column =
     GraftSql.column(HammingMinIdWithinBc(GraftSql.expression(sketch), bc, maxDistance))
+
+  /** Broadcast-backed pair-emission probe: array of distinct corpus ids
+    * strictly below this row's own id within `maxDistance` of its sketch
+    * (see [[MihIndex.idsBelowWithin]]); `explode` the result to get the
+    * `(id_a, id_b)` candidate pairs. Broadcast-only — a pair-emitting
+    * probe only exists on the at-scale path, where an embedded index
+    * riding every task binary is exactly the defect the broadcast twins
+    * close. Null sketch or null id → null array. */
+  case class HammingIdsBelowWithinBc(left: Expression, right: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int)
+      extends BinaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    // Driver-side check (executors receive the expression deserialized).
+    require(bc.value.ids != null, "HammingIdsBelowWithinBc needs an id-carrying MihIndex")
+    override def prettyName: String = "graft_hamming_ids_below_within_bc"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (bigint, bigint), got (${l.simpleString}, ${r.simpleString})")
+      }
+    @transient private lazy val idx = bc.value
+    override def nullSafeEval(hash: Any, selfId: Any): Any =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        idx.idsBelowWithin(hash.asInstanceOf[Long], maxDistance,
+          selfId.asInstanceOf[Long]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihIndex"
+      val bcRef = ctx.addReferenceObj("mihBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "mihIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, (h, id) =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($idxTerm.idsBelowWithin($h, $maxDistance, $id));
+           |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def idsBelowWithin(sketch: Column, selfId: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex], maxDistance: Int): Column =
+    GraftSql.column(HammingIdsBelowWithinBc(GraftSql.expression(sketch),
+      GraftSql.expression(selfId), bc, maxDistance))
+
+  /** Broadcast-backed FUSED candidate+verify pair probe — see
+    * [[MihIndex.idsBelowWithinRankDot]]. Children: (sketch bigint, own id
+    * bigint, normalized rank vector array<double>). */
+  case class HammingIdsBelowWithinRankDotBc(first: Expression,
+      second: Expression, third: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex],
+      maxDistance: Int, minDot: Double)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    require(bc.value.ids != null && bc.value.rankBytes != null,
+      "HammingIdsBelowWithinRankDotBc needs an id- and rank-carrying MihIndex")
+    override def prettyName: String = "graft_hamming_ids_below_within_rankdot_bc"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean =
+      first.nullable || second.nullable || third.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (LongType, LongType, ArrayType(DoubleType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (bigint, bigint, array<double>), got " +
+            s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+      }
+    @transient private lazy val idx = bc.value
+    override def nullSafeEval(hash: Any, selfId: Any, ranks: Any): Any =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        idx.idsBelowWithinRankDot(hash.asInstanceOf[Long], maxDistance,
+          selfId.asInstanceOf[Long],
+          ranks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray(), minDot))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihIndex"
+      val bcRef = ctx.addReferenceObj("mihBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "mihIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, (h, id, r) =>
+        s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($idxTerm.idsBelowWithinRankDot($h, $maxDistance, $id,
+           |    $r.toDoubleArray(), $minDot));
+           |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def idsBelowWithinRankDot(sketch: Column, selfId: Column, ranks: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MihIndex],
+      maxDistance: Int, minDot: Double): Column =
+    GraftSql.column(HammingIdsBelowWithinRankDotBc(GraftSql.expression(sketch),
+      GraftSql.expression(selfId), GraftSql.expression(ranks), bc,
+      maxDistance, minDot))
 }

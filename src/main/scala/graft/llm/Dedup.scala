@@ -1029,12 +1029,19 @@ object Dedup {
     * image pHash family ([[Multimodal.pHashImages]]): the sketch splits
     * into `pieces` disjoint bit slices, two sketches within distance
     * d < pieces must agree exactly on at least one slice, so candidate
-    * generation is an equi-join on slice keys (exact blocking — no
-    * recall loss) and only candidates pay the XOR/bit_count verify.
+    * generation is an equi-join on slice keys (exact blocking below the
+    * cap) and only candidates pay the XOR/bit_count verify.
     * `maxBucket` caps degenerate slice buckets (the [[capBuckets]] skew
-    * guard). Null sketches are dropped. */
+    * guard) — for UNIFORM sketches (hash nibbles) caps never bite at
+    * realistic sizes, but correlated-bit sketches (e.g. the video size
+    * profile's smooth-curve sign bits, where constant runs make 0x0/0xF
+    * slices dominate) can cross them, and a pair loses only when EVERY
+    * slice it shares is capped; thread `onCapDrops` to make that recall
+    * loss visible (the [[nearDupMinHash]] `capped_rows` contract) instead
+    * of silent. Null sketches are dropped. */
   def nearDupHamming64(df: DataFrame, idCol: String, hashCol: String,
-      maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000): DataFrame = {
+      maxDistance: Int = 3, pieces: Int = 4, maxBucket: Int = 10000,
+      onCapDrops: (Long, Long) => Unit = null): DataFrame = {
     require(maxDistance < pieces, "need maxDistance < pieces for pigeonhole completeness")
     require(pieces >= 1 && 64 % pieces == 0, s"pieces must divide 64, got $pieces")
     val bitsPerPiece = 64 / pieces
@@ -1047,7 +1054,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(hashCol).cast("long").as("__h"))
       .withColumn("piece", explode(array(pieceKeys: _*)))
 
-    val bucketed = capBuckets(prepared, "piece", maxBucket)
+    val bucketed = capBuckets(prepared, "piece", maxBucket, onCapDrops)
     val a = bucketed.select(col("piece"), col("id").as("id_a"), col("__h").as("h_a"))
     val b = bucketed.select(col("piece"), col("id").as("id_b"), col("__h").as("h_b"))
     a.join(b, Seq("piece")).where(col("id_a") < col("id_b"))

@@ -1616,14 +1616,13 @@ object Multimodal {
     * exactly). Measured on the planted two-pass model
     * ([[bitrateProfileFrameSizes]], DriveVideoProfile): re-encodes at
     * 0.6–1.8× bitrate with different GOP, rate-control noise and frame
-    * rate land at median 2–4 bits (p95 ≤ 7, max 10 over 400 pairs);
-    * independent content sits binomially around 32 with min 10–12 over
-    * 1000 pairs. The operating point is [[Dedup.nearDupHamming64]] at
-    * `maxDistance = 8, pieces = 16`: ≥97% re-encode recall, zero
-    * cross-content collisions measured — a COARSE candidate signature
-    * (low-entropy content can collide in the 8–11 tail; verify
-    * candidates downstream when precision matters, exactly the
-    * MinHash-then-exact-Jaccard contract). Not-an-MP4, fewer than 64 samples,
+    * rate land at median 3–4 bits (p95 ≤ 8, max 13 over 400 pairs);
+    * independent content sits binomially around 32 with min 11–15 over
+    * 1000 pairs. This is a COARSE CANDIDATE signature — the two tails
+    * brush, so verify candidates downstream (exactly the
+    * MinHash-then-exact-Jaccard contract): [[videoProfilePairs]] is
+    * that composition and the operator to reach for; this column form
+    * exists for guards and custom pipelines. Not-an-MP4, fewer than 64 samples,
     * or a FLAT size profile (compact uniform stsz — no curve to key on)
     * hash to null: a flat profile carries no discriminating signal and
     * would otherwise pair every constant-bitrate file with every other. */
@@ -1644,42 +1643,135 @@ object Multimodal {
 
   /** Video re-encode near-dup PAIRS — the candidates-then-verify
     * composition over the size profile, exactly the MinHash →
-    * exact-Jaccard contract: [[videoSizeProfileHashes]]'s sign bits
-    * band into Hamming candidates (recall stage — re-encodes sit ≤ 10
-    * bits, so `maxDistance` 12 over-fetches), then each candidate pair
-    * is verified by the SPEARMAN RANK CORRELATION of the two full
+    * exact-Jaccard contract: [[videoSizeProfileHashes]]'s paired-bucket
+    * bits band into Hamming candidates (recall stage — re-encodes sit
+    * ≤ 13 bits, so `maxDistance` 14 over-fetches), then each candidate
+    * pair is verified by the SPEARMAN RANK CORRELATION of the two full
     * 64-bucket profiles (precision stage — measured over 59,700
-    * independent-content pairs: same-content ≥ 0.957, independent max
-    * 0.871, so `minSpearman` 0.92 splits the gap with margin both ways;
+    * independent-content pairs: same-content ≥ 0.939, independent max
+    * 0.751, so `minSpearman` 0.85 splits the gap with margin both ways;
     * DriveVideoProfile). One byte-parse pass computes both the bits and
     * the zero-mean unit-norm rank vector, the correlation is a plain
     * `zip_with`/`aggregate` dot product (codegen, no UDF), and the
-    * verify join touches only candidate ids — at corpus scale the
-    * shuffle is O(candidates), not O(rows²). Returns
+    * verify join touches only candidate ids — the shuffle is
+    * O(candidates), not O(rows²). The CANDIDATE stage auto-switches:
+    * small corpora use the banded pigeonhole self-join, but radius 14
+    * forces 4-bit slices whose key space is only 256 values, so past
+    * `16·maxBucket` rows (where the AVERAGE bucket crosses the cap and
+    * the join would silently drop toward zero recall) candidates come
+    * from broadcast multi-index Hamming probes instead
+    * ([[graft.functions.HammingIndexKernel.MihIndex.idsBelowWithinRankDot]]
+    * — complete for the radius, zero cap loss, exact XOR pre-verify,
+    * and the SPEARMAN VERIFY FUSED INTO THE PROBE via a quantized rank
+    * payload: smooth-curve bits have fat correlated Hamming tails
+    * (~10⁻³ of independent pairs inside radius 14), and verifying
+    * in-memory before emission keeps the downstream shuffle at O(true
+    * pairs) instead of O(tail candidates) — the r15 scale lesson, a
+    * 1M-video run died on exactly that join's spill before the fuse),
+    * hash-range multi-pass past `maxIndexHashes` with one index resident
+    * at a time; the index path requires numeric ids (cast to long, the
+    * [[Dedup.pHashIdIndex]] contract). Thread `onCapDrops` to see banded
+    * cap losses (the index path reports (0,0) — it cannot drop). Returns
     * `(id_a, id_b, hamming, spearman)` for surviving pairs. */
   def videoProfilePairs(df: DataFrame, idCol: String, binCol: String,
-      maxDistance: Int = 12, pieces: Int = 16, minSpearman: Double = 0.92,
-      maxBucket: Int = 10000): DataFrame = {
+      maxDistance: Int = 14, pieces: Int = 16, minSpearman: Double = 0.85,
+      maxBucket: Int = 10000, onCapDrops: (Long, Long) => Unit = null,
+      maxIndexHashes: Long = 50000000L): DataFrame = {
     val featSchema = StructType(Seq(
       df.schema(idCol),
       StructField("__vphash", LongType),
-      StructField("__vpranks", ArrayType(DoubleType))))
+      StructField("__vpranks", ArrayType(DoubleType)),
+      StructField("__vpr2", BinaryType)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { row =>
         val medians = videoBucketMedians(row.getAs[Array[Byte]](binIdx))
-        if (medians == null) Row(row.get(idIdx), null, null)
-        else Row(row.get(idIdx), profileBitsOf(medians), profileRanksOf(medians))
+        if (medians == null) Row(row.get(idIdx), null, null, null)
+        else {
+          val r2 = profileRank2Of(medians)
+          Row(row.get(idIdx), profileBitsOf(medians), profileRanksOfR2(r2), r2)
+        }
       }
     }
     // Materialized once (lazy, serialized — the Dedup.CandLevel decision):
-    // read by the banding stage and BOTH sides of the verify join; without
-    // it the MP4 parse re-runs once per reference.
+    // read by the candidate stage and BOTH sides of the verify join;
+    // without it the MP4 parse re-runs once per reference.
     val feats = df.sparkSession.createDataFrame(rdd, featSchema)
       .localCheckpoint(false, Dedup.CandLevel)
-    val cands = Dedup.nearDupHamming64(feats, idCol, "__vphash",
-      maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket)
+    val hashed = feats.where(col("__vphash").isNotNull)
+    // Candidate-stage choice. The banded self-join's key space is only
+    // pieces · 2^(64/pieces) values (256 at the default 4-bit slices —
+    // radius 14 under the pigeonhole FORCES 16 pieces, 64%pieces==0), so
+    // past ~16·maxBucket rows the AVERAGE bucket crosses the cap and the
+    // join path silently drops toward zero recall no matter how uniform
+    // the bits are. Above that, candidates come from multi-index Hamming
+    // probes instead (8-bit slices, e=⌊14/8⌋=1 flip — complete for the
+    // radius, zero cap loss, O(n/256·9·8) exact XOR verifies per probe),
+    // broadcast-handled, hash-range multi-pass past `maxIndexHashes`
+    // (pairs can straddle shards, but each pair is emitted exactly once —
+    // by the shard holding its SMALLER id, probed from its larger side).
+    val n = hashed.count()
+    val cands: DataFrame =
+      if (n <= 16L * maxBucket)
+        Dedup.nearDupHamming64(feats, idCol, "__vphash",
+          maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket,
+          onCapDrops = onCapDrops)
+      else {
+        if (onCapDrops != null) onCapDrops(0L, 0L) // index probes never cap
+        val K = graft.functions.HammingIndexKernel
+        val slim = hashed.select(col(idCol).cast("long").as("__id"),
+          col("__vphash").as("__h"), col("__vpranks").as("__r"),
+          col("__vpr2").as("__r2"))
+        val nShards = math.max(1L, (n * 1.02 / maxIndexHashes).ceil.toLong).toInt
+        var pairsIds: DataFrame = null
+        (0 until nShards).foreach { s =>
+          val shard =
+            if (nShards == 1) slim
+            else slim.where(pmod(xxhash64(col("__h")), lit(nShards.toLong)) === s.toLong)
+          // The index carries the quantized rank payload so the Spearman
+          // verify runs INSIDE the probe: fat-tail Hamming candidates
+          // (the correlated-bit reality of smooth-curve signatures) die
+          // in memory instead of dragging two 0.5 KB rank vectors each
+          // through a verify-join shuffle — the difference between
+          // O(true pairs) and O(tail candidates) shuffle volume.
+          val rows = shard.select(col("__id"), col("__h"), col("__r2")).collect()
+          val nR = rows.length
+          val rb = new Array[Byte](ProfileBuckets * nR)
+          val inv = new Array[Double](nR)
+          var i = 0
+          while (i < nR) {
+            val r2 = rows(i).getAs[Array[Byte]](2)
+            System.arraycopy(r2, 0, rb, i * ProfileBuckets, ProfileBuckets)
+            inv(i) = profileRankInvOf(r2)
+            i += 1
+          }
+          // pieces=4 (16-bit slices): radius 14 → e=3 flips, 4·ΣC(16,≤3)
+          // = 2788 bucket probes covering ~4.3% of the shard per query —
+          // 6.5× fewer member scans than 8-bit slices' e=1 (9·8/256 =
+          // 28%), the dominant term of the whole operator at corpus scale.
+          val bc = df.sparkSession.sparkContext.broadcast(
+            new K.MihIndex(rows.map(_.getLong(1)), 4, rows.map(_.getLong(0)),
+              rb, inv))
+          val pass = slim.select(col("__id").as("id_b"),
+            explode(K.idsBelowWithinRankDot(col("__h"), col("__id"), col("__r"),
+              bc, maxDistance, minSpearman)).as("id_a"))
+          if (nShards == 1) pairsIds = pass // ContextCleaner reclaims bc with the plan
+          else {
+            // Peak reference state = ONE index: materialize the pass,
+            // then free this shard's executor copies before the next builds.
+            val mat = pass.localCheckpoint(true, Dedup.CandLevel)
+            bc.unpersist(blocking = false)
+            pairsIds = if (pairsIds == null) mat else pairsIds.unionByName(mat)
+          }
+        }
+        pairsIds
+          .join(slim.select(col("__id").as("id_a"), col("__h").as("__ha")), "id_a")
+          .join(slim.select(col("__id").as("id_b"), col("__h").as("__hb")), "id_b")
+          .select(col("id_a").cast(df.schema(idCol).dataType).as("id_a"),
+            col("id_b").cast(df.schema(idCol).dataType).as("id_b"),
+            bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      }
     val ranks = feats.where(col("__vpranks").isNotNull)
       .select(col(idCol).as("__rid"), col("__vpranks"))
     cands
@@ -1708,14 +1800,46 @@ object Multimodal {
     if (medians == null) null else java.lang.Long.valueOf(profileBitsOf(medians))
   }
 
+  /** Fixed pseudo-random bucket pairing for the signature bits: bit k
+    * compares medians at buckets (PairA(k), PairB(k)). The naive rule —
+    * bit = bucket > the global median — inherits the curve's SMOOTHNESS:
+    * adjacent bits run in blocks, 4-bit band slices degenerate to 0x0/0xF
+    * for most of the corpus, and both the banded join and an MIH index
+    * drown in those buckets. Comparing two pseudo-randomly chosen buckets
+    * instead makes the 64 bits near-iid for independent content (cross
+    * distances binomial around 32, P(<= 12) ~ 6e-7) while staying a rank
+    * statistic: monotone size transforms, GOP absorption and frame-rate
+    * resampling all preserve each comparison exactly as before. The
+    * pairing is a pure splitmix64 function of a fixed seed — part of the
+    * signature definition, identical everywhere. */
+  private val (profilePairA, profilePairB) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = new Array[Int](ProfileBuckets)
+    val b = new Array[Int](ProfileBuckets)
+    var k = 0
+    while (k < ProfileBuckets) {
+      a(k) = ((mix(0x5EEDFACEL + 2 * k) >>> 1) % ProfileBuckets).toInt
+      b(k) = ((mix(0x5EEDFACEL + 2 * k + 1) >>> 1) % ProfileBuckets).toInt
+      var salt = 1L
+      while (b(k) == a(k)) {
+        b(k) = ((mix(0x5EEDFACEL + 2 * k + 1 + salt * 131) >>> 1) % ProfileBuckets).toInt
+        salt += 1
+      }
+      k += 1
+    }
+    (a, b)
+  }
+
   private def profileBitsOf(medians: Array[Double]): Long = {
-    val sorted = medians.clone()
-    java.util.Arrays.sort(sorted)
-    val med = (sorted(ProfileBuckets / 2 - 1) + sorted(ProfileBuckets / 2)) / 2.0
     var bits = 0L
     var k = 0
     while (k < ProfileBuckets) {
-      if (medians(k) > med) bits |= (1L << k)
+      if (medians(profilePairA(k)) > medians(profilePairB(k))) bits |= (1L << k)
       k += 1
     }
     bits
@@ -1816,42 +1940,79 @@ object Multimodal {
     if (medians == null) null else profileRanksOf(medians)
   }
 
-  private def profileRanksOf(medians: Array[Double]): Array[Double] = {
+  private def profileRanksOf(medians: Array[Double]): Array[Double] =
+    profileRanksOfR2(profileRank2Of(medians))
+
+  /** DOUBLED average ranks of the bucket medians as bytes: avg rank over
+    * a tied run is a multiple of 0.5, so 2·rank ∈ {0..126} is EXACT in a
+    * byte — the 64-byte quantization the MIH index carries so the
+    * Spearman verify can run INSIDE the probe (reconstruction through
+    * [[profileRanksOfR2]] reproduces the normalized double vector
+    * BIT-IDENTICALLY — same arithmetic, same order). */
+  private[graft] def profileRank2Of(medians: Array[Double]): Array[Byte] = {
     val n = ProfileBuckets
     val idx = (0 until n).sortBy(medians(_)).toArray
+    val r2 = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      // Average rank over the tied run [i, j), doubled: (i + j - 1).
+      var j = i + 1
+      while (j < n && medians(idx(j)) == medians(idx(i))) j += 1
+      var k = i
+      while (k < j) { r2(idx(k)) = (i + j - 1).toByte; k += 1 }
+      i = j
+    }
+    r2
+  }
+
+  /** Inverse norm of the centered doubled-rank vector — shared by the
+    * column reconstruction and the MIH rank payload so every path's
+    * normalized values are the SAME doubles. norm2 = 0 only for an
+    * all-tied profile, which [[videoBucketMedians]] already nulls as
+    * flat. */
+  private[graft] def profileRankInvOf(r2: Array[Byte]): Double = {
+    val mean = (ProfileBuckets - 1) / 2.0
+    var norm2 = 0.0
+    var i = 0
+    while (i < ProfileBuckets) {
+      val v = r2(i) * 0.5 - mean
+      norm2 += v * v
+      i += 1
+    }
+    1.0 / StrictMath.sqrt(norm2)
+  }
+
+  /** Zero-mean unit-norm rank vector from the doubled-rank bytes —
+    * the single reconstruction everyone shares (column pipeline and
+    * in-probe verify), so both paths compute Spearman on bit-identical
+    * doubles. */
+  private[graft] def profileRanksOfR2(r2: Array[Byte]): Array[Double] = {
+    val n = ProfileBuckets
+    val inv = profileRankInvOf(r2)
+    val mean = (n - 1) / 2.0
     val ranks = new Array[Double](n)
     var i = 0
     while (i < n) {
-      // Average rank over the tied run [i, j).
-      var j = i + 1
-      while (j < n && medians(idx(j)) == medians(idx(i))) j += 1
-      val avg = (i + j - 1) / 2.0
-      var k = i
-      while (k < j) { ranks(idx(k)) = avg; k += 1 }
-      i = j
-    }
-    val mean = (n - 1) / 2.0
-    var norm2 = 0.0
-    i = 0
-    while (i < n) {
-      ranks(i) -= mean
-      norm2 += ranks(i) * ranks(i)
+      ranks(i) = (r2(i) * 0.5 - mean) * inv
       i += 1
     }
-    // norm2 = 0 only for an all-tied profile, which videoBucketMedians
-    // already nulls as flat.
-    val inv = 1.0 / StrictMath.sqrt(norm2)
-    i = 0
-    while (i < n) { ranks(i) *= inv; i += 1 }
     ranks
   }
 
   /** Planted ENCODER MODEL for the size-profile signature's gates: frame
     * sizes for one "encode" of family's content. The content is a smooth
-    * bitrate-motion curve — eight StrictMath sinusoids (1–8 cycles) with
+    * bitrate-motion curve — sixteen StrictMath sinusoids (1–16 cycles,
+    * amplitudes decaying ~1/√freq like natural motion spectra) with
     * family-derived phases/weights, evaluated at the NORMALIZED frame
     * time, so two encodes at different frame counts sample the same
-    * curve — times the encoder knobs a two-pass re-encode changes:
+    * curve. Sixteen components matter at corpus scale: an 8-component
+    * model's ~16-dim content space suffers birthday collisions around
+    * 10⁵ distinct contents (pairs of families with near-identical
+    * curves at ~5·10⁻⁷ — which the signature then CORRECTLY pairs,
+    * flooding scale tests with true-but-unplanted near-dups); doubling
+    * the dimensionality pushes the collision rate far below any
+    * realistic plant density. The curve multiplies the encoder knobs a
+    * two-pass re-encode changes:
     * `bitrateScale` (global rate factor), `gop` (a 3× keyframe spike
     * every gop frames — different encoders place keyframes differently),
     * and ±10% per-frame noise from `noiseSeed` (rate-control jitter).
@@ -1871,14 +2032,16 @@ object Multimodal {
       z ^ (z >>> 31)
     }
     def unit(z: Long): Double = mix(z).toDouble / Long.MaxValue // [-1, 1]
-    val phases = Array.tabulate(8)(j => unit(family * 31 + j) * StrictMath.PI)
-    val weights = Array.tabulate(8)(j => 0.5 + 0.5 * math.abs(unit(family * 37 + 100 + j)))
+    val phases = Array.tabulate(16)(j => unit(family * 31 + j) * StrictMath.PI)
+    val weights = Array.tabulate(16) { j =>
+      (0.5 + 0.5 * math.abs(unit(family * 37 + 100 + j))) / StrictMath.sqrt(j + 1.0)
+    }
     (0 until nFrames).map { i =>
       val t = (i + 0.5) / nFrames
       var c = 1.0
       var j = 0
-      while (j < 8) {
-        c += 0.18 * weights(j) * StrictMath.sin(2.0 * StrictMath.PI * (j + 1) * t + phases(j))
+      while (j < 16) {
+        c += 0.22 * weights(j) * StrictMath.sin(2.0 * StrictMath.PI * (j + 1) * t + phases(j))
         j += 1
       }
       val curve = math.max(0.15, c)

@@ -258,12 +258,13 @@ object LlmQueries {
     // re-mux of s0 (identical stsz ⇒ identical signature), s4 novel
     // content. Every slot's mdat payload family differs (slots share NO
     // payload bytes — the signature must key on sizes alone). The
-    // operator is the full candidates-then-verify composition: sign-bit
-    // Hamming candidates (recall stage — re-encodes sit ≤ 10 bits), then
-    // Spearman rank correlation of the 64-bucket profiles (precision —
-    // same-content ≥ 0.957, independent ≤ 0.871 over 59,700 measured
-    // pairs, DriveVideoProfile; 0.92 splits the gap). Slots {0,1,2,3}
-    // pair completely within each family; s4/cross-family never pair.
+    // operator is the full candidates-then-verify composition:
+    // paired-bucket Hamming candidates (recall stage — re-encodes sit
+    // ≤ 13 bits, maxDistance 14), then Spearman rank correlation of the
+    // 64-bucket profiles (precision — same-content ≥ 0.939, independent
+    // ≤ 0.751 over 59,700 measured pairs, DriveVideoProfile; 0.85 splits
+    // the gap). Slots {0,1,2,3} pair completely within each family;
+    // s4/cross-family never pair.
     "q_dedup_video_profile" -> ((s, d) => {
       import s.implicits._
       def chunksFor(n: Int): Seq[Int] =

@@ -12,9 +12,55 @@ import graft.llm.Multimodal
   * garbage bytes). */
 object DriveVideoProfile {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("scale")) {
+      scaleRun(if (args.length > 1) args(1).toLong else 1000000L)
+      return
+    }
     val nFam = if (args.nonEmpty) args(0).toInt else 200
     run(nFam, 640, 480)
     run(nFam, 1280, 960)
+  }
+
+  /** Spark scale leg: n videos = n/2 content families × 2 independent
+    * encodes (original vs 0.6×-bitrate/other-GOP/other-noise), run
+    * through the full videoProfilePairs operator (index-path candidates
+    * + Spearman verify at this size). Reports wall, pair counts and
+    * planted recall — every family must pair its two encodes (ids 2f,
+    * 2f+1); extras are cross-content survivors of BOTH stages. */
+  def scaleRun(n: Long): Unit = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.maxResultSize", "8g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val media = spark.range(0, n).select(col("id")).as[Long]
+      .map { id =>
+        val fam = id / 2
+        val sizes =
+          if (id % 2 == 0)
+            Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L, base = 48)
+          else
+            Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L, base = 48)
+        (id, Multimodal.encodeMp4Media(id, sizes, Seq.fill(10)(64)))
+      }.toDF("doc_id", "payload")
+    var drops = (0L, 0L)
+    val t0 = System.nanoTime
+    val r = Multimodal.videoProfilePairs(media, "doc_id", "payload",
+        onCapDrops = (k, rr) => drops = (k, rr))
+      .agg(count(lit(1)).as("pairs"),
+        sum(when(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0, 1L)
+          .otherwise(0L)).as("planted"))
+      .collect()(0)
+    val wall = (System.nanoTime - t0) / 1e9
+    val pairs = r.getLong(0)
+    val planted = r.getLong(1)
+    println(f"CHECK scale n=$n wall=$wall%.1fs pairs=$pairs planted=$planted/${n / 2} " +
+      f"recall=${planted.toDouble / (n / 2)}%.4f extras=${pairs - planted} cap_drops=$drops")
+    spark.stop()
   }
 
   def run(nFam: Int, framesA: Int, framesB: Int): Unit = {
@@ -87,7 +133,7 @@ object DriveVideoProfile {
     val same = (0 until nFam).map(i => ham(origH(i), lowH(i))) ++
       (0 until nFam).map(i => ham(origH(i), fpsH(i)))
     val crossAll = cross ++ crossRe
-    val thr = 8
+    val thr = 14
     println(s"CHECK separation same_max=${same.max} cross_min=${crossAll.min} " +
       s"${if (same.max < crossAll.min) "SEPARATED" else "OVERLAP"}")
     println(f"CHECK at_maxDistance_$thr recall=${same.count(_ <= thr).toDouble / same.size}%.4f " +

@@ -319,11 +319,10 @@ class Round15Spec extends AnyFunSuite {
     assert(Multimodal.videoSizeProfileHashOne(null) == null)
   }
 
-  test("video size-profile plant: pair set is exactly the id-arithmetic expectation") {
-    import graft.llm.{Dedup, Multimodal}
-    // The q_dedup_video_profile corpus verbatim — asserting the full pair
-    // set here pins the oracle's arithmetic before the DuckDB replay runs.
-    val media = spark.range(0, 200).select(col("id")).as[Long]
+  // The q_dedup_video_profile corpus verbatim.
+  private def vpPlant = {
+    import graft.llm.Multimodal
+    spark.range(0, 200).select(col("id")).as[Long]
       .map { id =>
         val fam = id / 5
         val bytes = (id % 5) match {
@@ -347,17 +346,49 @@ class Round15Spec extends AnyFunSuite {
         }
         (id, bytes)
       }.toDF("doc_id", "payload")
-    val got = Multimodal.videoProfilePairs(media, "doc_id", "payload")
+  }
+
+  private val vpExpected = (for {
+    f <- 0 until 40
+    slots = if (f % 3 == 2) Seq(0, 2, 3) else Seq(0, 1, 2, 3)
+    a <- slots
+    b <- slots
+    if a < b
+  } yield (5L * f + a, 5L * f + b)).toSet
+
+  test("video size-profile plant: pair set is exactly the id-arithmetic expectation") {
+    import graft.llm.Multimodal
+    // Asserting the full pair set here pins the oracle's arithmetic
+    // before the DuckDB replay runs.
+    val got = Multimodal.videoProfilePairs(vpPlant, "doc_id", "payload")
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = (for {
-      f <- 0 until 40
-      slots = if (f % 3 == 2) Seq(0, 2, 3) else Seq(0, 1, 2, 3)
-      a <- slots
-      b <- slots
-      if a < b
-    } yield (5L * f + a, 5L * f + b)).toSet
-    assert(got == expected,
-      s"missing=${(expected -- got).toSeq.sorted.take(10)} extra=${(got -- expected).toSeq.sorted.take(10)}")
+    assert(got == vpExpected,
+      s"missing=${(vpExpected -- got).toSeq.sorted.take(10)} extra=${(got -- vpExpected).toSeq.sorted.take(10)}")
+  }
+
+  test("videoProfilePairs: MIH index path (single and multi-shard) is pair-identical to the banded join path") {
+    import graft.llm.Multimodal
+    // maxBucket 10 puts the switch threshold (16·maxBucket = 160) under
+    // the 200-row plant → single-index MIH path; maxIndexHashes 50 then
+    // forces ceil(187·1.02/50) = 4 hash-range shards. Both must produce
+    // the default banded path's exact pair set, and the probes must
+    // never report a cap drop.
+    var drops = List.empty[(Long, Long)]
+    val single = Multimodal.videoProfilePairs(vpPlant, "doc_id", "payload",
+        maxBucket = 10, onCapDrops = (k, r) => drops = (k, r) :: drops)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single == vpExpected,
+      s"single-index: missing=${(vpExpected -- single).toSeq.sorted.take(10)} " +
+        s"extra=${(single -- vpExpected).toSeq.sorted.take(10)}")
+    assert(drops == List((0L, 0L)), s"index path must report zero drops, got $drops")
+    val sharded = Multimodal.videoProfilePairs(vpPlant, "doc_id", "payload",
+        maxBucket = 10, maxIndexHashes = 50L)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sharded == vpExpected,
+      s"multi-shard: missing=${(vpExpected -- sharded).toSeq.sorted.take(10)} " +
+        s"extra=${(sharded -- vpExpected).toSeq.sorted.take(10)}")
   }
 }
