@@ -27,15 +27,46 @@ import org.apache.spark.sql.types._
   * ~6 and ~850 verifies per row per million corpus images. */
 object HammingIndexKernel {
 
+  /** Serialized footprint of ONE index row — the shared sizing formula
+    * every builder's shard math derives from (r16, VERDICT #2: row-count
+    * caps inherited from the id-only pHash form under-counted the
+    * rank-carrying form ~4×). Per row: 8 B sketch, 8 B id when carried,
+    * 4·pieces B bucket members, and — when the rank payload rides for the
+    * fused in-probe verify — rankLen rank bytes + 8 B inverse norm. The
+    * per-index fixed offsets table (4·(pieces·2^(64/pieces)+1) B — ~1 MB
+    * at pieces=4) is not per-row and is negligible next to any real
+    * budget. Concretely: id-only pHash at pieces=4 is 24 B/row (50M rows
+    * ≈ 1.2 GB — the documented r14 footprint); the 64-bucket
+    * rank-carrying video-profile form is 104 B/row, so the SAME byte
+    * budget shards it ~4.3× earlier (~11.5M rows). */
+  def indexBytesPerRow(pieces: Int, hasIds: Boolean, rankLen: Int): Long =
+    8L + (if (hasIds) 8L else 0L) + 4L * pieces +
+      (if (rankLen > 0) rankLen.toLong + 8L else 0L)
+
+  /** Default per-shard byte budget for driver-collected + broadcast MIH
+    * indexes — the r14-documented ~1.2 GB pHash ceiling, now enforced in
+    * BYTES so payload-carrying indexes shard proportionally earlier
+    * instead of surprising the driver at the row cap. */
+  val DefaultIndexBudgetBytes: Long = 1200000000L
+
+  /** Measurement-only instrumentation: when [[countScans]] is on, every
+    * bucket-member visit (the XOR-verify loop — the dominant probe cost)
+    * bumps [[scanCounter]]. Static and JVM-local: exact under local[*]
+    * (the bench harness), per-executor on a cluster. Off by default; the
+    * disabled cost is one volatile read per bucket scan. */
+  @volatile var countScans: Boolean = false
+  val scanCounter = new java.util.concurrent.atomic.LongAdder
+
   /** Immutable bucketed index over a corpus of 64-bit sketches: sketches
     * stored once, per-(piece, slice-value) buckets hold int offsets;
     * `ids`, when present (one per hash — callers pre-reduce duplicate
     * hashes to their smallest id), enables [[MihIndex.minIdWithin]];
     * the optional rank payload (`rankBytes`/`rankInv`) enables the fused
     * candidate+verify probe [[MihIndex.idsBelowWithinRankDot]].
-    * Serializable — ships to executors as one codegen reference object
-    * (8·n sketch [+8·n id] bytes + 4·pieces·n bucket bytes + offsets
-    * [+rankLen·n rank bytes + 8·n inverse norms]). */
+    * Serializable — ships to executors as one codegen reference object;
+    * [[indexBytesPerRow]] is the per-row footprint formula builders size
+    * their shards with (24 B/row id-only at pieces=4; +rankLen+8 with
+    * the rank payload). */
   final class MihIndex(val hashes: Array[Long], val pieces: Int,
       val ids: Array[Long], val rankBytes: Array[Byte],
       val rankInv: Array[Double]) extends Serializable {
@@ -50,10 +81,13 @@ object HammingIndexKernel {
     // average ranks (exact in a byte) flattened, `rankInv` the row's
     // precomputed inverse norm — the caller supplies both from the SAME
     // arithmetic its column-side rank vectors use, so the in-probe dot
-    // is bit-identical to the zip_with/aggregate one.
+    // is bit-identical to the zip_with/aggregate one. An empty corpus is
+    // legal (r16 — a hash-range shard can be empty at small n and every
+    // probe of it just returns nothing).
     require(rankBytes == null ||
-      (hashes.length > 0 && rankBytes.length % hashes.length == 0 &&
-        rankInv != null && rankInv.length == hashes.length),
+      (rankInv != null && rankInv.length == hashes.length &&
+        (if (hashes.length == 0) rankBytes.length == 0
+         else rankBytes.length % hashes.length == 0)),
       "rankBytes must be rankLen·n with a parallel rankInv")
     private val rankLen =
       if (rankBytes == null || hashes.isEmpty) 0 else rankBytes.length / hashes.length
@@ -107,6 +141,7 @@ object HammingIndexKernel {
       var best = Long.MaxValue
       var j = offsets(p * nBuckets + v)
       val end = offsets(p * nBuckets + v + 1)
+      if (countScans) scanCounter.add(end - j)
       while (j < end) {
         val m = members(j)
         if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
@@ -191,6 +226,7 @@ object HammingIndexKernel {
         d: Int, selfId: Long, acc: java.util.TreeSet[java.lang.Long]): Unit = {
       var j = offsets(p * nBuckets + v)
       val end = offsets(p * nBuckets + v + 1)
+      if (countScans) scanCounter.add(end - j)
       while (j < end) {
         val m = members(j)
         if (ids(m) < selfId && java.lang.Long.bitCount(hashes(m) ^ h) <= d)
@@ -221,6 +257,7 @@ object HammingIndexKernel {
         q: Array[Double], minDot: Double): Array[Long] = {
       require(ids != null && rankBytes != null,
         "idsBelowWithinRankDot needs an id- and rank-carrying MihIndex")
+      if (hashes.isEmpty) return Array.emptyLongArray
       require(q.length == rankLen, s"rank vector length ${q.length} != $rankLen")
       val acc = new java.util.TreeSet[java.lang.Long]
       val e = d / pieces
@@ -242,6 +279,7 @@ object HammingIndexKernel {
         acc: java.util.TreeSet[java.lang.Long]): Unit = {
       var j = offsets(p * nBuckets + v)
       val end = offsets(p * nBuckets + v + 1)
+      if (countScans) scanCounter.add(end - j)
       while (j < end) {
         val m = members(j)
         if (ids(m) < selfId && java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
@@ -265,6 +303,190 @@ object HammingIndexKernel {
           bit += 1
         }
       }
+    }
+
+    /** [[idsBelowWithinRankDot]] that also EMITS what the probe already
+      * computed per surviving candidate — the exact Hamming distance and
+      * the exact Spearman dot (r16, VERDICT #4: the id-only form made the
+      * caller re-join the emitted ids back to the hash and rank frames
+      * and recompute both values — four O(pairs) shuffles recomputing
+      * what the probe had certified in memory). Results accumulate into
+      * `acc` keyed by candidate id (a candidate reachable through several
+      * pieces verifies identically each time, so last-write-wins is
+      * exact), letting a multi-cell caller fold several sub-index probes
+      * into one sorted emission. */
+    def hitsBelowWithinRankDot(h: Long, d: Int, selfId: Long,
+        q: Array[Double], minDot: Double,
+        acc: java.util.TreeMap[java.lang.Long, RankHit]): Unit = {
+      require(ids != null && rankBytes != null,
+        "hitsBelowWithinRankDot needs an id- and rank-carrying MihIndex")
+      if (hashes.isEmpty) return
+      require(q.length == rankLen, s"rank vector length ${q.length} != $rankLen")
+      val e = d / pieces
+      var p = 0
+      while (p < pieces) {
+        collectPieceRankDotHits(p, ((h >>> (p * bpp)) & mask).toInt, e, 0,
+          h, d, selfId, q, minDot, acc)
+        p += 1
+      }
+    }
+
+    private def collectPieceRankDotHits(p: Int, v: Int, e: Int, from: Int,
+        h: Long, d: Int, selfId: Long, q: Array[Double], minDot: Double,
+        acc: java.util.TreeMap[java.lang.Long, RankHit]): Unit = {
+      var j = offsets(p * nBuckets + v)
+      val end = offsets(p * nBuckets + v + 1)
+      if (countScans) scanCounter.add(end - j)
+      while (j < end) {
+        val m = members(j)
+        val ham = java.lang.Long.bitCount(hashes(m) ^ h)
+        if (ids(m) < selfId && ham <= d) {
+          val off = m * rankLen
+          val inv = rankInv(m)
+          var s = 0.0
+          var i = 0
+          while (i < rankLen) {
+            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+            i += 1
+          }
+          if (s >= minDot) acc.put(ids(m), new RankHit(ids(m), ham, s))
+        }
+        j += 1
+      }
+      if (e > 0) {
+        var bit = from
+        while (bit < bpp) {
+          collectPieceRankDotHits(p, v ^ (1 << bit), e - 1, bit + 1, h, d,
+            selfId, q, minDot, acc)
+          bit += 1
+        }
+      }
+    }
+  }
+
+  /** One fused-probe survivor: candidate id, exact Hamming distance and
+    * exact Spearman dot — what [[MihIndex.hitsBelowWithinRankDot]] emits
+    * so the caller never recomputes either. */
+  final class RankHit(val id: Long, val hamming: Int, val dot: Double)
+      extends Serializable
+
+  /** CELL-PARTITIONED multi-index Hamming structure (r16, VERDICT #1):
+    * one [[MihIndex]] per caller-assigned cell key. The plain index's
+    * probe scans ~`pieces·Σ C(bpp,≤e)/2^bpp` of the WHOLE corpus per
+    * query (4.3% at 16-bit slices / e=3) — O(n) per probe, O(n²)
+    * aggregate. When rows carry a cheap equality-ish pre-partition key
+    * that true pairs (near-)agree on (for video re-encodes: container
+    * duration/fps buckets from the same parse that builds the profile),
+    * probing only the query's OWN cell plus the caller-chosen adjacent
+    * cells bounds each probe by the CELL population instead of the
+    * corpus. The cell structure costs nothing in recall for pairs whose
+    * keys land within the probed neighborhood (the caller's contract)
+    * and the per-probe verify arithmetic is IDENTICAL to the flat index,
+    * so surviving pairs match the flat probe bit-for-bit on those pairs.
+    * Degenerate corpora that concentrate in one cell degrade gracefully
+    * to the flat index's behavior. Per-cell fixed cost is the offsets
+    * table (~1 MB at pieces=4), so cell schemes should aim for ≤ ~10³
+    * populated cells — coarse log-scale buckets, not raw values. */
+  final class MihCellIndex(cellKeys: Array[Long], hashes: Array[Long],
+      pieces: Int, ids: Array[Long], rankBytes: Array[Byte],
+      rankInv: Array[Double]) extends Serializable {
+    require(cellKeys.length == hashes.length &&
+      ids != null && ids.length == hashes.length &&
+      rankBytes != null && rankInv != null && rankInv.length == hashes.length,
+      "cellKeys/hashes/ids/rankInv must be parallel with a flat rankBytes")
+    private val rankLen =
+      if (hashes.isEmpty) 0 else rankBytes.length / hashes.length
+
+    /** cell key → that cell's id- and rank-carrying [[MihIndex]]. */
+    private val cells: java.util.HashMap[java.lang.Long, MihIndex] = {
+      val counts = new java.util.HashMap[java.lang.Long, Array[Int]]
+      var i = 0
+      while (i < cellKeys.length) {
+        val c = counts.get(cellKeys(i))
+        if (c == null) counts.put(cellKeys(i), Array(1)) else c(0) += 1
+        i += 1
+      }
+      val parts = new java.util.HashMap[java.lang.Long,
+        (Array[Long], Array[Long], Array[Byte], Array[Double], Array[Int])]
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val n = e.getValue()(0)
+        parts.put(e.getKey,
+          (new Array[Long](n), new Array[Long](n), new Array[Byte](n * rankLen),
+            new Array[Double](n), Array(0)))
+      }
+      i = 0
+      while (i < cellKeys.length) {
+        val (hs, is, rb, ri, cur) = parts.get(cellKeys(i))
+        val j = cur(0)
+        hs(j) = hashes(i)
+        is(j) = ids(i)
+        System.arraycopy(rankBytes, i * rankLen, rb, j * rankLen, rankLen)
+        ri(j) = rankInv(i)
+        cur(0) = j + 1
+        i += 1
+      }
+      val out = new java.util.HashMap[java.lang.Long, MihIndex]
+      val it2 = parts.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val (hs, is, rb, ri, _) = e.getValue
+        out.put(e.getKey, new MihIndex(hs, pieces, is, rb, ri))
+      }
+      out
+    }
+
+    /** Number of populated cells and the largest cell's population —
+      * the bound each probe's member scans now carry. */
+    def cellStats: (Int, Int) = {
+      var maxN = 0
+      val it = cells.values().iterator()
+      while (it.hasNext) maxN = math.max(maxN, it.next().hashes.length)
+      (cells.size(), maxN)
+    }
+
+    /** Fused candidate+verify pair probe over the given probe cells (the
+      * query's own cell plus whatever adjacency the caller's key scheme
+      * needs): for each populated probed cell, the cell sub-index runs
+      * the same complete MIH expansion + exact XOR + exact rank-dot as
+      * the flat [[MihIndex.hitsBelowWithinRankDot]]; results fold into
+      * one ascending-id array. A candidate id lives in exactly one cell,
+      * so the fold needs no cross-cell dedup beyond the shared map. */
+    def hitsBelowWithinRankDot(probeCells: Array[Long], h: Long, d: Int,
+        selfId: Long, q: Array[Double], minDot: Double): Array[RankHit] = {
+      val acc = new java.util.TreeMap[java.lang.Long, RankHit]
+      var c = 0
+      while (c < probeCells.length) {
+        val sub = cells.get(probeCells(c))
+        if (sub != null) sub.hitsBelowWithinRankDot(h, d, selfId, q, minDot, acc)
+        c += 1
+      }
+      val out = new Array[RankHit](acc.size)
+      val it = acc.values().iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+
+    /** Catalyst-facing form of [[hitsBelowWithinRankDot]]: ArrayData in,
+      * ArrayData of (id, hamming, spearman) structs out — one call site
+      * for both the interpreted and generated paths. */
+    def probeAsArrayData(h: Long, selfId: Long,
+        ranks: org.apache.spark.sql.catalyst.util.ArrayData,
+        probeCells: org.apache.spark.sql.catalyst.util.ArrayData,
+        maxDistance: Int, minDot: Double)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val hits = hitsBelowWithinRankDot(probeCells.toLongArray(), h,
+        maxDistance, selfId, ranks.toDoubleArray(), minDot)
+      val rows = new Array[Any](hits.length)
+      var i = 0
+      while (i < hits.length) {
+        rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+          hits(i).id, hits(i).hamming, hits(i).dot)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
     }
   }
 
@@ -464,6 +686,11 @@ object HammingIndexKernel {
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 64), got $maxDistance")
+    // minDot is spliced into generated Java as a literal — a non-finite
+    // value ('NaN'/'Infinity') would not compile there, so fail at
+    // construction instead (r15 ADVICE).
+    require(java.lang.Double.isFinite(minDot),
+      s"minDot must be finite, got $minDot")
     require(bc.value.ids != null && bc.value.rankBytes != null,
       "HammingIdsBelowWithinRankDotBc needs an id- and rank-carrying MihIndex")
     override def prettyName: String = "graft_hamming_ids_below_within_rankdot_bc"
@@ -508,4 +735,67 @@ object HammingIndexKernel {
     GraftSql.column(HammingIdsBelowWithinRankDotBc(GraftSql.expression(sketch),
       GraftSql.expression(selfId), GraftSql.expression(ranks), bc,
       maxDistance, minDot))
+
+  /** Broadcast-backed CELL-PARTITIONED fused pair probe over a
+    * [[MihCellIndex]] — the scale form of the rank-dot probe (r16):
+    * children (sketch bigint, own id bigint, normalized rank vector
+    * array<double>, probe cell keys array<bigint>). Emits
+    * `array<struct<id, hamming, spearman>>` — the verified pair WITH the
+    * values the probe computed, so the caller's downstream is a single
+    * explode, never a re-join/re-verify. */
+  case class HammingPairsBelowRankDotCellBc(first: Expression,
+      second: Expression, third: Expression, fourth: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[MihCellIndex],
+      maxDistance: Int, minDot: Double)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    require(java.lang.Double.isFinite(minDot),
+      s"minDot must be finite, got $minDot")
+    override def prettyName: String = "graft_hamming_pairs_rankdot_cell_bc"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false),
+      StructField("spearman", DoubleType, nullable = false))),
+      containsNull = false)
+    override def nullable: Boolean = first.nullable || second.nullable ||
+      third.nullable || fourth.nullable
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+        case (LongType, LongType, ArrayType(DoubleType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (bigint, bigint, array<double>, array<bigint>), " +
+            s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString}, ${d.simpleString})")
+      }
+    @transient private lazy val idx = bc.value
+    override def nullSafeEval(hash: Any, selfId: Any, ranks: Any, cells: Any): Any =
+      idx.probeAsArrayData(hash.asInstanceOf[Long], selfId.asInstanceOf[Long],
+        ranks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        maxDistance, minDot)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihCellIndex"
+      val bcRef = ctx.addReferenceObj("mihCellBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "mihCellIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      // minDot emitted through raw long bits: always a compilable literal.
+      val minDotBits = java.lang.Double.doubleToLongBits(minDot)
+      nullSafeCodeGen(ctx, ev, (h, id, r, c) =>
+        s"""${ev.value} = $idxTerm.probeAsArrayData($h, $id, $r, $c,
+           |  $maxDistance, Double.longBitsToDouble(${minDotBits}L));
+           |""".stripMargin)
+    }
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression, q: Expression): Expression =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  def pairsBelowRankDotCell(sketch: Column, selfId: Column, ranks: Column,
+      probeCells: Column, bc: org.apache.spark.broadcast.Broadcast[MihCellIndex],
+      maxDistance: Int, minDot: Double): Column =
+    GraftSql.column(HammingPairsBelowRankDotCellBc(GraftSql.expression(sketch),
+      GraftSql.expression(selfId), GraftSql.expression(ranks),
+      GraftSql.expression(probeCells), bc, maxDistance, minDot))
 }

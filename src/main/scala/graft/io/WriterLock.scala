@@ -19,16 +19,32 @@ import org.apache.spark.sql.SparkSession
   * window). `fs.create(lock, overwrite = false)` fails when the file
   * exists — atomic on HDFS, best-effort on local/object stores, which
   * matches the guard's contract: it protects against accidental
-  * concurrency, not byzantine writers. A crashed writer leaves its lock
-  * behind; locks older than `staleAfterMs` are broken ONCE and
-  * re-acquired (age from filesystem mtime), so a dead writer never wedges
-  * the index permanently — the failure message names the file and the
-  * self-break horizon for operators who need it sooner. */
+  * concurrency, not byzantine writers.
+  *
+  * Liveness vs staleness (r16 — the r15 horizon could break a LIVE
+  * writer): the holder runs a driver-side daemon HEARTBEAT that refreshes
+  * the lock's mtime every `staleAfterMs / 4` while `body` runs, so age
+  * measured from mtime only ever exceeds the horizon for a DEAD writer —
+  * a 100-TB compaction that legitimately runs for hours keeps its lock
+  * for as long as its driver lives. Breaking is RENAME-THEN-DELETE: the
+  * breaker renames the stale lock to a nonce-suffixed sidecar first, so
+  * when two writers both observe the same stale lock only ONE rename
+  * wins and the loser cannot delete a lock the winner just re-created
+  * (the r15 interleaved-delete race). The lock file carries its owner's
+  * token (pid + nonce); release deletes the file ONLY when it still
+  * carries the owner's token, so a writer whose lock was (wrongly or
+  * rightly) broken and re-acquired by someone else can no longer free
+  * the new owner's lock from its `finally`. */
 object WriterLock {
 
   /** Named failure for a second live writer — catch-and-retry-able. */
   final class ConcurrentWriterException(msg: String)
       extends IllegalStateException(msg)
+
+  /** Test-only kill switch for the holder heartbeat, to simulate a
+    * writer whose driver died (or stalled) mid-body without sleeping a
+    * real stale horizon. Production code never touches it. */
+  @volatile private[graft] var heartbeatEnabled: Boolean = true
 
   private[graft] def lockPath(dir: String): Path = {
     val p = new Path(dir)
@@ -38,41 +54,112 @@ object WriterLock {
   }
 
   /** Run `body` holding the exclusive writer lock for `dir`; always
-    * releases. Throws [[ConcurrentWriterException]] when a live (younger
-    * than `staleAfterMs`) writer holds it. */
+    * stops the heartbeat and releases (token-verified). Throws
+    * [[ConcurrentWriterException]] when a live (heartbeat younger than
+    * `staleAfterMs`) writer holds it. */
   def withLock[T](spark: SparkSession, dir: String, op: String,
       staleAfterMs: Long = 30L * 60L * 1000L)(body: => T): T = {
+    require(staleAfterMs > 0, s"staleAfterMs must be positive, got $staleAfterMs")
     val lock = lockPath(dir)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+    def payload(): Array[Byte] =
+      (s"""{"op": "$op", "token": "$token", """ +
+        s""""acquired_ms": ${System.currentTimeMillis()}}""").getBytes("UTF-8")
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false)
-        try out.write(
-          (s"""{"op": "$op", "pid": ${ProcessHandle.current().pid()}, """ +
-            s""""acquired_ms": ${System.currentTimeMillis()}}""").getBytes("UTF-8"))
-        finally out.close()
+        try out.write(payload()) finally out.close()
         true
       } catch { case _: java.io.IOException => false } // exists = busy
+    def readToken(p: Path): Option[String] =
+      try {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            var r = in.read(tmp)
+            while (r >= 0) { buf.write(tmp, 0, r); r = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+        val s = new String(bytes, "UTF-8")
+        val m = """"token": "([^"]+)"""".r.findFirstMatchIn(s)
+        m.map(_.group(1))
+      } catch { case _: java.io.IOException => None }
     var acquired = tryAcquire()
     if (!acquired) {
       val status =
         try Some(fs.getFileStatus(lock))
         catch { case _: java.io.FileNotFoundException => None }
       val ageMs = status.map(s => System.currentTimeMillis() - s.getModificationTime)
-      // Gone between attempts, or older than the horizon: break once.
+      // Gone between attempts, or mtime (heartbeat-refreshed by a live
+      // holder) older than the horizon: break ONCE, by rename — a rename
+      // can only succeed for one of several concurrent breakers, and the
+      // loser's failure leaves the winner's freshly created lock intact.
       if (ageMs.forall(_ > staleAfterMs)) {
-        try fs.delete(lock, false) catch { case _: java.io.IOException => () }
-        acquired = tryAcquire()
+        val staleToken = status.flatMap(_ => readToken(lock))
+        val aside = new Path(lock.getParent,
+          lock.getName + s".breaking.$token")
+        val renamed = try fs.rename(lock, aside)
+          catch { case _: java.io.IOException => false }
+        if (renamed) {
+          // Guard against breaking a lock that was released and
+          // re-acquired FRESH between the staleness observation and the
+          // rename: if the renamed file's token is not the one observed
+          // stale, put it back and report busy below.
+          val brokeToken = readToken(aside)
+          if (staleToken.isEmpty || brokeToken == staleToken) {
+            try fs.delete(aside, false) catch { case _: java.io.IOException => () }
+            acquired = tryAcquire()
+          } else {
+            try fs.rename(aside, lock) catch { case _: java.io.IOException => () }
+          }
+        } else acquired = tryAcquire() // someone released (or broke) it first
       }
       if (!acquired) throw new ConcurrentWriterException(
         s"$op: another writer holds $lock" +
-          ageMs.map(a => s" (acquired ~${a / 1000}s ago)").getOrElse("") +
+          ageMs.map(a => s" (heartbeat ~${a / 1000}s ago)").getOrElse("") +
           " — concurrent writers interleaving the index's rename swaps can " +
           "silently lose a batch. Retry after it finishes; if that writer is " +
-          s"dead, delete the lock file (locks self-break after ${staleAfterMs} ms)")
+          s"dead, delete the lock file (dead locks self-break after ${staleAfterMs} ms " +
+          "without a heartbeat)")
     }
+    // Holder heartbeat: refresh the lock's mtime from a daemon thread so
+    // the stale horizon measures time since the last PROOF OF LIFE, not
+    // since acquisition — a long-running body keeps its lock. setTimes is
+    // supported by HDFS and the local filesystems; where it is not, fall
+    // back to rewriting the lock payload in place (same token).
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      val interval = math.max(50L, staleAfterMs / 4)
+      while (!hbStop.get()) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (!hbStop.get() && heartbeatEnabled) {
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch {
+            case _: UnsupportedOperationException =>
+              try {
+                if (readToken(lock).contains(token)) {
+                  val out = fs.create(lock, true)
+                  try out.write(payload()) finally out.close()
+                }
+              } catch { case _: java.io.IOException => () }
+            case _: java.io.IOException => () // transient; next beat retries
+          }
+        }
+      }
+    }, s"graft-writer-lock-heartbeat-$op")
+    hb.setDaemon(true)
+    hb.start()
     try body finally {
-      try fs.delete(lock, false)
+      hbStop.set(true)
+      hb.interrupt()
+      // Token-verified release: only delete a lock we still own — if a
+      // breaker (rightly, after our heartbeat died; or through local-FS
+      // non-atomicity) replaced it, the file now guards THEIR writes.
+      try if (readToken(lock).forall(_ == token)) fs.delete(lock, false)
       catch { case _: java.io.IOException => () } // release is best-effort
     }
   }

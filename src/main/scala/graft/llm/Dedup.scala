@@ -834,6 +834,54 @@ object Dedup {
         col(phashCol).cast("long"), bc, maxDistance), lit(false)))
   }
 
+  /** STATELESS streaming AUDIO near-dup guard against a static corpus
+    * (r16 — the audio/video twin of [[streamPHashGuard]], closing the
+    * modality gap): the in-flight clip's 64-bit spectral (or energy)
+    * sketch is computed per row by the streaming-safe
+    * [[Multimodal.mediaSketch64]] expression (bit-identical to the batch
+    * [[Multimodal.audioSpectralHashes]] / `audioHashes` sketches — the
+    * batch≡stream parity contract) and probed against the driver-known
+    * corpus index in one fused multi-index Hamming expression — complete
+    * for any radius and EXACT-verified, so flags have no false
+    * positives. Pure projection: no state store, no watermark, no
+    * shuffle; composes with any source/sink in append mode; undecodable
+    * bytes sketch to null and pass unflagged. Build the index from the
+    * corpus's batch sketches ([[pHashIndex]] over the sketch column —
+    * it is sketch-agnostic). */
+  def streamAudioGuard(stream: DataFrame,
+      index: graft.functions.HammingIndexKernel.MihIndex,
+      binCol: String, maxDistance: Int = 3,
+      spectral: Boolean = true): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(index)
+    val sketch = Multimodal.mediaSketch64(col(binCol),
+      if (spectral) "audio_spectral" else "audio_energy")
+    stream.withColumn("audio_near_dup", coalesce(
+      graft.functions.HammingIndexKernel.anyWithin(sketch, bc, maxDistance),
+      lit(false)))
+  }
+
+  /** STATELESS streaming VIDEO near-dup guard — [[streamAudioGuard]]'s
+    * video sibling over the re-mux-exact payload fingerprint
+    * ([[Multimodal.videoHashes]]'s per-row kernel; `profile = true`
+    * switches to the re-encode-tolerant size-profile signature, whose
+    * flags are CANDIDATES — at its wider radius pair them with a batch
+    * Spearman verify downstream, the [[Multimodal.videoProfilePairs]]
+    * contract — while the default payload sketch stays exact-verified
+    * with no false positives at radius ≤ 4). Same stateless zero-shuffle
+    * projection shape; null sketches (not-an-MP4, flat profiles) pass
+    * unflagged. */
+  def streamVideoGuard(stream: DataFrame,
+      index: graft.functions.HammingIndexKernel.MihIndex,
+      binCol: String, maxDistance: Int = 4,
+      profile: Boolean = false): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(index)
+    val sketch = Multimodal.mediaSketch64(col(binCol),
+      if (profile) "video_profile" else "video_payload")
+    stream.withColumn("video_near_dup", coalesce(
+      graft.functions.HammingIndexKernel.anyWithin(sketch, bc, maxDistance),
+      lit(false)))
+  }
+
   /** STATELESS streaming near-dup guard against a static corpus: each
     * document's banded-LSH keys are probed against the driver-known corpus
     * band index ([[minHashBandIndex]]) in one fused per-row expression —

@@ -1,7 +1,12 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftSql
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: images/audio/video ride through the pipeline
@@ -1650,8 +1655,9 @@ object Multimodal {
     * 64-bucket profiles (precision stage — measured over 59,700
     * independent-content pairs: same-content ≥ 0.939, independent max
     * 0.751, so `minSpearman` 0.85 splits the gap with margin both ways;
-    * DriveVideoProfile). One byte-parse pass computes both the bits and
-    * the zero-mean unit-norm rank vector, the correlation is a plain
+    * DriveVideoProfile). One byte-parse pass computes the bits, the
+    * zero-mean unit-norm rank vector AND the content-compatible cell key
+    * ([[videoProfileParse]]), the correlation is a plain
     * `zip_with`/`aggregate` dot product (codegen, no UDF), and the
     * verify join touches only candidate ids — the shuffle is
     * O(candidates), not O(rows²). The CANDIDATE stage auto-switches:
@@ -1659,38 +1665,63 @@ object Multimodal {
     * forces 4-bit slices whose key space is only 256 values, so past
     * `16·maxBucket` rows (where the AVERAGE bucket crosses the cap and
     * the join would silently drop toward zero recall) candidates come
-    * from broadcast multi-index Hamming probes instead
-    * ([[graft.functions.HammingIndexKernel.MihIndex.idsBelowWithinRankDot]]
-    * — complete for the radius, zero cap loss, exact XOR pre-verify,
-    * and the SPEARMAN VERIFY FUSED INTO THE PROBE via a quantized rank
-    * payload: smooth-curve bits have fat correlated Hamming tails
-    * (~10⁻³ of independent pairs inside radius 14), and verifying
-    * in-memory before emission keeps the downstream shuffle at O(true
-    * pairs) instead of O(tail candidates) — the r15 scale lesson, a
-    * 1M-video run died on exactly that join's spill before the fuse),
-    * hash-range multi-pass past `maxIndexHashes` with one index resident
-    * at a time; the index path requires numeric ids (cast to long, the
-    * [[Dedup.pHashIdIndex]] contract). Thread `onCapDrops` to see banded
-    * cap losses (the index path reports (0,0) — it cannot drop). Returns
-    * `(id_a, id_b, hamming, spearman)` for surviving pairs. */
+    * from broadcast CELL-PARTITIONED multi-index Hamming probes instead
+    * ([[graft.functions.HammingIndexKernel.MihCellIndex]] — complete for
+    * the radius within the probed cells, zero cap loss, exact XOR
+    * pre-verify, and the SPEARMAN VERIFY FUSED INTO THE PROBE via a
+    * quantized rank payload: smooth-curve bits have fat correlated
+    * Hamming tails (~10⁻³ of independent pairs inside radius 14), and
+    * verifying in-memory before emission keeps the downstream shuffle at
+    * O(true pairs) instead of O(tail candidates) — the r15 scale lesson,
+    * a 1M-video run died on exactly that join's spill before the fuse).
+    * The index is partitioned by a CONTENT-COMPATIBLE cell key computed
+    * in the same container parse as the profile ([[profileCellOf]]:
+    * log-1.5 duration bucket × log-2 fps bucket from the trak's mdhd +
+    * sample count — r16, the fix for the flat index's quadratic
+    * aggregate probe work): each probe touches only its own cell and the
+    * 3×3 bucket neighborhood, so per-probe member scans are bounded by
+    * the CELL population, not the corpus. Recall contract: a re-encode
+    * preserves presentation duration to rounding and shifts fps ≤ 2×
+    * (≤ 1 log-2 bucket) — pairs beyond that neighborhood (a >4× fps
+    * resample, a trim that changes duration >1.5×) are outside the
+    * certified invariance class on this path; unknown-duration videos
+    * (absent/zero mdhd) pair only among themselves; a corpus
+    * concentrated in one cell degrades gracefully to the flat index's
+    * behavior. The per-shard driver collect + broadcast is sized in
+    * BYTES ([[graft.functions.HammingIndexKernel.indexBytesPerRow]]:
+    * 104 B/row with the 64-byte rank payload ⇒ ~11.5M rows per shard at
+    * the default 1.2 GB `maxIndexBytes` — the r15 50M-ROW cap was
+    * inherited from the 24 B/row pHash form and under-counted this
+    * payload 4×), hash-range multi-pass past that with one index
+    * resident at a time; the index path requires numeric ids (cast to
+    * long, the [[Dedup.pHashIdIndex]] contract). Each probe emits
+    * verified `(id, hamming, spearman)` STRUCTS — the downstream is one
+    * explode, never a re-join/re-verify (r16). Thread `onCapDrops` to
+    * see banded cap losses (the index path reports (0,0) — it cannot
+    * drop). Returns `(id_a, id_b, hamming, spearman)` for surviving
+    * pairs. */
   def videoProfilePairs(df: DataFrame, idCol: String, binCol: String,
       maxDistance: Int = 14, pieces: Int = 16, minSpearman: Double = 0.85,
       maxBucket: Int = 10000, onCapDrops: (Long, Long) => Unit = null,
-      maxIndexHashes: Long = 50000000L): DataFrame = {
+      maxIndexBytes: Long =
+        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes): DataFrame = {
     val featSchema = StructType(Seq(
       df.schema(idCol),
       StructField("__vphash", LongType),
       StructField("__vpranks", ArrayType(DoubleType)),
-      StructField("__vpr2", BinaryType)))
+      StructField("__vpr2", BinaryType),
+      StructField("__vpcell", LongType)))
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { row =>
-        val medians = videoBucketMedians(row.getAs[Array[Byte]](binIdx))
-        if (medians == null) Row(row.get(idIdx), null, null, null)
+        val parse = videoProfileParse(row.getAs[Array[Byte]](binIdx))
+        if (parse == null) Row(row.get(idIdx), null, null, null, null)
         else {
-          val r2 = profileRank2Of(medians)
-          Row(row.get(idIdx), profileBitsOf(medians), profileRanksOfR2(r2), r2)
+          val r2 = profileRank2Of(parse.medians)
+          Row(row.get(idIdx), profileBitsOf(parse.medians),
+            profileRanksOfR2(r2), r2,
+            profileCellOf(parse.durSec, parse.nSamples))
         }
       }
     }
@@ -1705,83 +1736,114 @@ object Multimodal {
     // radius 14 under the pigeonhole FORCES 16 pieces, 64%pieces==0), so
     // past ~16·maxBucket rows the AVERAGE bucket crosses the cap and the
     // join path silently drops toward zero recall no matter how uniform
-    // the bits are. Above that, candidates come from multi-index Hamming
-    // probes instead (8-bit slices, e=⌊14/8⌋=1 flip — complete for the
-    // radius, zero cap loss, O(n/256·9·8) exact XOR verifies per probe),
-    // broadcast-handled, hash-range multi-pass past `maxIndexHashes`
-    // (pairs can straddle shards, but each pair is emitted exactly once —
-    // by the shard holding its SMALLER id, probed from its larger side).
+    // the bits are. Above that, candidates come from the cell-partitioned
+    // multi-index probes (16-bit slices, e=3 — complete for the radius,
+    // zero cap loss), broadcast-handled, hash-range multi-pass past the
+    // byte budget (pairs can straddle shards, but each pair is emitted
+    // exactly once — by the shard holding its SMALLER id, probed from
+    // its larger side).
     val n = hashed.count()
-    val cands: DataFrame =
-      if (n <= 16L * maxBucket)
-        Dedup.nearDupHamming64(feats, idCol, "__vphash",
-          maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket,
-          onCapDrops = onCapDrops)
-      else {
-        if (onCapDrops != null) onCapDrops(0L, 0L) // index probes never cap
-        val K = graft.functions.HammingIndexKernel
-        val slim = hashed.select(col(idCol).cast("long").as("__id"),
-          col("__vphash").as("__h"), col("__vpranks").as("__r"),
-          col("__vpr2").as("__r2"))
-        val nShards = math.max(1L, (n * 1.02 / maxIndexHashes).ceil.toLong).toInt
-        var pairsIds: DataFrame = null
-        (0 until nShards).foreach { s =>
-          val shard =
-            if (nShards == 1) slim
-            else slim.where(pmod(xxhash64(col("__h")), lit(nShards.toLong)) === s.toLong)
-          // The index carries the quantized rank payload so the Spearman
-          // verify runs INSIDE the probe: fat-tail Hamming candidates
-          // (the correlated-bit reality of smooth-curve signatures) die
-          // in memory instead of dragging two 0.5 KB rank vectors each
-          // through a verify-join shuffle — the difference between
-          // O(true pairs) and O(tail candidates) shuffle volume.
-          val rows = shard.select(col("__id"), col("__h"), col("__r2")).collect()
-          val nR = rows.length
+    if (n <= 16L * maxBucket) {
+      val cands = Dedup.nearDupHamming64(feats, idCol, "__vphash",
+        maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket,
+        onCapDrops = onCapDrops)
+      val ranks = feats.where(col("__vpranks").isNotNull)
+        .select(col(idCol).as("__rid"), col("__vpranks"))
+      cands
+        .join(ranks.select(col("__rid").as("id_a"), col("__vpranks").as("__ra")), "id_a")
+        .join(ranks.select(col("__rid").as("id_b"), col("__vpranks").as("__rb")), "id_b")
+        .withColumn("spearman", aggregate(
+          zip_with(col("__ra"), col("__rb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v))
+        .where(col("spearman") >= minSpearman)
+        .select(col("id_a"), col("id_b"), col("hamming"), col("spearman"))
+    } else {
+      if (onCapDrops != null) onCapDrops(0L, 0L) // index probes never cap
+      val K = graft.functions.HammingIndexKernel
+      val slim = hashed.select(col(idCol).cast("long").as("__id"),
+        col("__vphash").as("__h"), col("__vpranks").as("__r"),
+        col("__vpr2").as("__r2"), col("__vpcell").as("__c"))
+      // Probe neighborhood: the row's own (durB, fpsB) cell ± 1 in each
+      // dimension — covers duration rounding at a bucket edge and fps
+      // changes up to 2× exactly. Unknown-duration rows probe only the
+      // reserved unknown cell (they index there too). Pure column
+      // arithmetic on the packed key; runs inside codegen.
+      val durB = shiftright(col("__c"), 32)
+      val fpsB = shiftright(shiftleft(col("__c"), 32), 32)
+      def packCell(a: Column, b: Column): Column =
+        shiftleft(a, 32).bitwiseOR(b.bitwiseAND(lit(0xFFFFFFFFL)))
+      val probeCells = when(col("__c") === lit(ProfileCellUnknown),
+        array(lit(ProfileCellUnknown))).otherwise(
+        array((for { dd <- -1 to 1; ff <- -1 to 1 }
+          yield packCell(durB + lit(dd.toLong), fpsB + lit(ff.toLong))): _*))
+      // Shards sized by BYTES (r16): at 104 B/row the default 1.2 GB
+      // budget shards every ~11.5M rows, and the rank-byte allocation
+      // below can never overflow an Int.
+      val bytesPerRow = K.indexBytesPerRow(pieces = 4, hasIds = true,
+        rankLen = ProfileBuckets)
+      val shardRowCap = math.max(1L, math.min(maxIndexBytes / bytesPerRow,
+        Int.MaxValue.toLong / ProfileBuckets))
+      val nShards = math.max(1L, (n * 1.02 / shardRowCap).ceil.toLong).toInt
+      var pairs: DataFrame = null
+      (0 until nShards).foreach { s =>
+        val shard =
+          if (nShards == 1) slim
+          else slim.where(pmod(xxhash64(col("__h")), lit(nShards.toLong)) === s.toLong)
+        // The index carries the quantized rank payload so the Spearman
+        // verify runs INSIDE the probe, and each emission carries the
+        // (hamming, spearman) the probe computed — no downstream verify
+        // work of any kind.
+        val rows = shard.select(col("__id"), col("__h"), col("__r2"), col("__c"))
+          .collect()
+        val nR = rows.length
+        if (nR > 0) { // a hash-range shard can be empty at small n
+          require(nR.toLong * ProfileBuckets <= Int.MaxValue,
+            s"rank payload of $nR rows overflows an array — shrink maxIndexBytes")
           val rb = new Array[Byte](ProfileBuckets * nR)
           val inv = new Array[Double](nR)
+          val cellKeys = new Array[Long](nR)
           var i = 0
           while (i < nR) {
             val r2 = rows(i).getAs[Array[Byte]](2)
             System.arraycopy(r2, 0, rb, i * ProfileBuckets, ProfileBuckets)
             inv(i) = profileRankInvOf(r2)
+            cellKeys(i) = rows(i).getLong(3)
             i += 1
           }
           // pieces=4 (16-bit slices): radius 14 → e=3 flips, 4·ΣC(16,≤3)
-          // = 2788 bucket probes covering ~4.3% of the shard per query —
-          // 6.5× fewer member scans than 8-bit slices' e=1 (9·8/256 =
-          // 28%), the dominant term of the whole operator at corpus scale.
+          // = 2788 bucket probes covering ~4.3% of the PROBED CELLS per
+          // query — with the cell partition that is a per-cell bound,
+          // not a corpus one (the r15 quadratic-aggregate fix).
           val bc = df.sparkSession.sparkContext.broadcast(
-            new K.MihIndex(rows.map(_.getLong(1)), 4, rows.map(_.getLong(0)),
-              rb, inv))
-          val pass = slim.select(col("__id").as("id_b"),
-            explode(K.idsBelowWithinRankDot(col("__h"), col("__id"), col("__r"),
-              bc, maxDistance, minSpearman)).as("id_a"))
-          if (nShards == 1) pairsIds = pass // ContextCleaner reclaims bc with the plan
+            new K.MihCellIndex(cellKeys, rows.map(_.getLong(1)), 4,
+              rows.map(_.getLong(0)), rb, inv))
+          val pass = slim.select(col("__id").as("__idb"),
+            explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
+              col("__r"), probeCells, bc, maxDistance, minSpearman)).as("__hit"))
+          if (nShards == 1) pairs = pass // ContextCleaner reclaims bc with the plan
           else {
             // Peak reference state = ONE index: materialize the pass,
             // then free this shard's executor copies before the next builds.
             val mat = pass.localCheckpoint(true, Dedup.CandLevel)
             bc.unpersist(blocking = false)
-            pairsIds = if (pairsIds == null) mat else pairsIds.unionByName(mat)
+            pairs = if (pairs == null) mat else pairs.unionByName(mat)
           }
         }
-        pairsIds
-          .join(slim.select(col("__id").as("id_a"), col("__h").as("__ha")), "id_a")
-          .join(slim.select(col("__id").as("id_b"), col("__h").as("__hb")), "id_b")
-          .select(col("id_a").cast(df.schema(idCol).dataType).as("id_a"),
-            col("id_b").cast(df.schema(idCol).dataType).as("id_b"),
-            bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       }
-    val ranks = feats.where(col("__vpranks").isNotNull)
-      .select(col(idCol).as("__rid"), col("__vpranks"))
-    cands
-      .join(ranks.select(col("__rid").as("id_a"), col("__vpranks").as("__ra")), "id_a")
-      .join(ranks.select(col("__rid").as("id_b"), col("__vpranks").as("__rb")), "id_b")
-      .withColumn("spearman", aggregate(
-        zip_with(col("__ra"), col("__rb"), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v))
-      .where(col("spearman") >= minSpearman)
-      .select(col("id_a"), col("id_b"), col("hamming"), col("spearman"))
+      if (pairs == null) // unreachable when n > 0; typed-empty for safety
+        pairs = slim.limit(0).select(col("__id").as("__idb"),
+          explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
+            col("__r"), probeCells,
+            df.sparkSession.sparkContext.broadcast(new K.MihCellIndex(
+              Array.emptyLongArray, Array.emptyLongArray, 4,
+              Array.emptyLongArray, Array.emptyByteArray,
+              Array.emptyDoubleArray)), maxDistance, minSpearman)).as("__hit"))
+      pairs.select(
+        col("__hit.id").cast(df.schema(idCol).dataType).as("id_a"),
+        col("__idb").cast(df.schema(idCol).dataType).as("id_b"),
+        col("__hit.hamming").as("hamming"),
+        col("__hit.spearman").as("spearman"))
+    }
   }
 
   /** Buckets in the size-profile signature; also the minimum sample count
@@ -1849,6 +1911,24 @@ object Multimodal {
     * or null on the same conditions (no per-sample stsz with >= 64
     * in-bounds samples, or a flat profile). */
   private[graft] def videoBucketMedians(bytes: Array[Byte]): Array[Double] = {
+    val p = videoProfileParse(bytes)
+    if (p == null) null else p.medians
+  }
+
+  /** Everything the ONE container walk behind the size-profile signature
+    * yields: the 64 bucket medians, plus the mdhd presentation duration
+    * and the stsz sample count the cell key derives from — so the
+    * pre-partition key is free with the profile (no second parse). */
+  private[graft] final class ProfileParse(val medians: Array[Double],
+    val durSec: Double, val nSamples: Int) extends Serializable
+
+  /** Single-pass parse for the re-encode signature AND its
+    * content-compatible cell key, or null on [[videoBucketMedians]]'s
+    * null conditions. The walk reads the first trak carrying a
+    * per-sample stsz with >= 64 in-bounds samples; the SAME trak's mdhd
+    * supplies timescale + duration (0/absent → unknown duration, which
+    * [[profileCellOf]] maps to the reserved unknown cell). */
+  private[graft] def videoProfileParse(bytes: Array[Byte]): ProfileParse = {
     if (bytes == null || bytes.length < 16) return null
     try {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -1872,36 +1952,54 @@ object Multimodal {
           }
         }
       var sizes: Array[Long] = null
+      var mdhdTs = -1L
+      var mdhdDur = -1L
       boxes(0, bytes.length).foreach {
         case ("moov", mp, me) => boxes(mp, me).foreach {
-          case ("trak", tp, te) if sizes == null => boxes(tp, te).foreach {
-            case ("mdia", dp, de) => boxes(dp, de).foreach {
-              case ("minf", ip, ie) => boxes(ip, ie).foreach {
-                case ("stbl", sp, se) => boxes(sp, se).foreach {
-                  case ("stsz", p, e) if e - p >= 12 =>
-                    val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
-                    val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
-                    // Uniform (compact) stsz IS a flat profile — skip
-                    // without allocating; the per-sample form gets the
-                    // same MaxSamples + bytes-present bounds as
-                    // videoHashOne (crafted counts must not allocate).
-                    if (uniform == 0L && cnt >= ProfileBuckets &&
-                        cnt <= MaxSamples && cnt <= (e - p - 12L) / 4L) {
-                      sizes = new Array[Long](cnt.toInt)
-                      var j = 0
-                      while (j < cnt.toInt) {
-                        sizes(j) = bb.getInt(p + 12 + 4 * j).toLong & 0xFFFFFFFFL
-                        j += 1
+          case ("trak", tp, te) if sizes == null =>
+            var tSizes: Array[Long] = null
+            var tTs = -1L
+            var tDur = -1L
+            boxes(tp, te).foreach {
+              case ("mdia", dp, de) => boxes(dp, de).foreach {
+                case ("mdhd", p, e) if e - p >= 20 =>
+                  // v0: ver/flags(4) ctime(4) mtime(4) timescale(4)
+                  // duration(4); v1 widens the times and duration to 8.
+                  val ver = bytes(p) & 0xFF
+                  if (ver == 1 && e - p >= 32) {
+                    tTs = bb.getInt(p + 20).toLong & 0xFFFFFFFFL
+                    tDur = bb.getLong(p + 24)
+                  } else if (ver == 0) {
+                    tTs = bb.getInt(p + 12).toLong & 0xFFFFFFFFL
+                    tDur = bb.getInt(p + 16).toLong & 0xFFFFFFFFL
+                  }
+                case ("minf", ip, ie) => boxes(ip, ie).foreach {
+                  case ("stbl", sp, se) => boxes(sp, se).foreach {
+                    case ("stsz", p, e) if e - p >= 12 =>
+                      val uniform = bb.getInt(p + 4).toLong & 0xFFFFFFFFL
+                      val cnt = bb.getInt(p + 8).toLong & 0xFFFFFFFFL
+                      // Uniform (compact) stsz IS a flat profile — skip
+                      // without allocating; the per-sample form gets the
+                      // same MaxSamples + bytes-present bounds as
+                      // videoHashOne (crafted counts must not allocate).
+                      if (uniform == 0L && cnt >= ProfileBuckets &&
+                          cnt <= MaxSamples && cnt <= (e - p - 12L) / 4L) {
+                        tSizes = new Array[Long](cnt.toInt)
+                        var j = 0
+                        while (j < cnt.toInt) {
+                          tSizes(j) = bb.getInt(p + 12 + 4 * j).toLong & 0xFFFFFFFFL
+                          j += 1
+                        }
                       }
-                    }
+                    case _ => ()
+                  }
                   case _ => ()
                 }
                 case _ => ()
               }
               case _ => ()
             }
-            case _ => ()
-          }
+            if (tSizes != null) { sizes = tSizes; mdhdTs = tTs; mdhdDur = tDur }
           case _ => ()
         }
         case _ => ()
@@ -1924,8 +2022,34 @@ object Multimodal {
       val sorted = medians.clone()
       java.util.Arrays.sort(sorted)
       if (sorted(0) == sorted(ProfileBuckets - 1)) return null // flat
-      medians
+      val durSec = if (mdhdTs > 0 && mdhdDur > 0) mdhdDur.toDouble / mdhdTs
+        else Double.NaN
+      new ProfileParse(medians, durSec, n)
     } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Reserved cell for videos whose duration is unknowable (absent/zero
+    * mdhd): they index and probe only among themselves. */
+  private[graft] val ProfileCellUnknown: Long = Long.MinValue
+
+  /** Content-compatible pre-partition CELL KEY for the re-encode
+    * signature (r16, VERDICT #1): `(duration bucket, fps bucket)` packed
+    * into one long (`durB << 32 | fpsB & 0xFFFFFFFF`). A re-encode
+    * preserves the presentation duration to sub-frame rounding
+    * (log-1.5 buckets: same bucket, or adjacent at an edge) and changes
+    * fps by at most ~2× in practice (log-2 buckets: at most adjacent —
+    * an exact 2× shifts log2 by exactly 1), so probing the 3×3 bucket
+    * neighborhood recovers every re-encode pair while independent
+    * content spreads across the full duration×fps grid. Both buckets are
+    * floor of a StrictMath log — deterministic everywhere. */
+  private[graft] def profileCellOf(durSec: Double, nSamples: Int): Long = {
+    if (!(durSec > 0) || nSamples <= 0) return ProfileCellUnknown
+    val fps = nSamples / durSec
+    val durB = StrictMath.floor(
+      StrictMath.log(durSec) / StrictMath.log(1.5)).toInt
+    val fpsB = StrictMath.floor(
+      StrictMath.log(fps) / StrictMath.log(2.0)).toInt
+    (durB.toLong << 32) | (fpsB.toLong & 0xFFFFFFFFL)
   }
 
   /** Zero-mean unit-norm AVERAGE-RANK vector of the 64 bucket medians,
@@ -2072,7 +2196,8 @@ object Multimodal {
       chunkSamples: Seq[Int], timescale: Int = 600,
       width: Int = 320, height: Int = 240, codec: String = "avc1",
       alteredFrames: Set[Int] = Set.empty,
-      useCo64: Boolean = false): Array[Byte] = {
+      useCo64: Boolean = false,
+      durationUnits: Long = -1L): Array[Byte] = {
     require(frameSizes.nonEmpty && frameSizes.forall(s => s >= 0 && s <= 65536),
       s"frameSizes must be non-empty, each in [0, 65536]")
     // Total, not just per-frame: a long frame list would otherwise wrap the
@@ -2100,7 +2225,16 @@ object Multimodal {
       b.array()
     }
     val nFrames = frameSizes.length
-    val durationUnits = nFrames * 20
+    // Default keeps the legacy 20-units-per-frame clock (30 fps at the
+    // default 600 timescale). A REALISTIC re-mux or frame-rate change
+    // preserves the PRESENTATION duration while the timescale / frame
+    // count changes, so such plants pass `durationUnits` explicitly
+    // (durSec·timescale) instead of inheriting a clock tied to nFrames.
+    val durUnits: Int = {
+      val d = if (durationUnits >= 0) durationUnits else nFrames.toLong * 20L
+      require(d <= Int.MaxValue, s"durationUnits $d exceeds the v0 mdhd field")
+      d.toInt
+    }
     def header(chunkOffsets: Seq[Int]): Array[Byte] = {
       val ftyp = box("ftyp", {
         val b = java.nio.ByteBuffer.allocate(16)
@@ -2110,7 +2244,7 @@ object Multimodal {
       })
       val mvhd = box("mvhd", {
         val b = java.nio.ByteBuffer.allocate(100)
-        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durationUnits)
+        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durUnits)
         b.putInt(0x00010000).putShort(0x0100.toShort).position(b.position() + 10)
         Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
         b.position(b.position() + 24)
@@ -2119,7 +2253,7 @@ object Multimodal {
       })
       val tkhd = box("tkhd", {
         val b = java.nio.ByteBuffer.allocate(84)
-        b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(durationUnits)
+        b.putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(durUnits)
         b.position(b.position() + 8)
         b.putShort(0).putShort(0).putShort(0).putShort(0)
         Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(b.putInt)
@@ -2128,7 +2262,7 @@ object Multimodal {
       })
       val mdhd = box("mdhd", {
         val b = java.nio.ByteBuffer.allocate(24)
-        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durationUnits).putInt(0)
+        b.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(durUnits).putInt(0)
         b.array()
       })
       val stsd = box("stsd", {
@@ -2198,4 +2332,72 @@ object Multimodal {
     }
     header(chunkOffsets) ++ box("mdat", mdat)
   }
+
+  /** Sketch kinds [[mediaSketch64]] dispatches on — each is one of the
+    * batch pipeline's per-row 64-bit signature functions. */
+  private[graft] val Sketch64Kinds: Set[String] =
+    Set("phash", "audio_energy", "audio_spectral", "video_payload", "video_profile")
+
+  /** Per-row dispatcher behind [[MediaSketch64]] — public-static so the
+    * generated code can call it. Same arithmetic as the batch
+    * `mapPartitions` forms, so batch and stream sketches are
+    * bit-identical. */
+  def sketch64Of(bytes: Array[Byte], kind: String): java.lang.Long = kind match {
+    case "phash" => pHashOne(bytes)
+    case "audio_energy" => audioHashOne(bytes)
+    case "audio_spectral" => audioSpectralHashOne(bytes)
+    case "video_payload" => videoHashOne(bytes)
+    case "video_profile" => videoSizeProfileHashOne(bytes)
+    case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
+  }
+
+  /** STREAMING-SAFE 64-bit media sketch as a scalar Catalyst expression
+    * (r16): the batch sketch builders ([[pHashImages]],
+    * [[audioSpectralHashes]], [[videoHashes]], …) run through `df.rdd`
+    * `mapPartitions` — a shape Structured Streaming cannot execute — so
+    * the streaming near-dup guards need the SAME per-row signature as a
+    * pure projection. One expression per row, same static kernels as the
+    * batch path (bit-identical sketches, the batch≡stream parity
+    * contract), null on undecodable/degenerate bytes (which the guards
+    * then pass unflagged). Codec work per row is real (ImageIO /
+    * javax.sound decode for image/audio kinds; pure byte walks for
+    * video) — exactly the cost the batch path pays, paid inside the
+    * stream's projection instead. */
+  case class MediaSketch64(child: Expression, kind: String)
+      extends UnaryExpression {
+    require(Sketch64Kinds.contains(kind),
+      s"unknown sketch kind '$kind' (one of ${Sketch64Kinds.toSeq.sorted.mkString(", ")})")
+    override def prettyName: String = s"graft_media_sketch64_$kind"
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true // degenerate bytes sketch to null
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val b = child.eval(input)
+      if (b == null) null else sketch64Of(b.asInstanceOf[Array[Byte]], kind)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val boxed = ctx.freshName("sketchBoxed")
+      val code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = -1L;
+        if (!${childGen.isNull}) {
+          java.lang.Long $boxed =
+            graft.llm.Multimodal.sketch64Of(${childGen.value}, "$kind");
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.longValue(); }
+        }"""
+      ev.copy(code = code)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Column form of [[MediaSketch64]]. */
+  def mediaSketch64(bin: Column, kind: String): Column =
+    GraftSql.column(MediaSketch64(GraftSql.expression(bin), kind))
 }

@@ -281,12 +281,20 @@ object LlmQueries {
               else Multimodal.encodeMp4Media(fam * 10L + 1,
                 Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L),
                 chunksFor(640))
+            // Realistic clocking (r16): a frame-rate change (s2) and a
+            // re-mux (s3) both PRESERVE the presentation duration — the
+            // explicit durationUnits keeps mdhd duration at s0's 21.33s
+            // across the fps change (480 frames → 22.5 fps) and the
+            // timescale change (90000 units/s), exactly what real
+            // encoders emit and what the index path's content cell keys
+            // on.
             case 2L => Multimodal.encodeMp4Media(fam * 10L + 2,
               Multimodal.bitrateProfileFrameSizes(fam, 480, 1.8, gop = 15, noiseSeed = 3L),
-              chunksFor(480))
+              chunksFor(480), durationUnits = 640L * 20L)
             case 3L => Multimodal.encodeMp4Media(fam * 10L,
               Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
-              Seq.fill(20)(32), timescale = 90000)
+              Seq.fill(20)(32), timescale = 90000,
+              durationUnits = 640L * 20L * 150L)
             case _ => Multimodal.encodeMp4Media(fam * 10L + 4,
               Multimodal.bitrateProfileFrameSizes(fam + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
               chunksFor(640))
@@ -296,6 +304,73 @@ object LlmQueries {
       Multimodal.videoProfilePairs(media, "doc_id", "payload")
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Stateless streaming audio+video near-dup guards (r16): the image
+    // guard's two missing modality twins. Each in-flight row's 64-bit
+    // sketch is computed by the streaming-safe mediaSketch64 expression
+    // (bit-identical to the batch mapPartitions sketches — the
+    // batch≡stream parity Round16Spec pins) and probed against the
+    // driver-known corpus MIH index in one fused expression — complete
+    // for the radius, exact-verified, zero shuffle, no state store.
+    // Planted construction with a SQL-derivable answer. Audio (ids 4f+s
+    // over 20 tone families in the corpus): s0 amplitude-halved copy
+    // (bit-identical spectral sketch — must flag), s1 a +300-frame
+    // offset copy (≤ 3 bits — must flag), s2 novel tone content (tone
+    // band sets disagree on ~16 of 32 pairs ⇒ ~32 bits — must not), s3
+    // garbage bytes (null sketch — must not). Video (ids 1000+4f+s over
+    // 30 payload families): s0 a re-muxed copy (payload fingerprint
+    // identical — must flag), s1 a splice copy (frame 7 replaced,
+    // sampled once at 24 frames ⇒ ≤ 4 bits — must flag), s2 novel
+    // content (~32 bits), s3 garbage. Both radii keep the guards
+    // exact-verified; the oracle replays the flags from id arithmetic.
+    "q_dedup_av_stream" -> ((s, d) => {
+      import s.implicits._
+      val audioCorpus = s.range(0, 20).select(col("id")).as[Long]
+        .map(f => (f, Multimodal.encodeToneWav(f)))
+        .toDF("family", "payload")
+      val audioIdx = Dedup.pHashIndex(
+        Multimodal.audioSpectralHashes(audioCorpus, "payload", batchSize = 32),
+        "shash", pieces = 4)
+      val audioStream = s.range(0, 80).select(col("id")).as[Long]
+        .map { id =>
+          val fam = id / 4
+          val bytes = (id % 4) match {
+            case 0L => Multimodal.encodeToneWav(fam, scaleShift = 1)
+            case 1L => Multimodal.encodeToneWav(fam, prefixSilenceFrames = 300)
+            case 2L => Multimodal.encodeToneWav(fam + 7000L)
+            case _ => s"not-a-wav-$id".getBytes("UTF-8")
+          }
+          (id, bytes)
+        }.toDF("id", "payload")
+      val audioOut = Dedup.streamAudioGuard(audioStream, audioIdx, "payload",
+          maxDistance = 3)
+        .select(col("id"), col("audio_near_dup").as("flag"),
+          lit("audio").as("modality"))
+      val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+      val videoCorpus = s.range(0, 30).select(col("id")).as[Long]
+        .map(f => (f, Multimodal.encodeMp4Media(f, sizes, Seq.fill(6)(4))))
+        .toDF("family", "payload")
+      val videoIdx = Dedup.pHashIndex(
+        Multimodal.videoHashes(videoCorpus, "payload"), "vhash", pieces = 4)
+      val videoStream = s.range(0, 120).select(col("id")).as[Long]
+        .map { v =>
+          val fam = v / 4
+          val bytes = (v % 4) match {
+            case 0L => Multimodal.encodeMp4Media(fam, sizes, Seq.fill(8)(3),
+              timescale = 90000)
+            case 1L => Multimodal.encodeMp4Media(fam, sizes, Seq.fill(6)(4),
+              alteredFrames = Set(7))
+            case 2L => Multimodal.encodeMp4Media(fam + 9000L, sizes, Seq.fill(6)(4))
+            case _ => s"not-an-mp4-$v".getBytes("UTF-8")
+          }
+          (1000L + v, bytes)
+        }.toDF("id", "payload")
+      val videoOut = Dedup.streamVideoGuard(videoStream, videoIdx, "payload",
+          maxDistance = 4)
+        .select(col("id"), col("video_near_dup").as("flag"),
+          lit("video").as("modality"))
+      audioOut.unionByName(videoOut).orderBy("id")
     }),
 
     // ------------------------------------- substring-level dedup
@@ -3200,6 +3275,17 @@ object LlmQueries {
         |    WHERE f % 3 = 2 AND a <> 1 AND b <> 1)
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
         |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // GENUINE replay of the planted streaming-guard construction: per
+    // modality, slots 0-1 (identical/in-radius copies) flag, slots 2-3
+    // (novel content, garbage bytes) do not.
+    "q_dedup_av_stream" ->
+      """WITH a AS (SELECT g.range AS id, (g.range % 4) < 2 AS flag,
+        |    'audio' AS modality FROM range(0, 80) g),
+        |v AS (SELECT 1000 + g.range AS id, (g.range % 4) < 2 AS flag,
+        |    'video' AS modality FROM range(0, 120) g)
+        |SELECT id, flag, modality FROM a
+        |UNION ALL SELECT id, flag, modality FROM v ORDER BY id""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB

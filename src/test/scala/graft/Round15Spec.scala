@@ -336,10 +336,11 @@ class Round15Spec extends AnyFunSuite {
               Seq.fill(10)(64))
           case 2L => Multimodal.encodeMp4Media(fam * 10L + 2,
             Multimodal.bitrateProfileFrameSizes(fam, 480, 1.8, gop = 15, noiseSeed = 3L),
-            Seq.fill(7)(64) :+ 32)
+            Seq.fill(7)(64) :+ 32, durationUnits = 640L * 20L)
           case 3L => Multimodal.encodeMp4Media(fam * 10L,
             Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
-            Seq.fill(20)(32), timescale = 90000)
+            Seq.fill(20)(32), timescale = 90000,
+            durationUnits = 640L * 20L * 150L)
           case _ => Multimodal.encodeMp4Media(fam * 10L + 4,
             Multimodal.bitrateProfileFrameSizes(fam + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
             Seq.fill(10)(64))
@@ -370,10 +371,11 @@ class Round15Spec extends AnyFunSuite {
   test("videoProfilePairs: MIH index path (single and multi-shard) is pair-identical to the banded join path") {
     import graft.llm.Multimodal
     // maxBucket 10 puts the switch threshold (16·maxBucket = 160) under
-    // the 200-row plant → single-index MIH path; maxIndexHashes 50 then
-    // forces ceil(187·1.02/50) = 4 hash-range shards. Both must produce
-    // the default banded path's exact pair set, and the probes must
-    // never report a cap drop.
+    // the 200-row plant → single-index MIH path; a 50-row byte budget
+    // (50·104 B — r16, caps are sized in bytes now) then forces
+    // ceil(187·1.02/50) = 4 hash-range shards. Both must produce the
+    // default banded path's exact pair set, and the probes must never
+    // report a cap drop.
     var drops = List.empty[(Long, Long)]
     val single = Multimodal.videoProfilePairs(vpPlant, "doc_id", "payload",
         maxBucket = 10, onCapDrops = (k, r) => drops = (k, r) :: drops)
@@ -384,7 +386,8 @@ class Round15Spec extends AnyFunSuite {
         s"extra=${(single -- vpExpected).toSeq.sorted.take(10)}")
     assert(drops == List((0L, 0L)), s"index path must report zero drops, got $drops")
     val sharded = Multimodal.videoProfilePairs(vpPlant, "doc_id", "payload",
-        maxBucket = 10, maxIndexHashes = 50L)
+        maxBucket = 10, maxIndexBytes = 50L *
+          graft.functions.HammingIndexKernel.indexBytesPerRow(4, hasIds = true, rankLen = 64))
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sharded == vpExpected,
