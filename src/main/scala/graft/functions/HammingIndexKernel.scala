@@ -49,6 +49,25 @@ object HammingIndexKernel {
     * instead of surprising the driver at the row cap. */
   val DefaultIndexBudgetBytes: Long = 1200000000L
 
+  /** Rows one shard may hold under `maxIndexBytes`, additionally clamped
+    * so the flattened rank payload (`rankLen·rows`) fits a JVM array —
+    * the r15 defect: a row-count cap admitted shards whose rank-byte
+    * allocation overflowed Int. At the defaults (1.2 GB, pieces=4,
+    * rank-carrying 64): 11,538,461 rows; id-only: 37.5M. */
+  def shardRowCap(maxIndexBytes: Long, pieces: Int, hasIds: Boolean,
+      rankLen: Int): Long =
+    math.max(1L, math.min(
+      maxIndexBytes / indexBytesPerRow(pieces, hasIds, rankLen),
+      if (rankLen > 0) Int.MaxValue.toLong / rankLen else Int.MaxValue.toLong))
+
+  /** Hash-range passes needed for `n` rows under the byte budget (+2%
+    * headroom for shard skew) — the one shard-count formula every
+    * builder and its tests share. */
+  def shardCount(n: Long, maxIndexBytes: Long, pieces: Int, hasIds: Boolean,
+      rankLen: Int): Int =
+    math.max(1L, (n * 1.02 /
+      shardRowCap(maxIndexBytes, pieces, hasIds, rankLen)).ceil.toLong).toInt
+
   /** Measurement-only instrumentation: when [[countScans]] is on, every
     * bucket-member visit (the XOR-verify loop — the dominant probe cost)
     * bumps [[scanCounter]]. Static and JVM-local: exact under local[*]

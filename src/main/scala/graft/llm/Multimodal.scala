@@ -1778,12 +1778,9 @@ object Multimodal {
           yield packCell(durB + lit(dd.toLong), fpsB + lit(ff.toLong))): _*))
       // Shards sized by BYTES (r16): at 104 B/row the default 1.2 GB
       // budget shards every ~11.5M rows, and the rank-byte allocation
-      // below can never overflow an Int.
-      val bytesPerRow = K.indexBytesPerRow(pieces = 4, hasIds = true,
-        rankLen = ProfileBuckets)
-      val shardRowCap = math.max(1L, math.min(maxIndexBytes / bytesPerRow,
-        Int.MaxValue.toLong / ProfileBuckets))
-      val nShards = math.max(1L, (n * 1.02 / shardRowCap).ceil.toLong).toInt
+      // below can never overflow an Int (shardRowCap's array clamp).
+      val nShards = K.shardCount(n, maxIndexBytes, pieces = 4,
+        hasIds = true, rankLen = ProfileBuckets)
       var pairs: DataFrame = null
       (0 until nShards).foreach { s =>
         val shard =

@@ -1,0 +1,352 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 additions: WriterLock heartbeat + token-verified release,
+  * byte-budgeted MIH shard math, the cell-partitioned fused pair probe
+  * behind videoProfilePairs' index path, the CBR null boundary, and the
+  * streaming audio/video guards' batch≡stream parity. */
+class Round16Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ----------------------------------------------- WriterLock liveness
+
+  test("WriterLock: a heartbeating slow writer keeps its lock past the stale horizon") {
+    import graft.io.WriterLock
+    val dir = java.nio.file.Files.createTempDirectory("r16_lock_hb")
+    val path = dir.toString + "/idx"
+    try {
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      @volatile var slowOk = false
+      val slow = new Thread(() => {
+        WriterLock.withLock(spark, path, "slow-writer", staleAfterMs = 600L) {
+          acquired.countDown()
+          release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          slowOk = true
+        }
+      })
+      slow.start()
+      assert(acquired.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // Body runs well past the 600 ms horizon; the heartbeat (interval
+      // 150 ms) keeps refreshing the mtime, so a second writer must keep
+      // failing fast the whole time instead of breaking the lock.
+      Thread.sleep(1500L)
+      val e = intercept[WriterLock.ConcurrentWriterException] {
+        WriterLock.withLock(spark, path, "impatient", staleAfterMs = 600L)(fail())
+      }
+      assert(e.getMessage.contains("another writer holds"), e.getMessage)
+      release.countDown()
+      slow.join(10000L)
+      assert(slowOk)
+      // Released: a new writer acquires immediately.
+      assert(WriterLock.withLock(spark, path, "after", staleAfterMs = 600L)(42) == 42)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("WriterLock: a dead writer's lock self-breaks, and the dead writer's release cannot free the new owner's lock") {
+    import graft.io.WriterLock
+    val dir = java.nio.file.Files.createTempDirectory("r16_lock_tok")
+    val path = dir.toString + "/idx"
+    try {
+      WriterLock.heartbeatEnabled = false // simulate a stalled/dead driver
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val dead = new Thread(() => {
+        WriterLock.withLock(spark, path, "dead-writer", staleAfterMs = 400L) {
+          acquired.countDown()
+          Thread.sleep(1400L)
+        }
+      })
+      dead.start()
+      assert(acquired.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(800L) // mtime is now 800 ms old with no heartbeat: stale
+      WriterLock.withLock(spark, path, "breaker", staleAfterMs = 400L) {
+        // The breaker owns the lock. Let the "dead" writer's finally run
+        // (its release must see the breaker's token and leave the file):
+        dead.join(10000L)
+        val third = intercept[WriterLock.ConcurrentWriterException] {
+          WriterLock.withLock(spark, path, "third", staleAfterMs = 60000L)(fail())
+        }
+        assert(third.getMessage.contains("another writer holds"), third.getMessage)
+      }
+      // The breaker released its own lock; the file is gone.
+      val lock = WriterLock.lockPath(path)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(lock), "token-verified release must have freed the breaker's lock")
+    } finally {
+      WriterLock.heartbeatEnabled = true
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  // ------------------------------------------ byte-budgeted shard math
+
+  test("MIH byte budget: shared per-row formula, array clamp, shard counts") {
+    val K = graft.functions.HammingIndexKernel
+    // The serialization formula (HammingIndexKernel scaladoc): hash + id
+    // + bucket members + optional rank payload + inverse norm.
+    assert(K.indexBytesPerRow(4, hasIds = false, rankLen = 0) == 24L)
+    assert(K.indexBytesPerRow(4, hasIds = true, rankLen = 0) == 32L)
+    assert(K.indexBytesPerRow(4, hasIds = true, rankLen = 64) == 104L)
+    assert(K.indexBytesPerRow(8, hasIds = true, rankLen = 0) == 48L)
+    // Default budget: rank-carrying form shards ~4.3x earlier than the
+    // 50M-row pHash form the old cap was inherited from.
+    assert(K.shardRowCap(K.DefaultIndexBudgetBytes, 4, hasIds = true,
+      rankLen = 64) == 11538461L)
+    assert(K.shardRowCap(K.DefaultIndexBudgetBytes, 4, hasIds = false,
+      rankLen = 0) == 50000000L)
+    // Array clamp: even an absurd byte budget cannot admit a shard whose
+    // flattened rank payload overflows a JVM array (the r15 defect).
+    assert(K.shardRowCap(Long.MaxValue / 4, 4, hasIds = true, rankLen = 64) ==
+      Int.MaxValue.toLong / 64)
+    // Shard counts: the synthetic 50-row budget the pair-identity test
+    // rides (187 hashed rows -> 4 passes), and the r15 default corpus
+    // (50M rank-carrying rows was ONE 5.2 GB shard; now 5 passes under
+    // the 1.2 GB budget).
+    assert(K.shardCount(187L, 50L * 104L, 4, hasIds = true, rankLen = 64) == 4)
+    assert(K.shardCount(50000000L, K.DefaultIndexBudgetBytes, 4,
+      hasIds = true, rankLen = 64) == 5)
+    assert(K.shardCount(1000L, K.DefaultIndexBudgetBytes, 4,
+      hasIds = true, rankLen = 64) == 1)
+  }
+
+  test("MihIndex: an empty shard index is legal and probes to nothing") {
+    val K = graft.functions.HammingIndexKernel
+    val empty = new K.MihIndex(Array.emptyLongArray, 4, Array.emptyLongArray,
+      Array.emptyByteArray, Array.emptyDoubleArray)
+    assert(empty.idsBelowWithinRankDot(0x1234L, 14, 99L,
+      Array.fill(64)(0.125), 0.85).isEmpty)
+    assert(!empty.anyWithin(0x1234L, 14))
+  }
+
+  test("rank-dot probes: non-finite minDot fails at construction, not in codegen") {
+    val K = graft.functions.HammingIndexKernel
+    val r2 = Array.tabulate(64)(i => (2 * i).toByte)
+    val inv = graft.llm.Multimodal.profileRankInvOf(r2)
+    val idx = new K.MihIndex(Array(7L), 4, Array(1L), r2, Array(inv))
+    val bc = spark.sparkContext.broadcast(idx)
+    try {
+      intercept[IllegalArgumentException] {
+        K.idsBelowWithinRankDot(lit(7L), lit(2L), lit(Array.fill(64)(0.125)),
+          bc, 14, Double.NaN)
+      }
+      intercept[IllegalArgumentException] {
+        K.idsBelowWithinRankDot(lit(7L), lit(2L), lit(Array.fill(64)(0.125)),
+          bc, 14, Double.PositiveInfinity)
+      }
+    } finally bc.unpersist(blocking = false)
+  }
+
+  // ------------------------------------- cell-partitioned fused probe
+
+  private def packCell(durB: Int, fpsB: Int): Long =
+    (durB.toLong << 32) | (fpsB.toLong & 0xFFFFFFFFL)
+
+  test("profileCellOf: duration/fps bucketing, 2x fps lands adjacent, unknown sentinel") {
+    val M = graft.llm.Multimodal
+    // 21.33 s at 30 fps: durB = floor(ln 21.33 / ln 1.5) = 7, fpsB =
+    // floor(log2 30) = 4.
+    val base = M.profileCellOf(21.33, 640)
+    assert(base == packCell(7, 4), f"got ${base}%x")
+    // Same duration, exactly 2x the fps: log2 shifts by exactly 1 —
+    // always the ADJACENT fps bucket (the neighborhood covers it).
+    assert(M.profileCellOf(21.33, 1280) == packCell(7, 5))
+    // Same content re-encoded with sub-frame duration rounding stays in
+    // the same (or an edge-adjacent) duration bucket.
+    assert(M.profileCellOf(21.30, 639) == packCell(7, 4))
+    // Unknown duration: the reserved cell.
+    assert(M.profileCellOf(Double.NaN, 640) == M.ProfileCellUnknown)
+    assert(M.profileCellOf(0.0, 640) == M.ProfileCellUnknown)
+    assert(M.profileCellOf(21.33, 0) == M.ProfileCellUnknown)
+  }
+
+  test("videoProfileParse: mdhd duration/timescale ride the same walk as the profile") {
+    val M = graft.llm.Multimodal
+    val sizes = M.bitrateProfileFrameSizes(3L, 640, 1.0, gop = 12, noiseSeed = 1L)
+    val chunks = Seq.fill(10)(64)
+    val p = M.videoProfileParse(M.encodeMp4Media(30L, sizes, chunks))
+    assert(p != null && p.nSamples == 640)
+    assert(math.abs(p.durSec - 640.0 * 20.0 / 600.0) < 1e-9)
+    // Explicit durationUnits override (realistic re-mux clocking).
+    val p2 = M.videoProfileParse(M.encodeMp4Media(30L, sizes, chunks,
+      timescale = 90000, durationUnits = 640L * 20L * 150L))
+    assert(p2 != null && math.abs(p2.durSec - p.durSec) < 1e-9)
+    // And the profile is the SAME parse (bit-identical medians).
+    assert(p.medians.sameElements(p2.medians))
+  }
+
+  test("MihCellIndex: probes are bounded to the probed cells, and verify arithmetic is identical to the flat index") {
+    val K = graft.functions.HammingIndexKernel
+    val M = graft.llm.Multimodal
+    // Four corpus rows sharing one hash and one rank profile; cells
+    // (0,0), (1,0) adjacent, (3,0) far, (0,0).
+    val h = 0x0123456789ABCDEFL
+    val r2 = Array.tabulate(64)(i => (2 * ((i * 37) % 64)).toByte) // permutation
+    val inv = M.profileRankInvOf(r2)
+    val q = M.profileRanksOfR2(r2) // identical profile: dot == 1.0
+    val ids = Array(10L, 20L, 30L, 40L)
+    val cells = Array(packCell(0, 0), packCell(1, 0), packCell(3, 0), packCell(0, 0))
+    val rb = new Array[Byte](64 * 4)
+    (0 until 4).foreach(i => System.arraycopy(r2, 0, rb, i * 64, 64))
+    val flat = new K.MihIndex(Array.fill(4)(h), 4, ids, rb, Array.fill(4)(inv))
+    val celled = new K.MihCellIndex(cells, Array.fill(4)(h), 4, ids, rb,
+      Array.fill(4)(inv))
+    // Flat index finds every smaller id regardless of cell.
+    assert(flat.idsBelowWithinRankDot(h, 14, 100L, q, 0.85).toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+    // Celled probe over the 3x3 neighborhood of (0,0): finds the two
+    // (0,0) rows and the adjacent (1,0) row, never the far (3,0) row.
+    val neighborhood = (for { dd <- -1 to 1; ff <- -1 to 1 }
+      yield packCell(0 + dd, 0 + ff)).toArray
+    val hits = celled.hitsBelowWithinRankDot(neighborhood, h, 14, 100L, q, 0.85)
+    assert(hits.map(_.id).toSeq == Seq(10L, 20L, 40L))
+    // Emitted values are the probe's own exact computations.
+    hits.foreach { hit =>
+      assert(hit.hamming == 0)
+      assert(math.abs(hit.dot - 1.0) < 1e-12)
+    }
+    // Probing ONLY the far cell finds only the far row.
+    assert(celled.hitsBelowWithinRankDot(Array(packCell(3, 0)), h, 14, 100L,
+      q, 0.85).map(_.id).toSeq == Seq(30L))
+    val (nCells, maxCell) = celled.cellStats
+    assert(nCells == 3 && maxCell == 2)
+  }
+
+  test("videoProfilePairs: CBR/flat-profile videos are a certified NULL boundary (no signature, no pairs)") {
+    val M = graft.llm.Multimodal
+    // Two "CBR re-encodes" of the same content: uniform frame sizes at
+    // two bitrates. The stsz curve is flat — there is nothing
+    // content-specific to key on, and pairing them would pair EVERY
+    // constant-bitrate file with every other. Certified boundary: they
+    // hash to null and pair with nothing, while a real VBR family in the
+    // same corpus still pairs.
+    val cbrA = M.encodeMp4Media(1L, Seq.fill(128)(400), Seq.fill(4)(32))
+    val cbrB = M.encodeMp4Media(2L, Seq.fill(128)(240), Seq.fill(4)(32))
+    assert(M.videoSizeProfileHashOne(cbrA) == null)
+    assert(M.videoSizeProfileHashOne(cbrB) == null)
+    val vbr0 = M.encodeMp4Media(10L,
+      M.bitrateProfileFrameSizes(5L, 640, 1.0, gop = 12, noiseSeed = 1L),
+      Seq.fill(10)(64))
+    val vbr1 = M.encodeMp4Media(11L,
+      M.bitrateProfileFrameSizes(5L, 640, 0.6, gop = 8, noiseSeed = 2L),
+      Seq.fill(10)(64))
+    val df = Seq((0L, cbrA), (1L, cbrB), (2L, vbr0), (3L, vbr1))
+      .toDF("doc_id", "payload")
+    val pairs = M.videoProfilePairs(df, "doc_id", "payload")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)), s"got $pairs")
+  }
+
+  // ------------------------------- streaming AV guards: batch ≡ stream
+
+  test("mediaSketch64 expression: bit-identical to the batch mapPartitions sketches") {
+    val audio = spark.range(0, 12).select(col("id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (id % 4 == 3) s"junk-$id".getBytes("UTF-8")
+          else graft.llm.Multimodal.encodeToneWav(id / 2)
+        (id, bytes)
+      }.toDF("id", "payload")
+    val batchA = graft.llm.Multimodal.audioSpectralHashes(audio, "payload", batchSize = 4)
+      .select(col("id"), col("shash"))
+    val exprA = audio.select(col("id"),
+      graft.llm.Multimodal.mediaSketch64(col("payload"), "audio_spectral").as("shash"))
+    assert(batchA.exceptAll(exprA).isEmpty && exprA.exceptAll(batchA).isEmpty)
+
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    val video = spark.range(0, 12).select(col("id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (id % 4 == 3) s"junk-$id".getBytes("UTF-8")
+          else graft.llm.Multimodal.encodeMp4Media(id / 2, sizes, Seq.fill(6)(4))
+        (id, bytes)
+      }.toDF("id", "payload")
+    val batchV = graft.llm.Multimodal.videoHashes(video, "payload").select(col("id"), col("vhash"))
+    val exprV = video.select(col("id"),
+      graft.llm.Multimodal.mediaSketch64(col("payload"), "video_payload").as("vhash"))
+    assert(batchV.exceptAll(exprV).isEmpty && exprV.exceptAll(batchV).isEmpty)
+  }
+
+  test("streamAudioGuard / streamVideoGuard: batch and MemoryStream verdicts are identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.llm.Dedup
+
+    // Audio: corpus of 6 tone families; probes = halved copy (flag),
+    // offset copy (flag), novel (no), garbage (no).
+    val audioCorpus = spark.range(0, 6).select(col("id")).as[Long]
+      .map(f => (f, graft.llm.Multimodal.encodeToneWav(f))).toDF("family", "payload")
+    val audioIdx = D.pHashIndex(
+      graft.llm.Multimodal.audioSpectralHashes(audioCorpus, "payload", batchSize = 4), "shash",
+      pieces = 4)
+    val audioRows = (0 until 24).map { i =>
+      val fam = (i / 4).toLong
+      val bytes = (i % 4) match {
+        case 0 => graft.llm.Multimodal.encodeToneWav(fam, scaleShift = 1)
+        case 1 => graft.llm.Multimodal.encodeToneWav(fam, prefixSilenceFrames = 300)
+        case 2 => graft.llm.Multimodal.encodeToneWav(fam + 7000L)
+        case _ => s"junk-$i".getBytes("UTF-8")
+      }
+      (i.toLong, bytes)
+    }
+    val audioBatch = D.streamAudioGuard(audioRows.toDF("id", "payload"),
+        audioIdx, "payload", maxDistance = 3)
+      .select("id", "audio_near_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(audioRows.forall { case (id, _) => audioBatch(id) == (id % 4 < 2) })
+
+    val audioIn = MemoryStream[(Long, Array[Byte])]
+    val audioQ = D.streamAudioGuard(audioIn.toDS().toDF("id", "payload"),
+        audioIdx, "payload", maxDistance = 3)
+      .writeStream.format("memory").queryName("r16_audio_guard")
+      .outputMode("append").start()
+    try {
+      audioIn.addData(audioRows)
+      audioQ.processAllAvailable()
+      val streamed = spark.table("r16_audio_guard")
+        .select("id", "audio_near_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == audioBatch)
+    } finally audioQ.stop()
+
+    // Video: corpus of 6 payload families; probes = re-mux (flag),
+    // splice (flag), novel (no), garbage (no).
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    val videoCorpus = spark.range(0, 6).select(col("id")).as[Long]
+      .map(f => (f, graft.llm.Multimodal.encodeMp4Media(f, sizes, Seq.fill(6)(4))))
+      .toDF("family", "payload")
+    val videoIdx = D.pHashIndex(graft.llm.Multimodal.videoHashes(videoCorpus, "payload"), "vhash",
+      pieces = 4)
+    val videoRows = (0 until 24).map { i =>
+      val fam = (i / 4).toLong
+      val bytes = (i % 4) match {
+        case 0 => graft.llm.Multimodal.encodeMp4Media(fam, sizes, Seq.fill(8)(3), timescale = 90000)
+        case 1 => graft.llm.Multimodal.encodeMp4Media(fam, sizes, Seq.fill(6)(4), alteredFrames = Set(7))
+        case 2 => graft.llm.Multimodal.encodeMp4Media(fam + 9000L, sizes, Seq.fill(6)(4))
+        case _ => s"junk-$i".getBytes("UTF-8")
+      }
+      (i.toLong, bytes)
+    }
+    val videoBatch = D.streamVideoGuard(videoRows.toDF("id", "payload"),
+        videoIdx, "payload", maxDistance = 4)
+      .select("id", "video_near_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(videoRows.forall { case (id, _) => videoBatch(id) == (id % 4 < 2) })
+
+    val videoIn = MemoryStream[(Long, Array[Byte])]
+    val videoQ = D.streamVideoGuard(videoIn.toDS().toDF("id", "payload"),
+        videoIdx, "payload", maxDistance = 4)
+      .writeStream.format("memory").queryName("r16_video_guard")
+      .outputMode("append").start()
+    try {
+      videoIn.addData(videoRows)
+      videoQ.processAllAvailable()
+      val streamed = spark.table("r16_video_guard")
+        .select("id", "video_near_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(streamed == videoBatch)
+    } finally videoQ.stop()
+  }
+}
