@@ -1704,7 +1704,8 @@ object Multimodal {
       maxDistance: Int = 14, pieces: Int = 16, minSpearman: Double = 0.85,
       maxBucket: Int = 10000, onCapDrops: (Long, Long) => Unit = null,
       maxIndexBytes: Long =
-        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes): DataFrame = {
+        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes,
+      onIndexStats: (Int, Int, Int) => Unit = null): DataFrame = {
     val featSchema = StructType(Seq(
       df.schema(idCol),
       StructField("__vphash", LongType),
@@ -1811,9 +1812,16 @@ object Multimodal {
           // = 2788 bucket probes covering ~4.3% of the PROBED CELLS per
           // query — with the cell partition that is a per-cell bound,
           // not a corpus one (the r15 quadratic-aggregate fix).
-          val bc = df.sparkSession.sparkContext.broadcast(
-            new K.MihCellIndex(cellKeys, rows.map(_.getLong(1)), 4,
-              rows.map(_.getLong(0)), rb, inv))
+          val idx = new K.MihCellIndex(cellKeys, rows.map(_.getLong(1)), 4,
+            rows.map(_.getLong(0)), rb, inv)
+          if (onIndexStats != null) {
+            // Observability for the cell bound: (shard rows, populated
+            // cells, largest cell) — scans/probe are O(largest cells),
+            // not O(shard rows).
+            val (nCells, maxCell) = idx.cellStats
+            onIndexStats(nR, nCells, maxCell)
+          }
+          val bc = df.sparkSession.sparkContext.broadcast(idx)
           val pass = slim.select(col("__id").as("__idb"),
             explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
               col("__r"), probeCells, bc, maxDistance, minSpearman)).as("__hit"))

@@ -309,11 +309,58 @@ object Pipeline {
     * that, the dedup shuffles, and the final left join. */
   def curateInterleaved(docs: DataFrame, idCol: String, textCol: String,
       imagesCol: String, cfg: InterleavedConfig = InterleavedConfig(),
-      evalDocs: Option[DataFrame] = None): Result = {
+      evalDocs: Option[DataFrame] = None): Result =
+    curateInterleavedMm(docs, idCol, textCol, Seq("image" -> imagesCol),
+      cfg, evalDocs)
+
+  /** Per-modality near-dup knobs for the generic interleaved curator:
+    * the Hamming radius + MIH pieces of the modality's 64-bit sketch
+    * (audio: spectral-band hash, radius 3 pairs offset/padded/rescaled
+    * copies; video: payload fingerprint, radius 4 pairs re-muxes and
+    * single-frame splices — both the q_dedup_* certified operating
+    * points) and the driver-index corpus bound. */
+  final case class MediaConfig(maxDistance: Int, pieces: Int,
+      maxCorpus: Long = 50000000L)
+
+  /** GENERIC multi-modality interleaved curation (r16 — the audio/video
+    * generalization of [[curateInterleaved]], which now delegates here):
+    * each document row carries text plus any subset of
+    * `image`/`audio`/`video` payload ARRAYS (`mediaCols`: ordered
+    * (modality, column) pairs), and every modality rides the SAME
+    * exploded-slot machinery — slot ids `doc·maxImagesPerDoc + idx`, the
+    * shared keep-lowest-id rule (earliest slot of the earliest document
+    * wins corpus-wide), one localCheckpoint per stage, per-stage stats.
+    *
+    * Text chain first ([[curate]]'s stages — a document dropped by any
+    * text stage takes ALL its media slots along), then per modality:
+    * explode → sketch (undecodable payloads dropped: image = real
+    * decode + pHash; audio = spectral-band hash; video = payload
+    * fingerprint — the audio/video sketches run as the streaming-safe
+    * [[Multimodal.mediaSketch64]] expression, bit-identical to the batch
+    * kernels) → byte-exact dedup → sketch near-dup removal
+    * ([[Dedup.dropNearDupsPHash]] — sketch-agnostic, zero-shuffle MIH up
+    * to the corpus bound, banded join past it) → images additionally
+    * resize → reassemble per-doc arrays in original slot order. Stats
+    * frame keeps [[curateInterleaved]]'s exact schema — `images_out`
+    * counts LIVE MEDIA SLOTS across all modalities (settled modalities
+    * by exploded-frame count, pending ones by array sizes); stage
+    * prefixes are `img_`/`aud_`/`vid_`. Doc ids must be numeric — same
+    * up-front contract as the image form. */
+  def curateInterleavedMm(docs: DataFrame, idCol: String, textCol: String,
+      mediaCols: Seq[(String, String)],
+      cfg: InterleavedConfig = InterleavedConfig(),
+      evalDocs: Option[DataFrame] = None,
+      audioCfg: MediaConfig = MediaConfig(maxDistance = 3, pieces = 4),
+      videoCfg: MediaConfig = MediaConfig(maxDistance = 4, pieces = 8)): Result = {
     val spark = docs.sparkSession
     val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Double, Long)]()
     val tc = cfg.text
     val ic = cfg.image
+    require(mediaCols.nonEmpty, "mediaCols must name at least one modality")
+    require(mediaCols.forall { case (m, _) => Set("image", "audio", "video")(m) },
+      s"modalities must be image/audio/video, got ${mediaCols.map(_._1).mkString(", ")}")
+    require(mediaCols.map(_._1).distinct.size == mediaCols.size,
+      s"duplicate modality in ${mediaCols.map(_._1).mkString(", ")}")
     require(tc.bands >= 0, s"bad bands ${tc.bands} (0 = auto)")
     val bands =
       if (tc.bands > 0) tc.bands
@@ -326,19 +373,22 @@ object Pipeline {
     require(docs.where(col(idCol).isNull ||
         expr(s"try_cast(`$idCol` AS BIGINT)").isNull).isEmpty,
       s"curateInterleaved requires numeric doc ids: column '$idCol' has a null " +
-        "or non-numeric value (a silent cast would null __img_id and the " +
-        "reassembly join would drop every image) — dense-rank ids into longs first")
+        "or non-numeric value (a silent cast would null the slot ids and the " +
+        "reassembly join would drop every media payload) — dense-rank ids into longs first")
 
     var curDocs = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
-    var curImgs: DataFrame = null // exploded (doc, idx, payload) once text settles
+    // modality -> exploded (doc, idx, payload) frame, once text settles
+    val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     def nDocs(): Long = curDocs.count()
-    def nImgs(): Long =
-      if (curImgs == null)
-        curDocs.agg(coalesce(sum(coalesce(size(col(imagesCol)), lit(0))
+    def nMedia(): Long = mediaCols.map { case (mod, mcol) =>
+      frames.get(mod) match {
+        case Some(f) => f.count()
+        case None => curDocs.agg(coalesce(sum(coalesce(size(col(mcol)), lit(0))
           .cast("long")), lit(0L))).collect()(0).getLong(0)
-      else curImgs.count()
+      }
+    }.sum
     def measure(stage: String, wallSec: Double): Unit = {
-      stats += ((stats.size, stage, nDocs(), nImgs(), wallSec, pendingCapped))
+      stats += ((stats.size, stage, nDocs(), nMedia(), wallSec, pendingCapped))
       pendingCapped = 0L
     }
     def retire(prev: DataFrame): Unit =
@@ -351,17 +401,10 @@ object Pipeline {
       measure(stage, (System.nanoTime() - t0) / 1e9)
       retire(prev)
     }
-    def stepImgs(stage: String)(f: DataFrame => DataFrame): Unit = {
-      val prev = curImgs
-      val t0 = System.nanoTime()
-      curImgs = f(prev).localCheckpoint(true, CkptSer)
-      measure(stage, (System.nanoTime() - t0) / 1e9)
-      if (prev != null) retire(prev)
-    }
     measure("input", 0.0)
 
     // Text stages — the [[curate]] chain's filter prefix; a document that
-    // dies here takes its image slots with it (visible in images_out).
+    // dies here takes its media slots with it (visible in images_out).
     stepDocs("fix_encoding")(df => df.withColumn(textCol,
       graft.functions.NormalizeKernel.nfkc(
         graft.functions.MojibakeKernel.fixMojibake(col(textCol)))))
@@ -374,7 +417,7 @@ object Pipeline {
       TextAnalysis.qualityScore(col(textCol)) >= tc.minQuality &&
         TextAnalysis.tokenCount(col(textCol)) >= tc.minTokens))
     // Text dedup chain (r15) — [[curate]]'s stages verbatim; a duplicated
-    // interleaved document dies HERE and its image slots die with it
+    // interleaved document dies HERE and its media slots die with it
     // (slot survival shows in images_out, the replay contract).
     stepDocs("line_dedup")(df => df
       .withColumn(textCol, TextAnalysis.removeRepeatedLines(col(textCol)))
@@ -390,60 +433,105 @@ object Pipeline {
         idCol, textCol, tc.decontaminateNgram))
     }
 
-    // Image stages over the exploded frame; `__img_id` linearizes
-    // (doc, slot) so the shared keep-lowest-id rule prefers earlier
-    // documents, then earlier slots.
-    val t0x = System.nanoTime()
-    curImgs = curDocs
-      .select(col(idCol).cast("long").as("__doc"),
-        posexplode(coalesce(col(imagesCol),
-          array().cast(docs.schema(imagesCol).dataType))).as(Seq("__idx", "__img")))
-      .localCheckpoint(true, CkptSer)
-    measure("img_explode", (System.nanoTime() - t0x) / 1e9)
-    val over = curImgs.agg(coalesce(max("__idx"), lit(0)))
-      .collect()(0).getInt(0)
-    require(over < cfg.maxImagesPerDoc,
-      s"a document carries ${over + 1} image slots >= maxImagesPerDoc=${cfg.maxImagesPerDoc} — raise the knob")
-    stepImgs("img_decode")(df =>
-      Multimodal.pHashImages(
-        df.withColumn("__img_id",
-          col("__doc") * cfg.maxImagesPerDoc + col("__idx")),
-        "__img", ic.batchSize).where(col("phash").isNotNull))
-    stepImgs("img_exact_dedup")(df => Dedup.exactKeepFirst(
-      df.withColumn("__fp", xxhash64(col("__img"))), Seq("__fp"), "__img_id")
-      .drop("__fp"))
-    stepImgs("img_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__img_id",
-      "phash", ic.maxDistance, ic.pieces, ic.maxCorpusImages))
-    stepImgs("img_resize")(df =>
-      Multimodal.resizeImages(df, "__img", ic.targetW, ic.targetH,
-        ic.resizeFormat, ic.batchSize).where(col("resized").isNotNull))
+    // Media stages per modality, over that modality's exploded frame;
+    // `__mid` linearizes (doc, slot) so the shared keep-lowest-id rule
+    // prefers earlier documents, then earlier slots. Modalities dedup
+    // INDEPENDENTLY (an audio clip never pairs with a video payload).
+    mediaCols.foreach { case (mod, mcol) =>
+      val p = mod match {
+        case "image" => "img"
+        case "audio" => "aud"
+        case _ => "vid"
+      }
+      val t0x = System.nanoTime()
+      frames(mod) = curDocs
+        .select(col(idCol).cast("long").as("__doc"),
+          posexplode(coalesce(col(mcol),
+            array().cast(docs.schema(mcol).dataType))).as(Seq("__idx", "__media")))
+        .localCheckpoint(true, CkptSer)
+      measure(s"${p}_explode", (System.nanoTime() - t0x) / 1e9)
+      val over = frames(mod).agg(coalesce(max("__idx"), lit(0)))
+        .collect()(0).getInt(0)
+      require(over < cfg.maxImagesPerDoc,
+        s"a document carries ${over + 1} $mod slots >= maxImagesPerDoc=${cfg.maxImagesPerDoc} — raise the knob")
+      def stepMedia(stage: String)(f: DataFrame => DataFrame): Unit = {
+        val prev = frames(mod)
+        val t0 = System.nanoTime()
+        frames(mod) = f(prev).localCheckpoint(true, CkptSer)
+        measure(stage, (System.nanoTime() - t0) / 1e9)
+        retire(prev)
+      }
+      def withMid(df: DataFrame): DataFrame = df.withColumn("__mid",
+        col("__doc") * cfg.maxImagesPerDoc + col("__idx"))
+      mod match {
+        case "image" =>
+          stepMedia("img_decode")(df =>
+            Multimodal.pHashImages(withMid(df), "__media", ic.batchSize)
+              .where(col("phash").isNotNull))
+          stepMedia("img_exact_dedup")(df => Dedup.exactKeepFirst(
+            df.withColumn("__fp", xxhash64(col("__media"))), Seq("__fp"), "__mid")
+            .drop("__fp"))
+          stepMedia("img_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__mid",
+            "phash", ic.maxDistance, ic.pieces, ic.maxCorpusImages))
+          stepMedia("img_resize")(df =>
+            Multimodal.resizeImages(df, "__media", ic.targetW, ic.targetH,
+              ic.resizeFormat, ic.batchSize).where(col("resized").isNotNull))
+        case "audio" =>
+          stepMedia("aud_decode")(df => withMid(df)
+            .withColumn("ahash",
+              Multimodal.mediaSketch64(col("__media"), "audio_spectral"))
+            .where(col("ahash").isNotNull))
+          stepMedia("aud_exact_dedup")(df => Dedup.exactKeepFirst(
+            df.withColumn("__fp", xxhash64(col("__media"))), Seq("__fp"), "__mid")
+            .drop("__fp"))
+          stepMedia("aud_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__mid",
+            "ahash", audioCfg.maxDistance, audioCfg.pieces, audioCfg.maxCorpus))
+        case _ =>
+          stepMedia("vid_decode")(df => withMid(df)
+            .withColumn("vhash",
+              Multimodal.mediaSketch64(col("__media"), "video_payload"))
+            .where(col("vhash").isNotNull))
+          stepMedia("vid_exact_dedup")(df => Dedup.exactKeepFirst(
+            df.withColumn("__fp", xxhash64(col("__media"))), Seq("__fp"), "__mid")
+            .drop("__fp"))
+          stepMedia("vid_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__mid",
+            "vhash", videoCfg.maxDistance, videoCfg.pieces, videoCfg.maxCorpus))
+      }
+    }
 
-    // Reassembly: surviving images back into per-doc arrays in original
-    // slot order; image-less documents keep their curated text.
+    // Reassembly: surviving payloads back into per-doc arrays in original
+    // slot order (images reassemble the RESIZED payload; audio/video the
+    // curated original bytes); media-less documents keep their curated
+    // text with empty arrays.
     val t0r = System.nanoTime()
-    val arrays = curImgs.groupBy("__doc")
-      .agg(transform(sort_array(collect_list(struct(col("__idx"), col("resized")))),
-        e => e.getField("resized")).as("__imgs"))
-    val assembled = curDocs
-      .join(arrays, curDocs(idCol).cast("long") === arrays("__doc"), "left")
-      .drop("__doc")
-      .withColumn(imagesCol,
-        coalesce(col("__imgs"), array().cast("array<binary>")))
-      .drop("__imgs")
-      .withColumn("n_images", size(col(imagesCol)))
-      .localCheckpoint(true, CkptSer)
-    // assembled is materialized (eager checkpoint): the final text- and
-    // image-stage blocks retire like every earlier stage's — without this
-    // each interleaved run would pin two corpus-sized block sets for the
-    // session's lifetime (only `assembled` is handed to the caller).
+    var assembled = curDocs.withColumn("__dockey", col(idCol).cast("long"))
+    mediaCols.foreach { case (mod, mcol) =>
+      val elem = if (mod == "image") "resized" else "__media"
+      val arrays = frames(mod).groupBy("__doc")
+        .agg(transform(sort_array(collect_list(struct(col("__idx"), col(elem)))),
+          e => e.getField(elem)).as("__arr"))
+      assembled = assembled
+        .join(arrays, col("__dockey") === arrays("__doc"), "left")
+        .drop("__doc")
+        .withColumn(mcol, coalesce(col("__arr"), array().cast("array<binary>")))
+        .drop("__arr")
+        .withColumn(s"n_${mod}s", size(col(mcol)))
+    }
+    val out = assembled.drop("__dockey").localCheckpoint(true, CkptSer)
+    // out is materialized (eager checkpoint): the final text- and
+    // media-stage blocks retire like every earlier stage's — without this
+    // each interleaved run would pin corpus-sized block sets for the
+    // session's lifetime (only `out` is handed to the caller).
     retire(curDocs)
-    retire(curImgs)
-    stats += ((stats.size, "reassemble", assembled.count(),
-      assembled.agg(coalesce(sum(col("n_images").cast("long")), lit(0L)))
-        .collect()(0).getLong(0), (System.nanoTime() - t0r) / 1e9, 0L))
+    mediaCols.foreach { case (mod, _) => retire(frames(mod)) }
+    val mediaOut = out.agg(coalesce(sum(
+      mediaCols.map { case (mod, _) => col(s"n_${mod}s").cast("long") }
+        .reduce(_ + _)), lit(0L))).collect()(0).getLong(0)
+    stats += ((stats.size, "reassemble", out.count(), mediaOut,
+      (System.nanoTime() - t0r) / 1e9, 0L))
 
     import spark.implicits._
-    Result(assembled,
+    Result(out,
       stats.toSeq.toDF("ord", "stage", "docs_out", "images_out", "wall_sec",
         "capped_rows"))
   }

@@ -2581,6 +2581,69 @@ object LlmQueries {
         .orderBy("ord")
     }),
 
+    // Interleaved AUDIO+VIDEO curation (r16 stretch — the OBELICS-style
+    // shape generalized past images): each doc carries text plus an
+    // audio array and a video array; curateInterleavedMm runs the full
+    // text chain then each modality through the shared exploded-slot
+    // machinery (slot ids doc·maxPerDoc+idx, keep-lowest-id corpus-wide)
+    // with modality-native sketches. Planted cross-modality fates, all
+    // id-arithmetic: text byte-copies (ids ≡ 7 mod 30 copy id-1) die at
+    // exact_dedup taking BOTH modalities' slots along; audio slot0 of
+    // ids ≡ 3 mod 10 is a byte-copy of id-1's clip (dies at
+    // aud_exact_dedup), of ids ≡ 5 mod 10 an amplitude-rescaled copy
+    // (bytes differ, spectral hash identical — dies at aud_near_dedup);
+    // video slot0 of ids ≡ 5 mod 10 is a byte-copy (vid_exact_dedup),
+    // of ids ≡ 3 mod 10 a re-MUX of id-1's video (payload fingerprint
+    // identical — dies at vid_near_dedup); audio slot1 is garbage for
+    // ids ≡ 0 mod 4 (dies at aud_decode), video slot1 garbage for ids ≡
+    // 0 mod 6 (vid_decode). The oracle replays every stage's
+    // (docs, live media slots) and the per-doc array sizes.
+    "q_pipeline_interleaved_av" -> ((s, d) => {
+      import s.implicits._
+      val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+      val base = s.range(0, 120).select(col("id")).as[Long].map { id =>
+        val audio0 =
+          if (id % 10 == 3) Multimodal.encodeToneWav(id - 1)
+          else if (id % 10 == 5) Multimodal.encodeToneWav(id - 1, scaleShift = 1)
+          else Multimodal.encodeToneWav(id)
+        val audio1 =
+          if (id % 4 == 0) s"not-a-wav-$id".getBytes("UTF-8")
+          else Multimodal.encodeToneWav(id + 5000L)
+        val video0 =
+          if (id % 10 == 3) Multimodal.encodeMp4Media(id - 1, sizes,
+            Seq.fill(8)(3), timescale = 90000,
+            durationUnits = 24L * 20L * 150L)
+          else if (id % 10 == 5) Multimodal.encodeMp4Media(id - 1, sizes,
+            Seq.fill(6)(4))
+          else Multimodal.encodeMp4Media(id, sizes, Seq.fill(6)(4))
+        val video1 =
+          if (id % 6 == 0) s"not-an-mp4-$id".getBytes("UTF-8")
+          else Multimodal.encodeMp4Media(id + 9000L, sizes, Seq.fill(6)(4))
+        (id, Seq(audio0, audio1), Seq(video0, video1))
+      }.toDF("doc_id", "audios", "videos")
+      val isCopy = pmod(col("doc_id"), lit(30)) === 7
+      val fam = when(isCopy, col("doc_id") - 1)
+        .otherwise(col("doc_id")).cast("string")
+      val corpus = base.withColumn("text", concat(lit("w"), fam,
+        lit("a the quick brown fox jumps over the lazy dog w"), fam,
+        lit("b it was good that it is here and now w"), fam, lit("c")))
+      val r = graft.llm.Pipeline.curateInterleavedMm(corpus, "doc_id", "text",
+        Seq("audio" -> "audios", "video" -> "videos"))
+      val audioOk = r.docs.agg(all(col("n_audios") ===
+        lit(2) - when(pmod(col("doc_id"), lit(10)).isin(3, 5), 1).otherwise(0)
+          - when(pmod(col("doc_id"), lit(4)) === 0, 1).otherwise(0)))
+        .collect()(0).getBoolean(0)
+      val videoOk = r.docs.agg(all(col("n_videos") ===
+        lit(2) - when(pmod(col("doc_id"), lit(10)).isin(3, 5), 1).otherwise(0)
+          - when(pmod(col("doc_id"), lit(6)) === 0, 1).otherwise(0)))
+        .collect()(0).getBoolean(0)
+      r.stats.select(col("ord"), col("stage"), col("docs_out"),
+          col("images_out").as("media_out"),
+          lit(audioOk).as("audio_counts_ok"),
+          lit(videoOk).as("video_counts_ok"))
+        .orderBy("ord")
+    }),
+
     // BM25 lexical retrieval: full DuckDB replay of the entire scoring
     // pipeline — tokenization, tf/dl/df aggregates, the Lucene smoothed
     // idf, and the per-(query, doc) score sum — over a bounded doc
@@ -4341,6 +4404,68 @@ object LlmQueries {
         |  CAST(sum(slots - 1 - ev) AS BIGINT), TRUE, TRUE FROM k WHERE k_dc
         |UNION ALL SELECT 14, 'reassemble', count(*), count(*),
         |  TRUE, TRUE FROM k WHERE k_dc
+        |ORDER BY ord""".stripMargin,
+
+    // GENUINE replay of the audio+video interleaved plant: per-doc slot
+    // fates from id arithmetic — text copies (≡7 mod 30) die at
+    // exact_dedup with all four media slots; audio garbage (≡0 mod 4)
+    // at aud_decode, audio byte-copies (≡3 mod 10) at aud_exact_dedup,
+    // rescaled copies (≡5 mod 10) at aud_near_dedup; video garbage
+    // (≡0 mod 6) at vid_decode, byte-copies (≡5 mod 10) at
+    // vid_exact_dedup, re-muxes (≡3 mod 10) at vid_near_dedup.
+    "q_pipeline_interleaved_av" ->
+      """WITH v AS (SELECT g.range AS id FROM range(0, 120) g),
+        |k AS (SELECT id,
+        |  NOT (id % 30 = 7) AS alive,
+        |  CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS a_garb,
+        |  CASE WHEN id % 10 = 3 THEN 1 ELSE 0 END AS a_exact,
+        |  CASE WHEN id % 10 IN (3, 5) THEN 1 ELSE 0 END AS a_dup,
+        |  CASE WHEN id % 6 = 0 THEN 1 ELSE 0 END AS v_garb,
+        |  CASE WHEN id % 10 = 5 THEN 1 ELSE 0 END AS v_exact,
+        |  CASE WHEN id % 10 IN (3, 5) THEN 1 ELSE 0 END AS v_dup
+        |  FROM v)
+        |SELECT CAST(0 AS INT) AS ord, 'input' AS stage, count(*) AS docs_out,
+        |    CAST(4 * count(*) AS BIGINT) AS media_out,
+        |    TRUE AS audio_counts_ok, TRUE AS video_counts_ok FROM k
+        |UNION ALL SELECT 1, 'fix_encoding', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k
+        |UNION ALL SELECT 2, 'html_extract', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k
+        |UNION ALL SELECT 3, 'langid_filter', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k
+        |UNION ALL SELECT 4, 'quality_filter', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k
+        |UNION ALL SELECT 5, 'line_dedup', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k
+        |UNION ALL SELECT 6, 'exact_dedup', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k WHERE alive
+        |UNION ALL SELECT 7, 'near_dedup', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k WHERE alive
+        |UNION ALL SELECT 8, 'aud_explode', count(*),
+        |  CAST(4 * count(*) AS BIGINT), TRUE, TRUE FROM k WHERE alive
+        |UNION ALL SELECT 9, 'aud_decode', count(*),
+        |  CAST(sum(4 - a_garb) AS BIGINT), TRUE, TRUE FROM k WHERE alive
+        |UNION ALL SELECT 10, 'aud_exact_dedup', count(*),
+        |  CAST(sum(4 - a_garb - a_exact) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 11, 'aud_near_dedup', count(*),
+        |  CAST(sum(4 - a_garb - a_dup) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 12, 'vid_explode', count(*),
+        |  CAST(sum(4 - a_garb - a_dup) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 13, 'vid_decode', count(*),
+        |  CAST(sum(4 - a_garb - a_dup - v_garb) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 14, 'vid_exact_dedup', count(*),
+        |  CAST(sum(4 - a_garb - a_dup - v_garb - v_exact) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 15, 'vid_near_dedup', count(*),
+        |  CAST(sum(4 - a_garb - a_dup - v_garb - v_dup) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
+        |UNION ALL SELECT 16, 'reassemble', count(*),
+        |  CAST(sum(4 - a_garb - a_dup - v_garb - v_dup) AS BIGINT), TRUE, TRUE
+        |  FROM k WHERE alive
         |ORDER BY ord""".stripMargin,
 
     // Complete BM25 replay over base ∪ batch: same word rule, same

@@ -13,7 +13,8 @@ import graft.llm.Multimodal
 object DriveVideoProfile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scale")) {
-      scaleRun(if (args.length > 1) args(1).toLong else 1000000L)
+      scaleRun(if (args.length > 1) args(1).toLong else 1000000L,
+        flat = args.contains("flat"))
       return
     }
     val nFam = if (args.nonEmpty) args(0).toInt else 200
@@ -22,14 +23,23 @@ object DriveVideoProfile {
   }
 
   /** Spark scale leg: n videos = n/2 content families × 2 independent
-    * encodes (original vs 0.6×-bitrate/other-GOP/other-noise), run
-    * through the full videoProfilePairs operator (index-path candidates
-    * + Spearman verify at this size). Reports wall, pair counts and
-    * planted recall — every family must pair its two encodes (ids 2f,
-    * 2f+1); extras are cross-content survivors of BOTH stages. */
-  def scaleRun(n: Long): Unit = {
+    * encodes, on a HETEROGENEOUS plant (r16): family durations are
+    * log-uniform over 24–192 s (≈ 6 log-1.5 duration buckets), base fps
+    * 24 or 30 per family, and every 4th family's second encode is ALSO a
+    * 2× fps change landing in the ADJACENT fps bucket, so the
+    * cell-partitioned index path is exercised across a realistic
+    * duration×fps grid including its boundary-tolerance probes. The
+    * other second encodes are 0.6×-bitrate / other-GOP / other-noise
+    * re-encodes at the same fps. Reports wall, pair counts, planted
+    * recall (every family must pair its two encodes — ids 2f, 2f+1),
+    * the per-shard cell stats, and the MEASURED per-probe bucket-member
+    * scans; `flat = true` re-runs the identical plant with unknowable
+    * durations (single-cell index = the r15 flat probe) as the measured
+    * baseline twin. */
+  def scaleRun(n: Long, flat: Boolean = false): Unit = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
+    val K = graft.functions.HammingIndexKernel
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.driver.maxResultSize", "8g")
@@ -37,29 +47,81 @@ object DriveVideoProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // Plant shape: durations log-uniform 24–192 s (>= 576 frames, the
+    // r15-certified regime — DiagVp measured the signature's own miss
+    // tail below ~8 frames/bucket: 3 near-threshold misses per 50k
+    // families at a 12 s floor, zero at 24 s), base
+    // fps 24 or 30 per family, every 4th family's re-encode at 2× fps
+    // (adjacent log-2 bucket — the boundary-tolerance probes earn their
+    // keep), durationUnits decoupled from the frame count exactly like a
+    // real encoder clocks it.
     val media = spark.range(0, n).select(col("id")).as[Long]
       .map { id =>
         val fam = id / 2
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val u = (mix(fam * 0x100000001B3L) >>> 11).toDouble / (1L << 53).toDouble
+        val durSec = 24.0 * StrictMath.pow(8.0, u) // log-uniform 24..192 s
+        val baseFps = if ((mix(fam * 31L + 7L) & 1L) == 0L) 24 else 30
+        val fpsChanged = fam % 4 == 0 && id % 2 == 1
+        val fps = if (fpsChanged) 2 * baseFps else baseFps
+        val nFrames = math.max(64, (durSec * fps).round.toInt)
+        // flat = the measured baseline twin: durationUnits 0 parses to an
+        // unknown duration, every row lands in the reserved unknown cell,
+        // and the index degenerates to the r15 FLAT probe over the same
+        // corpus — same pairs (pair-identity at scale), honest A/B for
+        // the member-scan reduction.
+        val durUnits = if (flat) 0L else (durSec * 600.0).round
         val sizes =
           if (id % 2 == 0)
-            Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L, base = 48)
+            Multimodal.bitrateProfileFrameSizes(fam, nFrames, 1.0, gop = 12, noiseSeed = 1L, base = 48)
+          else if (fpsChanged)
+            Multimodal.bitrateProfileFrameSizes(fam, nFrames, 1.8, gop = 15, noiseSeed = 3L, base = 48)
           else
-            Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L, base = 48)
-        (id, Multimodal.encodeMp4Media(id, sizes, Seq.fill(10)(64)))
+            Multimodal.bitrateProfileFrameSizes(fam, nFrames, 0.6, gop = 8, noiseSeed = 2L, base = 48)
+        val chunks = Seq.fill(nFrames / 64)(64) ++
+          (if (nFrames % 64 > 0) Seq(nFrames % 64) else Nil)
+        (id, Multimodal.encodeMp4Media(id, sizes, chunks, durationUnits = durUnits))
       }.toDF("doc_id", "payload")
     var drops = (0L, 0L)
+    var shardStats = List.empty[(Int, Int, Int)]
+    K.scanCounter.reset()
+    K.countScans = true
     val t0 = System.nanoTime
+    // maxBucket 5000 puts the path switch at 80k rows so every scale
+    // size (100k smoke included) exercises the cell-partitioned index
+    // path — the subject under measurement.
     val r = Multimodal.videoProfilePairs(media, "doc_id", "payload",
-        onCapDrops = (k, rr) => drops = (k, rr))
+        maxBucket = 5000,
+        onCapDrops = (k, rr) => drops = (k, rr),
+        onIndexStats = (rows, cells, maxCell) =>
+          shardStats = (rows, cells, maxCell) :: shardStats)
       .agg(count(lit(1)).as("pairs"),
         sum(when(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0, 1L)
           .otherwise(0L)).as("planted"))
       .collect()(0)
     val wall = (System.nanoTime - t0) / 1e9
+    K.countScans = false
+    val scans = K.scanCounter.sum()
     val pairs = r.getLong(0)
     val planted = r.getLong(1)
-    println(f"CHECK scale n=$n wall=$wall%.1fs pairs=$pairs planted=$planted/${n / 2} " +
+    println(f"CHECK scale${if (flat) "_flat" else ""} n=$n wall=$wall%.1fs pairs=$pairs planted=$planted/${n / 2} " +
       f"recall=${planted.toDouble / (n / 2)}%.4f extras=${pairs - planted} cap_drops=$drops")
+    shardStats.reverse.zipWithIndex.foreach { case ((rows, cells, maxCell), s) =>
+      println(s"CHECK shard=$s rows=$rows cells=$cells max_cell=$maxCell")
+    }
+    // Each row probes every shard once; compare per-probe member scans
+    // against the flat twin (run with the extra "flat" arg) — the
+    // analytic uniform-slice floor is 4·ΣC(16,<=3)/2^16 = 4.26% of the
+    // shard, but smooth-curve slice values are lumpy, so the honest
+    // baseline is MEASURED, not computed.
+    val probes = n * shardStats.size.toLong
+    println(f"CHECK member_scans total=$scans per_probe=${scans.toDouble / probes}%.1f " +
+      f"uniform_floor_per_probe=${0.0426 * n / shardStats.size}%.1f")
     spark.stop()
   }
 

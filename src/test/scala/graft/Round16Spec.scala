@@ -239,6 +239,59 @@ class Round16Spec extends AnyFunSuite {
     assert(pairs == Set((2L, 3L)), s"got $pairs")
   }
 
+  // ------------------------- interleaved audio/video (curateInterleavedMm)
+
+  test("curateInterleavedMm: text death kills all modality slots; per-modality keep-lowest-id at the byte level") {
+    val M = graft.llm.Multimodal
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    def mp4(fam: Long, remux: Boolean = false): Array[Byte] =
+      if (remux) M.encodeMp4Media(fam, sizes, Seq.fill(8)(3), timescale = 90000,
+        durationUnits = 24L * 20L * 150L)
+      else M.encodeMp4Media(fam, sizes, Seq.fill(6)(4))
+    val t0 = "w0a the quick brown fox jumps over the lazy dog w0b it was good that it is here and now w0c"
+    val t2 = "w2a the quick brown fox jumps over the lazy dog w2b it was good that it is here and now w2c"
+    val rows = Seq(
+      // doc 0: originals.
+      (0L, t0, Seq(M.encodeToneWav(100L), M.encodeToneWav(101L)),
+        Seq(mp4(200L), mp4(201L))),
+      // doc 1: byte-identical TEXT copy of doc 0 — dies at exact_dedup;
+      // its (novel!) media slots must die with it.
+      (1L, t0, Seq(M.encodeToneWav(999L)), Seq(mp4(998L))),
+      // doc 2: audio slot0 = byte-copy of doc 0's clip (aud_exact_dedup),
+      // slot1 = amplitude-rescaled copy (aud_near_dedup), slot2 novel;
+      // video slot0 = re-mux of doc 0's video (vid_near_dedup), slot1 =
+      // byte-copy (vid_exact_dedup), slot2 novel.
+      (2L, t2,
+        Seq(M.encodeToneWav(100L), M.encodeToneWav(101L, scaleShift = 1),
+          M.encodeToneWav(102L)),
+        Seq(mp4(200L, remux = true), mp4(200L), mp4(777L))))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "audios", "videos")
+    val r = graft.llm.Pipeline.curateInterleavedMm(df, "doc_id", "text",
+      Seq("audio" -> "audios", "video" -> "videos"))
+    val out = r.docs.select("doc_id", "audios", "videos").collect()
+      .map(x => x.getLong(0) ->
+        (x.getSeq[Array[Byte]](1).map(_.toSeq), x.getSeq[Array[Byte]](2).map(_.toSeq)))
+      .toMap
+    assert(out.keySet == Set(0L, 2L), s"doc 1 must die at text exact_dedup: ${out.keySet}")
+    assert(out(0L)._1 == Seq(M.encodeToneWav(100L).toSeq, M.encodeToneWav(101L).toSeq))
+    assert(out(0L)._2 == Seq(mp4(200L).toSeq, mp4(201L).toSeq))
+    // doc 2 keeps only its novel slots (originals won keep-lowest-id).
+    assert(out(2L)._1 == Seq(M.encodeToneWav(102L).toSeq))
+    assert(out(2L)._2 == Seq(mp4(777L).toSeq))
+    // doc 1's media never entered the corpus: nothing anywhere carries them.
+    val allBytes = out.values.flatMap(v => v._1 ++ v._2).toSeq
+    assert(!allBytes.contains(M.encodeToneWav(999L).toSeq))
+    assert(!allBytes.contains(mp4(998L).toSeq))
+    // Stage roster: text chain then each modality's explode/decode/
+    // exact/near chain, then reassemble.
+    val stages = r.stats.orderBy("ord").select("stage").collect().map(_.getString(0)).toSeq
+    assert(stages == Seq("input", "fix_encoding", "html_extract", "langid_filter",
+      "quality_filter", "line_dedup", "exact_dedup", "near_dedup",
+      "aud_explode", "aud_decode", "aud_exact_dedup", "aud_near_dedup",
+      "vid_explode", "vid_decode", "vid_exact_dedup", "vid_near_dedup",
+      "reassemble"), stages.toString)
+  }
+
   // ------------------------------- streaming AV guards: batch ≡ stream
 
   test("mediaSketch64 expression: bit-identical to the batch mapPartitions sketches") {
