@@ -389,8 +389,41 @@ object HammingIndexKernel {
   final class RankHit(val id: Long, val hamming: Int, val dot: Double)
       extends Serializable
 
+  /** A cell too small to earn a bucket table ([[MihCellIndex]]): probes
+    * scan every member with the exact XOR + rank-dot verify — the same
+    * arithmetic the MIH buckets run, minus the candidate pre-filter,
+    * which below [[MihCellIndex.MicroCellMaxRows]] rows costs less than
+    * the bucket table it replaces. */
+  private final class MicroCell(hashes: Array[Long], ids: Array[Long],
+      rankBytes: Array[Byte], rankInv: Array[Double], rankLen: Int)
+      extends Serializable {
+    val size: Int = hashes.length
+    private val rankMean = (rankLen - 1) / 2.0
+    def hitsBelowWithinRankDot(h: Long, d: Int, selfId: Long,
+        q: Array[Double], minDot: Double,
+        acc: java.util.TreeMap[java.lang.Long, RankHit]): Unit = {
+      if (countScans) scanCounter.add(size)
+      var m = 0
+      while (m < size) {
+        val ham = java.lang.Long.bitCount(hashes(m) ^ h)
+        if (ids(m) < selfId && ham <= d) {
+          val off = m * rankLen
+          val inv = rankInv(m)
+          var s = 0.0
+          var i = 0
+          while (i < rankLen) {
+            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+            i += 1
+          }
+          if (s >= minDot) acc.put(ids(m), new RankHit(ids(m), ham, s))
+        }
+        m += 1
+      }
+    }
+  }
+
   /** CELL-PARTITIONED multi-index Hamming structure (r16, VERDICT #1):
-    * one [[MihIndex]] per caller-assigned cell key. The plain index's
+    * one sub-index per caller-assigned cell key. The plain index's
     * probe scans ~`pieces·Σ C(bpp,≤e)/2^bpp` of the WHOLE corpus per
     * query (4.3% at 16-bit slices / e=3) — O(n) per probe, O(n²)
     * aggregate. When rows carry a cheap equality-ish pre-partition key
@@ -403,9 +436,13 @@ object HammingIndexKernel {
     * and the per-probe verify arithmetic is IDENTICAL to the flat index,
     * so surviving pairs match the flat probe bit-for-bit on those pairs.
     * Degenerate corpora that concentrate in one cell degrade gracefully
-    * to the flat index's behavior. Per-cell fixed cost is the offsets
-    * table (~1 MB at pieces=4), so cell schemes should aim for ≤ ~10³
-    * populated cells — coarse log-scale buckets, not raw values. */
+    * to the flat index's behavior. Memory is bounded by the CORPUS, not
+    * the cell count: cells below [[MihCellIndex.MicroCellMaxRows]] rows
+    * store plain scan-all arrays (a probe scans ≤ that many members —
+    * comparable to what the MIH buckets would visit at that size), and
+    * only cells large enough to amortize it build the ~1 MB bucket
+    * table, so at most n/MicroCellMaxRows tables exist even under
+    * adversarial keys (≤ 256 MB per million-row shard). */
   final class MihCellIndex(cellKeys: Array[Long], hashes: Array[Long],
       pieces: Int, ids: Array[Long], rankBytes: Array[Byte],
       rankInv: Array[Double]) extends Serializable {
@@ -416,8 +453,10 @@ object HammingIndexKernel {
     private val rankLen =
       if (hashes.isEmpty) 0 else rankBytes.length / hashes.length
 
-    /** cell key → that cell's id- and rank-carrying [[MihIndex]]. */
-    private val cells: java.util.HashMap[java.lang.Long, MihIndex] = {
+    /** cell key → that cell's sub-index: a bucket-tabled [[MihIndex]]
+      * past [[MihCellIndex.MicroCellMaxRows]] rows, a scan-all
+      * [[MicroCell]] below. */
+    private val cells: java.util.HashMap[java.lang.Long, AnyRef] = {
       val counts = new java.util.HashMap[java.lang.Long, Array[Int]]
       var i = 0
       while (i < cellKeys.length) {
@@ -446,12 +485,15 @@ object HammingIndexKernel {
         cur(0) = j + 1
         i += 1
       }
-      val out = new java.util.HashMap[java.lang.Long, MihIndex]
+      val out = new java.util.HashMap[java.lang.Long, AnyRef]
       val it2 = parts.entrySet().iterator()
       while (it2.hasNext) {
         val e = it2.next()
         val (hs, is, rb, ri, _) = e.getValue
-        out.put(e.getKey, new MihIndex(hs, pieces, is, rb, ri))
+        out.put(e.getKey,
+          if (hs.length >= MihCellIndex.MicroCellMaxRows)
+            new MihIndex(hs, pieces, is, rb, ri)
+          else new MicroCell(hs, is, rb, ri, rankLen))
       }
       out
     }
@@ -461,7 +503,13 @@ object HammingIndexKernel {
     def cellStats: (Int, Int) = {
       var maxN = 0
       val it = cells.values().iterator()
-      while (it.hasNext) maxN = math.max(maxN, it.next().hashes.length)
+      while (it.hasNext) {
+        val n = it.next() match {
+          case m: MihIndex => m.hashes.length
+          case m: MicroCell => m.size
+        }
+        maxN = math.max(maxN, n)
+      }
       (cells.size(), maxN)
     }
 
@@ -469,16 +517,21 @@ object HammingIndexKernel {
       * query's own cell plus whatever adjacency the caller's key scheme
       * needs): for each populated probed cell, the cell sub-index runs
       * the same complete MIH expansion + exact XOR + exact rank-dot as
-      * the flat [[MihIndex.hitsBelowWithinRankDot]]; results fold into
-      * one ascending-id array. A candidate id lives in exactly one cell,
-      * so the fold needs no cross-cell dedup beyond the shared map. */
+      * the flat [[MihIndex.hitsBelowWithinRankDot]] (micro cells scan
+      * all members — same verify arithmetic, so identical emissions);
+      * results fold into one ascending-id array. A candidate id lives in
+      * exactly one cell, so the fold needs no cross-cell dedup beyond
+      * the shared map. */
     def hitsBelowWithinRankDot(probeCells: Array[Long], h: Long, d: Int,
         selfId: Long, q: Array[Double], minDot: Double): Array[RankHit] = {
       val acc = new java.util.TreeMap[java.lang.Long, RankHit]
       var c = 0
       while (c < probeCells.length) {
-        val sub = cells.get(probeCells(c))
-        if (sub != null) sub.hitsBelowWithinRankDot(h, d, selfId, q, minDot, acc)
+        cells.get(probeCells(c)) match {
+          case m: MihIndex => m.hitsBelowWithinRankDot(h, d, selfId, q, minDot, acc)
+          case m: MicroCell => m.hitsBelowWithinRankDot(h, d, selfId, q, minDot, acc)
+          case null => ()
+        }
         c += 1
       }
       val out = new Array[RankHit](acc.size)
@@ -817,4 +870,16 @@ object HammingIndexKernel {
     GraftSql.column(HammingPairsBelowRankDotCellBc(GraftSql.expression(sketch),
       GraftSql.expression(selfId), GraftSql.expression(ranks),
       GraftSql.expression(probeCells), bc, maxDistance, minDot))
+
+  object MihCellIndex {
+    /** Cells below this many rows store scan-all arrays instead of a
+      * bucket-tabled [[MihIndex]]: the fixed offsets table costs
+      * 4·pieces·2^(64/pieces) B (~1 MB at pieces=4), so under
+      * adversarial cell keys (one key per row) the tables — not the
+      * rows — would dominate memory; capping table construction at
+      * n ≥ 4096 bounds tables by corpus/4096 while a scan-all probe of
+      * < 4096 members costs about what the MIH expansion would visit at
+      * that size anyway. */
+    val MicroCellMaxRows: Int = 4096
+  }
 }

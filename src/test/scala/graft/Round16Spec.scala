@@ -212,6 +212,31 @@ class Round16Spec extends AnyFunSuite {
       q, 0.85).map(_.id).toSeq == Seq(30L))
     val (nCells, maxCell) = celled.cellStats
     assert(nCells == 3 && maxCell == 2)
+
+    // Mixed representations: a cell at/above MicroCellMaxRows builds the
+    // bucket-tabled MihIndex, tiny cells stay scan-all arrays — and the
+    // two emit IDENTICAL hits for the same members (memory is bounded by
+    // corpus/4096 tables even under adversarial one-row-per-cell keys).
+    val big = K.MihCellIndex.MicroCellMaxRows
+    val n2 = big + 3
+    val hs2 = Array.tabulate(n2)(i => h ^ (i % 7).toLong) // within radius 14
+    val ids2 = Array.tabulate(n2)(i => i.toLong)
+    val cells2 = Array.tabulate(n2)(i => if (i < big) packCell(0, 0) else packCell(9, 9))
+    val rb2 = new Array[Byte](64 * n2)
+    (0 until n2).foreach(i => System.arraycopy(r2, 0, rb2, i * 64, 64))
+    val mixed = new K.MihCellIndex(cells2, hs2, 4, ids2, rb2, Array.fill(n2)(inv))
+    val (nc2, mx2) = mixed.cellStats
+    assert(nc2 == 2 && mx2 == big)
+    // Probe each cell: the MihIndex-backed big cell and the MicroCell
+    // both return every smaller-id member with exact (hamming, dot).
+    val bigHits = mixed.hitsBelowWithinRankDot(Array(packCell(0, 0)), h, 14,
+      50L, q, 0.85)
+    assert(bigHits.map(_.id).toSeq == (0L until 50L) &&
+      bigHits.forall(x => x.hamming == java.lang.Long.bitCount(h ^ hs2(x.id.toInt))
+        && math.abs(x.dot - 1.0) < 1e-12))
+    val microHits = mixed.hitsBelowWithinRankDot(Array(packCell(9, 9)), h, 14,
+      Long.MaxValue, q, 0.85)
+    assert(microHits.map(_.id).toSeq == Seq(big.toLong, big + 1L, big + 2L))
   }
 
   test("videoProfilePairs: CBR/flat-profile videos are a certified NULL boundary (no signature, no pairs)") {
