@@ -35,7 +35,9 @@ object HammingIndexKernel {
     * fused in-probe verify — rankLen rank bytes + 8 B inverse norm. The
     * per-index fixed offsets table (4·(pieces·2^(64/pieces)+1) B — ~1 MB
     * at pieces=4) is not per-row and is negligible next to any real
-    * budget. Concretely: id-only pHash at pieces=4 is 24 B/row (50M rows
+    * budget for the FLAT index; [[MihCellIndex]] builds one table per
+    * bucket-tabled cell, bounded by its `maxTables` budget (default 128
+    * ⇒ ≤ ~134 MB on top of the row bytes — r16 review). Concretely: id-only pHash at pieces=4 is 24 B/row (50M rows
     * ≈ 1.2 GB — the documented r14 footprint); the 64-bucket
     * rank-carrying video-profile form is 104 B/row, so the SAME byte
     * budget shards it ~4.3× earlier (~11.5M rows). */
@@ -50,15 +52,18 @@ object HammingIndexKernel {
   val DefaultIndexBudgetBytes: Long = 1200000000L
 
   /** Rows one shard may hold under `maxIndexBytes`, additionally clamped
-    * so the flattened rank payload (`rankLen·rows`) fits a JVM array —
-    * the r15 defect: a row-count cap admitted shards whose rank-byte
-    * allocation overflowed Int. At the defaults (1.2 GB, pieces=4,
-    * rank-carrying 64): 11,538,461 rows; id-only: 37.5M. */
+    * so every flattened per-row allocation fits a JVM array — the rank
+    * payload (`rankLen·rows`) AND the bucket members (`pieces·rows`);
+    * the r15 defect was a row-count cap that admitted shards whose
+    * rank-byte allocation overflowed Int, and clamping only on rankLen
+    * would leave the members array exposed for rankLen < pieces (r16
+    * review). At the defaults (1.2 GB, pieces=4, rank-carrying 64):
+    * 11,538,461 rows; id-only: 37.5M. */
   def shardRowCap(maxIndexBytes: Long, pieces: Int, hasIds: Boolean,
       rankLen: Int): Long =
     math.max(1L, math.min(
       maxIndexBytes / indexBytesPerRow(pieces, hasIds, rankLen),
-      if (rankLen > 0) Int.MaxValue.toLong / rankLen else Int.MaxValue.toLong))
+      Int.MaxValue.toLong / math.max(rankLen, pieces)))
 
   /** Hash-range passes needed for `n` rows under the byte budget (+2%
     * headroom for shard skew) — the one shard-count formula every
@@ -436,26 +441,35 @@ object HammingIndexKernel {
     * and the per-probe verify arithmetic is IDENTICAL to the flat index,
     * so surviving pairs match the flat probe bit-for-bit on those pairs.
     * Degenerate corpora that concentrate in one cell degrade gracefully
-    * to the flat index's behavior. Memory is bounded by the CORPUS, not
-    * the cell count: cells below [[MihCellIndex.MicroCellMaxRows]] rows
-    * store plain scan-all arrays (a probe scans ≤ that many members —
-    * comparable to what the MIH buckets would visit at that size), and
-    * only cells large enough to amortize it build the ~1 MB bucket
-    * table, so at most n/MicroCellMaxRows tables exist even under
-    * adversarial keys (≤ 256 MB per million-row shard). */
+    * to the flat index's behavior. Memory is bounded by the CORPUS and a
+    * TABLE BUDGET, never the cell count: cells below
+    * [[MihCellIndex.MicroCellMaxRows]] rows store plain scan-all arrays
+    * (a probe scans ≤ that many members — comparable to what the MIH
+    * buckets would visit at that size), and the ~1 MB bucket tables go
+    * to the LARGEST cells only, at most `maxTables` of them (default
+    * 128 ⇒ ≤ ~134 MB of tables per index on top of the row bytes —
+    * state it when sizing shard budgets; typical duration×fps corpora
+    * populate far fewer cells than the budget, so they are unaffected).
+    * Construction transiently holds a second copy of the row arrays
+    * while slicing them per cell. */
   final class MihCellIndex(cellKeys: Array[Long], hashes: Array[Long],
       pieces: Int, ids: Array[Long], rankBytes: Array[Byte],
-      rankInv: Array[Double]) extends Serializable {
+      rankInv: Array[Double], maxTables: Int = 128) extends Serializable {
     require(cellKeys.length == hashes.length &&
       ids != null && ids.length == hashes.length &&
       rankBytes != null && rankInv != null && rankInv.length == hashes.length,
       "cellKeys/hashes/ids/rankInv must be parallel with a flat rankBytes")
-    private val rankLen =
-      if (hashes.isEmpty) 0 else rankBytes.length / hashes.length
+    require(maxTables >= 0, s"maxTables must be >= 0, got $maxTables")
+    // Plain vals (not references to the constructor arrays) so the
+    // serialized index carries ONLY the per-cell slices, never a second
+    // flat copy of the inputs.
+    private val nRows = hashes.length
+    private val rankLen = if (nRows == 0) 0 else rankBytes.length / nRows
 
     /** cell key → that cell's sub-index: a bucket-tabled [[MihIndex]]
-      * past [[MihCellIndex.MicroCellMaxRows]] rows, a scan-all
-      * [[MicroCell]] below. */
+      * for the up-to-`maxTables` largest cells at or past
+      * [[MihCellIndex.MicroCellMaxRows]] rows, a scan-all [[MicroCell]]
+      * otherwise. */
     private val cells: java.util.HashMap[java.lang.Long, AnyRef] = {
       val counts = new java.util.HashMap[java.lang.Long, Array[Int]]
       var i = 0
@@ -463,6 +477,17 @@ object HammingIndexKernel {
         val c = counts.get(cellKeys(i))
         if (c == null) counts.put(cellKeys(i), Array(1)) else c(0) += 1
         i += 1
+      }
+      // Table allocation: largest-first, bounded — under adversarial
+      // keys the tables (not the rows) would otherwise dominate memory.
+      val tabled = new java.util.HashSet[java.lang.Long]
+      locally {
+        import scala.jdk.CollectionConverters._
+        counts.entrySet().asScala.toSeq
+          .filter(_.getValue()(0) >= MihCellIndex.MicroCellMaxRows)
+          .sortBy(e => (-e.getValue()(0), e.getKey.longValue()))
+          .take(maxTables)
+          .foreach(e => tabled.add(e.getKey))
       }
       val parts = new java.util.HashMap[java.lang.Long,
         (Array[Long], Array[Long], Array[Byte], Array[Double], Array[Int])]
@@ -491,11 +516,23 @@ object HammingIndexKernel {
         val e = it2.next()
         val (hs, is, rb, ri, _) = e.getValue
         out.put(e.getKey,
-          if (hs.length >= MihCellIndex.MicroCellMaxRows)
-            new MihIndex(hs, pieces, is, rb, ri)
+          if (tabled.contains(e.getKey)) new MihIndex(hs, pieces, is, rb, ri)
           else new MicroCell(hs, is, rb, ri, rankLen))
       }
       out
+    }
+
+    /** (bucket-tabled cells, scan-all micro cells) — observability for
+      * the table budget. */
+    def tableStats: (Int, Int) = {
+      var tables = 0
+      var micro = 0
+      val it = cells.values().iterator()
+      while (it.hasNext) it.next() match {
+        case _: MihIndex => tables += 1
+        case _: MicroCell => micro += 1
+      }
+      (tables, micro)
     }
 
     /** Number of populated cells and the largest cell's population —
@@ -524,6 +561,11 @@ object HammingIndexKernel {
       * the shared map. */
     def hitsBelowWithinRankDot(probeCells: Array[Long], h: Long, d: Int,
         selfId: Long, q: Array[Double], minDot: Double): Array[RankHit] = {
+      // Validated once here so micro and bucket-tabled cells fail the
+      // same way on a wrong-length rank vector (r16 review: the micro
+      // scan would otherwise index out of bounds or silently truncate).
+      require(nRows == 0 || q.length == rankLen,
+        s"rank vector length ${q.length} != $rankLen")
       val acc = new java.util.TreeMap[java.lang.Long, RankHit]
       var c = 0
       while (c < probeCells.length) {

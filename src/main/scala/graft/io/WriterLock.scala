@@ -98,7 +98,6 @@ object WriterLock {
       // can only succeed for one of several concurrent breakers, and the
       // loser's failure leaves the winner's freshly created lock intact.
       if (ageMs.forall(_ > staleAfterMs)) {
-        val staleToken = status.flatMap(_ => readToken(lock))
         val aside = new Path(lock.getParent,
           lock.getName + s".breaking.$token")
         val renamed = try fs.rename(lock, aside)
@@ -106,14 +105,22 @@ object WriterLock {
         if (renamed) {
           // Guard against breaking a lock that was released and
           // re-acquired FRESH between the staleness observation and the
-          // rename: if the renamed file's token is not the one observed
-          // stale, put it back and report busy below.
-          val brokeToken = readToken(aside)
-          if (staleToken.isEmpty || brokeToken == staleToken) {
+          // rename (e.g. another breaker won first and is already
+          // running): the decision is re-made on the RENAMED file's own
+          // mtime — rename preserves it, and nobody else can touch the
+          // nonce-named aside. Reading a token here would race the same
+          // way the r16 review flagged (a second breaker observes the
+          // first breaker's fresh token); age does not.
+          val asideFresh =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(aside).getModificationTime <= staleAfterMs
+            catch { case _: java.io.IOException => false }
+          if (asideFresh) {
+            // We renamed a LIVE lock — put it back and report busy.
+            try fs.rename(aside, lock) catch { case _: java.io.IOException => () }
+          } else {
             try fs.delete(aside, false) catch { case _: java.io.IOException => () }
             acquired = tryAcquire()
-          } else {
-            try fs.rename(aside, lock) catch { case _: java.io.IOException => () }
           }
         } else acquired = tryAcquire() // someone released (or broke) it first
       }
@@ -133,19 +140,23 @@ object WriterLock {
     val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
       val interval = math.max(50L, staleAfterMs / 4)
+      var supported = true
       while (!hbStop.get()) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
-        if (!hbStop.get() && heartbeatEnabled) {
+        if (!hbStop.get() && heartbeatEnabled && supported) {
           try fs.setTimes(lock, System.currentTimeMillis(), -1)
           catch {
             case _: UnsupportedOperationException =>
-              try {
-                if (readToken(lock).contains(token)) {
-                  val out = fs.create(lock, true)
-                  try out.write(payload()) finally out.close()
-                }
-              } catch { case _: java.io.IOException => () }
+              // No safe refresh on this filesystem: a read-then-rewrite
+              // fallback can clobber a breaker's freshly acquired lock
+              // (r16 review). Degrade to the r15 no-heartbeat behavior —
+              // operators on such stores should raise staleAfterMs past
+              // their longest writer instead.
+              supported = false
+              System.err.println(s"[writer-lock] $op: filesystem does not " +
+                s"support setTimes — heartbeat disabled; the $staleAfterMs ms " +
+                "stale horizon now measures time since ACQUISITION")
             case _: java.io.IOException => () // transient; next beat retries
           }
         }

@@ -380,11 +380,30 @@ object Pipeline {
     // modality -> exploded (doc, idx, payload) frame, once text settles
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     def nDocs(): Long = curDocs.count()
-    def nMedia(): Long = mediaCols.map { case (mod, mcol) =>
+    // Pending-modality slot counts are cached and refreshed in ONE agg
+    // over curDocs, invalidated only when curDocs changes (r16 review:
+    // recomputing them per MEDIA stage re-scanned the full corpus blocks
+    // — payload bytes included — for values that cannot have changed).
+    var pendingCache: Map[String, Long] = null
+    def pendingCounts(): Map[String, Long] = {
+      if (pendingCache == null) {
+        val pending = mediaCols.filter { case (mod, _) => !frames.contains(mod) }
+        pendingCache =
+          if (pending.isEmpty) Map.empty
+          else {
+            val aggs = pending.map { case (_, mcol) =>
+              coalesce(sum(coalesce(size(col(mcol)), lit(0)).cast("long")), lit(0L))
+            }
+            val r = curDocs.agg(aggs.head, aggs.tail: _*).collect()(0)
+            pending.zipWithIndex.map { case ((mod, _), i) => mod -> r.getLong(i) }.toMap
+          }
+      }
+      pendingCache
+    }
+    def nMedia(): Long = mediaCols.map { case (mod, _) =>
       frames.get(mod) match {
         case Some(f) => f.count()
-        case None => curDocs.agg(coalesce(sum(coalesce(size(col(mcol)), lit(0))
-          .cast("long")), lit(0L))).collect()(0).getLong(0)
+        case None => pendingCounts()(mod)
       }
     }.sum
     def measure(stage: String, wallSec: Double): Unit = {
@@ -398,6 +417,7 @@ object Pipeline {
       val prev = curDocs
       val t0 = System.nanoTime()
       curDocs = f(prev).localCheckpoint(true, CkptSer)
+      pendingCache = null // docs changed: pending slot sums are stale
       measure(stage, (System.nanoTime() - t0) / 1e9)
       retire(prev)
     }

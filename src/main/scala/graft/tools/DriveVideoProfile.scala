@@ -119,9 +119,13 @@ object DriveVideoProfile {
     // analytic uniform-slice floor is 4·ΣC(16,<=3)/2^16 = 4.26% of the
     // shard, but smooth-curve slice values are lumpy, so the honest
     // baseline is MEASURED, not computed.
-    val probes = n * shardStats.size.toLong
-    println(f"CHECK member_scans total=$scans per_probe=${scans.toDouble / probes}%.1f " +
-      f"uniform_floor_per_probe=${0.0426 * n / shardStats.size}%.1f")
+    if (shardStats.isEmpty)
+      println(s"CHECK member_scans n=$n took the BANDED path (<= 16*maxBucket) — no index stats")
+    else {
+      val probes = n * shardStats.size.toLong
+      println(f"CHECK member_scans total=$scans per_probe=${scans.toDouble / probes}%.1f " +
+        f"uniform_floor_per_probe=${0.0426 * n / shardStats.size}%.1f")
+    }
     spark.stop()
   }
 

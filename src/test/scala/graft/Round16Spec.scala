@@ -237,6 +237,47 @@ class Round16Spec extends AnyFunSuite {
     val microHits = mixed.hitsBelowWithinRankDot(Array(packCell(9, 9)), h, 14,
       Long.MaxValue, q, 0.85)
     assert(microHits.map(_.id).toSeq == Seq(big.toLong, big + 1L, big + 2L))
+    assert(mixed.tableStats == (1, 1)) // the big cell tabled, the tiny one micro
+
+    // A wrong-length rank vector fails the same named way regardless of
+    // which representation the probed cells use.
+    val e = intercept[IllegalArgumentException] {
+      celled.hitsBelowWithinRankDot(Array(packCell(0, 0)), h, 14, 100L,
+        Array.fill(32)(0.1), 0.85)
+    }
+    assert(e.getMessage.contains("rank vector length 32 != 64"), e.getMessage)
+  }
+
+  test("MihCellIndex: the table budget caps bucket tables at the largest cells; emissions unchanged") {
+    val K = graft.functions.HammingIndexKernel
+    val M = graft.llm.Multimodal
+    val h = 0x5A5A5A5A5A5A5A5AL
+    val r2 = Array.tabulate(64)(i => (2 * ((i * 11) % 64)).toByte)
+    val inv = M.profileRankInvOf(r2)
+    val q = M.profileRanksOfR2(r2)
+    val big = K.MihCellIndex.MicroCellMaxRows
+    // Six cells, each past the micro threshold — an adversarial-ish
+    // spread that would build six ~1 MB tables unbudgeted.
+    val perCell = big + 7
+    val n = 6 * perCell
+    val hs = Array.tabulate(n)(i => h ^ (i % 5).toLong)
+    val ids = Array.tabulate(n)(_.toLong)
+    val cells = Array.tabulate(n)(i => ((i / perCell).toLong << 32) | 1L)
+    val rb = new Array[Byte](64 * n)
+    (0 until n).foreach(i => System.arraycopy(r2, 0, rb, i * 64, 64))
+    val budgeted = new K.MihCellIndex(cells, hs, 4, ids, rb,
+      Array.fill(n)(inv), maxTables = 2)
+    val unbudgeted = new K.MihCellIndex(cells, hs, 4, ids, rb,
+      Array.fill(n)(inv), maxTables = 100)
+    assert(budgeted.tableStats == (2, 4))
+    assert(unbudgeted.tableStats == (6, 0))
+    // Same probes, same hits, regardless of representation.
+    val probeCells = Array.tabulate(6)(c => (c.toLong << 32) | 1L)
+    val a = budgeted.hitsBelowWithinRankDot(probeCells, h, 14, 1000L, q, 0.85)
+    val b = unbudgeted.hitsBelowWithinRankDot(probeCells, h, 14, 1000L, q, 0.85)
+    assert(a.map(x => (x.id, x.hamming, x.dot)).toSeq ==
+      b.map(x => (x.id, x.hamming, x.dot)).toSeq)
+    assert(a.map(_.id).toSeq == (0L until 1000L))
   }
 
   test("videoProfilePairs: CBR/flat-profile videos are a certified NULL boundary (no signature, no pairs)") {
