@@ -358,6 +358,46 @@ class Round16Spec extends AnyFunSuite {
       "reassemble"), stages.toString)
   }
 
+  test("curateInterleavedMm: all three modalities ride one corpus (image resize + audio/video dedup together)") {
+    val M = graft.llm.Multimodal
+    val sizes = (0 until 24).map(i => 32 + (i * 7) % 40)
+    val rows = Seq(
+      (0L, "w0a the quick brown fox jumps over the lazy dog w0b it was good that it is here and now w0c",
+        Seq(M.encodeBlockImage(500L)),
+        Seq(M.encodeToneWav(100L)),
+        Seq(M.encodeMp4Media(200L, sizes, Seq.fill(6)(4)))),
+      // doc 1: image byte-copy (img_exact_dedup), audio rescaled copy
+      // (aud_near_dedup), video re-mux (vid_near_dedup), plus one novel
+      // slot per modality — each modality dedups independently.
+      (1L, "w1a the quick brown fox jumps over the lazy dog w1b it was good that it is here and now w1c",
+        Seq(M.encodeBlockImage(500L), M.encodeBlockImage(501L)),
+        Seq(M.encodeToneWav(100L, scaleShift = 1), M.encodeToneWav(101L)),
+        Seq(M.encodeMp4Media(200L, sizes, Seq.fill(8)(3), timescale = 90000,
+          durationUnits = 24L * 20L * 150L),
+          M.encodeMp4Media(201L, sizes, Seq.fill(6)(4)))))
+    val df = spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "images", "audios", "videos")
+    val r = graft.llm.Pipeline.curateInterleavedMm(df, "doc_id", "text",
+      Seq("image" -> "images", "audio" -> "audios", "video" -> "videos"),
+      graft.llm.Pipeline.InterleavedConfig(
+        image = graft.llm.Pipeline.ImageConfig(targetW = 32, targetH = 32)))
+    val out = r.docs.select("doc_id", "n_images", "n_audios", "n_videos")
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getInt(3))).toMap
+    assert(out == Map(0L -> ((1, 1, 1)), 1L -> ((1, 1, 1))), out.toString)
+    // Images reassemble RESIZED; audio/video reassemble original bytes.
+    val doc1 = r.docs.where(col("doc_id") === 1L)
+      .select("images", "audios", "videos").collect()(0)
+    val img1 = doc1.getSeq[Array[Byte]](0).head
+    assert(M.decodeImages(Seq((1L, img1)).toDF("id", "img"), "img")
+      .select("decoded.width").collect()(0).getInt(0) == 32)
+    assert(doc1.getSeq[Array[Byte]](1).head.toSeq == M.encodeToneWav(101L).toSeq)
+    assert(doc1.getSeq[Array[Byte]](2).head.toSeq ==
+      M.encodeMp4Media(201L, sizes, Seq.fill(6)(4)).toSeq)
+    val stages = r.stats.orderBy("ord").select("stage").collect().map(_.getString(0))
+    assert(stages.count(_.startsWith("img_")) == 5 &&
+      stages.count(_.startsWith("aud_")) == 4 && stages.count(_.startsWith("vid_")) == 4)
+  }
+
   // ------------------------------- streaming AV guards: batch ≡ stream
 
   test("mediaSketch64 expression: bit-identical to the batch mapPartitions sketches") {
