@@ -1780,55 +1780,81 @@ object Multimodal {
       // Shards sized by BYTES (r16): at 104 B/row the default 1.2 GB
       // budget shards every ~11.5M rows, and the rank-byte allocation
       // below can never overflow an Int (shardRowCap's array clamp).
-      val nShards = K.shardCount(n, maxIndexBytes, pieces = 4,
-        hasIds = true, rankLen = ProfileBuckets)
+      val shardCap = graft.functions.HammingIndexKernel.shardRowCap(
+        maxIndexBytes, pieces = 4, hasIds = true, rankLen = ProfileBuckets)
       var pairs: DataFrame = null
-      (0 until nShards).foreach { s =>
-        val shard =
-          if (nShards == 1) slim
-          else slim.where(pmod(xxhash64(col("__h")), lit(nShards.toLong)) === s.toLong)
-        // The index carries the quantized rank payload so the Spearman
-        // verify runs INSIDE the probe, and each emission carries the
-        // (hamming, spearman) the probe computed — no downstream verify
-        // work of any kind.
-        val rows = shard.select(col("__id"), col("__h"), col("__r2"), col("__c"))
+      if (n <= shardCap) {
+        // Single resident index over the whole corpus — one pass.
+        val rows = slim.select(col("__id"), col("__h"), col("__r2"), col("__c"))
           .collect()
-        val nR = rows.length
-        if (nR > 0) { // a hash-range shard can be empty at small n
-          require(nR.toLong * ProfileBuckets <= Int.MaxValue,
-            s"rank payload of $nR rows overflows an array — shrink maxIndexBytes")
-          val rb = new Array[Byte](ProfileBuckets * nR)
-          val inv = new Array[Double](nR)
-          val cellKeys = new Array[Long](nR)
-          var i = 0
-          while (i < nR) {
-            val r2 = rows(i).getAs[Array[Byte]](2)
-            System.arraycopy(r2, 0, rb, i * ProfileBuckets, ProfileBuckets)
-            inv(i) = profileRankInvOf(r2)
-            cellKeys(i) = rows(i).getLong(3)
-            i += 1
+        val bc = df.sparkSession.sparkContext.broadcast(
+          buildCellIndex(rows, onIndexStats))
+        pairs = slim.select(col("__id").as("__idb"),
+          explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
+            col("__r"), probeCells, bc, maxDistance, minSpearman)).as("__hit"))
+        // ContextCleaner reclaims bc with the plan.
+      } else {
+        // CELL-GROUPED multi-pass (r16): past the byte budget, shards are
+        // GROUPS OF WHOLE CELLS (cells sorted by packed key so adjacent
+        // duration buckets pack together; a single cell larger than the
+        // budget hash-splits into sub-shards), and each pass probes ONLY
+        // the rows whose 3×3 neighborhood overlaps that group's cells —
+        // the hash-range scheme this replaces made EVERY row probe EVERY
+        // shard (at 100M rows / 9 shards: 9 full-corpus probe passes);
+        // here a row probes the 1–3 groups its neighborhood touches, so
+        // aggregate probe enumerations stay ~O(n) as shards grow. Pair
+        // uniqueness carries: a row is INDEXED in exactly one group (its
+        // cell lives in one group; within a split cell, one hash
+        // sub-shard), every probing row whose neighborhood covers that
+        // cell probes that group, and emissions are ids strictly below
+        // the prober's own.
+        val cellCounts = slim.groupBy("__c").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)
+        // (cells in group, hash sub-split count, sub-index) per pass.
+        val groups = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Int, Int)]
+        val curCells = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var curRows = 0L
+        def flush(): Unit = if (curCells.nonEmpty) {
+          groups += ((curCells.toArray, 1, 0))
+          curCells.clear()
+          curRows = 0L
+        }
+        cellCounts.foreach { case (cell, cnt) =>
+          if (cnt > shardCap) {
+            flush()
+            val sub = math.max(2L, (cnt * 1.02 / shardCap).ceil.toLong).toInt
+            (0 until sub).foreach(j => groups += ((Array(cell), sub, j)))
+          } else {
+            if (curRows + cnt > shardCap) flush()
+            curCells += cell
+            curRows += cnt
           }
-          // pieces=4 (16-bit slices): radius 14 → e=3 flips, 4·ΣC(16,≤3)
-          // = 2788 bucket probes covering ~4.3% of the PROBED CELLS per
-          // query — with the cell partition that is a per-cell bound,
-          // not a corpus one (the r15 quadratic-aggregate fix).
-          val idx = new K.MihCellIndex(cellKeys, rows.map(_.getLong(1)), 4,
-            rows.map(_.getLong(0)), rb, inv)
-          if (onIndexStats != null) {
-            // Observability for the cell bound: (shard rows, populated
-            // cells, largest cell) — scans/probe are O(largest cells),
-            // not O(shard rows).
-            val (nCells, maxCell) = idx.cellStats
-            onIndexStats(nR, nCells, maxCell)
-          }
-          val bc = df.sparkSession.sparkContext.broadcast(idx)
-          val pass = slim.select(col("__id").as("__idb"),
-            explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
-              col("__r"), probeCells, bc, maxDistance, minSpearman)).as("__hit"))
-          if (nShards == 1) pairs = pass // ContextCleaner reclaims bc with the plan
-          else {
+        }
+        flush()
+        groups.foreach { case (cells, subSplit, subIdx) =>
+          val inCells =
+            if (cells.length == 1) col("__c") === lit(cells(0))
+            else col("__c").isin(cells.map(java.lang.Long.valueOf): _*)
+          val indexSide =
+            if (subSplit == 1) slim.where(inCells)
+            else slim.where(inCells &&
+              pmod(xxhash64(col("__h")), lit(subSplit.toLong)) === subIdx.toLong)
+          val rows = indexSide
+            .select(col("__id"), col("__h"), col("__r2"), col("__c")).collect()
+          if (rows.nonEmpty) { // a hash sub-shard can be empty at small n
+            val bc = df.sparkSession.sparkContext.broadcast(
+              buildCellIndex(rows, onIndexStats))
+            // Probe side: only rows whose neighborhood touches this
+            // group's cells — the pass-count lever.
+            val pass = slim
+              .where(arrays_overlap(probeCells, typedLit(cells.toSeq)))
+              .select(col("__id").as("__idb"),
+                explode(K.pairsBelowRankDotCell(col("__h"), col("__id"),
+                  col("__r"), probeCells, bc, maxDistance, minSpearman))
+                  .as("__hit"))
             // Peak reference state = ONE index: materialize the pass,
-            // then free this shard's executor copies before the next builds.
+            // then free this group's executor copies before the next builds.
             val mat = pass.localCheckpoint(true, Dedup.CandLevel)
             bc.unpersist(blocking = false)
             pairs = if (pairs == null) mat else pairs.unionByName(mat)
@@ -1849,6 +1875,43 @@ object Multimodal {
         col("__hit.hamming").as("hamming"),
         col("__hit.spearman").as("spearman"))
     }
+  }
+
+  /** One shard's in-memory index for [[videoProfilePairs]]: flatten the
+    * collected (id, hash, rank2, cell) rows into the cell-partitioned
+    * MIH structure; the quantized rank payload rides along so the
+    * Spearman verify runs inside the probe. */
+  private def buildCellIndex(rows: Array[Row],
+      onIndexStats: (Int, Int, Int) => Unit)
+      : graft.functions.HammingIndexKernel.MihCellIndex = {
+    val nR = rows.length
+    require(nR.toLong * ProfileBuckets <= Int.MaxValue,
+      s"rank payload of $nR rows overflows an array — shrink maxIndexBytes")
+    val rb = new Array[Byte](ProfileBuckets * nR)
+    val inv = new Array[Double](nR)
+    val cellKeys = new Array[Long](nR)
+    var i = 0
+    while (i < nR) {
+      val r2 = rows(i).getAs[Array[Byte]](2)
+      System.arraycopy(r2, 0, rb, i * ProfileBuckets, ProfileBuckets)
+      inv(i) = profileRankInvOf(r2)
+      cellKeys(i) = rows(i).getLong(3)
+      i += 1
+    }
+    // pieces=4 (16-bit slices): radius 14 → e=3 flips, 4·ΣC(16,≤3)
+    // = 2788 bucket probes covering ~4.3% of the PROBED CELLS per
+    // query — with the cell partition that is a per-cell bound,
+    // not a corpus one (the r15 quadratic-aggregate fix).
+    val idx = new graft.functions.HammingIndexKernel.MihCellIndex(cellKeys,
+      rows.map(_.getLong(1)), 4, rows.map(_.getLong(0)), rb, inv)
+    if (onIndexStats != null) {
+      // Observability for the cell bound: (shard rows, populated
+      // cells, largest cell) — scans/probe are O(largest cells),
+      // not O(shard rows).
+      val (nCells, maxCell) = idx.cellStats
+      onIndexStats(nR, nCells, maxCell)
+    }
+    idx
   }
 
   /** Buckets in the size-profile signature; also the minimum sample count

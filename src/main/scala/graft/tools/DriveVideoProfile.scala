@@ -14,7 +14,10 @@ object DriveVideoProfile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("scale")) {
       scaleRun(if (args.length > 1) args(1).toLong else 1000000L,
-        flat = args.contains("flat"))
+        flat = args.contains("flat"),
+        budgetRows = args.collectFirst {
+          case a if a.startsWith("budget=") => a.stripPrefix("budget=").toLong
+        }.getOrElse(0L))
       return
     }
     val nFam = if (args.nonEmpty) args(0).toInt else 200
@@ -36,7 +39,7 @@ object DriveVideoProfile {
     * scans; `flat = true` re-runs the identical plant with unknowable
     * durations (single-cell index = the r15 flat probe) as the measured
     * baseline twin. */
-  def scaleRun(n: Long, flat: Boolean = false): Unit = {
+  def scaleRun(n: Long, flat: Boolean = false, budgetRows: Long = 0L): Unit = {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._
     val K = graft.functions.HammingIndexKernel
@@ -95,8 +98,14 @@ object DriveVideoProfile {
     // maxBucket 5000 puts the path switch at 80k rows so every scale
     // size (100k smoke included) exercises the cell-partitioned index
     // path — the subject under measurement.
+    // budget=<rows> forces the cell-grouped multi-pass at this size (the
+    // shipped default holds ~11.5M rows in one pass).
     val r = Multimodal.videoProfilePairs(media, "doc_id", "payload",
         maxBucket = 5000,
+        maxIndexBytes = if (budgetRows > 0)
+          budgetRows * graft.functions.HammingIndexKernel
+            .indexBytesPerRow(4, hasIds = true, rankLen = 64)
+        else graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes,
         onCapDrops = (k, rr) => drops = (k, rr),
         onIndexStats = (rows, cells, maxCell) =>
           shardStats = (rows, cells, maxCell) :: shardStats)
@@ -121,11 +130,14 @@ object DriveVideoProfile {
     // baseline is MEASURED, not computed.
     if (shardStats.isEmpty)
       println(s"CHECK member_scans n=$n took the BANDED path (<= 16*maxBucket) — no index stats")
-    else {
-      val probes = n * shardStats.size.toLong
-      println(f"CHECK member_scans total=$scans per_probe=${scans.toDouble / probes}%.1f " +
-        f"uniform_floor_per_probe=${0.0426 * n / shardStats.size}%.1f")
-    }
+    else if (shardStats.size == 1)
+      println(f"CHECK member_scans total=$scans per_probe=${scans.toDouble / n}%.1f " +
+        f"uniform_floor_per_probe=${0.0426 * n}%.1f")
+    else
+      // Cell-grouped passes: a row probes only the groups its
+      // neighborhood overlaps, so scans/probe is not total/(n·groups) —
+      // report the total (comparable across budgets at fixed n).
+      println(s"CHECK member_scans total=$scans groups=${shardStats.size}")
     spark.stop()
   }
 

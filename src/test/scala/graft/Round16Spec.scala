@@ -280,6 +280,54 @@ class Round16Spec extends AnyFunSuite {
     assert(a.map(_.id).toSeq == (0L until 1000L))
   }
 
+  test("videoProfilePairs: cell-grouped multi-pass is pair-identical to the single-pass index (incl. cross-group fps pairs and oversized-cell sub-splits)") {
+    val M = graft.llm.Multimodal
+    // 22 videos across three duration classes (30/80/180 s — cells
+    // (8,4)/(10,4)/(12,4)) plus one 2×-fps re-encode pair whose sides
+    // straddle ADJACENT fps cells ((10,4) vs (10,5)). Expected pairs:
+    // every family's (2f, 2f+1) plus the cross-cell (20, 21).
+    def enc(fam: Long, id: Long, durSec: Double, fps: Int, reenc: Boolean): (Long, Array[Byte]) = {
+      val nFrames = (durSec * fps).round.toInt
+      val sizes =
+        if (reenc) M.bitrateProfileFrameSizes(fam, nFrames, 0.6, gop = 8, noiseSeed = 2L, base = 48)
+        else M.bitrateProfileFrameSizes(fam, nFrames, 1.0, gop = 12, noiseSeed = 1L, base = 48)
+      val chunks = Seq.fill(nFrames / 64)(64) ++
+        (if (nFrames % 64 > 0) Seq(nFrames % 64) else Nil)
+      (id, M.encodeMp4Media(id, sizes, chunks,
+        durationUnits = (durSec * 600.0).round))
+    }
+    val rows = (0 until 10).flatMap { f =>
+      val dur = Seq(30.0, 80.0, 180.0)(f % 3)
+      Seq(enc(f, 2L * f, dur, 30, reenc = false),
+        enc(f, 2L * f + 1, dur, 30, reenc = true))
+    } ++ Seq(enc(10L, 20L, 80.0, 30, reenc = false),
+      enc(10L, 21L, 80.0, 60, reenc = true))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val expected = (0 until 10).map(f => (2L * f, 2L * f + 1)).toSet + ((20L, 21L))
+    def pairsWith(budgetRows: Long, stats: ((Int, Int, Int) => Unit) = null): Set[(Long, Long)] =
+      M.videoProfilePairs(df, "doc_id", "payload", maxBucket = 1,
+          maxIndexBytes = budgetRows *
+            graft.functions.HammingIndexKernel.indexBytesPerRow(4, hasIds = true, rankLen = 64),
+          onIndexStats = stats)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Single pass (budget holds all 22): the baseline.
+    val single = pairsWith(100L)
+    assert(single == expected,
+      s"missing=${(expected -- single)} extra=${(single -- expected)}")
+    // Budget 10 rows: whole-cell groups — the (10,4)+(10,5) cells pack
+    // into one group, the cross-fps pair survives; identity holds.
+    var shardRows = List.empty[Int]
+    val grouped = pairsWith(10L, (r, _, _) => shardRows = r :: shardRows)
+    assert(grouped == single)
+    assert(shardRows.sum == 22 && shardRows.size == 3, shardRows.toString)
+    // Budget 5 rows: every duration cell is OVERSIZED and hash-splits
+    // into sub-shards; the cross-fps prober must still find its partner
+    // in exactly one sub-shard. Identity again.
+    val split = pairsWith(5L)
+    assert(split == single)
+  }
+
   test("videoProfilePairs: CBR/flat-profile videos are a certified NULL boundary (no signature, no pairs)") {
     val M = graft.llm.Multimodal
     // Two "CBR re-encodes" of the same content: uniform frame sizes at
