@@ -21,28 +21,31 @@ class Round16Spec extends AnyFunSuite {
       val acquired = new java.util.concurrent.CountDownLatch(1)
       val release = new java.util.concurrent.CountDownLatch(1)
       @volatile var slowOk = false
+      // 1200 ms horizon / 300 ms beats: ~4 beats per horizon leaves slack
+      // for scheduler stalls on a loaded box without slowing the test
+      // much — the property is the same at any horizon.
       val slow = new Thread(() => {
-        WriterLock.withLock(spark, path, "slow-writer", staleAfterMs = 600L) {
+        WriterLock.withLock(spark, path, "slow-writer", staleAfterMs = 1200L) {
           acquired.countDown()
-          release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          release.await(15, java.util.concurrent.TimeUnit.SECONDS)
           slowOk = true
         }
       })
       slow.start()
       assert(acquired.await(10, java.util.concurrent.TimeUnit.SECONDS))
-      // Body runs well past the 600 ms horizon; the heartbeat (interval
-      // 150 ms) keeps refreshing the mtime, so a second writer must keep
-      // failing fast the whole time instead of breaking the lock.
-      Thread.sleep(1500L)
+      // Body runs well past the horizon; the heartbeat keeps refreshing
+      // the mtime, so a second writer must keep failing fast the whole
+      // time instead of breaking the lock.
+      Thread.sleep(3000L)
       val e = intercept[WriterLock.ConcurrentWriterException] {
-        WriterLock.withLock(spark, path, "impatient", staleAfterMs = 600L)(fail())
+        WriterLock.withLock(spark, path, "impatient", staleAfterMs = 1200L)(fail())
       }
       assert(e.getMessage.contains("another writer holds"), e.getMessage)
       release.countDown()
       slow.join(10000L)
       assert(slowOk)
       // Released: a new writer acquires immediately.
-      assert(WriterLock.withLock(spark, path, "after", staleAfterMs = 600L)(42) == 42)
+      assert(WriterLock.withLock(spark, path, "after", staleAfterMs = 1200L)(42) == 42)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
