@@ -51,6 +51,13 @@ object HammingIndexKernel {
     * instead of surprising the driver at the row cap. */
   val DefaultIndexBudgetBytes: Long = 1200000000L
 
+  /** One MIH bucket-offset table's serialized bytes —
+    * `4·(pieces·2^(64/pieces) + 1)` (~1 MB at pieces=4). The flat
+    * [[MihIndex]] owns exactly one; a [[MihCellIndex]] owns up to its
+    * `maxTables` budget of them. */
+  def bucketTableBytes(pieces: Int): Long =
+    4L * (pieces.toLong * (1L << (64 / pieces)) + 1L)
+
   /** Rows one shard may hold under `maxIndexBytes`, additionally clamped
     * so every flattened per-row allocation fits a JVM array — the rank
     * payload (`rankLen·rows`) AND the bucket members (`pieces·rows`);
@@ -58,20 +65,46 @@ object HammingIndexKernel {
     * rank-byte allocation overflowed Int, and clamping only on rankLen
     * would leave the members array exposed for rankLen < pieces (r16
     * review). At the defaults (1.2 GB, pieces=4, rank-carrying 64):
-    * 11,538,461 rows; id-only: 37.5M. */
+    * 11,538,461 rows; id-only: 37.5M.
+    *
+    * `cellTables` (r17 — ADVICE): a [[MihCellIndex]] shard additionally
+    * carries up to that many ~1 MB bucket-offset tables on top of the
+    * row payload, so a cell-index shard sized by rows alone would
+    * broadcast ~10%+ over the stated budget at the defaults. With
+    * `cellTables` > 0 the cap RESERVES those bytes: the full
+    * `cellTables·tableBytes` when the shard is big enough for every
+    * table to materialize (≥ `cellTables·MicroCellMaxRows` rows — tables
+    * only go to cells of ≥ [[MihCellIndex.MicroCellMaxRows]] rows), and
+    * the per-row amortized bound `tableBytes / MicroCellMaxRows` (~256 B
+    * at pieces=4) below that, where at most ⌊rows/4096⌋ tables can
+    * exist. At the rank-carrying defaults with `cellTables = 128`:
+    * 10,247,901 rows (10,247,901·104 B + 128 tables = 1,199,999,944 B ≤
+    * the 1.2 GB budget). Default 0 preserves the flat-index cap. */
   def shardRowCap(maxIndexBytes: Long, pieces: Int, hasIds: Boolean,
-      rankLen: Int): Long =
-    math.max(1L, math.min(
-      maxIndexBytes / indexBytesPerRow(pieces, hasIds, rankLen),
+      rankLen: Int, cellTables: Int = 0): Long = {
+    val rowBytes = indexBytesPerRow(pieces, hasIds, rankLen)
+    val byBudget =
+      if (cellTables <= 0) maxIndexBytes / rowBytes
+      else {
+        val tBytes = bucketTableBytes(pieces)
+        val micro = MihCellIndex.MicroCellMaxRows.toLong
+        val flat = (maxIndexBytes - cellTables.toLong * tBytes) / rowBytes
+        if (flat >= cellTables.toLong * micro) flat
+        else // fewer than cellTables cells can reach table size here:
+          maxIndexBytes / (rowBytes + (tBytes + micro - 1) / micro)
+      }
+    math.max(1L, math.min(byBudget,
       Int.MaxValue.toLong / math.max(rankLen, pieces)))
+  }
 
   /** Hash-range passes needed for `n` rows under the byte budget (+2%
     * headroom for shard skew) — the one shard-count formula every
-    * builder and its tests share. */
+    * builder and its tests share. `cellTables` as in [[shardRowCap]]. */
   def shardCount(n: Long, maxIndexBytes: Long, pieces: Int, hasIds: Boolean,
-      rankLen: Int): Int =
+      rankLen: Int, cellTables: Int = 0): Int =
     math.max(1L, (n * 1.02 /
-      shardRowCap(maxIndexBytes, pieces, hasIds, rankLen)).ceil.toLong).toInt
+      shardRowCap(maxIndexBytes, pieces, hasIds, rankLen, cellTables))
+      .ceil.toLong).toInt
 
   /** Measurement-only instrumentation: when [[countScans]] is on, every
     * bucket-member visit (the XOR-verify loop — the dominant probe cost)
@@ -386,6 +419,59 @@ object HammingIndexKernel {
         }
       }
     }
+
+    /** TRUE iff some corpus sketch within Hamming `d` of `h` ALSO passes
+      * the rank-dot verify (r17 — the boolean GUARD form of the fused
+      * probe): early-out on the first verified hit, no id filter (a
+      * guard flags any verified corpus member). Same reconstruction and
+      * dot arithmetic as [[hitsBelowWithinRankDot]], so a guard flag is
+      * exactly "the pair probe would emit this row against SOME corpus
+      * row" — the batch≡stream verdict-identity contract. */
+    def anyWithinRankDot(h: Long, d: Int, q: Array[Double],
+        minDot: Double): Boolean = {
+      require(rankBytes != null, "anyWithinRankDot needs a rank-carrying MihIndex")
+      if (hashes.isEmpty) return false
+      require(q.length == rankLen, s"rank vector length ${q.length} != $rankLen")
+      val e = d / pieces
+      var p = 0
+      while (p < pieces) {
+        if (anyPieceRankDot(p, ((h >>> (p * bpp)) & mask).toInt, e, 0, h, d,
+          q, minDot)) return true
+        p += 1
+      }
+      false
+    }
+
+    private def anyPieceRankDot(p: Int, v: Int, e: Int, from: Int, h: Long,
+        d: Int, q: Array[Double], minDot: Double): Boolean = {
+      var j = offsets(p * nBuckets + v)
+      val end = offsets(p * nBuckets + v + 1)
+      if (countScans) scanCounter.add(end - j)
+      while (j < end) {
+        val m = members(j)
+        if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
+          val off = m * rankLen
+          val inv = rankInv(m)
+          var s = 0.0
+          var i = 0
+          while (i < rankLen) {
+            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+            i += 1
+          }
+          if (s >= minDot) return true
+        }
+        j += 1
+      }
+      if (e > 0) {
+        var bit = from
+        while (bit < bpp) {
+          if (anyPieceRankDot(p, v ^ (1 << bit), e - 1, bit + 1, h, d, q,
+            minDot)) return true
+          bit += 1
+        }
+      }
+      false
+    }
   }
 
   /** One fused-probe survivor: candidate id, exact Hamming distance and
@@ -424,6 +510,29 @@ object HammingIndexKernel {
         }
         m += 1
       }
+    }
+
+    /** Early-out boolean form — the guard probe (r17); same verify
+      * arithmetic as the collecting scan above. */
+    def anyWithinRankDot(h: Long, d: Int, q: Array[Double],
+        minDot: Double): Boolean = {
+      if (countScans) scanCounter.add(size)
+      var m = 0
+      while (m < size) {
+        if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
+          val off = m * rankLen
+          val inv = rankInv(m)
+          var s = 0.0
+          var i = 0
+          while (i < rankLen) {
+            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+            i += 1
+          }
+          if (s >= minDot) return true
+        }
+        m += 1
+      }
+      false
     }
   }
 
@@ -581,6 +690,29 @@ object HammingIndexKernel {
       var i = 0
       while (it.hasNext) { out(i) = it.next(); i += 1 }
       out
+    }
+
+    /** Boolean GUARD probe (r17): TRUE iff some corpus row in any probed
+      * cell lies within Hamming `d` of `h` AND passes the rank-dot
+      * verify — the streaming-guard form of [[hitsBelowWithinRankDot]],
+      * early-out on the first verified hit, no id filter. Identical
+      * candidate expansion + verify arithmetic, so a guard flag is
+      * exactly "the pair probe would emit ≥ 1 hit at selfId = ∞". */
+    def anyVerifiedWithin(probeCells: Array[Long], h: Long, d: Int,
+        q: Array[Double], minDot: Double): Boolean = {
+      require(nRows == 0 || q.length == rankLen,
+        s"rank vector length ${q.length} != $rankLen")
+      var c = 0
+      while (c < probeCells.length) {
+        val hit = cells.get(probeCells(c)) match {
+          case m: MihIndex => m.anyWithinRankDot(h, d, q, minDot)
+          case m: MicroCell => m.anyWithinRankDot(h, d, q, minDot)
+          case null => false
+        }
+        if (hit) return true
+        c += 1
+      }
+      false
     }
 
     /** Catalyst-facing form of [[hitsBelowWithinRankDot]]: ArrayData in,

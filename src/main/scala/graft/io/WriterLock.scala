@@ -116,8 +116,24 @@ object WriterLock {
               fs.getFileStatus(aside).getModificationTime <= staleAfterMs
             catch { case _: java.io.IOException => false }
           if (asideFresh) {
-            // We renamed a LIVE lock — put it back and report busy.
-            try fs.rename(aside, lock) catch { case _: java.io.IOException => () }
+            // We renamed a LIVE lock — put it back and report busy. The
+            // rename-back can itself fail (a third writer acquired in the
+            // brief window the lock path was absent — dest exists); that
+            // would leave TWO live writers and a leaked aside sidecar, so
+            // check the result: on failure, delete the orphaned aside and
+            // log loudly. The displaced holder's release is token-verified
+            // so it cannot free the third writer's lock; its own heartbeat
+            // target is gone, which its next setTimes surfaces as an
+            // IOException and retries harmlessly.
+            val restored = try fs.rename(aside, lock)
+              catch { case _: java.io.IOException => false }
+            if (!restored) {
+              try fs.delete(aside, false) catch { case _: java.io.IOException => () }
+              System.err.println(s"[writer-lock] $op: could not restore a " +
+                s"live lock after a false-stale rename of $lock (a new writer " +
+                "acquired in the window) — the displaced holder's lock file is " +
+                "gone; its release is a no-op and the horizon governs from here")
+            }
           } else {
             try fs.delete(aside, false) catch { case _: java.io.IOException => () }
             acquired = tryAcquire()
@@ -158,6 +174,17 @@ object WriterLock {
                 s"support setTimes — heartbeat disabled; the $staleAfterMs ms " +
                 "stale horizon now measures time since ACQUISITION")
             case _: java.io.IOException => () // transient; next beat retries
+            case scala.util.control.NonFatal(e) =>
+              // A decorated/object-store FileSystem can wrap its refusal in
+              // anything (RuntimeException etc.); an uncaught throw here
+              // would kill the daemon SILENTLY and let a live writer's lock
+              // go stale mid-write. Degrade loudly instead, same contract
+              // as the UnsupportedOperationException arm.
+              supported = false
+              System.err.println(s"[writer-lock] $op: heartbeat refresh " +
+                s"failed with ${e.getClass.getName}: ${e.getMessage} — " +
+                s"heartbeat disabled; the $staleAfterMs ms stale horizon " +
+                "now measures time since ACQUISITION")
           }
         }
       }
@@ -167,10 +194,13 @@ object WriterLock {
     try body finally {
       hbStop.set(true)
       hb.interrupt()
-      // Token-verified release: only delete a lock we still own — if a
-      // breaker (rightly, after our heartbeat died; or through local-FS
-      // non-atomicity) replaced it, the file now guards THEIR writes.
-      try if (readToken(lock).forall(_ == token)) fs.delete(lock, false)
+      // Token-verified release: delete ONLY on a positive token match — an
+      // unreadable or token-less lock (transient read failure, a breaker
+      // mid-rename, a foreign payload) is treated as NOT OURS, because
+      // deleting it could free a live new owner's lock. The conservative
+      // direction's worst case is a leaked own lock, which the stale
+      // horizon self-breaks once our heartbeat stops.
+      try if (readToken(lock).contains(token)) fs.delete(lock, false)
       catch { case _: java.io.IOException => () } // release is best-effort
     }
   }

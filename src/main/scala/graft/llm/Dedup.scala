@@ -865,9 +865,10 @@ object Dedup {
     * ([[Multimodal.videoHashes]]'s per-row kernel; `profile = true`
     * switches to the re-encode-tolerant size-profile signature, whose
     * flags are CANDIDATES — at its wider radius pair them with a batch
-    * Spearman verify downstream, the [[Multimodal.videoProfilePairs]]
-    * contract — while the default payload sketch stays exact-verified
-    * with no false positives at radius ≤ 4). Same stateless zero-shuffle
+    * Spearman verify downstream, or use the EXACT
+    * [[streamVideoProfileGuard]], which fuses that verify into the probe
+    * — while the default payload sketch stays exact-verified with no
+    * false positives at radius ≤ 4). Same stateless zero-shuffle
     * projection shape; null sketches (not-an-MP4, flat profiles) pass
     * unflagged. */
   def streamVideoGuard(stream: DataFrame,
@@ -879,6 +880,30 @@ object Dedup {
       if (profile) "video_profile" else "video_payload")
     stream.withColumn("video_near_dup", coalesce(
       graft.functions.HammingIndexKernel.anyWithin(sketch, bc, maxDistance),
+      lit(false)))
+  }
+
+  /** STATELESS streaming VERIFIED video RE-ENCODE guard (r17 — closes
+    * the `streamVideoGuard(profile = true)` candidate-only gap): each
+    * in-flight MP4 is profiled ONCE (signature bits + full rank vector +
+    * duration×fps cell — the [[Multimodal.videoProfilePairs]] parse) and
+    * probed against the broadcast corpus cell index with the Spearman
+    * verify FUSED INTO THE PROBE, so `video_near_dup` is EXACT: true iff
+    * some corpus video lies within the signature radius AND its full
+    * 64-bucket rank correlation clears `minSpearman` — bit-identical
+    * arithmetic to the batch pair operator, no downstream re-verify.
+    * Same stateless zero-shuffle projection shape as every other guard;
+    * unprofiled bytes (not-an-MP4, < 64 samples, flat stsz) pass
+    * unflagged. Build the index with [[Multimodal.videoProfileIndex]];
+    * probes stay bounded by the probed cells' population, exactly as in
+    * the batch operator. */
+  def streamVideoProfileGuard(stream: DataFrame,
+      index: graft.functions.HammingIndexKernel.MihCellIndex,
+      binCol: String, maxDistance: Int = 14,
+      minSpearman: Double = 0.85): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(index)
+    stream.withColumn("video_near_dup", coalesce(
+      Multimodal.videoProfileVerified(col(binCol), bc, maxDistance, minSpearman),
       lit(false)))
   }
 

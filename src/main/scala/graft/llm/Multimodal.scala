@@ -1698,14 +1698,20 @@ object Multimodal {
     * verified `(id, hamming, spearman)` STRUCTS — the downstream is one
     * explode, never a re-join/re-verify (r16). Thread `onCapDrops` to
     * see banded cap losses (the index path reports (0,0) — it cannot
-    * drop). Returns `(id_a, id_b, hamming, spearman)` for surviving
-    * pairs. */
+    * drop). The cell path's engagement (and its neighborhood recall
+    * class) is LOGGED at runtime (r17 — the banded→cell switch changes
+    * the recall contract and was invisible before); `flatIndex = true`
+    * is the escape hatch for callers needing the r15 corpus-wide recall
+    * on the index path — every row indexes and probes ONE cell, at the
+    * flat index's O(corpus-fraction)-per-probe cost. Returns
+    * `(id_a, id_b, hamming, spearman)` for surviving pairs. */
   def videoProfilePairs(df: DataFrame, idCol: String, binCol: String,
       maxDistance: Int = 14, pieces: Int = 16, minSpearman: Double = 0.85,
       maxBucket: Int = 10000, onCapDrops: (Long, Long) => Unit = null,
       maxIndexBytes: Long =
         graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes,
-      onIndexStats: (Int, Int, Int) => Unit = null): DataFrame = {
+      onIndexStats: (Int, Int, Int) => Unit = null,
+      flatIndex: Boolean = false): DataFrame = {
     val featSchema = StructType(Seq(
       df.schema(idCol),
       StructField("__vphash", LongType),
@@ -1743,7 +1749,19 @@ object Multimodal {
     // byte budget (pairs can straddle shards, but each pair is emitted
     // exactly once — by the shard holding its SMALLER id, probed from
     // its larger side).
-    val n = hashed.count()
+    // Path-choice input computed from ONE aggregate that the index path
+    // needs anyway (r17 — the r16 shape ran a dedicated hashed.count()
+    // job first): per-cell populations over the checkpointed features —
+    // this job also materializes the checkpoint, n is their sum, and the
+    // multi-pass grouping below reuses the rows instead of re-counting.
+    // `flatIndex` collapses every row into one cell — the corpus-wide
+    // recall escape hatch (see the recall-contract note below).
+    val cellOf =
+      if (flatIndex) lit(0L) else col("__vpcell")
+    val cellCounts = hashed.groupBy(cellOf.as("__c")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = cellCounts.map(_._2).sum
     if (n <= 16L * maxBucket) {
       val cands = Dedup.nearDupHamming64(feats, idCol, "__vphash",
         maxDistance = maxDistance, pieces = pieces, maxBucket = maxBucket,
@@ -1761,27 +1779,46 @@ object Multimodal {
     } else {
       if (onCapDrops != null) onCapDrops(0L, 0L) // index probes never cap
       val K = graft.functions.HammingIndexKernel
+      // Surface the recall contract at runtime (r17 — ADVICE): past this
+      // corpus size the candidate stage switches from the corpus-wide
+      // banded join to the cell-partitioned index, whose recall class is
+      // the 3×3 duration×fps neighborhood — a pair whose fps shifted >2×
+      // or duration >~1.5× is outside it. Callers needing the old
+      // corpus-wide recall pass `flatIndex = true` (one cell, every
+      // probe corpus-wide — the r15 flat-index cost profile).
+      if (!flatIndex)
+        System.err.println(s"[video-profile] cell-partitioned index path " +
+          s"engaged at n=$n (> 16·maxBucket=${16L * maxBucket}): recall is " +
+          "the 3x3 duration/fps cell neighborhood (re-encode invariance " +
+          "class); pass flatIndex=true for corpus-wide recall")
       val slim = hashed.select(col(idCol).cast("long").as("__id"),
         col("__vphash").as("__h"), col("__vpranks").as("__r"),
-        col("__vpr2").as("__r2"), col("__vpcell").as("__c"))
+        col("__vpr2").as("__r2"), cellOf.as("__c"))
       // Probe neighborhood: the row's own (durB, fpsB) cell ± 1 in each
       // dimension — covers duration rounding at a bucket edge and fps
       // changes up to 2× exactly. Unknown-duration rows probe only the
       // reserved unknown cell (they index there too). Pure column
-      // arithmetic on the packed key; runs inside codegen.
+      // arithmetic on the packed key; runs inside codegen. The flat
+      // escape hatch probes the single collapsed cell.
       val durB = shiftright(col("__c"), 32)
       val fpsB = shiftright(shiftleft(col("__c"), 32), 32)
       def packCell(a: Column, b: Column): Column =
         shiftleft(a, 32).bitwiseOR(b.bitwiseAND(lit(0xFFFFFFFFL)))
-      val probeCells = when(col("__c") === lit(ProfileCellUnknown),
-        array(lit(ProfileCellUnknown))).otherwise(
-        array((for { dd <- -1 to 1; ff <- -1 to 1 }
-          yield packCell(durB + lit(dd.toLong), fpsB + lit(ff.toLong))): _*))
-      // Shards sized by BYTES (r16): at 104 B/row the default 1.2 GB
-      // budget shards every ~11.5M rows, and the rank-byte allocation
-      // below can never overflow an Int (shardRowCap's array clamp).
+      val probeCells =
+        if (flatIndex) array(lit(0L))
+        else when(col("__c") === lit(ProfileCellUnknown),
+          array(lit(ProfileCellUnknown))).otherwise(
+          array((for { dd <- -1 to 1; ff <- -1 to 1 }
+            yield packCell(durB + lit(dd.toLong), fpsB + lit(ff.toLong))): _*))
+      // Shards sized by BYTES (r16): at 104 B/row plus the cell index's
+      // worst-case 128 bucket tables (r17 — the tables were previously
+      // uncounted, letting a maxed shard broadcast ~10% over budget) the
+      // default 1.2 GB budget shards every ~10.2M rows, and the
+      // rank-byte allocation below can never overflow an Int
+      // (shardRowCap's array clamp).
       val shardCap = graft.functions.HammingIndexKernel.shardRowCap(
-        maxIndexBytes, pieces = 4, hasIds = true, rankLen = ProfileBuckets)
+        maxIndexBytes, pieces = 4, hasIds = true, rankLen = ProfileBuckets,
+        cellTables = 128)
       var pairs: DataFrame = null
       if (n <= shardCap) {
         // Single resident index over the whole corpus — one pass.
@@ -1808,10 +1845,8 @@ object Multimodal {
         // sub-shard), every probing row whose neighborhood covers that
         // cell probes that group, and emissions are ids strictly below
         // the prober's own.
-        val cellCounts = slim.groupBy("__c").count().collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(_._1)
-        // (cells in group, hash sub-split count, sub-index) per pass.
+        // (cells in group, hash sub-split count, sub-index) per pass —
+        // grouping input is the path-choice aggregate collected above.
         val groups = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Int, Int)]
         val curCells = scala.collection.mutable.ArrayBuffer.empty[Long]
         var curRows = 0L
@@ -1914,6 +1949,51 @@ object Multimodal {
     idx
   }
 
+  /** Driver-known cell-partitioned MIH index over a corpus's re-encode
+    * signatures — the build side of
+    * [[graft.llm.Dedup.streamVideoProfileGuard]] (r17): one container
+    * walk per corpus video yields the signature bits, the quantized rank
+    * payload AND the duration×fps cell key (the [[videoProfilePairs]]
+    * parse), collected bounded by the SAME byte budget the pair
+    * operator's shards obey (`shardRowCap(…, cellTables = 128)` — ~10.2M
+    * rows at the 1.2 GB default). Past the bound, shard the corpus into
+    * several guards or run the batch [[videoProfilePairs]]. Ids must be
+    * numeric (the [[graft.llm.Dedup.pHashIdIndex]] contract); unprofiled
+    * corpus videos (not-an-MP4, flat stsz) index nothing. */
+  def videoProfileIndex(corpus: DataFrame, idCol: String, binCol: String,
+      maxIndexBytes: Long =
+        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes)
+      : graft.functions.HammingIndexKernel.MihCellIndex = {
+    val featSchema = StructType(Seq(
+      corpus.schema(idCol),
+      StructField("__vphash", LongType),
+      StructField("__vpr2", BinaryType),
+      StructField("__vpcell", LongType)))
+    val idIdx = corpus.schema.fieldIndex(idCol)
+    val binIdx = corpus.schema.fieldIndex(binCol)
+    val rdd = corpus.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val parse = videoProfileParse(row.getAs[Array[Byte]](binIdx))
+        if (parse == null) Row(row.get(idIdx), null, null, null)
+        else Row(row.get(idIdx), profileBitsOf(parse.medians),
+          profileRank2Of(parse.medians),
+          profileCellOf(parse.durSec, parse.nSamples))
+      }
+    }
+    val cap = graft.functions.HammingIndexKernel.shardRowCap(maxIndexBytes,
+      pieces = 4, hasIds = true, rankLen = ProfileBuckets, cellTables = 128)
+    val rows = corpus.sparkSession.createDataFrame(rdd, featSchema)
+      .where(col("__vphash").isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col("__vphash"),
+        col("__vpr2"), col("__vpcell"))
+      .limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    require(rows.length <= cap,
+      s"video-profile corpus exceeds the $maxIndexBytes-byte index budget " +
+        s"(~$cap rows) — shard into several guards or use videoProfilePairs")
+    buildCellIndex(rows, null)
+  }
+
   /** Buckets in the size-profile signature; also the minimum sample count
     * (fewer than one sample per bucket profiles nothing). */
   private val ProfileBuckets = 64
@@ -1965,7 +2045,7 @@ object Multimodal {
     (a, b)
   }
 
-  private def profileBitsOf(medians: Array[Double]): Long = {
+  private[graft] def profileBitsOf(medians: Array[Double]): Long = {
     var bits = 0L
     var k = 0
     while (k < ProfileBuckets) {
@@ -2468,4 +2548,113 @@ object Multimodal {
   /** Column form of [[MediaSketch64]]. */
   def mediaSketch64(bin: Column, kind: String): Column =
     GraftSql.column(MediaSketch64(GraftSql.expression(bin), kind))
+
+  /** Per-row VERIFIED re-encode probe behind [[VideoProfileVerifiedBc]]
+    * (r17) — public-static so generated code can call it. One container
+    * walk yields the signature bits, the rank vector AND the cell key
+    * (exactly the [[videoProfilePairs]] feature parse), then the
+    * broadcast cell index runs the SAME candidate expansion + exact XOR
+    * + exact Spearman dot as the batch pair probe over the same 3×3
+    * duration×fps neighborhood, early-out on the first verified hit —
+    * so a streaming flag is precisely "the batch pair operator would
+    * emit this row against some corpus row", no candidate-only wide
+    * radius left to re-verify downstream (the r16 profile guard's gap).
+    * Null when the bytes don't profile (not-an-MP4, < 64 samples, flat
+    * stsz) — guards pass those unflagged. */
+  def profileVerifiedHitOf(bytes: Array[Byte],
+      idx: graft.functions.HammingIndexKernel.MihCellIndex,
+      maxDistance: Int, minSpearman: Double): java.lang.Boolean = {
+    val p = videoProfileParse(bytes)
+    if (p == null) return null
+    val cell = profileCellOf(p.durSec, p.nSamples)
+    // Same packed-key arithmetic as the column side (shiftleft/OR over
+    // sign-extended bucket halves) — neighborhood keys must match the
+    // batch probe's bit-for-bit.
+    val cells =
+      if (cell == ProfileCellUnknown) Array(ProfileCellUnknown)
+      else {
+        val durB = cell >> 32
+        val fpsB = (cell << 32) >> 32
+        val a = new Array[Long](9)
+        var k = 0
+        var dd = -1L
+        while (dd <= 1L) {
+          var ff = -1L
+          while (ff <= 1L) {
+            a(k) = ((durB + dd) << 32) | ((fpsB + ff) & 0xFFFFFFFFL)
+            k += 1
+            ff += 1L
+          }
+          dd += 1L
+        }
+        a
+      }
+    java.lang.Boolean.valueOf(idx.anyVerifiedWithin(cells,
+      profileBitsOf(p.medians), maxDistance,
+      profileRanksOfR2(profileRank2Of(p.medians)), minSpearman))
+  }
+
+  /** STREAMING-SAFE verified video re-encode guard expression (r17):
+    * binary payload in, boolean "a corpus video within the signature
+    * radius ALSO passes the exact Spearman verify" out — one stateless
+    * scalar projection riding a broadcast [[videoProfileIndex]] handle,
+    * dispatching to [[profileVerifiedHitOf]] in both the interpreted and
+    * generated paths. */
+  case class VideoProfileVerifiedBc(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.HammingIndexKernel.MihCellIndex],
+      maxDistance: Int, minSpearman: Double) extends UnaryExpression {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 64), got $maxDistance")
+    // Spliced into generated Java via raw long bits, but fail a
+    // non-finite threshold at construction anyway (the r15 ADVICE rule).
+    require(java.lang.Double.isFinite(minSpearman),
+      s"minSpearman must be finite, got $minSpearman")
+    override def prettyName: String = "graft_video_profile_verified_bc"
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true // unprofiled bytes -> null
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary, got ${other.simpleString}")
+    }
+    @transient private lazy val idx = bc.value
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val b = child.eval(input)
+      if (b == null) null
+      else profileVerifiedHitOf(b.asInstanceOf[Array[Byte]], idx,
+        maxDistance, minSpearman)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val idxCls = "graft.functions.HammingIndexKernel.MihCellIndex"
+      val bcRef = ctx.addReferenceObj("profileBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val idxTerm = ctx.addMutableState(idxCls, "profileIdx",
+        v => s"$v = ($idxCls) $bcRef.value();")
+      val minDotBits = java.lang.Double.doubleToLongBits(minSpearman)
+      val childGen = child.genCode(ctx)
+      val boxed = ctx.freshName("verifiedBoxed")
+      val code = code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          java.lang.Boolean $boxed = graft.llm.Multimodal.profileVerifiedHitOf(
+            ${childGen.value}, $idxTerm, $maxDistance,
+            Double.longBitsToDouble(${minDotBits}L));
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.booleanValue(); }
+        }"""
+      ev.copy(code = code)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Column form of [[VideoProfileVerifiedBc]]. */
+  def videoProfileVerified(bin: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.HammingIndexKernel.MihCellIndex],
+      maxDistance: Int, minSpearman: Double): Column =
+    GraftSql.column(VideoProfileVerifiedBc(GraftSql.expression(bin), bc,
+      maxDistance, minSpearman))
 }

@@ -318,9 +318,24 @@ object Pipeline {
     * (audio: spectral-band hash, radius 3 pairs offset/padded/rescaled
     * copies; video: payload fingerprint, radius 4 pairs re-muxes and
     * single-frame splices — both the q_dedup_* certified operating
-    * points) and the driver-index corpus bound. */
+    * points) and the driver-index corpus bound.
+    *
+    * `profilePairs` (video only, r17 — VERDICT r16 #1): the payload
+    * sketch is re-mux-EXACT, so a re-ENCODED video copy (every coded
+    * byte rewritten) survived the pipeline's vid_near stage even though
+    * the engine owns the re-encode-tolerant signature. When set, an
+    * additional `vid_profile_dedup` stage runs
+    * [[Multimodal.videoProfilePairs]] (signature candidates + exact
+    * Spearman verify at `profileMaxDistance`/`profileMinSpearman` — the
+    * certified 14/0.85 operating point) over the surviving slots and
+    * drops every non-minimum member of each pair-graph component
+    * (connected components, keep-lowest-id — the same corpus-wide
+    * earliest-slot rule every other dedup stage applies). */
   final case class MediaConfig(maxDistance: Int, pieces: Int,
-      maxCorpus: Long = 50000000L)
+      maxCorpus: Long = 50000000L,
+      profilePairs: Boolean = false,
+      profileMaxDistance: Int = 14,
+      profileMinSpearman: Double = 0.85)
 
   /** GENERIC multi-modality interleaved curation (r16 — the audio/video
     * generalization of [[curateInterleaved]], which now delegates here):
@@ -516,6 +531,21 @@ object Pipeline {
             .drop("__fp"))
           stepMedia("vid_near_dedup")(df => Dedup.dropNearDupsPHash(df, "__mid",
             "vhash", videoCfg.maxDistance, videoCfg.pieces, videoCfg.maxCorpus))
+          // Re-encode-tolerant leg (r17): the payload sketch above is
+          // re-mux-exact only; this stage kills re-ENCODED copies via the
+          // size-profile signature + exact Spearman verify, keep-lowest-id
+          // per pair-graph component (so slot survival replays from id
+          // arithmetic exactly like every other dedup stage).
+          if (videoCfg.profilePairs)
+            stepMedia("vid_profile_dedup") { df =>
+              val pairs = Multimodal.videoProfilePairs(df, "__mid", "__media",
+                maxDistance = videoCfg.profileMaxDistance,
+                minSpearman = videoCfg.profileMinSpearman)
+              val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+                .where(col("id") =!= col("component"))
+                .select(col("id").as("__mid"))
+              df.join(losers, Seq("__mid"), "left_anti")
+            }
       }
     }
 

