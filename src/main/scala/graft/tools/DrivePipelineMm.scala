@@ -234,25 +234,37 @@ object DrivePipelineMm extends Serializable {
       // Image near stage (radius 2): resize copies at distance 0 die;
       // accidental ≤2 pairs are ~1e-5 expected — counted as zero.
       var imgNearDrop = 0L
-      // Audio near stage (radius 0): exact hash-group replay in id order
-      // (keep-first) — plants AND birthday collisions both accounted.
-      var audNearDrop = 0L
       locally {
-        val seen = new java.util.HashSet[java.lang.Long]
-        var a = 1L // audio docs: id % 9 == 1
-        while (a < n) {
-          val f = fateOf(a)
-          if (f == 'p' || f == 'n') {
-            val fam = if (f == 'n') a - 36 else a
-            if (!seen.add(java.lang.Long.valueOf(audioHashOfFam(fam))))
-              audNearDrop += 1
-          }
-          a += 9
-        }
         var m = 0L // image docs: id % 9 == 0; only planted resizes die
         while (m < n) {
           if (fateOf(m) == 'n') imgNearDrop += 1
           m += 9
+        }
+      }
+      // Audio replay, BOTH stages. A tone WAV's bytes are fully
+      // determined by (band-choice hash, scaleShift) — the 2^32 band
+      // space means the ~dozen birthday collisions at this corpus are
+      // BYTE-identical clips, so they die at aud_EXACT_dedup (keep-first
+      // on the byte fingerprint), while the rescaled plants (bytes
+      // differ, hash identical) and any surviving hash collisions die at
+      // aud_near_dedup (radius 0, keep-lowest-id). Replay both rules in
+      // slot-id order.
+      var audExactDrop = 0L
+      var audNearDrop = 0L
+      locally {
+        val seenBytes = new java.util.HashSet[(Long, Int)] // (band hash, scaleShift)
+        val seenHash = new java.util.HashSet[java.lang.Long]
+        var a = 1L // audio docs: id % 9 == 1
+        while (a < n) {
+          val f = fateOf(a)
+          if (f == 'p' || f == 'e' || f == 'n') {
+            val fam = if (f == 'e') a - 18 else if (f == 'n') a - 36 else a
+            val shift = if (f == 'n') 1 else 0
+            val h = audioHashOfFam(fam)
+            if (!seenBytes.add((h, shift))) audExactDrop += 1
+            else if (!seenHash.add(java.lang.Long.valueOf(h))) audNearDrop += 1
+          }
+          a += 9
         }
       }
       // Video near stage (radius 4 payload): re-mux copies die; payload
@@ -391,7 +403,9 @@ object DrivePipelineMm extends Serializable {
       expect("img_resize") = media
       expect("aud_explode") = media
       media -= garb(1); expect("aud_decode") = media
-      media -= exct(1); expect("aud_exact_dedup") = media
+      // audExactDrop subsumes the planted byte copies: the replay counts
+      // every byte-group loser, planted or birthday-collided.
+      media -= audExactDrop; expect("aud_exact_dedup") = media
       media -= audNearDrop; expect("aud_near_dedup") = media
       expect("vid_explode") = media
       media -= garb(2); expect("vid_decode") = media
