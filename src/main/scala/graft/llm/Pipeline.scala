@@ -360,7 +360,16 @@ object Pipeline {
     * counts LIVE MEDIA SLOTS across all modalities (settled modalities
     * by exploded-frame count, pending ones by array sizes); stage
     * prefixes are `img_`/`aud_`/`vid_`. Doc ids must be numeric — same
-    * up-front contract as the image form. */
+    * up-front contract as the image form.
+    *
+    * Scale shape (r17): payload arrays are SPLIT OFF the text frame into
+    * a side checkpoint written once — the text chain's per-stage
+    * checkpoints and its dedup shuffles carry only text plus
+    * per-modality slot-count columns (at the 3M proof the r16 shape
+    * pushed ~11 GB of arrays through each of 8 text checkpoints; the
+    * split moves the bytes exactly twice: side-checkpoint write and the
+    * per-modality explode's left-semi join against the curated ids).
+    * Row-identical results — same slots, same slot ids, same stats. */
   def curateInterleavedMm(docs: DataFrame, idCol: String, textCol: String,
       mediaCols: Seq[(String, String)],
       cfg: InterleavedConfig = InterleavedConfig(),
@@ -391,14 +400,36 @@ object Pipeline {
         "or non-numeric value (a silent cast would null the slot ids and the " +
         "reassembly join would drop every media payload) — dense-rank ids into longs first")
 
-    var curDocs = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
+    // PAYLOAD/TEXT SPLIT (r17): the text chain checkpoints its frame
+    // after EVERY stage, so media payload arrays riding it were
+    // serialized 8+ times — and shuffled by the text dedup stages —
+    // before any media stage ran (the 3M proof moved ~11 GB of arrays
+    // through each text checkpoint vs ~600 MB of text). The payloads
+    // split to a SIDE frame checkpointed ONCE; the text frame carries
+    // only per-modality slot COUNTS (the stats contract needs sums of
+    // sizes, never bytes), and each modality's explode recovers its
+    // surviving docs' payloads with one left-semi join against the
+    // curated ids. Results are row-identical — same slots, same slot
+    // ids, same stats values; only where the bytes sit changes.
+    val input = docs.where(col(textCol).isNotNull)
+    val mediaNames = mediaCols.map(_._2).toSet
+    val mediaSide = input
+      .select(col(idCol).cast("long").as("__doc") +:
+        mediaCols.map { case (_, mcol) => col(mcol) }: _*)
+      .localCheckpoint(true, CkptSer)
+    var curDocs = input
+      .select(docs.columns.filterNot(mediaNames).map(col).toSeq ++
+        mediaCols.map { case (mod, mcol) =>
+          coalesce(size(col(mcol)), lit(0)).as(s"__n_$mod") }: _*)
+      .localCheckpoint(true, CkptSer)
     // modality -> exploded (doc, idx, payload) frame, once text settles
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     def nDocs(): Long = curDocs.count()
     // Pending-modality slot counts are cached and refreshed in ONE agg
     // over curDocs, invalidated only when curDocs changes (r16 review:
     // recomputing them per MEDIA stage re-scanned the full corpus blocks
-    // — payload bytes included — for values that cannot have changed).
+    // — payload bytes included — for values that cannot have changed;
+    // r17: the slim frame's count columns make the agg payload-free).
     var pendingCache: Map[String, Long] = null
     def pendingCounts(): Map[String, Long] = {
       if (pendingCache == null) {
@@ -406,8 +437,8 @@ object Pipeline {
         pendingCache =
           if (pending.isEmpty) Map.empty
           else {
-            val aggs = pending.map { case (_, mcol) =>
-              coalesce(sum(coalesce(size(col(mcol)), lit(0)).cast("long")), lit(0L))
+            val aggs = pending.map { case (mod, _) =>
+              coalesce(sum(col(s"__n_$mod").cast("long")), lit(0L))
             }
             val r = curDocs.agg(aggs.head, aggs.tail: _*).collect()(0)
             pending.zipWithIndex.map { case ((mod, _), i) => mod -> r.getLong(i) }.toMap
@@ -479,8 +510,14 @@ object Pipeline {
         case _ => "vid"
       }
       val t0x = System.nanoTime()
-      frames(mod) = curDocs
-        .select(col(idCol).cast("long").as("__doc"),
+      // Surviving docs' payloads from the side frame: one left-semi join
+      // on the curated ids (the only place this modality's bytes move),
+      // then explode to slots. AQE picks the join strategy; the payload
+      // side never re-shuffles after this.
+      frames(mod) = mediaSide
+        .join(curDocs.select(col(idCol).cast("long").as("__doc")),
+          Seq("__doc"), "left_semi")
+        .select(col("__doc"),
           posexplode(coalesce(col(mcol),
             array().cast(docs.schema(mcol).dataType))).as(Seq("__idx", "__media")))
         .localCheckpoint(true, CkptSer)
@@ -554,7 +591,9 @@ object Pipeline {
     // curated original bytes); media-less documents keep their curated
     // text with empty arrays.
     val t0r = System.nanoTime()
-    var assembled = curDocs.withColumn("__dockey", col(idCol).cast("long"))
+    var assembled = curDocs
+      .drop(mediaCols.map { case (mod, _) => s"__n_$mod" }: _*)
+      .withColumn("__dockey", col(idCol).cast("long"))
     mediaCols.foreach { case (mod, mcol) =>
       val elem = if (mod == "image") "resized" else "__media"
       val arrays = frames(mod).groupBy("__doc")
@@ -573,6 +612,7 @@ object Pipeline {
     // each interleaved run would pin corpus-sized block sets for the
     // session's lifetime (only `out` is handed to the caller).
     retire(curDocs)
+    retire(mediaSide)
     mediaCols.foreach { case (mod, _) => retire(frames(mod)) }
     val mediaOut = out.agg(coalesce(sum(
       mediaCols.map { case (mod, _) => col(s"n_${mod}s").cast("long") }
