@@ -335,7 +335,13 @@ object Pipeline {
       maxCorpus: Long = 50000000L,
       profilePairs: Boolean = false,
       profileMaxDistance: Int = 14,
-      profileMinSpearman: Double = 0.85)
+      profileMinSpearman: Double = 0.85,
+      // Pass-through to videoProfilePairs(flatIndex = …): restores the
+      // corpus-wide recall class on the at-scale index path for callers
+      // whose video pairs can shift fps >2× or duration >~1.5× (outside
+      // the certified 3×3 cell neighborhood), at the flat index's
+      // per-probe cost.
+      profileFlatIndex: Boolean = false)
 
   /** GENERIC multi-modality interleaved curation (r16 — the audio/video
     * generalization of [[curateInterleaved]], which now delegates here):
@@ -577,7 +583,8 @@ object Pipeline {
             stepMedia("vid_profile_dedup") { df =>
               val pairs = Multimodal.videoProfilePairs(df, "__mid", "__media",
                 maxDistance = videoCfg.profileMaxDistance,
-                minSpearman = videoCfg.profileMinSpearman)
+                minSpearman = videoCfg.profileMinSpearman,
+                flatIndex = videoCfg.profileFlatIndex)
               val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
                 .where(col("id") =!= col("component"))
                 .select(col("id").as("__mid"))
