@@ -14,6 +14,38 @@ class Round17Spec extends AnyFunSuite {
 
   // ------------------------------------------ WriterLock release safety
 
+  test("WriterLock: heartbeat survives a WRAPPED non-fatal setTimes failure (degrades loudly, writer completes, release works)") {
+    import graft.io.WriterLock
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.r17ft.impl", classOf[ThrowingSetTimesFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("r17_lock_ft")
+    val path = "r17ft://" + dir.toString + "/idx"
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+      // 400 ms horizon → ~100 ms beats; the body outlives several beats,
+      // each of which hits the RuntimeException-throwing setTimes. The
+      // r16 loop caught only UnsupportedOperation/IOException — anything
+      // else killed the daemon SILENTLY; r17 degrades loudly instead.
+      val got = WriterLock.withLock(spark, path, "ft-writer", staleAfterMs = 400L) {
+        Thread.sleep(1200L)
+        42
+      }
+      assert(got == 42)
+      val lock = WriterLock.lockPath(path)
+      val fs = lock.getFileSystem(conf)
+      assert(!fs.exists(lock), "release must still free the lock")
+      val err = new String(errBuf.toByteArray, "UTF-8")
+      assert(err.contains("heartbeat refresh failed") &&
+        err.contains("heartbeat disabled"),
+        s"the degrade must be LOUD, got stderr: '$err'")
+    } finally {
+      System.setErr(realErr)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("WriterLock: release deletes ONLY on a positive token match (foreign and unreadable tokens both survive)") {
     import graft.io.WriterLock
     val dir = java.nio.file.Files.createTempDirectory("r17_lock_rel")
@@ -350,4 +382,15 @@ class Round17Spec extends AnyFunSuite {
     val df = Seq((0L, a), (1L, aRe), (2L, b)).toDF("doc_id", "payload")
     assert(M.videoProfilePairs(df, "doc_id", "payload").isEmpty)
   }
+}
+
+/** Local filesystem whose setTimes throws a WRAPPED RuntimeException —
+  * the decorated/object-store shape the r16 heartbeat loop died on
+  * silently (it caught only UnsupportedOperation/IOException). Top-level
+  * class: Hadoop instantiates it reflectively from `fs.r17ft.impl`. */
+class ThrowingSetTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("r17ft:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long,
+      atime: Long): Unit =
+    throw new RuntimeException("decorated store refuses setTimes")
 }
