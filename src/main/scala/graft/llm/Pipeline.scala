@@ -430,7 +430,18 @@ object Pipeline {
       .localCheckpoint(true, CkptSer)
     // modality -> exploded (doc, idx, payload) frame, once text settles
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
-    def nDocs(): Long = curDocs.count()
+    // Count memoization (r17): the stats contract reports (docs, media)
+    // after EVERY stage, but a frame only changes at its own stages —
+    // curDocs is frozen through all media stages, and a settled
+    // modality's frame is frozen through every other modality's. The
+    // caches hold those counts; the step functions invalidate exactly
+    // what they changed (same values, ~2 count jobs per stage fewer).
+    var docsCount: Long = -1L
+    val frameCount = scala.collection.mutable.HashMap.empty[String, Long]
+    def nDocs(): Long = {
+      if (docsCount < 0L) docsCount = curDocs.count()
+      docsCount
+    }
     // Pending-modality slot counts are cached and refreshed in ONE agg
     // over curDocs, invalidated only when curDocs changes (r16 review:
     // recomputing them per MEDIA stage re-scanned the full corpus blocks
@@ -454,7 +465,7 @@ object Pipeline {
     }
     def nMedia(): Long = mediaCols.map { case (mod, _) =>
       frames.get(mod) match {
-        case Some(f) => f.count()
+        case Some(f) => frameCount.getOrElseUpdate(mod, f.count())
         case None => pendingCounts()(mod)
       }
     }.sum
@@ -470,6 +481,7 @@ object Pipeline {
       val t0 = System.nanoTime()
       curDocs = f(prev).localCheckpoint(true, CkptSer)
       pendingCache = null // docs changed: pending slot sums are stale
+      docsCount = -1L
       measure(stage, (System.nanoTime() - t0) / 1e9)
       retire(prev)
     }
@@ -536,6 +548,7 @@ object Pipeline {
         val prev = frames(mod)
         val t0 = System.nanoTime()
         frames(mod) = f(prev).localCheckpoint(true, CkptSer)
+        frameCount.remove(mod) // only THIS modality's count went stale
         measure(stage, (System.nanoTime() - t0) / 1e9)
         retire(prev)
       }
