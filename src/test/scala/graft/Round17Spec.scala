@@ -351,6 +351,86 @@ class Round17Spec extends AnyFunSuite {
       s"flat path must recover the 4x-fps pair: $flat")
   }
 
+  // --------------------------- parser robustness under hostile bytes
+
+  test("media parsers never throw on random or mutated-container bytes (null is the only failure mode)") {
+    val M = graft.llm.Multimodal
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def randBytes(seed: Long, n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      var z = seed
+      while (i < n) {
+        if (i % 8 == 0) z = mix(z + i)
+        a(i) = (z >>> ((i % 8) * 8)).toByte
+        i += 1
+      }
+      a
+    }
+    def chunksFor(nf: Int): Seq[Int] =
+      Seq.fill(nf / 64)(64) ++ (if (nf % 64 > 0) Seq(nf % 64) else Nil)
+    val validMp4 = M.encodeMp4Media(7L,
+      M.bitrateProfileFrameSizes(7L, 128, 1.0, gop = 12, noiseSeed = 1L),
+      chunksFor(128))
+    val validWav = M.encodeToneWav(7L, toneFrames = 2048)
+    val validPng = M.encodeBlockImage(7L)
+    val idx = M.videoProfileIndex(
+      Seq((0L, validMp4)).toDF("id", "payload"), "id", "payload")
+    val kinds = Seq("phash", "audio_energy", "audio_spectral",
+      "video_payload", "video_profile")
+    def probeAll(bytes: Array[Byte]): Unit = {
+      kinds.foreach(k => M.sketch64Of(bytes, k)) // null or a value, never a throw
+      M.videoProfileParse(bytes)
+      M.profileVerifiedHitOf(bytes, idx, 14, 0.85)
+    }
+    // Pure random buffers across the size spectrum (incl. empty).
+    (0 until 400).foreach(t => probeAll(randBytes(t * 1013L, (t * 37) % 4096)))
+    probeAll(Array.emptyByteArray)
+    // Mutated VALID containers: random byte flips (headers, size fields,
+    // sample tables — the box walk's bounds logic) and truncations. The
+    // parse may return garbage-but-bounded values or null; it must not
+    // throw or allocate from hostile counts.
+    Seq(validMp4, validWav, validPng).zipWithIndex.foreach { case (valid, vi) =>
+      (0 until 300).foreach { t =>
+        val b = valid.clone()
+        var f = 0
+        val flips = 1 + (t % 9)
+        while (f < flips) {
+          val pos = ((mix(vi * 7919L + t * 131L + f) >>> 1) % b.length).toInt
+          b(pos) = (b(pos) ^ (1 << (f % 8)).toByte).toByte
+          f += 1
+        }
+        probeAll(b)
+      }
+      (1 until 60).foreach { t =>
+        probeAll(java.util.Arrays.copyOf(valid,
+          ((mix(vi * 104729L + t) >>> 1) % valid.length).toInt))
+      }
+    }
+    // A pathological stsz count (huge declared count, tiny box) must hit
+    // the bounds guard, not an allocation.
+    val evil = validMp4.clone()
+    val stszAt = {
+      var i = 0
+      var found = -1
+      while (i < evil.length - 4 && found < 0) {
+        if (evil(i) == 's' && evil(i + 1) == 't' && evil(i + 2) == 's' &&
+          evil(i + 3) == 'z') found = i
+        i += 1
+      }
+      found
+    }
+    assert(stszAt > 0)
+    val cntOff = stszAt + 4 + 8 // ver/flags(4) + uniform(4) → count field
+    java.nio.ByteBuffer.wrap(evil).putInt(cntOff, Int.MaxValue)
+    probeAll(evil)
+  }
+
   // --------------------- CBR closure: measured information-free class
 
   test("CBR flat-profile videos are information-free by construction: container metadata is content-independent (class closed)") {
