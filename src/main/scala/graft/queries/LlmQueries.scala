@@ -306,6 +306,73 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Candidate-PATH identity on the correctness gate (r17): the query
+    // above certifies the banded path (201 rows sit under 16·maxBucket);
+    // this one runs the SAME plant through the other three operating
+    // points — the cell-partitioned index (maxBucket = 1 forces the
+    // at-scale path), the byte-budgeted CELL-GROUPED MULTI-PASS (a
+    // ~30-row shard budget splits the corpus into several whole-cell
+    // groups), and the corpus-wide FLAT escape hatch — and pins that all
+    // four emit the identical pair set (every planted pair preserves
+    // duration and shifts fps ≤ 2×, so the cell neighborhood loses
+    // nothing here). DuckDB replays the pair list; the booleans pin the
+    // in-engine path identities.
+    "q_dedup_video_profile_paths" -> ((s, d) => {
+      import s.implicits._
+      def chunksFor(n: Int): Seq[Int] =
+        Seq.fill(n / 64)(64) ++ (if (n % 64 > 0) Seq(n % 64) else Nil)
+      val media = s.range(0, 200).select(col("id")).as[Long]
+        .map { id =>
+          val fam = id / 5
+          val bytes = (id % 5) match {
+            case 0L => Multimodal.encodeMp4Media(fam * 10L,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+              chunksFor(640))
+            case 1L =>
+              if (fam % 3 == 2) s"not-an-mp4-$id".getBytes("UTF-8")
+              else Multimodal.encodeMp4Media(fam * 10L + 1,
+                Multimodal.bitrateProfileFrameSizes(fam, 640, 0.6, gop = 8, noiseSeed = 2L),
+                chunksFor(640))
+            case 2L => Multimodal.encodeMp4Media(fam * 10L + 2,
+              Multimodal.bitrateProfileFrameSizes(fam, 480, 1.8, gop = 15, noiseSeed = 3L),
+              chunksFor(480), durationUnits = 640L * 20L)
+            case 3L => Multimodal.encodeMp4Media(fam * 10L,
+              Multimodal.bitrateProfileFrameSizes(fam, 640, 1.0, gop = 12, noiseSeed = 1L),
+              Seq.fill(20)(32), timescale = 90000,
+              durationUnits = 640L * 20L * 150L)
+            case _ => Multimodal.encodeMp4Media(fam * 10L + 4,
+              Multimodal.bitrateProfileFrameSizes(fam + 9000L, 640, 1.0, gop = 12, noiseSeed = 4L),
+              chunksFor(640))
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload").localCheckpoint(true)
+      val K = graft.functions.HammingIndexKernel
+      def pairsOf(df: org.apache.spark.sql.DataFrame, maxBucket: Int,
+          budget: Long, flat: Boolean) =
+        Multimodal.videoProfilePairs(df, "doc_id", "payload",
+          maxBucket = maxBucket, maxIndexBytes = budget, flatIndex = flat)
+          .select(col("id_a"), col("id_b"))
+      val effRow = K.indexBytesPerRow(4, hasIds = true, rankLen = 64) +
+        (K.bucketTableBytes(4) + K.MihCellIndex.MicroCellMaxRows - 1) /
+          K.MihCellIndex.MicroCellMaxRows
+      val banded = pairsOf(media, 10000, K.DefaultIndexBudgetBytes, flat = false)
+        .localCheckpoint(true)
+      val celled = pairsOf(media, 1, K.DefaultIndexBudgetBytes, flat = false)
+        .localCheckpoint(true)
+      val multi = pairsOf(media, 1, 30L * effRow, flat = false)
+      val flatP = pairsOf(media, 1, K.DefaultIndexBudgetBytes, flat = true)
+      def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      val cellEq = eq(celled, banded)
+      val multiEq = eq(multi, banded)
+      val flatEq = eq(flatP, banded)
+      celled
+        .withColumn("celled_eq_banded", lit(cellEq))
+        .withColumn("multipass_eq_banded", lit(multiEq))
+        .withColumn("flat_eq_banded", lit(flatEq))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Stateless streaming audio+video near-dup guards (r16): the image
     // guard's two missing modality twins. Each in-flight row's 64-bit
     // sketch is computed by the streaming-safe mediaSketch64 expression
@@ -3435,6 +3502,24 @@ object LlmQueries {
         |  UNION ALL SELECT 5 * f + a, 5 * f + b FROM fams, sl
         |    WHERE f % 3 = 2 AND a <> 1 AND b <> 1)
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // Same pair replay as q_dedup_video_profile (identical plant), via
+    // the CELL-INDEX path; the booleans pin the four candidate paths'
+    // in-engine identity (banded / cell index / cell-grouped multi-pass
+    // / flat escape hatch).
+    "q_dedup_video_profile_paths" ->
+      """WITH fams AS (SELECT g.range AS f FROM range(0, 40) g),
+        |sl AS (SELECT a.range AS a, b.range AS b
+        |  FROM range(0, 4) a, range(0, 4) b WHERE a.range < b.range),
+        |p AS (
+        |  SELECT 5 * f + a AS id_a, 5 * f + b AS id_b FROM fams, sl
+        |    WHERE f % 3 <> 2
+        |  UNION ALL SELECT 5 * f + a, 5 * f + b FROM fams, sl
+        |    WHERE f % 3 = 2 AND a <> 1 AND b <> 1)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  TRUE AS celled_eq_banded, TRUE AS multipass_eq_banded,
+        |  TRUE AS flat_eq_banded
         |FROM p ORDER BY id_a, id_b""".stripMargin,
 
     // GENUINE replay of the planted streaming-guard construction: per
