@@ -383,17 +383,23 @@ object Bench {
     // amortize residual noise, and each line carries its markers.
     def timed(name: String)(body: => Unit): Unit = timedRetry(name, 1, 3)(body)
     // Headline generation benches: identical runs have measured 1.8s to
-    // 48s apart from contention alone; best-of-two minimum reports
-    // steady-state capability instead of scheduler luck.
-    def timeMin2(name: String)(body: => Unit): Unit = timedRetry(name, 2, 4)(body)
+    // 48s apart from contention alone; a best-of-N minimum reports
+    // steady-state capability instead of scheduler luck. N = 3 (r17,
+    // measured): within one JVM the iot body runs ~5.5 s (codegen
+    // compile + JIT) → ~1.3 s → 0.73–0.88 s steady state from the third
+    // iteration on, and best-of-TWO stopped exactly on CLEAN runs (the
+    // low-steal early-out) at the warm-up-penalized second number —
+    // which is why certified boards read 0.80 s or 1.17–1.26 s for the
+    // same binary depending on whether retries happened (DriveIotProbe).
+    def timeMin3(name: String)(body: => Unit): Unit = timedRetry(name, 3, 5)(body)
 
     // Headline generation throughput (BASELINE.md: ~86k rows/s/core).
-    timeMin2("bench_gen_iot_10m") {
+    timeMin3("bench_gen_iot_10m") {
       materialize(graft.engine.Generator.generate(spark,
         DataGenPlan(Seq(iotSpec(genRows, nCpus * 3)), 42L))("iot"))
     }
     // Star-schema multi-table generation incl. FK reconstruction, scaled up.
-    timeMin2("bench_gen_star_1m") {
+    timeMin3("bench_gen_star_1m") {
       val star = graft.io.PlanJson.loadFile(
         "/root/reference/tests/core/fixtures/star_schema.json")
       val scaled = star.copy(tables = star.tables.map(t =>
