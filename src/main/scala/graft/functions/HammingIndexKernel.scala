@@ -150,6 +150,22 @@ object HammingIndexKernel {
       if (rankBytes == null || hashes.isEmpty) 0 else rankBytes.length / hashes.length
     private val rankMean = (rankLen - 1) / 2.0
 
+    /** THE rank-reconstruction dot — `Σ q(i)·((b·0.5−mean)·inv)` in
+      * ascending-i order, one definition for every collecting and
+      * boolean probe (r17 review: five verbatim copies were a divergence
+      * surface under the bit-identical batch≡stream contract). */
+    @inline private def rankDotAt(m: Int, q: Array[Double]): Double = {
+      val off = m * rankLen
+      val inv = rankInv(m)
+      var s = 0.0
+      var i = 0
+      while (i < rankLen) {
+        s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+        i += 1
+      }
+      s
+    }
+
     // pieces ∈ {4, 8}: the slice width bpp must be <= 16 (the 1 << bpp
     // bucket table — bpp of 32/64 would overflow the Int shift and index
     // out of bounds) and >= 8 (buckets degenerate below that).
@@ -340,15 +356,7 @@ object HammingIndexKernel {
       while (j < end) {
         val m = members(j)
         if (ids(m) < selfId && java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
-          val off = m * rankLen
-          val inv = rankInv(m)
-          var s = 0.0
-          var i = 0
-          while (i < rankLen) {
-            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
-            i += 1
-          }
-          if (s >= minDot) acc.add(ids(m))
+          if (rankDotAt(m, q) >= minDot) acc.add(ids(m))
         }
         j += 1
       }
@@ -398,14 +406,7 @@ object HammingIndexKernel {
         val m = members(j)
         val ham = java.lang.Long.bitCount(hashes(m) ^ h)
         if (ids(m) < selfId && ham <= d) {
-          val off = m * rankLen
-          val inv = rankInv(m)
-          var s = 0.0
-          var i = 0
-          while (i < rankLen) {
-            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
-            i += 1
-          }
+          val s = rankDotAt(m, q)
           if (s >= minDot) acc.put(ids(m), new RankHit(ids(m), ham, s))
         }
         j += 1
@@ -450,15 +451,7 @@ object HammingIndexKernel {
       while (j < end) {
         val m = members(j)
         if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
-          val off = m * rankLen
-          val inv = rankInv(m)
-          var s = 0.0
-          var i = 0
-          while (i < rankLen) {
-            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
-            i += 1
-          }
-          if (s >= minDot) return true
+          if (rankDotAt(m, q) >= minDot) return true
         }
         j += 1
       }
@@ -490,6 +483,18 @@ object HammingIndexKernel {
       extends Serializable {
     val size: Int = hashes.length
     private val rankMean = (rankLen - 1) / 2.0
+    // Same single rank-dot definition as MihIndex.rankDotAt (r17 review).
+    @inline private def rankDotAt(m: Int, q: Array[Double]): Double = {
+      val off = m * rankLen
+      val inv = rankInv(m)
+      var s = 0.0
+      var i = 0
+      while (i < rankLen) {
+        s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
+        i += 1
+      }
+      s
+    }
     def hitsBelowWithinRankDot(h: Long, d: Int, selfId: Long,
         q: Array[Double], minDot: Double,
         acc: java.util.TreeMap[java.lang.Long, RankHit]): Unit = {
@@ -498,14 +503,7 @@ object HammingIndexKernel {
       while (m < size) {
         val ham = java.lang.Long.bitCount(hashes(m) ^ h)
         if (ids(m) < selfId && ham <= d) {
-          val off = m * rankLen
-          val inv = rankInv(m)
-          var s = 0.0
-          var i = 0
-          while (i < rankLen) {
-            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
-            i += 1
-          }
+          val s = rankDotAt(m, q)
           if (s >= minDot) acc.put(ids(m), new RankHit(ids(m), ham, s))
         }
         m += 1
@@ -520,15 +518,7 @@ object HammingIndexKernel {
       var m = 0
       while (m < size) {
         if (java.lang.Long.bitCount(hashes(m) ^ h) <= d) {
-          val off = m * rankLen
-          val inv = rankInv(m)
-          var s = 0.0
-          var i = 0
-          while (i < rankLen) {
-            s += q(i) * ((rankBytes(off + i) * 0.5 - rankMean) * inv)
-            i += 1
-          }
-          if (s >= minDot) return true
+          if (rankDotAt(m, q) >= minDot) return true
         }
         m += 1
       }

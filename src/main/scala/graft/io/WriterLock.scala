@@ -157,12 +157,15 @@ object WriterLock {
     val hb = new Thread(() => {
       val interval = math.max(50L, staleAfterMs / 4)
       var supported = true
+      var wrappedFails = 0
       while (!hbStop.get()) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
         if (!hbStop.get() && heartbeatEnabled && supported) {
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch {
+          try {
+            fs.setTimes(lock, System.currentTimeMillis(), -1)
+            wrappedFails = 0
+          } catch {
             case _: UnsupportedOperationException =>
               // No safe refresh on this filesystem: a read-then-rewrite
               // fallback can clobber a breaker's freshly acquired lock
@@ -175,16 +178,23 @@ object WriterLock {
                 "stale horizon now measures time since ACQUISITION")
             case _: java.io.IOException => () // transient; next beat retries
             case scala.util.control.NonFatal(e) =>
-              // A decorated/object-store FileSystem can wrap its refusal in
-              // anything (RuntimeException etc.); an uncaught throw here
-              // would kill the daemon SILENTLY and let a live writer's lock
-              // go stale mid-write. Degrade loudly instead, same contract
-              // as the UnsupportedOperationException arm.
-              supported = false
-              System.err.println(s"[writer-lock] $op: heartbeat refresh " +
-                s"failed with ${e.getClass.getName}: ${e.getMessage} — " +
-                s"heartbeat disabled; the $staleAfterMs ms stale horizon " +
-                "now measures time since ACQUISITION")
+              // A decorated/object-store FileSystem can wrap anything in
+              // anything (RuntimeException shims, throttles); an uncaught
+              // throw here would kill the daemon SILENTLY and let a live
+              // writer's lock go stale mid-write. Treat the first few as
+              // transient like the IOException arm (r17 review — one
+              // throttle blip must not disable a multi-hour writer's
+              // heartbeat); degrade loudly only when failures persist
+              // across consecutive beats.
+              wrappedFails += 1
+              if (wrappedFails >= 3) {
+                supported = false
+                System.err.println(s"[writer-lock] $op: heartbeat refresh " +
+                  s"failed with ${e.getClass.getName}: ${e.getMessage} on " +
+                  s"$wrappedFails consecutive beats — heartbeat disabled; " +
+                  s"the $staleAfterMs ms stale horizon now measures time " +
+                  "since the last successful refresh")
+              }
           }
         }
       }

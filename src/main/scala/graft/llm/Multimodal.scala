@@ -2180,6 +2180,32 @@ object Multimodal {
     * mdhd): they index and probe only among themselves. */
   private[graft] val ProfileCellUnknown: Long = Long.MinValue
 
+  /** THE probe neighborhood of a cell key — own (durB, fpsB) ± 1 in each
+    * dimension, or just the reserved unknown cell (r17 review: one
+    * definition shared by the scalar guard path and any driver-side
+    * replay; [[videoProfilePairs]]' column-side `probeCells` builds the
+    * same keys as Column arithmetic and the guard≡pair-operator identity
+    * test pins the two against each other). */
+  private[graft] def profileProbeCellsOf(cell: Long): Array[Long] =
+    if (cell == ProfileCellUnknown) Array(cell)
+    else {
+      val durB = cell >> 32
+      val fpsB = (cell << 32) >> 32
+      val a = new Array[Long](9)
+      var k = 0
+      var dd = -1L
+      while (dd <= 1L) {
+        var ff = -1L
+        while (ff <= 1L) {
+          a(k) = ((durB + dd) << 32) | ((fpsB + ff) & 0xFFFFFFFFL)
+          k += 1
+          ff += 1L
+        }
+        dd += 1L
+      }
+      a
+    }
+
   /** Content-compatible pre-partition CELL KEY for the re-encode
     * signature (r16, VERDICT #1): `(duration bucket, fps bucket)` packed
     * into one long (`durB << 32 | fpsB & 0xFFFFFFFF`). A re-encode
@@ -2567,28 +2593,9 @@ object Multimodal {
     val p = videoProfileParse(bytes)
     if (p == null) return null
     val cell = profileCellOf(p.durSec, p.nSamples)
-    // Same packed-key arithmetic as the column side (shiftleft/OR over
-    // sign-extended bucket halves) — neighborhood keys must match the
-    // batch probe's bit-for-bit.
-    val cells =
-      if (cell == ProfileCellUnknown) Array(ProfileCellUnknown)
-      else {
-        val durB = cell >> 32
-        val fpsB = (cell << 32) >> 32
-        val a = new Array[Long](9)
-        var k = 0
-        var dd = -1L
-        while (dd <= 1L) {
-          var ff = -1L
-          while (ff <= 1L) {
-            a(k) = ((durB + dd) << 32) | ((fpsB + ff) & 0xFFFFFFFFL)
-            k += 1
-            ff += 1L
-          }
-          dd += 1L
-        }
-        a
-      }
+    // Shared neighborhood definition — same packed keys as the column
+    // side's probeCells, bit-for-bit (pinned by the guard≡pair test).
+    val cells = profileProbeCellsOf(cell)
     java.lang.Boolean.valueOf(idx.anyVerifiedWithin(cells,
       profileBitsOf(p.medians), maxDistance,
       profileRanksOfR2(profileRank2Of(p.medians)), minSpearman))

@@ -405,6 +405,17 @@ object Pipeline {
       s"curateInterleaved requires numeric doc ids: column '$idCol' has a null " +
         "or non-numeric value (a silent cast would null the slot ids and the " +
         "reassembly join would drop every media payload) — dense-rank ids into longs first")
+    // Ids must also be UNIQUE (r17 review): the payload split recovers a
+    // doc's media by id, so a duplicate id would let a text-dropped row's
+    // payloads ride its surviving same-id sibling (and fan out the
+    // reassembly join) — fail loudly instead of silently resurrecting.
+    locally {
+      val r = docs.agg(count(lit(1)), countDistinct(col(idCol))).collect()(0)
+      require(r.getLong(0) == r.getLong(1),
+        s"curateInterleaved requires UNIQUE doc ids: column '$idCol' has " +
+          s"${r.getLong(0) - r.getLong(1)} duplicated rows — media recovery " +
+          "and reassembly key on the id")
+    }
 
     // PAYLOAD/TEXT SPLIT (r17): the text chain checkpoints its frame
     // after EVERY stage, so media payload arrays riding it were
@@ -417,7 +428,12 @@ object Pipeline {
     // surviving docs' payloads with one left-semi join against the
     // curated ids. Results are row-identical — same slots, same slot
     // ids, same stats values; only where the bytes sit changes.
-    val input = docs.where(col(textCol).isNotNull)
+    // ONE input materialization (r17 review): mediaSide and curDocs are
+    // both derived from this checkpoint, so a nondeterministic source
+    // (monotonically_increasing_id ids, an upstream sample()) cannot
+    // desynchronize the text and payload views. The input copy retires
+    // as soon as the two derived checkpoints exist.
+    val input = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
     val mediaNames = mediaCols.map(_._2).toSet
     val mediaSide = input
       .select(col(idCol).cast("long").as("__doc") +:
@@ -428,6 +444,8 @@ object Pipeline {
         mediaCols.map { case (mod, mcol) =>
           coalesce(size(col(mcol)), lit(0)).as(s"__n_$mod") }: _*)
       .localCheckpoint(true, CkptSer)
+    org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(input)
+      .foreach(_.unpersist(blocking = false))
     // modality -> exploded (doc, idx, payload) frame, once text settles
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     // Count memoization (r17): the stats contract reports (docs, media)
@@ -626,7 +644,15 @@ object Pipeline {
         .drop("__arr")
         .withColumn(s"n_${mod}s", size(col(mcol)))
     }
-    val out = assembled.drop("__dockey").localCheckpoint(true, CkptSer)
+    // Restore the r16 output schema ORDER (r17 review): the split dropped
+    // the media columns and withColumn re-appended them at the end;
+    // positional consumers saw a reordered schema. Select back to the
+    // input's column order with the n_<mod>s counters appended — the
+    // exact r16 contract.
+    val out = assembled
+      .select((docs.columns.map(col) ++
+        mediaCols.map { case (mod, _) => col(s"n_${mod}s") }).toSeq: _*)
+      .localCheckpoint(true, CkptSer)
     // out is materialized (eager checkpoint): the final text- and
     // media-stage blocks retire like every earlier stage's — without this
     // each interleaved run would pin corpus-sized block sets for the

@@ -332,18 +332,9 @@ object DrivePipelineMm extends Serializable {
           case (mid, bits, ranks, cell) =>
             val cands =
               if (banded) bcAll.value.iterator
-              else {
-                val cells =
-                  if (cell == graft.llm.Multimodal.ProfileCellUnknown) Array(cell)
-                  else {
-                    val durB = cell >> 32
-                    val fpsB = (cell << 32) >> 32
-                    (for { dd <- -1L to 1L; ff <- -1L to 1L }
-                      yield ((durB + dd) << 32) | ((fpsB + ff) & 0xFFFFFFFFL)).toArray
-                  }
-                cells.iterator.flatMap(c => bcByCell.value.getOrElse(c,
+              else graft.llm.Multimodal.profileProbeCellsOf(cell).iterator
+                .flatMap(c => bcByCell.value.getOrElse(c,
                   Array.empty[(Long, Long, Array[Double], Long)]))
-              }
             cands
               .filter { case (gMid, gBits, _, _) =>
                 gMid < mid && java.lang.Long.bitCount(gBits ^ bits) <= 14
