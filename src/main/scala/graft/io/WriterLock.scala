@@ -125,14 +125,42 @@ object WriterLock {
             // so it cannot free the third writer's lock; its own heartbeat
             // target is gone, which its next setTimes surfaces as an
             // IOException and retries harmlessly.
-            val restored = try fs.rename(aside, lock)
+            var restored = try fs.rename(aside, lock)
               catch { case _: java.io.IOException => false }
             if (!restored) {
-              try fs.delete(aside, false) catch { case _: java.io.IOException => () }
-              System.err.println(s"[writer-lock] $op: could not restore a " +
-                s"live lock after a false-stale rename of $lock (a new writer " +
-                "acquired in the window) — the displaced holder's lock file is " +
-                "gone; its release is a no-op and the horizon governs from here")
+              // Rename-back can fail two ways (r17 ADVICE): a third writer
+              // acquired in the window (dest exists — delete the aside, the
+              // new lock governs) OR a transient IO failure with the lock
+              // path still ABSENT — deleting the aside then would leave NO
+              // lock on disk while the displaced holder keeps writing, so
+              // retry the rename once and give the aside up ONLY when a new
+              // owner's lock is confirmed present.
+              val present = try fs.exists(lock)
+                catch { case _: java.io.IOException => false }
+              if (!present)
+                restored = try fs.rename(aside, lock)
+                  catch { case _: java.io.IOException => false }
+              if (!restored) {
+                val newOwner = try fs.exists(lock)
+                  catch { case _: java.io.IOException => false }
+                if (newOwner) {
+                  try fs.delete(aside, false) catch { case _: java.io.IOException => () }
+                  System.err.println(s"[writer-lock] $op: could not restore a " +
+                    s"live lock after a false-stale rename of $lock (a new writer " +
+                    "acquired in the window) — the displaced holder's lock file is " +
+                    "gone; its release is a no-op and the horizon governs from here")
+                } else {
+                  // No new owner and two rename attempts failed: leave the
+                  // aside in place as the only surviving record of the live
+                  // writer — a leaked sidecar is recoverable by an operator;
+                  // deleting it is not.
+                  System.err.println(s"[writer-lock] $op: could not restore a " +
+                    s"live lock after a false-stale rename of $lock (transient " +
+                    s"rename failures, no new owner) — leaving the aside " +
+                    s"sidecar ${aside.getName} in place; remove it manually " +
+                    "once the displaced writer finishes")
+                }
+              }
             }
           } else {
             try fs.delete(aside, false) catch { case _: java.io.IOException => () }
@@ -176,7 +204,12 @@ object WriterLock {
               System.err.println(s"[writer-lock] $op: filesystem does not " +
                 s"support setTimes — heartbeat disabled; the $staleAfterMs ms " +
                 "stale horizon now measures time since ACQUISITION")
-            case _: java.io.IOException => () // transient; next beat retries
+            case _: java.io.IOException =>
+              // Transient; next beat retries. Also resets the wrapped-fail
+              // streak (r17 ADVICE): the 3-strike disable below claims
+              // CONSECUTIVE wrapped failures, so an interleaved transient
+              // IOException must break the streak for the log to be honest.
+              wrappedFails = 0
             case scala.util.control.NonFatal(e) =>
               // A decorated/object-store FileSystem can wrap anything in
               // anything (RuntimeException shims, throttles); an uncaught

@@ -896,14 +896,21 @@ object Dedup {
     * unprofiled bytes (not-an-MP4, < 64 samples, flat stsz) pass
     * unflagged. Build the index with [[Multimodal.videoProfileIndex]];
     * probes stay bounded by the probed cells' population, exactly as in
-    * the batch operator. */
+    * the batch operator. `flatIndex` (r18 — the batch operator's hatch on
+    * the streaming surface, VERDICT r17 #3): probe the single collapsed
+    * cell of an index built with `videoProfileIndex(flatIndex = true)`,
+    * restoring corpus-wide recall (a >4× fps resample or >1.5× duration
+    * trim still flags) at the flat per-probe cost — the flag MUST match
+    * the index build's, or probes address cells the index never
+    * populated. */
   def streamVideoProfileGuard(stream: DataFrame,
       index: graft.functions.HammingIndexKernel.MihCellIndex,
       binCol: String, maxDistance: Int = 14,
-      minSpearman: Double = 0.85): DataFrame = {
+      minSpearman: Double = 0.85, flatIndex: Boolean = false): DataFrame = {
     val bc = stream.sparkSession.sparkContext.broadcast(index)
     stream.withColumn("video_near_dup", coalesce(
-      Multimodal.videoProfileVerified(col(binCol), bc, maxDistance, minSpearman),
+      Multimodal.videoProfileVerified(col(binCol), bc, maxDistance, minSpearman,
+        flatIndex),
       lit(false)))
   }
 

@@ -1958,11 +1958,18 @@ object Multimodal {
     * operator's shards obey (`shardRowCap(…, cellTables = 128)` — ~10.2M
     * rows at the 1.2 GB default). Past the bound, shard the corpus into
     * several guards or run the batch [[videoProfilePairs]]. Ids must be
-    * numeric (the [[graft.llm.Dedup.pHashIdIndex]] contract); unprofiled
-    * corpus videos (not-an-MP4, flat stsz) index nothing. */
+    * numeric (the [[graft.llm.Dedup.pHashIdIndex]] contract — checked
+    * loudly, r17 ADVICE); unprofiled corpus videos (not-an-MP4, flat
+    * stsz) index nothing. `flatIndex` (r18 — the batch operator's hatch,
+    * threaded to the streaming guard): every corpus row indexes the
+    * single collapsed cell, so a guard built with it probes corpus-wide
+    * (pairs whose fps shifted >2× or duration >~1.5× still flag) at the
+    * flat per-probe cost — pass the SAME flag to
+    * [[graft.llm.Dedup.streamVideoProfileGuard]]. */
   def videoProfileIndex(corpus: DataFrame, idCol: String, binCol: String,
       maxIndexBytes: Long =
-        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes)
+        graft.functions.HammingIndexKernel.DefaultIndexBudgetBytes,
+      flatIndex: Boolean = false)
       : graft.functions.HammingIndexKernel.MihCellIndex = {
     val featSchema = StructType(Seq(
       corpus.schema(idCol),
@@ -1984,13 +1991,22 @@ object Multimodal {
       pieces = 4, hasIds = true, rankLen = ProfileBuckets, cellTables = 128)
     val rows = corpus.sparkSession.createDataFrame(rdd, featSchema)
       .where(col("__vphash").isNotNull)
-      .select(col(idCol).cast("long").as("__id"), col("__vphash"),
-        col("__vpr2"), col("__vpcell"))
+      // try_cast, not cast: a malformed id should surface as THIS
+      // contract's error (the null check below), not an ANSI cast throw
+      // from inside the plan or an opaque NPE in buildCellIndex's
+      // getLong (r17 ADVICE — the pipeline's loud require, mirrored).
+      .select(expr(s"try_cast(`$idCol` AS BIGINT)").as("__id"), col("__vphash"),
+        col("__vpr2"),
+        (if (flatIndex) lit(0L) else col("__vpcell")).as("__vpcell"))
       .limit(math.min(cap, Int.MaxValue - 1L).toInt + 1)
       .collect()
     require(rows.length <= cap,
       s"video-profile corpus exceeds the $maxIndexBytes-byte index budget " +
         s"(~$cap rows) — shard into several guards or use videoProfilePairs")
+    require(!rows.exists(_.isNullAt(0)),
+      s"videoProfileIndex requires numeric ids: column '$idCol' has a null " +
+        "or non-numeric value among the profiled rows — dense-rank ids into " +
+        "longs first (the pHashIdIndex contract)")
     buildCellIndex(rows, null)
   }
 
@@ -2589,17 +2605,22 @@ object Multimodal {
     * stsz) — guards pass those unflagged. */
   def profileVerifiedHitOf(bytes: Array[Byte],
       idx: graft.functions.HammingIndexKernel.MihCellIndex,
-      maxDistance: Int, minSpearman: Double): java.lang.Boolean = {
+      maxDistance: Int, minSpearman: Double,
+      flatIndex: Boolean): java.lang.Boolean = {
     val p = videoProfileParse(bytes)
     if (p == null) return null
     val cell = profileCellOf(p.durSec, p.nSamples)
     // Shared neighborhood definition — same packed keys as the column
     // side's probeCells, bit-for-bit (pinned by the guard≡pair test).
-    val cells = profileProbeCellsOf(cell)
+    // The flat hatch probes the single collapsed cell every flat-built
+    // index row lives in (the batch operator's flatIndex arm, r18).
+    val cells = if (flatIndex) FlatProbeCells else profileProbeCellsOf(cell)
     java.lang.Boolean.valueOf(idx.anyVerifiedWithin(cells,
       profileBitsOf(p.medians), maxDistance,
       profileRanksOfR2(profileRank2Of(p.medians)), minSpearman))
   }
+
+  private val FlatProbeCells: Array[Long] = Array(0L)
 
   /** STREAMING-SAFE verified video re-encode guard expression (r17):
     * binary payload in, boolean "a corpus video within the signature
@@ -2610,7 +2631,8 @@ object Multimodal {
   case class VideoProfileVerifiedBc(child: Expression,
       bc: org.apache.spark.broadcast.Broadcast[
         graft.functions.HammingIndexKernel.MihCellIndex],
-      maxDistance: Int, minSpearman: Double) extends UnaryExpression {
+      maxDistance: Int, minSpearman: Double,
+      flatIndex: Boolean = false) extends UnaryExpression {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 64), got $maxDistance")
     // Spliced into generated Java via raw long bits, but fail a
@@ -2630,7 +2652,7 @@ object Multimodal {
       val b = child.eval(input)
       if (b == null) null
       else profileVerifiedHitOf(b.asInstanceOf[Array[Byte]], idx,
-        maxDistance, minSpearman)
+        maxDistance, minSpearman, flatIndex)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val idxCls = "graft.functions.HammingIndexKernel.MihCellIndex"
@@ -2648,7 +2670,7 @@ object Multimodal {
         if (!${childGen.isNull}) {
           java.lang.Boolean $boxed = graft.llm.Multimodal.profileVerifiedHitOf(
             ${childGen.value}, $idxTerm, $maxDistance,
-            Double.longBitsToDouble(${minDotBits}L));
+            Double.longBitsToDouble(${minDotBits}L), $flatIndex);
           if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.booleanValue(); }
         }"""
       ev.copy(code = code)
@@ -2661,7 +2683,8 @@ object Multimodal {
   def videoProfileVerified(bin: Column,
       bc: org.apache.spark.broadcast.Broadcast[
         graft.functions.HammingIndexKernel.MihCellIndex],
-      maxDistance: Int, minSpearman: Double): Column =
+      maxDistance: Int, minSpearman: Double,
+      flatIndex: Boolean = false): Column =
     GraftSql.column(VideoProfileVerifiedBc(GraftSql.expression(bin), bc,
-      maxDistance, minSpearman))
+      maxDistance, minSpearman, flatIndex))
 }

@@ -122,7 +122,7 @@ class Round17Spec extends AnyFunSuite {
     // At a budget that fits, the index builds and probes its own corpus.
     val idx = M.videoProfileIndex(corpus, "family", "payload")
     val self = corpus.as[(Long, Array[Byte])].collect().forall { case (_, bytes) =>
-      M.profileVerifiedHitOf(bytes, idx, 14, 0.85) == java.lang.Boolean.TRUE
+      M.profileVerifiedHitOf(bytes, idx, 14, 0.85, false) == java.lang.Boolean.TRUE
     }
     assert(self, "every corpus video must verify against its own index entry")
   }
@@ -386,7 +386,7 @@ class Round17Spec extends AnyFunSuite {
     def probeAll(bytes: Array[Byte]): Unit = {
       kinds.foreach(k => M.sketch64Of(bytes, k)) // null or a value, never a throw
       M.videoProfileParse(bytes)
-      M.profileVerifiedHitOf(bytes, idx, 14, 0.85)
+      M.profileVerifiedHitOf(bytes, idx, 14, 0.85, false)
     }
     // Pure random buffers across the size spectrum (incl. empty).
     (0 until 400).foreach(t => probeAll(randBytes(t * 1013L, (t * 37) % 4096)))
