@@ -80,6 +80,9 @@ object Pipeline {
       waitedMs += 20L
       r = org.apache.spark.sql.graftshim.GraftSql.observedRow(obs)
     }
+    if (waitedMs > 100L)
+      System.err.println(s"[pipeline-stats] observation ${obs.name} took " +
+        s"${waitedMs}ms to arrive${if (r.isEmpty) " (TIMED OUT - exact fallback)" else ""}")
     r
   }
 
@@ -121,6 +124,14 @@ object Pipeline {
       dsirTarget: Option[DataFrame] = None,
       dsirN: Int = 0,
       dsirNgrams: Int = 2,
+      // Optional PII-density gate (r18): when set, a `pii_filter` stage
+      // (after quality_filter, before the model stages) drops documents
+      // whose [[TextAnalysis.piiStats]] density — PII matches per
+      // whitespace token — exceeds the threshold. The DROP-side policy
+      // twin of [[TextAnalysis.redactPii]] (masking keeps the doc;
+      // density-heavy docs — dumps, directories, logs — are usually
+      // better dropped than turned into placeholder soup).
+      piiMaxDensity: Option[Double] = None,
       // Stats collection mode (r18): "exact" | "cheap" | "off" — see the
       // [[Pipeline.StatsModes]] note. `cheap` emits IDENTICAL values with
       // zero extra jobs (observe metrics on the checkpoint's own
@@ -199,6 +210,10 @@ object Pipeline {
     step("quality_filter")(df => df.where(
       TextAnalysis.qualityScore(col(textCol)) >= cfg.minQuality &&
         TextAnalysis.tokenCount(col(textCol)) >= cfg.minTokens))
+    cfg.piiMaxDensity.foreach { maxD =>
+      step("pii_filter")(df => df.where(
+        TextAnalysis.piiStats(col(textCol)).getField("density") <= maxD))
+    }
     // Model-based stages (r15) — optional, before the wide dedup stages so
     // model-rejected rows never pay a shuffle. Both are zero-shuffle row
     // scorers (hashed features / log-ratio table ride the closure once);
@@ -502,23 +517,27 @@ object Pipeline {
       else Dedup.lshParamsSelective(tc.nearDupThreshold, tc.numHashes)._1
     var pendingCapped = 0L
 
-    // PAYLOAD/TEXT SPLIT (r17): the text chain checkpoints its frame
-    // after EVERY stage, so media payload arrays riding it were
+    // PAYLOAD/TEXT SPLIT (r17, tightened r18): the text chain checkpoints
+    // its frame after EVERY stage, so media payload arrays riding it were
     // serialized 8+ times — and shuffled by the text dedup stages —
     // before any media stage ran (the 3M proof moved ~11 GB of arrays
-    // through each text checkpoint vs ~600 MB of text). The payloads
-    // split to a SIDE frame checkpointed ONCE; the text frame carries
-    // only per-modality slot COUNTS (the stats contract needs sums of
-    // sizes, never bytes), and each modality's explode recovers its
-    // surviving docs' payloads with one left-semi join against the
-    // curated ids. Results are row-identical — same slots, same slot
-    // ids, same stats values; only where the bytes sit changes.
-    // ONE input materialization (r17 review): mediaSide and curDocs are
-    // both derived from this checkpoint, so a nondeterministic source
+    // through each text checkpoint vs ~600 MB of text). The text frame
+    // carries only per-modality slot COUNTS (the stats contract needs
+    // sums of sizes, never bytes), and each modality's explode recovers
+    // its surviving docs' payloads with one left-semi join against the
+    // curated ids. r18: the join probes the INPUT checkpoint directly —
+    // r17 serialized the payloads a second time into a dedicated
+    // `mediaSide` checkpoint, which the back-to-back 3M A/B measured as
+    // ~10% of total wall for zero benefit (the input checkpoint already
+    // holds the bytes once, and a projection over it prunes to (id,
+    // payload) at deserialize time). Results are row-identical. The ONE
+    // input materialization also means a nondeterministic source
     // (monotonically_increasing_id ids, an upstream sample()) cannot
-    // desynchronize the text and payload views. The input copy retires
-    // as soon as the two derived checkpoints exist.
-    val input = docs.where(col(textCol).isNotNull).localCheckpoint(true, CkptSer)
+    // desynchronize the text and payload views; payload-bearing, so it
+    // sits at cfg.payloadLevel and retires after the LAST modality's
+    // explode.
+    val input = docs.where(col(textCol).isNotNull)
+      .localCheckpoint(true, cfg.payloadLevel)
     // Id contract, checked on the CHECKPOINTED, text-filtered frame (r17
     // ADVICE: aggregating over raw `docs` could pass/fail on different
     // data than what gets checkpointed under a nondeterministic source,
@@ -548,10 +567,11 @@ object Pipeline {
           "and reassembly key on the id")
     }
     val mediaNames = mediaCols.map(_._2).toSet
+    // Payload view over the input checkpoint — a projection, NOT a second
+    // checkpoint (r18; see the split note above).
     val mediaSide = input
       .select(col(idCol).cast("long").as("__doc") +:
         mediaCols.map { case (_, mcol) => col(mcol) }: _*)
-      .localCheckpoint(true, cfg.payloadLevel)
     // cheap mode: each curDocs checkpoint carries an observation with
     // (docs count, per-modality slot sums) — the exact values nDocs() /
     // pendingCounts() would otherwise run dedicated jobs for. Row layout:
@@ -570,8 +590,8 @@ object Pipeline {
       .select(docs.columns.filterNot(mediaNames).map(col).toSeq ++
         mediaCols.map { case (mod, mcol) =>
           coalesce(size(col(mcol)), lit(0)).as(s"__n_$mod") }: _*))
-    org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(input)
-      .foreach(_.unpersist(blocking = false))
+    // input stays persisted: the per-modality explodes read their payload
+    // bytes from it (retired after the last explode).
     // modality -> exploded (doc, idx, payload) frame, once text settles
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
     // Count memoization (r17): the stats contract reports (docs, media)
@@ -665,6 +685,10 @@ object Pipeline {
     stepDocs("quality_filter")(df => df.where(
       TextAnalysis.qualityScore(col(textCol)) >= tc.minQuality &&
         TextAnalysis.tokenCount(col(textCol)) >= tc.minTokens))
+    tc.piiMaxDensity.foreach { maxD =>
+      stepDocs("pii_filter")(df => df.where(
+        TextAnalysis.piiStats(col(textCol)).getField("density") <= maxD))
+    }
     // Text dedup chain (r15) — [[curate]]'s stages verbatim; a duplicated
     // interleaved document dies HERE and its media slots die with it
     // (slot survival shows in images_out, the replay contract).
@@ -720,6 +744,10 @@ object Pipeline {
           posexplode(coalesce(col(mcol),
             array().cast(docs.schema(mcol).dataType))).as(Seq("__idx", "__media"))),
         isExplode = true)
+      // The LAST modality's explode was the input checkpoint's final
+      // reader — its payload blocks retire here (r18: explodes read input
+      // directly; holding it longer would stack it against the frames).
+      if (mod == mediaCols.last._1) retire(input)
       measure(s"${p}_explode", (System.nanoTime() - t0x) / 1e9)
       def exactOver(): Int = frames(mod).agg(coalesce(max("__idx"), lit(0)))
         .collect()(0).getInt(0)
@@ -832,7 +860,6 @@ object Pipeline {
     // each interleaved run would pin corpus-sized block sets for the
     // session's lifetime (only `out` is handed to the caller).
     retire(curDocs)
-    retire(mediaSide)
     mediaCols.foreach { case (mod, _) => retire(frames(mod)) }
     def exactOut(): (Long, Long) = (out.count(),
       out.agg(slotSum).collect()(0).getLong(0))

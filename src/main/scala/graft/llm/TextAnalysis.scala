@@ -320,11 +320,42 @@ object TextAnalysis {
     * RE2-compatible (no lookaround/backrefs) so the exact same regexes run
     * in other engines — the DuckDB oracle replays them verbatim. Pure
     * codegen'd regexp_replace chain, shuffle-free. */
+  private val UrlRe = """https?://[^\s]+"""
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val IpRe = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  private val PhoneRe = """\+?[0-9][0-9()\-\s]{6,}[0-9]"""
+
   def redactPii(text: Column): Column = {
-    val url = regexp_replace(text, """https?://[^\s]+""", "<URL>")
-    val email = regexp_replace(url, """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>")
-    val ip = regexp_replace(email, """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b""", "<IP>")
-    regexp_replace(ip, """\+?[0-9][0-9()\-\s]{6,}[0-9]""", "<PHONE>")
+    val url = regexp_replace(text, UrlRe, "<URL>")
+    val email = regexp_replace(url, EmailRe, "<EMAIL>")
+    val ip = regexp_replace(email, IpRe, "<IP>")
+    regexp_replace(ip, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-document PII statistics (r18): a struct of per-type match counts
+    * `(n_url, n_email, n_ip, n_phone)` plus `density` = total matches per
+    * whitespace token (0 for empty text). The counts run the SAME ordered
+    * chain as [[redactPii]] — each class is counted on the text with the
+    * earlier classes already masked, so a URL's path digits never
+    * double-count as a phone and a dotted quad never half-counts under
+    * the phone class (the redaction-order rationale, applied to
+    * counting). Patterns are RE2-compatible; a DuckDB oracle replays the
+    * chain verbatim with `regexp_extract_all`. Pure codegen'd
+    * regexp/struct projection, shuffle-free — the scoring side of the
+    * redaction kernel, for threshold policies that DROP documents
+    * (pipeline `pii_filter` stage) rather than mask them. */
+  def piiStats(text: Column): Column = {
+    val nUrl = size(regexp_extract_all(text, lit(UrlRe), lit(0)))
+    val afterUrl = regexp_replace(text, UrlRe, "<URL>")
+    val nEmail = size(regexp_extract_all(afterUrl, lit(EmailRe), lit(0)))
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
+    val nIp = size(regexp_extract_all(afterEmail, lit(IpRe), lit(0)))
+    val afterIp = regexp_replace(afterEmail, IpRe, "<IP>")
+    val nPhone = size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))
+    val total = (nUrl + nEmail + nIp + nPhone).cast("double")
+    struct(nUrl.as("n_url"), nEmail.as("n_email"), nIp.as("n_ip"),
+      nPhone.as("n_phone"),
+      (total / greatest(tokenCount(text), lit(1)).cast("double")).as("density"))
   }
 
   /** Whitespace/control normalization: control characters to spaces,

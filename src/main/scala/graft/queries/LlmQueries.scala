@@ -1502,6 +1502,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // PII DENSITY scoring (r18) — the drop-side twin of q_text_redact:
+    // per-doc typed match counts through the SAME ordered masking chain,
+    // density as floor(total/tokens * 1e6) (integer ppm — float-compare
+    // safe), and the pii_filter keep verdict at the 8% threshold. The
+    // plant varies PII volume by doc_id % 3 (none / one email / the full
+    // four-type burst) so all three density regimes occur; DuckDB replays
+    // the chain with regexp_extract_all over progressively masked text.
+    "q_pii_density" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 1,
+          concat(lit(" contact user"), id, lit("@example.com now")))
+        .when(col("doc_id") % 3 === 2,
+          concat(lit(" mail a"), id, lit("@b.io or c"), id,
+            lit("@d.io via https://x.io/p/"), id,
+            lit(" from 10.1."), (col("doc_id") % 256).cast("string"),
+            lit(".9 call +1 (555) 010-"), id))
+        .otherwise(lit("")))
+      val ps = TextAnalysis.piiStats(aug)
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          ps.getField("n_url").cast("long").as("n_url"),
+          ps.getField("n_email").cast("long").as("n_email"),
+          ps.getField("n_ip").cast("long").as("n_ip"),
+          ps.getField("n_phone").cast("long").as("n_phone"),
+          floor(ps.getField("density") * 1000000.0).cast("long").as("density_ppm"),
+          (ps.getField("density") <= 0.08).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Within-document line dedup (C4-style boilerplate strip): each planted
     // doc is text/boiler/text/boiler — dedup must keep exactly the first
     // occurrence of each line, in order. Full-string DuckDB replay.
@@ -3625,6 +3655,30 @@ object LlmQueries {
         |    '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g'),
         |  '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The counting chain replayed verbatim: each class counted on the
+    // text with earlier classes masked (same order as the redact chain),
+    // density as integer ppm so no float ever rides the hash compare.
+    "q_pii_density" ->
+      """WITH aug AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 1 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |    WHEN doc_id % 3 = 2 THEN ' mail a' || CAST(doc_id AS VARCHAR) || '@b.io or c' || CAST(doc_id AS VARCHAR)
+        |      || '@d.io via https://x.io/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.9 call +1 (555) 010-' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS t FROM documents),
+        |s1 AS (SELECT doc_id, t, regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM aug),
+        |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t3 FROM s2),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t3, '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS n_phone,
+        |  len(regexp_split_to_array(trim(t), '\s+')) AS ntok FROM s3)
+        |SELECT doc_id, n_url, n_email, n_ip, n_phone,
+        |  CAST(floor(CAST(n_url + n_email + n_ip + n_phone AS DOUBLE) / greatest(ntok, 1) * 1000000.0) AS BIGINT) AS density_ppm,
+        |  (CAST(n_url + n_email + n_ip + n_phone AS DOUBLE) / greatest(ntok, 1)) <= 0.08 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Genuine recomputation: the planted dims/gray are pure functions of
     // doc_id, so DuckDB re-derives every aggregate — dims/band sums over

@@ -158,6 +158,15 @@ object DrivePipelineMm extends Serializable {
     spark.sparkContext.setLogLevel("ERROR")
 
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq else Seq(3000000L)
+    // r18 levers: stats mode (exact|cheap — VERDICT r17 #1) and payload
+    // storage (default|disk → DISK_ONLY side/exploded frames, #2). The
+    // bench-entry name carries non-default settings so runs land as
+    // separate bench_pipeline.json lines.
+    val statsMode = sys.env.getOrElse("SPARK_GRAFT_MM_STATS", "exact")
+    val payloadDisk = sys.env.get("SPARK_GRAFT_MM_PAYLOAD").contains("disk")
+    val variant = (if (statsMode != "exact") s"_$statsMode" else "") +
+      (if (payloadDisk) "_disk" else "")
+    require(statsMode != "off", "survival asserts need stats (exact or cheap)")
     val out = new StringBuilder
 
     def boxSteal(): Long = try {
@@ -373,7 +382,11 @@ object DrivePipelineMm extends Serializable {
       val r = graft.llm.Pipeline.curateInterleavedMm(corpus, "doc_id", "text",
         Seq("image" -> "images", "audio" -> "audios", "video" -> "videos"),
         graft.llm.Pipeline.InterleavedConfig(
-          image = graft.llm.Pipeline.ImageConfig(maxDistance = 2)),
+          image = graft.llm.Pipeline.ImageConfig(maxDistance = 2),
+          statsMode = statsMode,
+          payloadLevel =
+            if (payloadDisk) org.apache.spark.storage.StorageLevel.DISK_ONLY
+            else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
         audioCfg = graft.llm.Pipeline.MediaConfig(maxDistance = 0, pieces = 4),
         videoCfg = graft.llm.Pipeline.MediaConfig(maxDistance = 4, pieces = 8,
           profilePairs = true))
@@ -418,7 +431,7 @@ object DrivePipelineMm extends Serializable {
       val stages = collected.map { x =>
         f"""{"stage":"${x.getString(1)}","docs_out":${x.getLong(2)},"media_out":${x.getLong(3)},"wall_sec":${x.getDouble(4)}%.2f,"capped_rows":${x.getLong(5)}}"""
       }.mkString("[", ",", "]")
-      val line = f"""{"bench":"pipeline_interleaved_mm_${n / 1000000}m","rows":$n,"media_slots":$slots,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"profile_pairs":$profilePairCount,"profile_losers":$vidProfileDrop,"stages":$stages}"""
+      val line = f"""{"bench":"pipeline_interleaved_mm_${n / 1000000}m$variant","rows":$n,"media_slots":$slots,"total_sec":$total%.1f,"steal_sec":${(st1 - st0) / 100.0}%.1f,"profile_pairs":$profilePairCount,"profile_losers":$vidProfileDrop,"stages":$stages}"""
       println(s"CHECK $line")
       out.append(line).append('\n')
     }

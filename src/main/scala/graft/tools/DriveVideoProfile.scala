@@ -20,6 +20,11 @@ object DriveVideoProfile {
         }.getOrElse(0L))
       return
     }
+    if (args.headOption.contains("guard")) {
+      guardRun(if (args.length > 1) args(1).toLong else 1000000L,
+        if (args.length > 2) args(2).toLong else 200000L)
+      return
+    }
     val nFam = if (args.nonEmpty) args(0).toInt else 200
     run(nFam, 640, 480)
     run(nFam, 1280, 960)
@@ -139,6 +144,151 @@ object DriveVideoProfile {
       // report the total (comparable across budgets at fixed n).
       println(s"CHECK member_scans total=$scans groups=${shardStats.size}")
     spark.stop()
+  }
+
+  /** At-scale throughput + identity point for the VERIFIED streaming
+    * profile guard (r18 — VERDICT r17 #4: every other guard has a
+    * bench_ops_scale entry; this one was correctness-pinned only).
+    * Index side: `n` corpus videos on the heterogeneous scaleRun plant
+    * (log-uniform 24–192 s durations, 24/30 base fps) through
+    * [[graft.llm.Multimodal.videoProfileIndex]]. Probe side: `m` in-flight
+    * videos — 40% re-encodes of a corpus family (must flag), 10% 2×-fps
+    * re-encodes (must flag: adjacent bucket, inside the 3×3 neighborhood),
+    * 40% independent content (must not flag), 10% junk bytes (unprofiled,
+    * must not flag) — driven as a parquet file stream under
+    * Trigger.AvailableNow. Reports index-build and stream wall, rows/s,
+    * and pins per-probe VERDICT IDENTITY against the batch
+    * [[graft.llm.Multimodal.videoProfilePairs]] operator over
+    * corpus ∪ probes (the guard's contract: flag ⟺ the pair operator
+    * would emit a (corpus, probe) pair). Appends one JSON line to
+    * bench_ops_scale.json. */
+  def guardRun(n: Long, m: Long): Unit = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val local = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      Seq("/dev/shm", "/tmp").find(p => new java.io.File(p).isDirectory).get)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.maxResultSize", "8g")
+      .config("spark.local.dir", s"$local/graft_vpg_local")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // Corpus: one original encode per family, ids 0..n-1 = families.
+    val corpus = spark.range(0, n).select(col("id")).as[Long]
+      .map(fam => (fam, DriveVideoProfile.encOfStatic(fam, fam, 1, reenc = false)))
+      .toDF("doc_id", "payload")
+    val tIdx0 = System.nanoTime()
+    val idx = Multimodal.videoProfileIndex(corpus, "doc_id", "payload")
+    val idxWall = (System.nanoTime() - tIdx0) / 1e9
+
+    // Probes (parquet-cached): probe i targets family i % n.
+    //  i%10 in 0..3  -> re-encode of the family        (expect FLAG)
+    //  i%10 == 4     -> 2x-fps re-encode of the family (expect FLAG)
+    //  i%10 in 5..8  -> independent content (fam+n)    (expect no flag)
+    //  i%10 == 9     -> junk bytes                     (expect no flag)
+    val probeDir = s"/tmp/graft_vpg_probes_${n}_$m"
+    if (!new java.io.File(probeDir, "_SUCCESS").exists()) {
+      spark.range(0, m).select(col("id")).as[Long]
+        .map { i =>
+          val fam = i % n
+          val bytes = (i % 10) match {
+            case k if k <= 3 => DriveVideoProfile.encOfStatic(fam, n + i, 1, reenc = true)
+            case 4 => DriveVideoProfile.encOfStatic(fam, n + i, 2, reenc = true)
+            case 9 => s"junk-$i".getBytes("UTF-8")
+            case _ => DriveVideoProfile.encOfStatic(fam + n, n + i, 1, reenc = false)
+          }
+          (i, bytes)
+        }.toDF("id", "payload")
+        .write.mode("overwrite").parquet(probeDir)
+    }
+    val probeSchema = spark.read.parquet(probeDir).schema
+
+    // Stream leg: file source -> guard -> (id, flag) memory sink, one
+    // AvailableNow drain. Stateless projection: wall is decode+probe.
+    val t0 = System.nanoTime()
+    val q = graft.llm.Dedup.streamVideoProfileGuard(
+        spark.readStream.schema(probeSchema).parquet(probeDir),
+        idx, "payload")
+      .select(col("id"), col("video_near_dup"))
+      .writeStream.format("memory").queryName("vpg_guard")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val flags = spark.table("vpg_guard")
+    val agg = flags.agg(count(lit(1)),
+      sum(when(col("video_near_dup"), 1L).otherwise(0L)),
+      sum(when(col("video_near_dup") =!= (pmod(col("id"), lit(10L)) <= 4L), 1L)
+        .otherwise(0L))).collect()(0)
+    val rows = agg.getLong(0)
+    val flagged = agg.getLong(1)
+    val mismatched = agg.getLong(2)
+    require(rows == m, s"stream drained $rows of $m probes")
+    require(mismatched == 0L,
+      s"$mismatched probes disagree with the planted expectation")
+    println(f"CHECK vp_guard n=$n m=$m idx_wall=$idxWall%.1fs stream_wall=$wall%.1fs " +
+      f"rows_per_sec=${m / wall}%.0f flagged=$flagged")
+
+    // Batch-pair identity: the guard flag must equal "videoProfilePairs
+    // over corpus ∪ probes emits a (corpus, probe) pair" per probe.
+    // Probe ids shift by n so corpus ids stay below them (emission rule:
+    // pairs point id_a < id_b within the probed cells).
+    val probesDf = spark.read.parquet(probeDir)
+    val union = corpus.unionByName(
+      probesDf.select((col("id") + n).as("doc_id"), col("payload")))
+    val tP0 = System.nanoTime()
+    val paired = Multimodal.videoProfilePairs(union, "doc_id", "payload",
+        maxBucket = 5000)
+      .where(col("id_a") < n && col("id_b") >= n)
+      .select((col("id_b") - n).as("id")).distinct()
+    val guardTrue = flags.where(col("video_near_dup")).select("id")
+    val disagree = paired.unionByName(guardTrue)
+      .groupBy("id").count().where(col("count") =!= 2L).count()
+    val pairWall = (System.nanoTime() - tP0) / 1e9
+    require(disagree == 0L,
+      s"$disagree probes disagree between the guard and the batch pair operator")
+    println(f"CHECK vp_guard_pair_identity n=$n m=$m pair_wall=$pairWall%.1fs disagreements=0")
+
+    val line = f"""{"bench":"vp_guard_${n / 1000000}m_idx_${m / 1000}k_probes","rows":$m,"index_rows":$n,"idx_build_sec":$idxWall%.1f,"stream_wall_sec":$wall%.1f,"rows_per_sec":${m / wall}%.0f,"flagged":$flagged,"batch_pair_identity":true,"pair_check_sec":$pairWall%.1f}"""
+    println(s"CHECK $line")
+    val path = java.nio.file.Paths.get("bench_ops_scale.json")
+    val name = line.split("\"")(3)
+    val kept =
+      if (!java.nio.file.Files.exists(path)) Seq.empty[String]
+      else new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        .linesIterator.filter(l => l.nonEmpty && l.split("\"")(3) != name).toSeq
+    java.nio.file.Files.write(path,
+      (kept :+ line).mkString("", "\n", "\n").getBytes("UTF-8"))
+    println("CHECK wrote bench_ops_scale.json")
+    spark.stop()
+  }
+
+  /** Static twin of guardRun's encoder for executor closures (the
+    * closure-capture rule: task lambdas call the module through a
+    * static path only). */
+  private[tools] def encOfStatic(fam: Long, payloadFam: Long, fpsMul: Int,
+      reenc: Boolean): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val u = (mix(fam * 0x100000001B3L) >>> 11).toDouble / (1L << 53).toDouble
+    val durSec = 24.0 * StrictMath.pow(8.0, u)
+    val baseFps = if ((mix(fam * 31L + 7L) & 1L) == 0L) 24 else 30
+    val nFrames = math.max(64, (durSec * baseFps * fpsMul).round.toInt)
+    val sizes =
+      if (reenc) Multimodal.bitrateProfileFrameSizes(fam, nFrames, 0.6, gop = 8, noiseSeed = 2L, base = 48)
+      else Multimodal.bitrateProfileFrameSizes(fam, nFrames, 1.0, gop = 12, noiseSeed = 1L, base = 48)
+    val chunks = Seq.fill(nFrames / 64)(64) ++
+      (if (nFrames % 64 > 0) Seq(nFrames % 64) else Nil)
+    Multimodal.encodeMp4Media(payloadFam, sizes, chunks,
+      durationUnits = (durSec * 600.0).round)
   }
 
   def run(nFam: Int, framesA: Int, framesB: Int): Unit = {

@@ -308,6 +308,56 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- PII density gate (r18)
+
+  test("piiStats + pipeline pii_filter: ordered counting, density gate drops the planted burst docs, interleaved parity") {
+    val P = graft.llm.Pipeline
+    val TA = graft.llm.TextAnalysis
+    // Ordered-chain pins: a URL's digits never double-count as a phone,
+    // an IP never half-counts under the phone class.
+    val one = Seq((0L,
+      "visit https://x.io/555-010-7777 from 10.1.2.9 mail a@b.io call +1 (555) 010-1234 end"))
+      .toDF("id", "text")
+      .select(TA.piiStats(col("text")).as("p")).collect()(0).getStruct(0)
+    assert(one.getAs[Int]("n_url") == 1 && one.getAs[Int]("n_email") == 1 &&
+      one.getAs[Int]("n_ip") == 1 && one.getAs[Int]("n_phone") == 1, one.toString)
+    // 4 matches / 11 whitespace tokens.
+    assert(math.abs(one.getAs[Double]("density") - 4.0 / 11.0) < 1e-12)
+    // Empty text: density 0, not NaN.
+    val empty = Seq((0L, "")).toDF("id", "text")
+      .select(TA.piiStats(col("text")).as("p")).collect()(0).getStruct(0)
+    assert(empty.getAs[Double]("density") == 0.0)
+
+    // Pipeline stage: docs 0-9 clean, 10-11 PII-dense (a contact dump) —
+    // the gate drops exactly those two, and the stats frame shows the
+    // stage (cheap mode: the new stage's counts also ride observe).
+    def enGood(i: Long) =
+      s"w${i}a the quick brown fox jumps over the lazy dog w${i}b " +
+        s"it was good that it is here and now w${i}c"
+    val docs = (0L until 12L).map { i =>
+      val t =
+        if (i >= 10) s"w${i}a reach a$i@x.io b$i@x.io c$i@x.io d$i@x.io " +
+          s"https://x.io/$i https://y.io/$i from 10.0.0.$i and 10.0.1.$i w${i}b"
+        else enGood(i)
+      (i, t)
+    }.toDF("id", "text")
+    val r = P.curate(docs, "id", "text",
+      cfg = P.Config(piiMaxDensity = Some(0.2), statsMode = "cheap"))
+    val byStage = r.stats.collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(byStage("quality_filter") == 12L, byStage.toString)
+    assert(byStage("pii_filter") == 10L, byStage.toString)
+    assert(r.docs.select("id").collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    // Interleaved chain carries the same stage.
+    val mdocs = docs.withColumn("images",
+      array().cast("array<binary>")).withColumnRenamed("id", "doc_id")
+    val r2 = P.curateInterleavedMm(mdocs, "doc_id", "text",
+      Seq("image" -> "images"),
+      P.InterleavedConfig(text = P.Config(piiMaxDensity = Some(0.2)),
+        statsMode = "cheap"))
+    val by2 = r2.stats.collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(by2("pii_filter") == 10L, by2.toString)
+  }
+
   // ------------------------------- WriterLock rename-back hardening
 
   test("WriterLock: a failed rename-back of a falsely-stale LIVE lock retries, restores the lock, and reports busy") {
