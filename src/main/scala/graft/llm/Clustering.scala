@@ -98,22 +98,42 @@ object Clustering {
     sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val train = sampled.getOrElse(corpus)
+      // Dense one-pass Lloyd step (r18) — the [[Similarity.refineCentroids]]
+      // optimization verbatim: scatter-add sums + counts per cell in ONE
+      // fused aggregate instead of posexploding every vector into dim rows
+      // and shuffling (cell, pos) means each iteration. Same means modulo
+      // floating-point association; explode plan kept past the dense bound.
+      val nCells = mat.length
+      val dim = if (nCells > 0) mat(0).length else 0
+      val dense = nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
+        nCells.toLong * (dim + 1) <= graft.functions.GradAggKernels.MaxDenseSlots
       for (_ <- 0 until iterations if mat.nonEmpty) {
         val cell = graft.functions.CentroidKernels.nearestIndexL2(col(vecCol), mat)
-        val means = train
-          .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
-          .groupBy("__cell", "pos").agg(avg("col").as("m"))
-          .collect()
-        val next = mat.map(_.clone())
-        val seen = new Array[Boolean](mat.length)
-        means.foreach { r =>
-          if (!r.isNullAt(0)) {
-            val c = r.getInt(0)
-            next(c)(r.getInt(1)) = r.getDouble(2)
-            seen(c) = true
+        if (dense) {
+          val sums = train
+            .agg(graft.functions.GradAggKernels.kMeansSums(cell,
+              col(vecCol).cast("array<double>"), nCells, dim).as("s"))
+            .collect()(0).getSeq[Double](0)
+          mat = mat.indices.map { c =>
+            val base = c * (dim + 1)
+            val count = sums(base + dim)
+            if (count > 0.0) Array.tabulate(dim)(d => sums(base + d) / count)
+            else mat(c)
+          }.toArray
+        } else {
+          val means = train
+            .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
+            .groupBy("__cell", "pos").agg(avg("col").as("m"))
+            .collect()
+          val next = mat.map(_.clone())
+          means.foreach { r =>
+            if (!r.isNullAt(0)) {
+              val c = r.getInt(0)
+              next(c)(r.getInt(1)) = r.getDouble(2)
+            }
           }
+          mat = next
         }
-        mat = next
       }
       mat
     } finally sampled.foreach(_.unpersist(blocking = false))

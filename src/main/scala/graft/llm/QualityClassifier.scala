@@ -112,47 +112,72 @@ object QualityClassifier {
       val losses = Seq.newBuilder[Double]
       val eps = 1e-12
 
+      // Per-iteration gradient plan (r18 optimization): the fused dense
+      // aggregate ([[graft.functions.GradAggKernels.LogRegGradAgg]])
+      // computes score, residual, log-loss AND every gradient sum in one
+      // scatter-add pass over the checkpoint — no explode fan-out (the
+      // previous plan materialized rows × (features+2) entries and
+      // hash-aggregated them through a dim-keyed shuffle EVERY iteration,
+      // guide §2.3/§2.4), one collected row instead of dim+2. Identical
+      // math: grad_k = Σ v_k·(p−y) over the same rows; absent features
+      // keep w = 0 under decay in both shapes, so only floating-point
+      // association differs (the operator's documented tolerance). Past
+      // the dense-buffer bound the old explode plan remains the right
+      // shape and is kept as the fallback.
+      val dense = dim + 2 <= graft.functions.GradAggKernels.MaxDenseSlots
       var it = 0
       while (it < iterations) {
-        val scored = labeled.select(col("f"), col("y"),
-          LogRegKernels.logRegScore(col("f"), w, bias).as("p"))
-        // Residual r = p - y drives both gradients; log-loss rides along.
-        val resid = scored.select(col("f"), (col("p") - col("y")).as("r"),
-          (-(col("y") * log(greatest(col("p"), lit(eps))) +
-            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(eps)))))
-            .as("ll"))
-        // ONE job per iteration: the per-feature gradient entries ride the
-        // same explode as two sentinel rows — id -1 carries the residual
-        // (bias gradient), id -2 the log-loss — so one map-side-combined
-        // hash aggregate (shuffle <= dim+2 sums per task) delivers loss,
-        // bias gradient, and every weight gradient in <= dim+2 collected
-        // rows. (Two jobs per iteration re-evaluated the score twice and
-        // doubled the driver latency.) The per-entry value resolves POST-
-        // explode with a codegen'd `when` — no `transform` lambda, which
-        // as a higher-order function is CodegenFallback and would drop
-        // the whole hot projection (score included) to interpreted eval.
-        val grad = resid.select(col("r"), col("ll"), explode(concat(
-          arrays_zip(col("f").getField("indices").as("i"),
-            col("f").getField("values").as("v")),
-          array(struct(lit(-1).as("i"), lit(0.0).as("v")),
-            struct(lit(-2).as("i"), lit(0.0).as("v"))))).as("e"))
-          .select(col("e.i").as("i"),
-            when(col("e.i") >= 0, col("e.v") * col("r"))
-              .when(col("e.i") === -1, col("r"))
-              .otherwise(col("ll")).as("g"))
-          .groupBy("i").agg(sum("g").as("g"))
-          .collect()
-        var biasGrad = 0.0
-        var gi = 0
-        while (gi < grad.length) {
-          val row = grad(gi)
-          val k = row.getInt(0)
-          if (k == -1) biasGrad = row.getDouble(1) / n
-          else if (k == -2) losses += row.getDouble(1) / n
-          else w(k) -= learningRate * (row.getDouble(1) / n + l2 * w(k))
-          gi += 1
+        if (dense) {
+          val g = labeled.agg(graft.functions.GradAggKernels
+            .logRegGrad(col("f"), col("y"), w, bias).as("g"))
+            .collect()(0).getSeq[Double](0)
+          losses += g(dim + 1) / n
+          var k = 0
+          while (k < dim) {
+            w(k) -= learningRate * (g(k) / n + l2 * w(k))
+            k += 1
+          }
+          bias -= learningRate * (g(dim) / n)
+        } else {
+          val scored = labeled.select(col("f"), col("y"),
+            LogRegKernels.logRegScore(col("f"), w, bias).as("p"))
+          // Residual r = p - y drives both gradients; log-loss rides along.
+          val resid = scored.select(col("f"), (col("p") - col("y")).as("r"),
+            (-(col("y") * log(greatest(col("p"), lit(eps))) +
+              (lit(1.0) - col("y")) * log(greatest(lit(1.0) - col("p"), lit(eps)))))
+              .as("ll"))
+          // ONE job per iteration: the per-feature gradient entries ride the
+          // same explode as two sentinel rows — id -1 carries the residual
+          // (bias gradient), id -2 the log-loss — so one map-side-combined
+          // hash aggregate (shuffle <= dim+2 sums per task) delivers loss,
+          // bias gradient, and every weight gradient in <= dim+2 collected
+          // rows. The per-entry value resolves POST-explode with a
+          // codegen'd `when` — no `transform` lambda, which as a
+          // higher-order function is CodegenFallback and would drop the
+          // whole hot projection (score included) to interpreted eval.
+          val grad = resid.select(col("r"), col("ll"), explode(concat(
+            arrays_zip(col("f").getField("indices").as("i"),
+              col("f").getField("values").as("v")),
+            array(struct(lit(-1).as("i"), lit(0.0).as("v")),
+              struct(lit(-2).as("i"), lit(0.0).as("v"))))).as("e"))
+            .select(col("e.i").as("i"),
+              when(col("e.i") >= 0, col("e.v") * col("r"))
+                .when(col("e.i") === -1, col("r"))
+                .otherwise(col("ll")).as("g"))
+            .groupBy("i").agg(sum("g").as("g"))
+            .collect()
+          var biasGrad = 0.0
+          var gi = 0
+          while (gi < grad.length) {
+            val row = grad(gi)
+            val k = row.getInt(0)
+            if (k == -1) biasGrad = row.getDouble(1) / n
+            else if (k == -2) losses += row.getDouble(1) / n
+            else w(k) -= learningRate * (row.getDouble(1) / n + l2 * w(k))
+            gi += 1
+          }
+          bias -= learningRate * biasGrad
         }
-        bias -= learningRate * biasGrad
         it += 1
       }
       Model(dim, ngrams, w, bias, losses.result())

@@ -349,23 +349,50 @@ object Similarity {
     sampled.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
     val train = sampled.getOrElse(corpus)
+    // Per-iteration plan (r18 optimization): the fused dense aggregate
+    // ([[graft.functions.GradAggKernels.KMeansSumAgg]]) scatter-adds each
+    // row's vector into its cell's sum slots in one pass — the previous
+    // plan posexploded every vector into dim rows and hash-aggregated
+    // (cell, pos) means through a shuffle EVERY iteration (guide
+    // §2.3/§2.4). Same means (sum/count per cell), floating-point
+    // association aside (the operator's documented tolerance); cells that
+    // capture no rows keep their previous centroid in both shapes. Past
+    // the dense-buffer bound (e.g. 65536 cells × high dim) the explode
+    // plan remains the right shape and is kept as the fallback.
+    val nCells = mat.length
+    val dim = if (nCells > 0) mat(0).length else 0
+    val dense = nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
+      nCells.toLong * (dim + 1) <= graft.functions.GradAggKernels.MaxDenseSlots
     for (_ <- 0 until iterations if mat.nonEmpty) {
       val cell = graft.functions.CentroidKernels.nearestIndex(col(vecCol), mat)
-      val means = train
-        .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
-        .groupBy("__cell", "pos").agg(avg("col").as("m"))
-        .collect()
-      val next = mat.map(_.clone())
-      val seen = new Array[Boolean](mat.length)
-      means.foreach { r =>
-        if (!r.isNullAt(0)) {
-          val c = r.getInt(0); val d = r.getInt(1)
-          if (c >= 0 && c < next.length && d < next(c).length) {
-            next(c)(d) = r.getDouble(2); seen(c) = true
+      if (dense) {
+        val sums = train
+          .agg(graft.functions.GradAggKernels.kMeansSums(cell,
+            col(vecCol).cast("array<double>"), nCells, dim).as("s"))
+          .collect()(0).getSeq[Double](0)
+        mat = mat.indices.map { c =>
+          val base = c * (dim + 1)
+          val count = sums(base + dim)
+          if (count > 0.0) Array.tabulate(dim)(d => sums(base + d) / count)
+          else mat(c)
+        }.toArray
+      } else {
+        val means = train
+          .select(cell.as("__cell"), posexplode(col(vecCol).cast("array<double>")))
+          .groupBy("__cell", "pos").agg(avg("col").as("m"))
+          .collect()
+        val next = mat.map(_.clone())
+        val seen = new Array[Boolean](mat.length)
+        means.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val c = r.getInt(0); val d = r.getInt(1)
+            if (c >= 0 && c < next.length && d < next(c).length) {
+              next(c)(d) = r.getDouble(2); seen(c) = true
+            }
           }
         }
+        mat = next.indices.map(i => if (seen(i)) next(i) else mat(i)).toArray
       }
-      mat = next.indices.map(i => if (seen(i)) next(i) else mat(i)).toArray
     }
     mat
     } finally sampled.foreach(_.unpersist(false))

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.control.NonFatal
+
+/** Per-query optimization profiler (r18): times named SparkEntry queries with
+  * the SAME methodology as graft.Bench — noop full-materialization sink, same
+  * session config, untimed sf0.001 warmup pass — and optionally dumps the
+  * formatted plan. Usage:
+  *   runMain graft.tools.DriveProfileQ [--explain[=dir]] [--trials=N] q1 q2 ...
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object DriveProfileQ {
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  def main(args: Array[String]): Unit = {
+    val explainDir = args.collectFirst {
+      case a if a.startsWith("--explain=") => a.stripPrefix("--explain=")
+      case a if a == "--explain" => "plans/r18"
+    }
+    val trials = args.collectFirst {
+      case a if a.startsWith("--trials=") => a.stripPrefix("--trials=").toInt
+    }.getOrElse(3)
+    val suffix = args.collectFirst {
+      case a if a.startsWith("--suffix=") => a.stripPrefix("--suffix=")
+    }.getOrElse("")
+    val names = args.filterNot(_.startsWith("--"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Mirror Bench: point the working set at tmpfs so temp parquet writes
+    // do not contend with the shared disk.
+    val tmpfs = new java.io.File("/dev/shm", "graft_profile_tmp")
+    if (tmpfs.isDirectory || tmpfs.mkdirs())
+      System.setProperty("java.io.tmpdir", tmpfs.getAbsolutePath)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.local.dir", tmpfs.getAbsolutePath)
+      .config("spark.sql.codegen.maxFields", "400")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-profile").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    materialize(spark.range(1000000).toDF("id"))
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      // Warmup: compile + JIT at sf0.001 then sf0.01 (mirrors Bench).
+      try materialize(fn(spark, warmDir)) catch { case NonFatal(_) => () }
+      try materialize(fn(spark, "/root/testdata/sf0.01")) catch { case NonFatal(_) => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val walls = (1 to trials).map { t =>
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sf))
+        val w = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val st = StageLog.drain()
+        if (t == 1 && st.nonEmpty)
+          println("  stages: " + st.map { case (n, v) => f"$n=$v%.2f" }.mkString(", "))
+        w
+      }
+      println(f"PROFILE $name trials=${walls.map(w => f"$w%.2f").mkString(",")} best=${walls.min}%.2f s")
+      explainDir.foreach { dir =>
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val f = new java.io.File(dir)
+        f.mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/${name}$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        println(s"  plan -> $dir/${name}$suffix.txt")
+      }
+    }
+    spark.stop()
+  }
+}
