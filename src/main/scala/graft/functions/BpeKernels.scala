@@ -223,6 +223,8 @@ object BpeKernels {
   case class BpeEncode(child: Expression, merges: Seq[(String, String)],
       byteLevel: Boolean = false) extends UnaryExpression {
     override def prettyName: String = "graft_bpe_encode"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"merges[${merges.length}]", byteLevel)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -252,6 +254,8 @@ object BpeKernels {
   case class BpeApply(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     override def prettyName: String = "graft_bpe_apply"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"merges[${merges.length}]")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 

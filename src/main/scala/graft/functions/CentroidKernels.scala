@@ -152,6 +152,8 @@ object CentroidKernels {
   case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], n: Int)
       extends UnaryExpression {
     override def prettyName: String = "graft_nearest_centroids"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"centroids[${centroids.length}]", n)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -192,6 +194,8 @@ object CentroidKernels {
   case class NearestCentroidL2(child: Expression, centroids: Seq[Seq[Double]])
       extends UnaryExpression {
     override def prettyName: String = "graft_nearest_centroid_l2"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"centroids[${centroids.length}]")
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = true
 
@@ -235,6 +239,8 @@ object CentroidKernels {
   case class MaxCosineAgainst(child: Expression, matrix: Seq[Seq[Double]])
       extends UnaryExpression {
     override def prettyName: String = "graft_max_cosine"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"matrix[${matrix.length}]")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 

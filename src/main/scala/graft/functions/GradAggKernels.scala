@@ -20,11 +20,15 @@ import org.apache.spark.sql.types._
   * paid `iterations` times per training call (guide §2.3 "aggregate before
   * you shuffle" / §2.4 "remove shuffles outright"). Because the reduced
   * statistic is a FIXED-SIZE dense vector known at plan time (dim + 2
-  * gradient slots; nCells × (dim+1) centroid sums), the whole iteration
-  * folds into ONE [[TypedImperativeAggregate]]: each task scatter-adds
-  * into a local dense buffer, partials merge pairwise, and the driver
-  * collects a single array row — no explode, no per-key shuffle, one
-  * stage fewer per iteration.
+  * gradient slots; nCells × (dim+1) centroid sums; m × ksub × (subdim+1)
+  * codeword sums), the whole iteration folds into one dense scatter-add
+  * pass: the Lloyd/PQ steps as ONE [[TypedImperativeAggregate]] (each task
+  * scatter-adds into a local buffer, partials merge pairwise, the driver
+  * collects a single array row), the logistic-regression step as a
+  * partition-local RDD walk over the training checkpoint
+  * ([[logRegGradUpdate]] — its loop runs 20-60 iterations, so it also
+  * skips the per-step Catalyst/AQE planning a Dataset.agg would re-pay).
+  * No explode, no per-key shuffle, one stage fewer per iteration.
   *
   * Scale guard: a dense buffer is only the right plan while it is small
   * (buffers ride the aggregation path per task and the final merge is
@@ -44,6 +48,11 @@ object GradAggKernels {
     * explode + hash-aggregate plan: 2^22 doubles = 32 MB per task buffer. */
   val MaxDenseSlots: Long = 1L << 22
 
+  /** Measurement hatch: `-Dgraft.denseAgg=off` forces every caller back to
+    * the explode + hash-aggregate plan (A/B comparisons of the two shapes
+    * in one binary). Default on. */
+  def enabled: Boolean = !sys.props.get("graft.denseAgg").contains("off")
+
   private def doublesToBytes(a: Array[Double]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
     bb.asDoubleBuffer().put(a)
@@ -56,107 +65,49 @@ object GradAggKernels {
     out
   }
 
-  /** Full-batch logistic-regression gradient step, fused: for each row
-    * with sparse features `f = struct(indices, values)` and label `y`,
-    * computes `p = sigmoid(w·x + b)` against the driver-known weights and
-    * scatter-adds `v_k · (p − y)` into slot k, `(p − y)` into slot dim
-    * (bias gradient) and the log-loss into slot dim+1. Output:
-    * `array<double>` of length dim + 2 — the exact sums the explode +
-    * groupBy("i").sum plan produced, in one pass with no fan-out.
-    *
+  /** Full-batch logistic-regression gradient step, per row: computes
+    * `p = sigmoid(w·x + b)` for a checkpointed training row laid out as
+    * (f struct(indices array<int>, values array<double>), y double) and
+    * scatter-adds `v_k · (p − y)` into slot k of `buf`, `(p − y)` into
+    * slot dim (bias gradient) and the log-loss into slot dim+1 — the
+    * exact sums the old explode + groupBy("i").sum plan produced, driven
+    * from a partition-local RDD pass ([[graft.llm.QualityClassifier]]).
     * Rows with null/malformed features or null labels contribute nothing
     * (the explode plan's null-sum behavior). */
-  case class LogRegGradAgg(
-      features: Expression,
-      label: Expression,
-      weights: Seq[Double],
-      bias: Double,
-      mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Array[Double]]
-      with BinaryLike[Expression] {
-
-    private val dim = weights.length
-    require(dim > 0 && dim + 2 <= MaxDenseSlots,
-      s"logreg dense gradient needs 0 < dim + 2 <= $MaxDenseSlots, got $dim")
-
-    @transient private lazy val w: Array[Double] = weights.toArray
-
-    override def prettyName: String = "graft_logreg_grad"
-    override def left: Expression = features
-    override def right: Expression = label
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def nullable: Boolean = false
-
-    override def checkInputDataTypes(): TypeCheckResult =
-      (features.dataType, label.dataType) match {
-        case (s: StructType, DoubleType) if s.length == 2 &&
-          s(0).dataType.isInstanceOf[ArrayType] &&
-          s(1).dataType.isInstanceOf[ArrayType] => TypeCheckResult.TypeCheckSuccess
-        case (f, l) => TypeCheckResult.TypeCheckFailure(
-          s"$prettyName expects (struct(indices,values), double), got " +
-            s"(${f.simpleString}, ${l.simpleString})")
-      }
-
-    override def createAggregationBuffer(): Array[Double] =
-      new Array[Double](dim + 2)
-
-    override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
-      val f = features.eval(input)
-      val y = label.eval(input)
-      if (f == null || y == null) return buf
-      val row = f.asInstanceOf[InternalRow]
-      if (row.isNullAt(0) || row.isNullAt(1)) return buf
-      val idx = row.getArray(0)
-      val vals = row.getArray(1)
-      val n = idx.numElements()
-      if (vals.numElements() != n) return buf
-      // First pass: the dot product (malformed indices → skip the row,
-      // matching the scorer's null contract).
-      var z = bias
-      var i = 0
-      while (i < n) {
-        if (idx.isNullAt(i) || vals.isNullAt(i)) return buf
-        val k = idx.getInt(i)
-        if (k < 0 || k >= dim) return buf
-        z += w(k) * vals.getDouble(i)
-        i += 1
-      }
-      val p = 1.0 / (1.0 + math.exp(-z))
-      val yv = y.asInstanceOf[Double]
-      val r = p - yv
-      val eps = 1e-12
-      val ll = -(yv * math.log(math.max(p, eps)) +
-        (1.0 - yv) * math.log(math.max(1.0 - p, eps)))
-      i = 0
-      while (i < n) {
-        buf(idx.getInt(i)) += vals.getDouble(i) * r
-        i += 1
-      }
-      buf(dim) += r
-      buf(dim + 1) += ll
-      buf
+  def logRegGradUpdate(buf: Array[Double], input: InternalRow,
+      w: Array[Double], bias: Double): Unit = {
+    val dim = w.length
+    if (input.isNullAt(0) || input.isNullAt(1)) return
+    val row = input.getStruct(0, 2)
+    if (row.isNullAt(0) || row.isNullAt(1)) return
+    val idx = row.getArray(0)
+    val vals = row.getArray(1)
+    val n = idx.numElements()
+    if (vals.numElements() != n) return
+    // First pass: the dot product (malformed indices → skip the row,
+    // matching the scorer's null contract).
+    var z = bias
+    var i = 0
+    while (i < n) {
+      if (idx.isNullAt(i) || vals.isNullAt(i)) return
+      val k = idx.getInt(i)
+      if (k < 0 || k >= dim) return
+      z += w(k) * vals.getDouble(i)
+      i += 1
     }
-
-    override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
-      var i = 0
-      while (i < buf.length) { buf(i) += other(i); i += 1 }
-      buf
+    val p = 1.0 / (1.0 + math.exp(-z))
+    val yv = input.getDouble(1)
+    val r = p - yv
+    val eps = 1e-12
+    val ll = -(yv * math.log(math.max(p, eps)) +
+      (1.0 - yv) * math.log(math.max(1.0 - p, eps)))
+    i = 0
+    while (i < n) {
+      buf(idx.getInt(i)) += vals.getDouble(i) * r
+      i += 1
     }
-
-    override def eval(buf: Array[Double]): Any =
-      new GenericArrayData(buf.map(Double.box(_): Any))
-
-    override def serialize(buf: Array[Double]): Array[Byte] = doublesToBytes(buf)
-    override def deserialize(b: Array[Byte]): Array[Double] = bytesToDoubles(b)
-
-    override def withNewMutableAggBufferOffset(o: Int): LogRegGradAgg =
-      copy(mutableAggBufferOffset = o)
-    override def withNewInputAggBufferOffset(o: Int): LogRegGradAgg =
-      copy(inputAggBufferOffset = o)
-    override protected def withNewChildrenInternal(
-        l: Expression, r: Expression): LogRegGradAgg =
-      copy(features = l, label = r)
+    buf(dim) += r
+    buf(dim + 1) += ll
   }
 
   /** One Lloyd step, fused: for each row with cell assignment `cell` and
@@ -236,14 +187,106 @@ object GradAggKernels {
       copy(cell = l, vec = r)
   }
 
-  /** Column API: fused logistic-regression gradient/loss sums. */
-  def logRegGrad(features: Column, label: Column,
-      weights: Array[Double], bias: Double): Column =
-    GraftSql.column(LogRegGradAgg(GraftSql.expression(features),
-      GraftSql.expression(label), weights.toSeq, bias).toAggregateExpression())
+  /** One PQ Lloyd step, fused: for each row with vector `vec`
+    * (array<double>, length m × subdim) and per-subspace code assignment
+    * `codes` (array<int>, length m), scatter-adds each subvector into its
+    * (subspace, codeword) sum slots and bumps that cell's count. Output:
+    * `array<double>` of length m × ksub × (subdim+1), laid out per
+    * (subspace s, code c) at (s·ksub + c)·(subdim+1) as [subdim sums,
+    * count] — the driver divides for the per-codeword means the double
+    * posexplode + (sub, code, pos) avg plan produced. Null vectors/codes
+    * and out-of-range codes contribute nothing. */
+  case class PqSumAgg(
+      vec: Expression,
+      codes: Expression,
+      m: Int,
+      ksub: Int,
+      subdim: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Double]]
+      with BinaryLike[Expression] {
+
+    require(m > 0 && ksub > 0 && subdim > 0 &&
+      m.toLong * ksub * (subdim + 1) <= MaxDenseSlots,
+      s"pq dense sums need m*ksub*(subdim+1) <= $MaxDenseSlots, " +
+        s"got $m x $ksub x ($subdim+1)")
+
+    override def prettyName: String = "graft_pq_sums"
+    override def left: Expression = vec
+    override def right: Expression = codes
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (vec.dataType, codes.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (v, c) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<double>, array<int>), got " +
+            s"(${v.simpleString}, ${c.simpleString})")
+      }
+
+    override def createAggregationBuffer(): Array[Double] =
+      new Array[Double](m * ksub * (subdim + 1))
+
+    override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+      val v = vec.eval(input)
+      val c = codes.eval(input)
+      if (v == null || c == null) return buf
+      val varr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val carr = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val nm = math.min(carr.numElements(), m)
+      var s = 0
+      while (s < nm) {
+        if (!carr.isNullAt(s)) {
+          val code = carr.getInt(s)
+          if (code >= 0 && code < ksub) {
+            val base = (s * ksub + code) * (subdim + 1)
+            val off = s * subdim
+            val hi = math.min(subdim, varr.numElements() - off)
+            var d = 0
+            while (d < hi) {
+              if (!varr.isNullAt(off + d)) buf(base + d) += varr.getDouble(off + d)
+              d += 1
+            }
+            buf(base + subdim) += 1.0
+          }
+        }
+        s += 1
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Double]): Any =
+      new GenericArrayData(buf.map(Double.box(_): Any))
+
+    override def serialize(buf: Array[Double]): Array[Byte] = doublesToBytes(buf)
+    override def deserialize(b: Array[Byte]): Array[Double] = bytesToDoubles(b)
+
+    override def withNewMutableAggBufferOffset(o: Int): PqSumAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): PqSumAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqSumAgg =
+      copy(vec = l, codes = r)
+  }
 
   /** Column API: fused per-cell vector sums + counts for one Lloyd step. */
   def kMeansSums(cell: Column, vec: Column, nCells: Int, dim: Int): Column =
     GraftSql.column(KMeansSumAgg(GraftSql.expression(cell),
       GraftSql.expression(vec), nCells, dim).toAggregateExpression())
+
+  /** Column API: fused per-(subspace, codeword) sums + counts for one PQ
+    * Lloyd step. */
+  def pqSums(vec: Column, codes: Column, m: Int, ksub: Int, subdim: Int): Column =
+    GraftSql.column(PqSumAgg(GraftSql.expression(vec),
+      GraftSql.expression(codes), m, ksub, subdim).toAggregateExpression())
 }

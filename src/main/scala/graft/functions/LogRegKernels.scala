@@ -169,6 +169,8 @@ object LogRegKernels {
   case class LogRegScore(child: Expression, weights: Seq[Double], bias: Double)
       extends UnaryExpression {
     override def prettyName: String = "graft_logreg_score"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"weights[${weights.length}]", bias)
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 

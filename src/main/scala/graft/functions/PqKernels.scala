@@ -169,6 +169,8 @@ object PqKernels {
   case class PqEncode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
       extends UnaryExpression {
     override def prettyName: String = "graft_pq_encode"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"codebook[${codebook.length}]")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -198,6 +200,8 @@ object PqKernels {
   case class PqDecode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
       extends UnaryExpression {
     override def prettyName: String = "graft_pq_decode"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"codebook[${codebook.length}]")
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -228,6 +232,8 @@ object PqKernels {
   case class PqLut(child: Expression, codebook: Seq[Seq[Seq[Double]]])
       extends UnaryExpression {
     override def prettyName: String = "graft_pq_lut"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"codebook[${codebook.length}]")
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
 

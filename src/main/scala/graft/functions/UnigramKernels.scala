@@ -213,6 +213,8 @@ object UnigramKernels {
   case class UnigramExpected(child: Expression, pieceSeq: Seq[String],
       logpSeq: Seq[Double]) extends UnaryExpression {
     override def prettyName: String = "graft_unigram_expected"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"pieces[${pieceSeq.length}]", s"logp[${logpSeq.length}]")
     override def dataType: DataType = expectedType
     override def nullable: Boolean = true
 
@@ -253,6 +255,8 @@ object UnigramKernels {
   case class UnigramEncode(child: Expression, pieceSeq: Seq[String],
       logpSeq: Seq[Double]) extends UnaryExpression {
     override def prettyName: String = "graft_unigram_encode"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"pieces[${pieceSeq.length}]", s"logp[${logpSeq.length}]")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 

@@ -182,6 +182,8 @@ object VectorKernels {
       compSeq: Seq[Double], k: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
     override def prettyName: String = "graft_pca_project"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"mean[${meanSeq.length}]", s"components[${compSeq.length}]", k)
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override def nullable: Boolean = true
 

@@ -161,6 +161,8 @@ object WordPieceKernels {
   case class WpApply(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     override def prettyName: String = "graft_wp_apply"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"merges[${merges.length}]")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -188,6 +190,8 @@ object WordPieceKernels {
   case class WordPieceEncode(child: Expression, pieceSeq: Seq[String],
       maxWordChars: Int) extends UnaryExpression {
     override def prettyName: String = "graft_wordpiece_encode"
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(child, s"pieces[${pieceSeq.length}]", maxWordChars)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = true
 

@@ -105,7 +105,8 @@ object Clustering {
       // floating-point association; explode plan kept past the dense bound.
       val nCells = mat.length
       val dim = if (nCells > 0) mat(0).length else 0
-      val dense = nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
+      val dense = graft.functions.GradAggKernels.enabled &&
+      nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
         nCells.toLong * (dim + 1) <= graft.functions.GradAggKernels.MaxDenseSlots
       for (_ <- 0 until iterations if mat.nonEmpty) {
         val cell = graft.functions.CentroidKernels.nearestIndexL2(col(vecCol), mat)

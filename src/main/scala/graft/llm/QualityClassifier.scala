@@ -112,25 +112,44 @@ object QualityClassifier {
       val losses = Seq.newBuilder[Double]
       val eps = 1e-12
 
-      // Per-iteration gradient plan (r18 optimization): the fused dense
-      // aggregate ([[graft.functions.GradAggKernels.LogRegGradAgg]])
-      // computes score, residual, log-loss AND every gradient sum in one
-      // scatter-add pass over the checkpoint — no explode fan-out (the
-      // previous plan materialized rows × (features+2) entries and
-      // hash-aggregated them through a dim-keyed shuffle EVERY iteration,
-      // guide §2.3/§2.4), one collected row instead of dim+2. Identical
-      // math: grad_k = Σ v_k·(p−y) over the same rows; absent features
-      // keep w = 0 under decay in both shapes, so only floating-point
-      // association differs (the operator's documented tolerance). Past
-      // the dense-buffer bound the old explode plan remains the right
-      // shape and is kept as the fallback.
-      val dense = dim + 2 <= graft.functions.GradAggKernels.MaxDenseSlots
+      // Per-iteration gradient plan (r18 optimization): one partition-local
+      // dense scatter-add pass over the checkpoint's INTERNAL-ROW RDD
+      // ([[graft.functions.GradAggKernels.logRegGradUpdate]] — score,
+      // residual, log-loss and every gradient sum in a single row walk),
+      // planned exactly once before the loop; partials are collected and
+      // summed on the driver — the classic distributed-GD aggregate.
+      // Identical math to the explode plan it replaced: grad_k =
+      // Σ v_k·(p−y) over the same rows; absent features keep w = 0 under
+      // decay in both shapes, so only floating-point association differs
+      // (the operator's documented tolerance; Round18OptSpec pins the two
+      // paths equal to 1e-9). The old plan re-paid Catalyst analysis, AQE
+      // stage planning, the SQL listener's plan stringification AND a
+      // rows × (features+2) explode + dim-keyed shuffle EVERY step — at 60
+      // iterations that overhead was ~2x the gradient compute itself (r18
+      // profile; guide §1.2 "per-task work", §2.3/§2.4, §7.3). Past the
+      // dense-buffer bound the explode plan remains and is the fallback.
+      val dense = graft.functions.GradAggKernels.enabled &&
+        dim + 2 <= graft.functions.GradAggKernels.MaxDenseSlots
+      val rowRdd =
+        if (dense) labeled.queryExecution.toRdd else null
       var it = 0
       while (it < iterations) {
         if (dense) {
-          val g = labeled.agg(graft.functions.GradAggKernels
-            .logRegGrad(col("f"), col("y"), w, bias).as("g"))
-            .collect()(0).getSeq[Double](0)
+          val wSnap = w.clone()
+          val biasSnap = bias
+          val d = dim
+          val partials = rowRdd.mapPartitions { rows =>
+            val buf = new Array[Double](d + 2)
+            while (rows.hasNext)
+              graft.functions.GradAggKernels.logRegGradUpdate(
+                buf, rows.next(), wSnap, biasSnap)
+            Iterator.single(buf)
+          }.collect()
+          val g = new Array[Double](dim + 2)
+          partials.foreach { p =>
+            var i = 0
+            while (i < g.length) { g(i) += p(i); i += 1 }
+          }
           losses += g(dim + 1) / n
           var k = 0
           while (k < dim) {

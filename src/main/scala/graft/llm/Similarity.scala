@@ -361,7 +361,8 @@ object Similarity {
     // plan remains the right shape and is kept as the fallback.
     val nCells = mat.length
     val dim = if (nCells > 0) mat(0).length else 0
-    val dense = nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
+    val dense = graft.functions.GradAggKernels.enabled &&
+      nCells > 0 && dim > 0 && mat.forall(_.length == dim) &&
       nCells.toLong * (dim + 1) <= graft.functions.GradAggKernels.MaxDenseSlots
     for (_ <- 0 until iterations if mat.nonEmpty) {
       val cell = graft.functions.CentroidKernels.nearestIndex(col(vecCol), mat)
@@ -536,25 +537,50 @@ object Similarity {
     val train = sampled.getOrElse(c)
     var book: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seedVecs.map(v => v.slice(s * subdim, (s + 1) * subdim)))
+    // Per-iteration plan (r18 optimization): the fused dense aggregate
+    // ([[graft.functions.GradAggKernels.PqSumAgg]]) scatter-adds every
+    // subvector into its (subspace, codeword) sum slots in one pass — the
+    // previous plan DOUBLE-posexploded each row into m × subdim entries
+    // and shuffled (sub, code, pos) means EVERY iteration (guide
+    // §2.3/§2.4). Same means (sum/count), floating-point association
+    // aside; empty codewords keep their previous value in both shapes.
+    // Past the dense-buffer bound the explode plan stays, as elsewhere.
+    val dense = graft.functions.GradAggKernels.enabled &&
+      m.toLong * ksub * (subdim + 1) <= graft.functions.GradAggKernels.MaxDenseSlots
     for (_ <- 0 until refineIterations) {
       val codes = PqKernels.encode(col("cv"), book)
-      val means = train
-        .select(col("cv"), posexplode(codes)).toDF("cv", "sub", "code")
-        .select(col("sub"), col("code"),
-          posexplode(slice(col("cv"), col("sub") * subdim + 1, lit(subdim))))
-        .toDF("sub", "code", "pos", "x")
-        .groupBy("sub", "code", "pos").agg(avg("x").as("mu"))
-        .collect()
-      val next = book.map(_.map(_.clone()))
-      val seen = Array.ofDim[Boolean](m, ksub)
-      means.foreach { r =>
-        val s = r.getInt(0); val cI = r.getInt(1); val p = r.getInt(2)
-        if (s >= 0 && s < m && cI >= 0 && cI < next(s).length && p < subdim) {
-          next(s)(cI)(p) = r.getDouble(3); seen(s)(cI) = true
+      if (dense) {
+        val sums = train
+          .agg(graft.functions.GradAggKernels.pqSums(col("cv"), codes,
+            m, ksub, subdim).as("s"))
+          .collect()(0).getSeq[Double](0)
+        book = Array.tabulate(m) { s =>
+          Array.tabulate(ksub) { cI =>
+            val base = (s * ksub + cI) * (subdim + 1)
+            val count = sums(base + subdim)
+            if (count > 0.0) Array.tabulate(subdim)(d => sums(base + d) / count)
+            else book(s)(cI)
+          }
         }
+      } else {
+        val means = train
+          .select(col("cv"), posexplode(codes)).toDF("cv", "sub", "code")
+          .select(col("sub"), col("code"),
+            posexplode(slice(col("cv"), col("sub") * subdim + 1, lit(subdim))))
+          .toDF("sub", "code", "pos", "x")
+          .groupBy("sub", "code", "pos").agg(avg("x").as("mu"))
+          .collect()
+        val next = book.map(_.map(_.clone()))
+        val seen = Array.ofDim[Boolean](m, ksub)
+        means.foreach { r =>
+          val s = r.getInt(0); val cI = r.getInt(1); val p = r.getInt(2)
+          if (s >= 0 && s < m && cI >= 0 && cI < next(s).length && p < subdim) {
+            next(s)(cI)(p) = r.getDouble(3); seen(s)(cI) = true
+          }
+        }
+        book = Array.tabulate(m)(s =>
+          next(s).indices.map(cI => if (seen(s)(cI)) next(s)(cI) else book(s)(cI)).toArray)
       }
-      book = Array.tabulate(m)(s =>
-        next(s).indices.map(cI => if (seen(s)(cI)) next(s)(cI) else book(s)(cI)).toArray)
     }
     book
     } finally sampled.foreach(_.unpersist(false))

@@ -55,17 +55,39 @@ object DriveProfileQ {
       try materialize(fn(spark, warmDir)) catch { case NonFatal(_) => () }
       try materialize(fn(spark, "/root/testdata/sf0.01")) catch { case NonFatal(_) => () }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      val walls = (1 to trials).map { t =>
+      def markers(): (Long, Long) =
+        try {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          val cpu = try src.getLines().find(_.startsWith("cpu "))
+            .map(_.trim.split("\\s+")).getOrElse(Array.empty[String])
+          finally src.close()
+          val busy = Seq(1, 2, 3, 6, 7, 8, 9, 10)
+            .filter(_ < cpu.length).map(cpu(_).toLong).sum
+          val steal = if (cpu.length > 8) cpu(8).toLong else -1L
+          val selfSrc = scala.io.Source.fromFile("/proc/self/stat")
+          val self = try {
+            val line = selfSrc.getLines().next()
+            val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+            rest(11).toLong + rest(12).toLong
+          } finally selfSrc.close()
+          (steal, busy - self)
+        } catch { case NonFatal(_) => (-1L, -1L) }
+      val runs = (1 to trials).map { t =>
+        val m0 = markers()
         val t0 = System.nanoTime()
         materialize(fn(spark, sf))
         val w = (System.nanoTime() - t0) / 1e9
+        val m1 = markers()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val st = StageLog.drain()
         if (t == 1 && st.nonEmpty)
           println("  stages: " + st.map { case (n, v) => f"$n=$v%.2f" }.mkString(", "))
-        w
+        (w, (m1._1 - m0._1) / 100.0, math.max(0.0, (m1._2 - m0._2) / 100.0))
       }
-      println(f"PROFILE $name trials=${walls.map(w => f"$w%.2f").mkString(",")} best=${walls.min}%.2f s")
+      val walls = runs.map(_._1)
+      println(f"PROFILE $name trials=${walls.map(w => f"$w%.2f").mkString(",")} " +
+        f"best=${walls.min}%.2f s steal=${runs.map(r => f"${r._2}%.1f").mkString(",")} " +
+        f"other=${runs.map(r => f"${r._3}%.1f").mkString(",")}")
       explainDir.foreach { dir =>
         val df = fn(spark, sf)
         val plan = df.queryExecution.explainString(
