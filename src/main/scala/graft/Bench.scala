@@ -93,6 +93,15 @@ object Bench {
       // Capping at the JIT limit falls back to per-operator codegen for
       // oversized stages: measured 24x on the 50M-row IOT build (79s -> 3.3s).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // Every action eagerly builds a full plan-description string for the
+      // SQL listener event (and AQE rebuilds it per stage update) even
+      // with the UI off — for the multi-action index/retrieval queries
+      // (50-90 jobs each over wide join plans) that stringification was
+      // 15-20% of wall (r18, measured: q_text_bm25 6.40 -> 5.18 s best-of-3
+      // on a clean box). 8 KB keeps events readable while bounding the
+      // cost; plan ANALYSIS is unaffected (this truncates only the
+      // rendered string, SQLConf.maxPlanStringLength).
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

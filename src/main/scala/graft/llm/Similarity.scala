@@ -849,7 +849,11 @@ object Similarity {
             "reload meta via readIvfPqIndex or rebuild with buildIvfPqIndex")
       }
     }
+    // One file per touched cell per batch (r18): the unclustered append
+    // emitted one file per (task × cell) — the small-files debt
+    // compaction later pays for. Same append-only cells, fewer files.
     encodeIndexRows(newRows, idCol, vecCol, meta)
+      .repartition(col("centroid_idx"))
       .write.mode("append").partitionBy("centroid_idx").parquet(dir)
     }
   }
@@ -910,11 +914,7 @@ object Similarity {
     val tmp = new org.apache.hadoop.fs.Path(dirPath.getParent,
       dirPath.getName + "._graft_compact_tmp")
     fs.delete(tmp, true) // a crashed earlier compaction leaves one behind
-    val salted =
-      if (filesPerCell == 1) indexed.repartition(col("centroid_idx"))
-      else indexed.repartition(col("centroid_idx"),
-        pmod(hash(col("neighbor_id")), lit(filesPerCell)))
-    writeIvfPqIndex(salted, meta, tmp.toString)
+    writeIvfPqIndex(indexed, meta, tmp.toString, filesPerCell)
     val old = new org.apache.hadoop.fs.Path(dirPath.getParent,
       dirPath.getName + ".__old")
     fs.delete(old, true) // residue of a crashed earlier compaction
@@ -938,9 +938,25 @@ object Similarity {
     * pruning via the probe's `isin` filter), which at 100 TB is the
     * difference between scanning the index and scanning nProbe/nCells of
     * it. The metadata rides alongside as `_graft_ivfpq_meta.json`
-    * (underscore-prefixed: invisible to parquet directory listings). */
-  def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String): Unit = {
-    indexed.write.mode("overwrite").partitionBy("centroid_idx").parquet(dir)
+    * (underscore-prefixed: invisible to parquet directory listings).
+    *
+    * Rows are CLUSTERED by cell before the write (r18 — guide §6 "small
+    * files hurt twice"): the bare dynamic-partition write emitted one file
+    * per (upstream task × cell) — up to tasks × nCells small files per
+    * write, each paying file-commit overhead (and a fork'd chmod on
+    * non-native local filesystems) on the way out and a footer open on
+    * every later probe. One exchange keyed on the cell bounds the census
+    * at `filesPerCell` per cell — the exact layout [[compactIvfPqIndex]]
+    * exists to restore. Raise `filesPerCell` when single cells are too
+    * large for one write task (the compaction knob's semantics). */
+  def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    val clustered =
+      if (filesPerCell == 1) indexed.repartition(col("centroid_idx"))
+      else indexed.repartition(col("centroid_idx"),
+        pmod(hash(col("neighbor_id")), lit(filesPerCell)))
+    clustered.write.mode("overwrite").partitionBy("centroid_idx").parquet(dir)
     writeMetaSidecar(indexed.sparkSession, dir, meta)
   }
 

@@ -2881,8 +2881,11 @@ object LlmQueries {
       val rebuilt = graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id",
         "text", dirFull.toString, nBuckets = 8)
       val sA = graft.llm.Retrieval.scores(appended, queries, "q_id", "q_text")
+      // sR feeds BOTH comparison joins (append-vs-rebuild and
+      // compact-vs-rebuild): checkpoint it once instead of re-running the
+      // whole scoring pipeline per action (r18).
       val sR = graft.llm.Retrieval.scores(rebuilt, queries, "q_id", "q_text")
-        .withColumnRenamed("score", "score_r")
+        .withColumnRenamed("score", "score_r").localCheckpoint()
       val appendEqualsRebuild = sA.join(sR, Seq("q_id", "doc_id"), "full_outer")
         .agg(all(abs(col("score") - col("score_r")) < 1e-9))
         .collect()(0).getBoolean(0)

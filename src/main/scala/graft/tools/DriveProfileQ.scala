@@ -39,12 +39,32 @@ object DriveProfileQ {
       .config("spark.sql.codegen.maxFields", "400")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .appName("graft-profile").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // Job/stage/task accounting: attributes a query's wall to scheduling
+    // (many tiny jobs) vs compute (task time) without the UI.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stagesN = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stagesN.incrementAndGet()
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+      }
+    })
+    def snapCounters(): (Long, Long, Long, Long) =
+      (jobs.get(), stagesN.get(), tasks.get(), taskMs.get())
 
     materialize(spark.range(1000000).toDF("id"))
     val warmDir = "/root/testdata/sf0.001"
@@ -74,9 +94,14 @@ object DriveProfileQ {
         } catch { case NonFatal(_) => (-1L, -1L) }
       val runs = (1 to trials).map { t =>
         val m0 = markers()
+        val c0 = snapCounters()
         val t0 = System.nanoTime()
         materialize(fn(spark, sf))
         val w = (System.nanoTime() - t0) / 1e9
+        val c1 = snapCounters()
+        if (t == 1)
+          println(s"  jobs=${c1._1 - c0._1} stages=${c1._2 - c0._2} " +
+            s"tasks=${c1._3 - c0._3} taskSec=${(c1._4 - c0._4) / 1000.0}")
         val m1 = markers()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val st = StageLog.drain()
