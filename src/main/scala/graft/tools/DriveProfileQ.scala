@@ -39,7 +39,8 @@ object DriveProfileQ {
       .config("spark.sql.codegen.maxFields", "400")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.sql.maxPlanStringLength",
+        sys.props.getOrElse("graft.planLen", "8192"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
