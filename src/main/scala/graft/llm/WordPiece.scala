@@ -86,11 +86,19 @@ object WordPiece {
     * denominator multiply — two long symbol counts at web-corpus
     * frequencies (~5e9 each) would overflow Long and raise under ANSI
     * mode. */
-  private[graft] def sweepCandidateFrame(words: DataFrame,
-      minPairCount: Long): DataFrame = {
-    val n = size(col("syms"))
-    val symCounts = words.select(explode(col("syms")).as("sym"), col("cnt"))
+  /** The per-sweep symbol-count table (`sym`, `sc`) — tiny (≤ alphabet +
+    * accepted merges). Exposed so [[train]] can materialize it ONCE per
+    * sweep: the two broadcast denominators below are canonically different
+    * subtrees (different renames), so without that the aggregate executed
+    * twice per sweep (r18 optimization). */
+  private[graft] def symCountFrame(words: DataFrame): DataFrame =
+    words.select(explode(col("syms")).as("sym"), col("cnt"))
       .groupBy("sym").agg(sum("cnt").as("sc"))
+
+  private[graft] def sweepCandidateFrame(words: DataFrame,
+      minPairCount: Long, symCountsIn: Option[DataFrame] = None): DataFrame = {
+    val n = size(col("syms"))
+    val symCounts = symCountsIn.getOrElse(symCountFrame(words))
     words.where(n >= 2)
       .select(col("cnt"), explode(zip_with(
         slice(col("syms"), lit(1), n - 1), slice(col("syms"), lit(2), n - 1),
@@ -145,8 +153,15 @@ object WordPiece {
     while (merges.length < numMerges && !done) {
       val want = math.min(sweepSize, numMerges - merges.length)
       val fetch = if (sweepSize == 1) 1 else math.max(sweepSize * 2, sweepSize + 8)
-      val top = sweepCandidateFrame(words, minPairCount)
-        .limit(fetch).collect()
+      // Materialize the (tiny) symbol-count table once per sweep: both
+      // broadcast denominators read the pinned blocks instead of each
+      // re-running the aggregate (r18 — one vocab scan per sweep fewer).
+      val sc = symCountFrame(words).localCheckpoint(true)
+      val top =
+        try sweepCandidateFrame(words, minPairCount, Some(sc))
+          .limit(fetch).collect()
+        finally org.apache.spark.sql.graftshim.GraftSql.checkpointedRdd(sc)
+          .foreach(_.unpersist(blocking = false))
       if (top.isEmpty) done = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
