@@ -65,18 +65,31 @@ object Clustering {
     * assignment and Lloyd both use SQUARED EUCLIDEAN distance (the
     * k-means objective — the ANN family's cosine argmax would tie all
     * parallel vectors regardless of magnitude). */
+  /** @param seedCentroids start from these centroids instead of running
+    *        the k-1 farthest-first seeding jobs — the standard k-means
+    *        seed-injection lever (r18): a caller training twice at
+    *        different iteration counts over the same corpus (baseline vs
+    *        refined) reuses the deterministic seeds instead of re-deriving
+    *        them. Passing the matrix a previous `kMeans(..., iterations =
+    *        0)` returned yields byte-identical seeding. */
   def kMeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int = 5, maxTrainRows: Long = 1000000L,
-      outCol: String = "cluster_id"): (DataFrame, Array[Array[Double]]) = {
+      outCol: String = "cluster_id",
+      seedCentroids: Option[Array[Array[Double]]] = None)
+      : (DataFrame, Array[Array[Double]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(seedCentroids.forall(_.length == k),
+      s"seedCentroids must hold exactly k=$k centroids, got " +
+        s"${seedCentroids.map(_.length)}")
     val train = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as(vecCol))
     // Seed over the same bounded sample refinement trains on — the k
     // seeding jobs must not scan a 100 TB corpus either.
-    val seedFrame = Similarity.boundedTrainFrame(train, vecCol, maxTrainRows)
+    def seedFrame = Similarity.boundedTrainFrame(train, vecCol, maxTrainRows)
       .getOrElse(train)
-    val seed = farthestFirstSeeds(seedFrame, "id", vecCol, k)
+    val seed = seedCentroids.getOrElse(
+      farthestFirstSeeds(seedFrame, "id", vecCol, k))
     val mat = refineL2(train, vecCol, seed, iterations, maxTrainRows)
     (assign(df, vecCol, mat, outCol), mat)
   }

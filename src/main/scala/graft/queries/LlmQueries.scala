@@ -3251,8 +3251,11 @@ object LlmQueries {
       val emb = table(s, d, "embeddings").where(col("embedding").isNotNull)
       val (a0, m0) = graft.llm.Clustering.kMeans(emb, "vec_id", "embedding",
         k = 8, iterations = 0)
+      // m0 IS the deterministic farthest-first seed matrix (0 Lloyd
+      // iterations return it unchanged) — inject it instead of re-running
+      // the k-1 seeding jobs (r18; identical centroids by construction).
       val (assigned, mat) = graft.llm.Clustering.kMeans(emb, "vec_id",
-        "embedding", k = 8, iterations = 3)
+        "embedding", k = 8, iterations = 3, seedCentroids = Some(m0))
       def totalInertia(df: DataFrame, m: Array[Array[Double]]): Double =
         graft.llm.Clustering.clusterStats(df, "embedding", m)
           .agg(coalesce(sum("inertia"), lit(0.0))).collect()(0).getDouble(0)
