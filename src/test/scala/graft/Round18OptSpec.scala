@@ -117,6 +117,23 @@ class Round18OptSpec extends AnyFunSuite {
     assert(a(2).sameElements(Array(-5.0, -5.0)))
   }
 
+  test("kMeans seed injection == rederived seeding (centroids + assignments)") {
+    val (a1, m1) = graft.llm.Clustering.kMeans(vecs, "vec_id", "embedding",
+      k = 3, iterations = 0)
+    val (a2, m2) = graft.llm.Clustering.kMeans(vecs, "vec_id", "embedding",
+      k = 3, iterations = 2, seedCentroids = Some(m1))
+    val (a3, m3) = graft.llm.Clustering.kMeans(vecs, "vec_id", "embedding",
+      k = 3, iterations = 2)
+    m2.zip(m3).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, v) =>
+        assert(math.abs(u - v) < 1e-9, s"injected-seed centroid diverged: $u vs $v") } }
+    assert(a2.select("vec_id", "cluster_id").collect().map(r =>
+        r.getLong(0) -> r.getInt(1)).toMap ==
+      a3.select("vec_id", "cluster_id").collect().map(r =>
+        r.getLong(0) -> r.getInt(1)).toMap)
+    assert(a1.columns.contains("cluster_id")) // baseline call stays intact
+  }
+
   test("literal-table kernels summarize, not dump, their tables in plan strings") {
     // range source: a local relation would be constant-folded away
     // (ConvertToLocalRelation) before the plan string is built.
