@@ -75,33 +75,12 @@ object Bench {
         if (d.isDirectory || d.mkdirs()) Some(d.getAbsolutePath) else None
       }
     tmpfsDir.foreach(d => System.setProperty("java.io.tmpdir", d))
-    val spark = SparkSession.builder()
+    // Engine-level tuning (codegen caps, plan-string bound, bare local FS)
+    // lives in [[SessionTuning]] since r19 — the bench inherits the same
+    // defaults every library session gets (VERDICT r18 #3).
+    val spark = SessionTuning.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", tmpfsDir.getOrElse(realTmp))
-      // 128-aggregate minhash signatures exceed the default codegen
-      // field cap (100) and would silently fall back to interpreted agg.
-      .config("spark.sql.codegen.maxFields", "400")
-      // The generated-class cache defaults to 100 entries; a 100+-query run
-      // cycles it, so alphabetical neighbors sharing a pipeline (minhash /
-      // minhash_drop) recompile identical classes — measured ~10s of extra
-      // Janino+JIT per wide-aggregate recompile. Static conf: must be set
-      // before the first session builds.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // The JIT refuses methods over ~8000 bytecodes (DontCompileHugeMethods),
-      // but Spark's default hugeMethodLimit (65535) still hands such stages
-      // to whole-stage codegen — which then runs as INTERPRETED bytecode.
-      // Capping at the JIT limit falls back to per-operator codegen for
-      // oversized stages: measured 24x on the 50M-row IOT build (79s -> 3.3s).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
-      // Every action eagerly builds a full plan-description string for the
-      // SQL listener event (and AQE rebuilds it per stage update) even
-      // with the UI off — for the multi-action index/retrieval queries
-      // (50-90 jobs each over wide join plans) that stringification was
-      // 15-20% of wall (r18, measured: q_text_bm25 6.40 -> 5.18 s best-of-3
-      // on a clean box). 8 KB keeps events readable while bounding the
-      // cost; plan ANALYSIS is unaffected (this truncates only the
-      // rendered string, SQLConf.maxPlanStringLength).
-      .config("spark.sql.maxPlanStringLength", "8192")
+      .config("spark.local.dir", tmpfsDir.getOrElse(realTmp)))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -520,7 +499,14 @@ object Bench {
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","tmpfs":"${tmpfsDir.getOrElse("off")}","steal_sec":$st,"other_cpu_sec":$ot,"spread":$sp,"stages":$sg,"gc_sec":$gcJ,"box_cpu_mops":[$cpuMops0%.0f,$cpuMops1%.0f],"box_mem_gbps":[$memGbps0%.1f,$memGbps1%.1f],"box_disk_mbps":[$diskMbps0%.0f,$diskMbps1%.0f],"box_mops_trace":$trace,"box_gbps_trace":$gtrace,"box_disk_trace":$dtrace}"""
     // The full per-query detail goes to a file the judge can read whole.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Default is RUN-SUFFIXED (r19, VERDICT r18 #7): consecutive runs (e.g.
+    // the driver's 32-core board then its 8-core scaling run) used to
+    // overwrite one tracked bench_out.json, losing the earlier detail. The
+    // compact stdout line names the file, so it stays discoverable;
+    // SPARK_GRAFT_BENCH_OUT still pins an exact path when a caller wants
+    // one (tools/run_board.sh does).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out_${System.currentTimeMillis / 1000}.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] write $outPath: $e") }

@@ -31,17 +31,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // 128-aggregate minhash signatures exceed the default codegen
-      // field cap (100) and would silently fall back to interpreted agg.
-      .config("spark.sql.codegen.maxFields", "400")
-      // The JIT refuses methods over ~8000 bytecodes (DontCompileHugeMethods),
-      // but Spark's default hugeMethodLimit (65535) still hands such stages
-      // to whole-stage codegen — which then runs as INTERPRETED bytecode.
-      // Capping at the JIT limit falls back to per-operator codegen for
-      // oversized stages: measured 24x on the 50M-row IOT build (79s -> 3.3s).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+    // Engine-level tuning (codegen caps, plan-string bound, bare local FS)
+    // shared with Bench and the library default (r19).
+    val spark = SessionTuning.tune(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); Spark reads it as LONG

@@ -265,6 +265,11 @@ object PqKernels {
       codebook: Seq[Seq[Seq[Double]]])
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def prettyName: String = "graft_pq_adc"
+    // Table params must never render whole into plan strings (r18/r19
+    // stringArgs sweep — this was the one kernel still missing it).
+    override protected def stringArgs: Iterator[Any] =
+      Iterator(left, right,
+        s"codebook[${codebook.length}x${codebook.headOption.map(_.length).getOrElse(0)}]")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
 

@@ -82,6 +82,16 @@ object Clustering {
     require(seedCentroids.forall(_.length == k),
       s"seedCentroids must hold exactly k=$k centroids, got " +
         s"${seedCentroids.map(_.length)}")
+    // Rectangularity (r19, ADVICE r18): ragged seeds passed the count-only
+    // check and surfaced later as kernel misbehavior / out-of-bounds writes
+    // in the explode fallback. Dim-vs-data mismatch is caught by the dense
+    // aggregate's own fixed-width require.
+    seedCentroids.filter(_.nonEmpty).foreach { m =>
+      val d0 = m(0).length
+      require(m.forall(_.length == d0),
+        s"seedCentroids must be rectangular (every centroid the same " +
+          s"dimension); got lengths ${m.map(_.length).distinct.mkString(",")}")
+    }
     val train = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as(vecCol))
     // Seed over the same bounded sample refinement trains on — the k
@@ -142,8 +152,11 @@ object Clustering {
           val next = mat.map(_.clone())
           means.foreach { r =>
             if (!r.isNullAt(0)) {
-              val c = r.getInt(0)
-              next(c)(r.getInt(1)) = r.getDouble(2)
+              val c = r.getInt(0); val p = r.getInt(1)
+              // Bounds guard (r19, ADVICE r18): wrong-dim rows must not
+              // write out of bounds (the Similarity fallback's guard).
+              if (c >= 0 && c < next.length && p < next(c).length)
+                next(c)(p) = r.getDouble(2)
             }
           }
           mat = next

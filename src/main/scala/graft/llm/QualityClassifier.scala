@@ -135,16 +135,24 @@ object QualityClassifier {
       var it = 0
       while (it < iterations) {
         if (dense) {
-          val wSnap = w.clone()
+          // Broadcast the weight snapshot (r19, ADVICE r18): captured in
+          // the closure it ships per TASK per iteration (dim doubles —
+          // 512 KB at dim=2^16, x tasks x iterations of driver egress on a
+          // real cluster); a broadcast ships it once per executor per
+          // iteration and is destroyed right after the collect.
+          val wBc = labeled.sparkSession.sparkContext.broadcast(w.clone())
           val biasSnap = bias
           val d = dim
-          val partials = rowRdd.mapPartitions { rows =>
-            val buf = new Array[Double](d + 2)
-            while (rows.hasNext)
-              graft.functions.GradAggKernels.logRegGradUpdate(
-                buf, rows.next(), wSnap, biasSnap)
-            Iterator.single(buf)
-          }.collect()
+          val partials =
+            try rowRdd.mapPartitions { rows =>
+              val wSnap = wBc.value
+              val buf = new Array[Double](d + 2)
+              while (rows.hasNext)
+                graft.functions.GradAggKernels.logRegGradUpdate(
+                  buf, rows.next(), wSnap, biasSnap)
+              Iterator.single(buf)
+            }.collect()
+            finally wBc.destroy()
           val g = new Array[Double](dim + 2)
           partials.foreach { p =>
             var i = 0

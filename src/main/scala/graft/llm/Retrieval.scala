@@ -92,10 +92,16 @@ object Retrieval {
       writeBucketSorted(tfRows(docs, idCol, textCol).withColumn("tb",
         bucketOf(nBuckets)), s"$path/tf", overwrite = true)
       val tfP = spark.read.parquet(s"$path/tf")
-      tfP.groupBy("doc_id").agg(max("dl").as("dl"))
-        .write.mode("overwrite").parquet(s"$path/dl")
-      writeBucketSorted(tfP.groupBy("tb", "term").agg(count(lit(1)).as("df")),
-        s"$path/df", overwrite = true)
+      // dl and df both derive from the WRITTEN tf and are independent of
+      // each other — overlap the two small write jobs so one's commit tail
+      // back-fills with the other's tasks (guide §2.6; r19 — each tiny
+      // write pays a fixed commit cost that does not parallelize within
+      // itself).
+      graft.io.Par.both(
+        tfP.groupBy("doc_id").agg(max("dl").as("dl"))
+          .write.mode("overwrite").parquet(s"$path/dl"),
+        writeBucketSorted(tfP.groupBy("tb", "term").agg(count(lit(1)).as("df")),
+          s"$path/df", overwrite = true))
       writeMeta(spark, path, nBuckets)
     }
     loadIndex(spark, path)
@@ -265,7 +271,6 @@ object Retrieval {
       // the retry path or buildAndWriteIndex; duplicated postings are not.)
       delta.groupBy("doc_id").agg(max("dl").as("dl"))
         .write.mode("append").parquet(s"$path/dl")
-      writeBucketSorted(delta, s"$path/tf", overwrite = false)
       // Vocab-sized df merge, swapped in atomically (the compaction idiom:
       // temp write, move-aside, rename; stale residue deleted up front).
       val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
@@ -279,7 +284,16 @@ object Retrieval {
         .unionByName(delta.groupBy("tb", "term").agg(count(lit(1)).as("df"))
           .select(col("term"), col("df"), col("tb")))
         .groupBy("tb", "term").agg(sum("df").as("df"))
-      writeBucketSorted(merged, tmp.toString, overwrite = true)
+      // The tf append and the df-merge TMP write are independent (both
+      // read the pinned delta — warmed by the dl write above — and touch
+      // disjoint dirs; the df SWAP stays strictly after both). Overlap the
+      // two small jobs (guide §2.6, r19). Crash mid-overlap leaves: dl
+      // appended (a retry fail-fasts on checkIds), tf either unchanged or
+      // fully committed, tmp residue inert — exactly the states the heal
+      // path already handles for the sequential order.
+      graft.io.Par.both(
+        writeBucketSorted(delta, s"$path/tf", overwrite = false),
+        writeBucketSorted(merged, tmp.toString, overwrite = true))
       if (!fs.rename(dfDir, old))
         throw new java.io.IOException(
           s"appendToBm25Index: could not move $dfDir aside; merged df left at $tmp")
@@ -367,17 +381,21 @@ object Retrieval {
     val dlDir = new org.apache.hadoop.fs.Path(s"$path/dl")
     val before = dataFiles(tfDir) + dataFiles(dlDir)
     val tf = spark.read.parquet(tfDir.toString)
-    swapIn(tfDir, tmp => {
-      val keyed =
-        if (filesPerBucket == 1) tf.repartition(col("tb"))
-        else tf.repartition(col("tb"),
-          pmod(xxhash64(col("term")), lit(filesPerBucket.toLong)))
-      keyed.sortWithinPartitions("tb", "term")
-        .write.mode("overwrite").partitionBy("tb").parquet(tmp)
-    })
     val dl = spark.read.parquet(dlDir.toString)
-    swapIn(dlDir, tmp =>
-      dl.repartition(dlFiles).write.mode("overwrite").parquet(tmp))
+    // The tf and dl rewrites touch disjoint directories with no ordering
+    // contract between them (each swap is individually crash-recoverable
+    // by healCompactSwaps) — overlap the two rewrite jobs (guide §2.6, r19).
+    graft.io.Par.both(
+      swapIn(tfDir, tmp => {
+        val keyed =
+          if (filesPerBucket == 1) tf.repartition(col("tb"))
+          else tf.repartition(col("tb"),
+            pmod(xxhash64(col("term")), lit(filesPerBucket.toLong)))
+        keyed.sortWithinPartitions("tb", "term")
+          .write.mode("overwrite").partitionBy("tb").parquet(tmp)
+      }),
+      swapIn(dlDir, tmp =>
+        dl.repartition(dlFiles).write.mode("overwrite").parquet(tmp)))
     (before, dataFiles(tfDir) + dataFiles(dlDir))
     }
   }

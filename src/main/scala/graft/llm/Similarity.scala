@@ -948,7 +948,12 @@ object Similarity {
     * every later probe. One exchange keyed on the cell bounds the census
     * at `filesPerCell` per cell — the exact layout [[compactIvfPqIndex]]
     * exists to restore. Raise `filesPerCell` when single cells are too
-    * large for one write task (the compaction knob's semantics). */
+    * large for one write task (the compaction knob's semantics): at
+    * filesPerCell = 1 a HOT cell (skewed centroid) funnels through a
+    * single write task — a straggler/spill risk the bare unclustered
+    * write did not have. For large builds derive it from expected
+    * rows-per-cell (≈ totalRows / nCells / targetRowsPerFile), or keep 1
+    * when cells are balanced (ADVICE r18; the bench-scale indexes are). */
   def writeIvfPqIndex(indexed: DataFrame, meta: IvfPqMeta, dir: String,
       filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")

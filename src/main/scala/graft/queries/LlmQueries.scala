@@ -2069,10 +2069,12 @@ object LlmQueries {
         queries, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4,
         m = 16, ksub = 64, refineIterations = 0, rerank = 8)
         .select("query_id", "neighbor_id")
-      val nProbeRows = probe.count()
-      val nDiff = probe.unionByName(direct)
-        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
-        .where(col("c") =!= 2).count()
+      // Two independent verification actions — overlap them (§2.6, r19).
+      val (nProbeRows, nDiff) = graft.io.Par.both(
+        probe.count(),
+        probe.unionByName(direct)
+          .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
+          .where(col("c") =!= 2).count())
       val plan = probe.queryExecution.executedPlan.toString
       // ANY scan with non-empty PartitionFilters (the probe plan also
       // scans the unpartitioned raw/query frames, whose filter lists are
@@ -2138,10 +2140,12 @@ object LlmQueries {
       val probeRebuilt = Similarity.probeIvfPqIndex(rebuilt, meta, raw,
         queries, "vec_id", "embedding", k = 10, nProbe = 4, rerank = 8)
         .select("query_id", "neighbor_id")
-      val nRows = probeAppended.count()
-      val nDiff = probeAppended.unionByName(probeRebuilt)
-        .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
-        .where(col("c") =!= 2).count()
+      // Two independent verification actions — overlap them (§2.6, r19).
+      val (nRows, nDiff) = graft.io.Par.both(
+        probeAppended.count(),
+        probeAppended.unionByName(probeRebuilt)
+          .groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("c"))
+          .where(col("c") =!= 2).count())
       val result = one(emb.limit(1),
         "n_queries" -> L(5L),
         "rows_ok" -> lit(nRows == 50L),
@@ -2454,14 +2458,21 @@ object LlmQueries {
         .localCheckpoint()
       val bmDir = java.nio.file.Files.createTempDirectory("graft_hybrid_bm25")
       val annDir = java.nio.file.Files.createTempDirectory("graft_hybrid_ann")
-      val idx = graft.llm.Retrieval.buildAndWriteIndex(corpus, "doc_id",
-        "text", bmDir.toString, nBuckets = 8)
+      // The lexical (BM25 build+write) and dense (IVF-PQ train+write+reload)
+      // sides are independent until the RRF fusion — overlap the two index
+      // builds (guide §2.6, r19; both read the same pinned corpus
+      // checkpoint). Same indexes, same rankings, same output.
+      val (idx, (reloaded, meta2)) = graft.io.Par.both(
+        graft.llm.Retrieval.buildAndWriteIndex(corpus, "doc_id",
+          "text", bmDir.toString, nBuckets = 8),
+        {
+          val (indexed, meta) = Similarity.buildIvfPqIndex(corpus, "doc_id",
+            "embedding", nCentroids = 8, m = 16, ksub = 64, refineIterations = 0)
+          Similarity.writeIvfPqIndex(indexed, meta, annDir.toString)
+          Similarity.readIvfPqIndex(s, annDir.toString)
+        })
       val bm = graft.llm.Retrieval.topK(idx, queries, "q_id", "q_text", k = 10)
         .select(col("q_id"), col("doc_id"), col("rank"))
-      val (indexed, meta) = Similarity.buildIvfPqIndex(corpus, "doc_id",
-        "embedding", nCentroids = 8, m = 16, ksub = 64, refineIterations = 0)
-      Similarity.writeIvfPqIndex(indexed, meta, annDir.toString)
-      val (reloaded, meta2) = Similarity.readIvfPqIndex(s, annDir.toString)
       val raw = corpus.select(col("doc_id").as("neighbor_id"),
         col("embedding").cast("array<double>").as("cv"))
       val ann = Similarity.probeIvfPqIndex(reloaded, meta2, raw, queries,
@@ -2874,18 +2885,27 @@ object LlmQueries {
             .as("q_text"))
       val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
       val dirFull = java.nio.file.Files.createTempDirectory("graft_bm25_idx_full")
-      graft.llm.Retrieval.buildAndWriteIndex(base, "doc_id", "text",
-        dir.toString, nBuckets = 8)
-      val appended = graft.llm.Retrieval.appendToBm25Index(batch, "doc_id",
-        "text", dir.toString)
-      val rebuilt = graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id",
-        "text", dirFull.toString, nBuckets = 8)
+      // The dir lifecycle (build base + append batch) and the dirFull
+      // rebuild + its checkpointed scores touch DISJOINT index dirs with
+      // no data dependency until the comparison join — overlap the two
+      // chains so the ~8 tiny fixed-cost write jobs back-fill each other
+      // (guide §2.6, r19). Same writes, same scores, same output.
+      val (appended, sR) = graft.io.Par.both(
+        {
+          graft.llm.Retrieval.buildAndWriteIndex(base, "doc_id", "text",
+            dir.toString, nBuckets = 8)
+          graft.llm.Retrieval.appendToBm25Index(batch, "doc_id",
+            "text", dir.toString)
+        }, {
+          val rebuilt = graft.llm.Retrieval.buildAndWriteIndex(docs, "doc_id",
+            "text", dirFull.toString, nBuckets = 8)
+          // sR feeds BOTH comparison joins (append-vs-rebuild and
+          // compact-vs-rebuild): checkpoint it once instead of re-running
+          // the whole scoring pipeline per action (r18).
+          graft.llm.Retrieval.scores(rebuilt, queries, "q_id", "q_text")
+            .withColumnRenamed("score", "score_r").localCheckpoint()
+        })
       val sA = graft.llm.Retrieval.scores(appended, queries, "q_id", "q_text")
-      // sR feeds BOTH comparison joins (append-vs-rebuild and
-      // compact-vs-rebuild): checkpoint it once instead of re-running the
-      // whole scoring pipeline per action (r18).
-      val sR = graft.llm.Retrieval.scores(rebuilt, queries, "q_id", "q_text")
-        .withColumnRenamed("score", "score_r").localCheckpoint()
       val appendEqualsRebuild = sA.join(sR, Seq("q_id", "doc_id"), "full_outer")
         .agg(all(abs(col("score") - col("score_r")) < 1e-9))
         .collect()(0).getBoolean(0)
@@ -3049,15 +3069,18 @@ object LlmQueries {
         threshold = 0.9, numHashes = 128, bands = 64).localCheckpoint()
       val split = Sampling.assignSplitsByCluster(corpus, "id", pairs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).localCheckpoint()
-      val straddle = pairs
-        .join(split.select(col("id").as("id_a"), col("split").as("sp_a")), "id_a")
-        .join(split.select(col("id").as("id_b"), col("split").as("sp_b")), "id_b")
-        .where(col("sp_a") =!= col("sp_b")).count()
-      val plantedBad = split
-        .where(col("id") < 50 || col("id") >= 1000000000L)
-        .withColumn("b", pmod(col("id"), lit(1000000000L)))
-        .groupBy("b").agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
-        .where(col("ns") =!= 1 || col("n") =!= 3).count()
+      // The straddle and planted-cluster checks are independent actions
+      // over the pinned split — overlap them (§2.6, r19).
+      val (straddle, plantedBad) = graft.io.Par.both(
+        pairs
+          .join(split.select(col("id").as("id_a"), col("split").as("sp_a")), "id_a")
+          .join(split.select(col("id").as("id_b"), col("split").as("sp_b")), "id_b")
+          .where(col("sp_a") =!= col("sp_b")).count(),
+        split
+          .where(col("id") < 50 || col("id") >= 1000000000L)
+          .withColumn("b", pmod(col("id"), lit(1000000000L)))
+          .groupBy("b").agg(countDistinct("split").as("ns"), count(lit(1)).as("n"))
+          .where(col("ns") =!= 1 || col("n") =!= 3).count())
       def fracOk(name: String, target: Double) =
         (abs(avg(when(col("split") === name, 1.0).otherwise(0.0)) - target)
           < 0.05).as(s"${name}_frac_ok")
@@ -3223,14 +3246,22 @@ object LlmQueries {
       val (total, maxTok, nDocs) = (totals.getLong(0), totals.getLong(1),
         totals.getLong(2))
       val budget = total * 2 / 5
-      val sel = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
-        "n_tok", budget).localCheckpoint()
-      val selTok = sel.agg(coalesce(sum("n_tok"), lit(0L))).collect()(0).getLong(0)
-      val idsSel = sel.select("doc_id").collect().map(_.getLong(0)).toSet
-      val idsSmall = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
-        "n_tok", budget / 2).select("doc_id").collect().map(_.getLong(0)).toSet
-      val fullN = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
-        "n_tok", total).count()
+      // The three selections (budget, budget/2, full) are independent —
+      // overlap their jobs (§2.6, r19); identical selections and booleans.
+      val sels = graft.io.Par.all(Seq(
+        () => {
+          val sel = graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+            "n_tok", budget).localCheckpoint()
+          (sel.agg(coalesce(sum("n_tok"), lit(0L))).collect()(0).getLong(0),
+            sel.select("doc_id").collect().map(_.getLong(0)).toSet)
+        },
+        () => graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+          "n_tok", budget / 2).select("doc_id").collect().map(_.getLong(0)).toSet,
+        () => graft.llm.Sampling.sampleTokenBudget(docs, Seq("doc_id"),
+          "n_tok", total).count()))
+      val (selTok, idsSel) = sels(0).asInstanceOf[(Long, Set[Long])]
+      val idsSmall = sels(1).asInstanceOf[Set[Long]]
+      val fullN = sels(2).asInstanceOf[Long]
       one(docs,
         "n_docs" -> count(lit(1)),
         "within_budget" -> lit(selTok <= budget),
@@ -3259,23 +3290,32 @@ object LlmQueries {
       def totalInertia(df: DataFrame, m: Array[Array[Double]]): Double =
         graft.llm.Clustering.clusterStats(df, "embedding", m)
           .agg(coalesce(sum("inertia"), lit(0.0))).collect()(0).getDouble(0)
-      val monotone = totalInertia(assigned, mat) <=
-        totalInertia(a0, m0) * (1 + 1e-12) + 1e-9
-      val sizes = graft.llm.Clustering.clusterStats(assigned, "embedding", mat)
-        .select("cluster_id", "n").collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val balCounts = graft.llm.Clustering
-        .balancedSample(assigned, Seq("vec_id"), perCluster = 20)
-        .groupBy("cluster_id").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // Five independent verification actions over the trained model —
+      // overlap them (§2.6, r19): each is a small job whose tail leaves
+      // cores idle; values and the final booleans are unchanged.
+      val checks = graft.io.Par.all(Seq(
+        () => totalInertia(assigned, mat),
+        () => totalInertia(a0, m0),
+        () => graft.llm.Clustering.clusterStats(assigned, "embedding", mat)
+          .select("cluster_id", "n").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap,
+        () => graft.llm.Clustering
+          .balancedSample(assigned, Seq("vec_id"), perCluster = 20)
+          .groupBy("cluster_id").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap,
+        () => graft.llm.Clustering
+          .assign(emb.repartition(11), "embedding", mat)
+          .select("vec_id", "cluster_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap,
+        () => assigned.select("vec_id", "cluster_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap))
+      val monotone = checks(0).asInstanceOf[Double] <=
+        checks(1).asInstanceOf[Double] * (1 + 1e-12) + 1e-9
+      val sizes = checks(2).asInstanceOf[Map[Int, Long]]
+      val balCounts = checks(3).asInstanceOf[Map[Int, Long]]
       val balancedOk = sizes.forall { case (c, n) =>
         balCounts.getOrElse(c, 0L) == math.min(20L, n) }
-      val stable = graft.llm.Clustering
-        .assign(emb.repartition(11), "embedding", mat)
-        .select("vec_id", "cluster_id").collect()
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap ==
-        assigned.select("vec_id", "cluster_id").collect()
-          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val stable = checks(4) == checks(5)
       val matLit = array(mat.map(c => array(c.map(lit): _*)): _*)
       val dists = transform(matLit, c => aggregate(
         zip_with(col("embedding").cast("array<double>"), c,
@@ -3307,13 +3347,23 @@ object LlmQueries {
         size(filter(toks, t => t === "spark")).cast("double") / size(toks)
       }
       val target = docs.where(rate(col("text")) > 0.06)
-      val picked = graft.llm.Dsir.resampleN(docs, target, "text",
-        Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2).localCheckpoint()
-      val again = graft.llm.Dsir.resampleN(docs.repartition(13), target,
-        "text", Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2)
-      val idsA = picked.select("doc_id").collect().map(_.getLong(0)).toSet
-      val idsB = again.select("doc_id").collect().map(_.getLong(0)).toSet
-      val rawRate = docs.agg(avg(rate(col("text")))).collect()(0).getDouble(0)
+      // The two resample runs (determinism pin) and the raw-rate aggregate
+      // are independent — overlap them (§2.6, r19); both runs are
+      // deterministic by contract, so interleaving cannot change the pin.
+      val parts = graft.io.Par.all(Seq(
+        () => {
+          val picked = graft.llm.Dsir.resampleN(docs, target, "text",
+            Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2).localCheckpoint()
+          (picked, picked.select("doc_id").collect().map(_.getLong(0)).toSet)
+        },
+        () => graft.llm.Dsir.resampleN(docs.repartition(13), target,
+          "text", Seq("doc_id"), n = 100, dim = 1 << 14, ngrams = 2)
+          .select("doc_id").collect().map(_.getLong(0)).toSet,
+        () => docs.agg(avg(rate(col("text")))).collect()(0).getDouble(0)))
+      val (picked, idsA) =
+        parts(0).asInstanceOf[(org.apache.spark.sql.DataFrame, Set[Long])]
+      val idsB = parts(1).asInstanceOf[Set[Long]]
+      val rawRate = parts(2).asInstanceOf[Double]
       one(picked,
         "n_raw" -> L(docs.count()),
         "n_target" -> L(target.count()),

@@ -25,6 +25,15 @@ object DriveProfileQ {
     val suffix = args.collectFirst {
       case a if a.startsWith("--suffix=") => a.stripPrefix("--suffix=")
     }.getOrElse("")
+    // --conf k=v (repeatable): extra session config for A/B runs (e.g. the
+    // streaming state-store provider); overrides the tuning defaults.
+    val extraConf = args.collect {
+      case a if a.startsWith("--conf ") || a.startsWith("--conf=") =>
+        a.stripPrefix("--conf=").stripPrefix("--conf ").split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"bad --conf: $a")
+        }
+    }
     val names = args.filterNot(_.startsWith("--"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,15 +42,13 @@ object DriveProfileQ {
     val tmpfs = new java.io.File("/dev/shm", "graft_profile_tmp")
     if (tmpfs.isDirectory || tmpfs.mkdirs())
       System.setProperty("java.io.tmpdir", tmpfs.getAbsolutePath)
-    val spark = SparkSession.builder()
+    val b0 = graft.SessionTuning.tune(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.local.dir", tmpfs.getAbsolutePath)
-      .config("spark.sql.codegen.maxFields", "400")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.local.dir", tmpfs.getAbsolutePath))
       .config("spark.sql.maxPlanStringLength",
         sys.props.getOrElse("graft.planLen", "8192"))
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = extraConf.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

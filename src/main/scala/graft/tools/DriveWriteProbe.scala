@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
 object DriveWriteProbe {
   def main(args: Array[String]): Unit = {
     val algo = args.headOption.getOrElse("1")
-    val spark = SparkSession.builder().master("local[32]")
+    // arg 2: "bare" -> graft.io.BareLocalFs (no chmod/no .crc), else stock.
+    val bare = args.length > 1 && args(1) == "bare"
+    val b0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", algo)
-      .config("spark.ui.enabled", false).appName("write-probe").getOrCreate()
+      .config("spark.ui.enabled", false).appName("write-probe")
+    val spark = (if (bare) b0.config("spark.hadoop.fs.file.impl",
+      classOf[graft.io.BareLocalFs].getName) else b0).getOrCreate()
+    println(s"[write-probe] bareLocalFs=$bare")
     spark.sparkContext.setLogLevel("ERROR")
     val tmp = new java.io.File("/dev/shm", "graft_write_probe")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)

@@ -9,9 +9,12 @@ import graft.spec._
 import graft.spec.ColumnStrategy._
 
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
+  // SessionTuning so the whole suite runs under the engine defaults the
+  // entry points use (incl. BareLocalFs — every index-lifecycle and
+  // streaming test then exercises the bare local filesystem, r19).
+  lazy val spark: SparkSession = SessionTuning.tune(SparkSession.builder()
     .master("local[4]")
-    .appName("graft-test")
+    .appName("graft-test"))
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
