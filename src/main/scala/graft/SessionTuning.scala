@@ -49,10 +49,18 @@ object SessionTuning {
       "spark.sql.maxPlanStringLength" -> "8192")
     val fs =
       if (bareLocalFsEnabled)
-        // file:// without per-file permission syscalls or .crc sidecars —
-        // the fixed cost of every tiny local parquet write
-        // (see [[graft.io.BareLocalFs]]; hdfs/s3a paths untouched).
-        Seq("spark.hadoop.fs.file.impl" -> classOf[graft.io.BareLocalFs].getName)
+        Seq(
+          // file:// without per-file permission syscalls or .crc sidecars —
+          // the fixed cost of every tiny local parquet write
+          // (see [[graft.io.BareLocalFs]]; hdfs/s3a paths untouched).
+          "spark.hadoop.fs.file.impl" -> classOf[graft.io.BareLocalFs].getName,
+          // The FileContext twin: Structured Streaming's checkpoint/state
+          // writes resolve file:// through fs.AbstractFileSystem.file.impl
+          // and were forking chmod/readlink per checkpoint file — 2.7-4.7 s
+          // of other-process CPU inside a ~3 s streaming query (r19;
+          // q_dedup_stream 3.10 -> 1.65 s with zero forks after this).
+          "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
+            classOf[graft.io.BareLocalAbstractFs].getName)
       else Nil
     base ++ fs
   }

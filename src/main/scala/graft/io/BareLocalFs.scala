@@ -47,7 +47,45 @@ class BareLocalFs extends LocalFileSystem(new BareRawLocalFs) {
   }
 }
 
-/** The raw side of [[BareLocalFs]]: permission application disabled. */
+/** The raw side of [[BareLocalFs]]: permission application disabled, and
+  * file-status reads answered from the Java file API instead of a forked
+  * `stat` process. Without libhadoop, Hadoop's RawLocalFileSystem
+  * resolves EVERY `getFileStatus` by exec'ing the `stat` binary
+  * (`Stat.isAvailable` on Linux) — measured r19: ~2.5k forks inside one
+  * streaming query (checkpoint exists/list/commit churn), 1-3 ms of CPU
+  * each. The pure-Java status carries default permissions/owner (the
+  * object-store semantics; nothing in the engine reads local permissions)
+  * and the same length/mtime/blocksize fields the forked path produced. */
 class BareRawLocalFs extends RawLocalFileSystem {
   override def setPermission(p: Path, permission: FsPermission): Unit = ()
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    val file = pathToFile(f)
+    if (!file.exists())
+      throw new java.io.FileNotFoundException(s"File $f does not exist")
+    new org.apache.hadoop.fs.FileStatus(file.length(), file.isDirectory, 1,
+      getDefaultBlockSize(f), file.lastModified(), 0L, null, null, null,
+      new Path(file.getPath).makeQualified(getUri, getWorkingDirectory))
+  }
+
+  /** Symlinks dereference to their targets (the `java.io.File` view) —
+    * never a forked `readlink`. Without this, EVERY `FileContext.rename`
+    * (`AbstractFileSystem.rename` stats the destination via
+    * getFileLinkStatus first) exec'd `readlink` once: 960 forks inside one
+    * streaming query's checkpoint churn (measured r19 via a PATH shim). */
+  override def getFileLinkStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    getFileStatus(f)
 }
+
+/** The [[org.apache.hadoop.fs.AbstractFileSystem]] (FileContext) twin of
+  * [[BareLocalFs]] — Structured Streaming's checkpoint/offset/commit/state
+  * writes go through `FileContext`, which resolves `file://` via
+  * `fs.AbstractFileSystem.file.impl` (default: checksummed `LocalFs`), NOT
+  * `fs.file.impl`. Measured r19: each streaming micro-batch's checkpoint
+  * metadata + state snapshots forked 2.7-4.7 s of per-file `chmod` inside
+  * a ~3 s streaming query. Mirrors Hadoop's own `RawLocalFs`
+  * (DelegateToFileSystem over the raw local FS) with permission
+  * application disabled; rename atomicity on the local FS is unchanged. */
+class BareLocalAbstractFs(uri: java.net.URI, conf: Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new BareRawLocalFs, conf, "file", false)

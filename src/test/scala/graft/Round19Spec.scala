@@ -139,6 +139,14 @@ class Round19Spec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.isInstanceOf[graft.io.BareLocalFs],
       s"expected BareLocalFs for file://, got ${fs.getClass.getName}")
+    // The FileContext side (streaming checkpoints) must resolve to the
+    // bare AbstractFileSystem too — rename/status there forked
+    // chmod/readlink per checkpoint file otherwise.
+    val afs = org.apache.hadoop.fs.FileContext.getFileContext(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      .getDefaultFileSystem
+    assert(afs.isInstanceOf[graft.io.BareLocalAbstractFs],
+      s"expected BareLocalAbstractFs for FileContext file://, got ${afs.getClass.getName}")
   }
 
   test("BareLocalFs: no .crc sidecars, exclusive create + rename contracts hold") {
